@@ -1,0 +1,537 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.core.{Num, Tables}
+
+/** Relational query library — SURVEY.md §2B Q1–Q11.
+  *
+  * Every query is declarative DataFrame API so Catalyst owns pushdown,
+  * pruning, join selection and whole-stage codegen. Scale notes inline:
+  * anything that would not survive a 1000-executor / 100 TB run is called
+  * out with the mitigation used.
+  */
+object Relational {
+  import Num._
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // ---------------------------------------------------------------- Q1
+  /** Pricing summary (TPC-H Q1 shape): scan → pushed filter → 2-phase
+    * hash aggregate on a low-cardinality key → tiny sort. The group-by key
+    * space is ~6 rows, so the shuffle after partial aggregation is
+    * negligible at any scale.
+    */
+  private def q1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02 00:00:00").cast(TimestampType))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("sum_disc_price"),
+        dsum(($"l_extendedprice" * (lit(1) - $"l_discount")) * (lit(1) + $"l_tax")).as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private val q1Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlSum("l_quantity")} AS sum_qty,
+       |  ${sqlSum("l_extendedprice")} AS sum_base_price,
+       |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       |  ${sqlSum("(l_extendedprice * (1 - l_discount)) * (1 + l_tax)")} AS sum_charge,
+       |  ${sqlAvg("l_quantity")} AS avg_qty,
+       |  ${sqlAvg("l_extendedprice")} AS avg_price,
+       |  ${sqlAvg("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- Q2
+  /** orders ⋈ customer revenue per market segment. customer is the small
+    * side (1:10 vs orders) — broadcast it so the big side never shuffles.
+    * At 100 TB customer may exceed the broadcast threshold; AQE would then
+    * fall back to a shuffled hash join on the equi key, which is the right
+    * plan there too.
+    */
+  private def q2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = t(spark, dir, "orders")
+    val cust = t(spark, dir, "customer").select($"c_custkey", $"c_mktsegment")
+    orders.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        dsum($"o_totalprice").as("revenue"),
+        count(lit(1)).as("n_orders"),
+        davg($"o_totalprice").as("avg_price"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val q2Sql =
+    s"""SELECT c_mktsegment,
+       |  ${sqlSum("o_totalprice")} AS revenue,
+       |  COUNT(*) AS n_orders,
+       |  ${sqlAvg("o_totalprice")} AS avg_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- Q3
+  /** Five-table chain. Dimension tables (nation, region) are broadcast —
+    * they are bounded-size at any scale factor. lineitem⋈orders is the one
+    * genuine shuffle; Catalyst/AQE pick its strategy.
+    */
+  private def q3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = t(spark, dir, "lineitem").select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val orders = t(spark, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val cust = t(spark, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region")
+    li.join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  private val q3Sql =
+    s"""SELECT r_name, n_name,
+       |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- Q4
+  /** Left-semi (EXISTS) and left-anti (NOT EXISTS). The probe side streams;
+    * only the distinct keys of orders travel — Spark plans a broadcast or
+    * shuffled semi join without materializing the join product.
+    */
+  private def q4Semi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders").select($"o_custkey")
+    cust.join(orders, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  private val q4SemiSql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  private def q4Anti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders").select($"o_custkey")
+    cust.join(orders, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  private val q4AntiSql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q5
+  /** Theta (band range) self-join: same-brand parts priced within ±0.5%.
+    *
+    * A naive non-equi self-join is a nested-loop cross product — O(n²) and
+    * fatal at scale. Instead we join on an equi key (brand, price band)
+    * where band width ≥ the range window, so any qualifying pair differs by
+    * at most one band; the right side is expanded to its band and the band
+    * above, and the exact range predicate filters after the hash join.
+    * This turns the range join into a shuffle hash join with ~2× fanout —
+    * the standard banded range-join trick, linear at 100 TB.
+    */
+  private def q5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = t(spark, dir, "part").select($"p_partkey", $"p_brand", $"p_retailprice")
+    // Window is ±0.5% of a price in [900, 1000) → max width ~5.0; band=8
+    // safely exceeds it so |band(p1) - band(p2)| <= 1.
+    val bandWidth = 8.0
+    val left = p.select(
+      $"p_partkey".as("pk1"), $"p_brand".as("brand"), $"p_retailprice".as("price1"),
+      floor($"p_retailprice" / bandWidth).as("band"))
+    val right = p.select(
+        $"p_partkey".as("pk2"), $"p_brand".as("brand"), $"p_retailprice".as("price2"),
+        explode(array(floor($"p_retailprice" / bandWidth),
+                      floor($"p_retailprice" / bandWidth) + 1,
+                      floor($"p_retailprice" / bandWidth) - 1)).as("band"))
+    left.join(right, Seq("brand", "band"))
+      .filter($"pk1" < $"pk2" &&
+        $"price1" >= $"price2" * 0.995 && $"price1" <= $"price2" * 1.005)
+      .select($"pk1", $"pk2", $"brand", $"price1", $"price2")
+      .distinct() // a pair can match via two of the three candidate bands
+      .orderBy($"pk1", $"pk2")
+  }
+
+  private val q5Sql =
+    """SELECT p1.p_partkey AS pk1, p2.p_partkey AS pk2, p1.p_brand AS brand,
+      |       p1.p_retailprice AS price1, p2.p_retailprice AS price2
+      |FROM part p1 JOIN part p2
+      |  ON p1.p_brand = p2.p_brand
+      | AND p1.p_partkey < p2.p_partkey
+      | AND p1.p_retailprice >= p2.p_retailprice * 0.995
+      | AND p1.p_retailprice <= p2.p_retailprice * 1.005
+      |ORDER BY pk1, pk2""".stripMargin
+
+  // ---------------------------------------------------------------- Q6
+  /** ROLLUP / CUBE grouping sets + COUNT(DISTINCT). Distinct aggregation
+    * over grouping sets expands the input once per set — fine for a
+    * 2-column rollup; at extreme scale prefer approx_count_distinct (X4).
+    */
+  private def q6Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .rollup($"o_orderpriority", $"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"o_custkey").as("n_cust"),
+        dsum($"o_totalprice").as("revenue"),
+        grouping($"o_orderpriority").cast(IntegerType).as("gp"),
+        grouping($"o_orderstatus").cast(IntegerType).as("gs"))
+      .orderBy($"gp", $"gs", $"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  private val q6RollupSql =
+    s"""SELECT o_orderpriority, o_orderstatus,
+       |  COUNT(*) AS n,
+       |  COUNT(DISTINCT o_custkey) AS n_cust,
+       |  ${sqlSum("o_totalprice")} AS revenue,
+       |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS gp,
+       |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS gs
+       |FROM orders
+       |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+       |ORDER BY gp, gs, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  private def q6Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum($"o_totalprice").as("revenue"),
+        grouping($"o_orderpriority").cast(IntegerType).as("gp"),
+        grouping($"o_orderstatus").cast(IntegerType).as("gs"))
+      .orderBy($"gp", $"gs", $"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  private val q6CubeSql =
+    s"""SELECT o_orderpriority, o_orderstatus,
+       |  COUNT(*) AS n,
+       |  ${sqlSum("o_totalprice")} AS revenue,
+       |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS gp,
+       |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS gs
+       |FROM orders
+       |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+       |ORDER BY gp, gs, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- Q7
+  /** Window functions. Partitioned by customer — parallel across the key
+    * space, one shuffle on the partition key; no global sort until the
+    * final (bounded) output ORDER BY. Ties broken by o_orderkey so ranking
+    * is total and reproducible.
+    */
+  private def q7Top3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  private val q7Top3Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) s
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Running revenue per customer (frame: unbounded preceding → current).
+    * The running sum is over exact decimals so every prefix is
+    * order-independent-exact, then cast to double for the oracle.
+    */
+  private def q7Running(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .withColumn("running_rev",
+        sum($"o_totalprice".cast(DataTypes.createDecimalType(28, 10))).over(w).cast(DoubleType))
+      .select($"o_custkey", $"o_orderkey", $"running_rev")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  private val q7RunningSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** lag/lead analytics: days since the customer's previous order. */
+  private def q7Lag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    t(spark, dir, "orders")
+      .withColumn("prev_date", lag($"o_orderdate", 1).over(w))
+      .withColumn("next_key", lead($"o_orderkey", 1).over(w))
+      .withColumn("gap_days", datediff($"o_orderdate", $"prev_date"))
+      .select($"o_custkey", $"o_orderkey", $"gap_days", $"next_key")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  private val q7LagSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(date_diff('day',
+      |    LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |    o_orderdate) AS INTEGER) AS gap_days,
+      |  LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q8
+  /** Global top-k. orderBy().limit(k) plans TakeOrderedAndProject: each
+    * partition keeps its local top-k and only k rows per partition reach
+    * the driver — no global sort, safe at any scale.
+    */
+  private def q8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber",
+        ($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey", $"l_linenumber")
+      .limit(10)
+  }
+
+  private val q8Sql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue
+      |FROM lineitem
+      |ORDER BY revenue DESC, l_orderkey, l_linenumber
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- Q9
+  /** Set operations. INTERSECT/EXCEPT are distinct-set semantics in both
+    * engines; Spark plans them as (broadcast/shuffled) semi/anti joins on
+    * the deduplicated sides.
+    */
+  private def q9Intersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val buyers = t(spark, dir, "orders").select($"o_custkey".as("c_custkey"))
+    val rich = t(spark, dir, "customer").filter($"c_acctbal" > 5000).select($"c_custkey")
+    buyers.intersect(rich).orderBy($"c_custkey")
+  }
+
+  private val q9IntersectSql =
+    """SELECT o_custkey AS c_custkey FROM orders
+      |INTERSECT
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      |ORDER BY c_custkey""".stripMargin
+
+  private def q9Except(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = t(spark, dir, "customer").select($"c_custkey")
+    val buyers = t(spark, dir, "orders").select($"o_custkey".as("c_custkey"))
+    all.except(buyers).orderBy($"c_custkey")
+  }
+
+  private val q9ExceptSql =
+    """SELECT c_custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders
+      |ORDER BY c_custkey""".stripMargin
+
+  private def q9Union(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rich = t(spark, dir, "customer").filter($"c_acctbal" > 7500).select($"c_custkey".as("k"))
+    val big = t(spark, dir, "orders").filter($"o_totalprice" > 400000).select($"o_custkey".as("k"))
+    rich.unionAll(big)
+      .groupBy($"k").agg(count(lit(1)).as("n"))
+      .orderBy($"k")
+  }
+
+  private val q9UnionSql =
+    """SELECT k, COUNT(*) AS n FROM (
+      |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 7500
+      |  UNION ALL
+      |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000) u
+      |GROUP BY k
+      |ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------- Q10
+  /** Scalar-function battery. Only cross-engine-exact functions appear in
+    * hash-matched output (substr/upper/concat/regexp/length; floor/ceil/
+    * abs/sqrt are IEEE-exact; ln/pow are libm-dependent and excluded).
+    */
+  private def q10String(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "part")
+      .select(
+        $"p_partkey",
+        substring($"p_name", 1, 8).as("name8"),
+        upper($"p_brand").as("brand_u"),
+        concat($"p_brand", lit(":"), $"p_type").as("brand_type"),
+        regexp_extract($"p_name", "([a-z]+)$", 1).as("last_word"),
+        length($"p_name").as("name_len"),
+        regexp_replace($"p_type", " ", "_").as("type_us"),
+        trim(lower($"p_type")).as("type_l"))
+      .orderBy($"p_partkey")
+  }
+
+  private val q10StringSql =
+    """SELECT p_partkey,
+      |  substr(p_name, 1, 8) AS name8,
+      |  upper(p_brand) AS brand_u,
+      |  p_brand || ':' || p_type AS brand_type,
+      |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      |  length(p_name) AS name_len,
+      |  replace(p_type, ' ', '_') AS type_us,
+      |  trim(lower(p_type)) AS type_l
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  private def q10Date(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .groupBy(
+        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month"),
+        year($"o_orderdate").as("yr"),
+        month($"o_orderdate").as("mo"))
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("revenue"))
+      .orderBy($"month")
+  }
+
+  private val q10DateSql =
+    s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+       |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+       |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+       |  COUNT(*) AS n,
+       |  ${sqlSum("o_totalprice")} AS revenue
+       |FROM orders
+       |GROUP BY 1, 2, 3
+       |ORDER BY month""".stripMargin
+
+  private def q10Math(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .filter($"l_linenumber" === 1)
+      .select(
+        $"l_orderkey",
+        floor($"l_extendedprice").cast(LongType).as("price_floor"),
+        ceil($"l_extendedprice").cast(LongType).as("price_ceil"),
+        abs($"l_discount" - 0.05).as("disc_dev"),
+        sqrt($"l_quantity").as("qty_sqrt"),
+        ($"l_quantity" % 7).as("qty_mod7"),
+        (-$"l_tax").as("neg_tax"))
+      .orderBy($"l_orderkey")
+  }
+
+  private val q10MathSql =
+    """SELECT l_orderkey,
+      |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+      |  abs(l_discount - 0.05) AS disc_dev,
+      |  sqrt(l_quantity) AS qty_sqrt,
+      |  fmod(l_quantity, 7) AS qty_mod7,
+      |  -l_tax AS neg_tax
+      |FROM lineitem
+      |WHERE l_linenumber = 1
+      |ORDER BY l_orderkey""".stripMargin
+
+  private def q10Json(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast(IntegerType))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  private val q10JsonSql =
+    """SELECT event_type,
+      |  COUNT(*) AS n,
+      |  SUM(CAST(props->>'$.k' AS INTEGER)) AS sum_k,
+      |  MIN(CAST(props->>'$.k' AS INTEGER)) AS min_k,
+      |  MAX(CAST(props->>'$.k' AS INTEGER)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- Q11
+  /** events batch analytics: count/sum per event_type per 10-minute
+    * tumbling bucket. Bucket is emitted as epoch seconds (BIGINT) — raw
+    * timestamps never appear in verified output (tz-encoding differs
+    * between Spark parquet and the DuckDB oracle).
+    */
+  private def q11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .withColumn("bucket", (floor(unix_timestamp($"ts") / 600) * 600).cast(LongType))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  private val q11Sql =
+    s"""SELECT event_type,
+       |  CAST(FLOOR(EPOCH(ts) / 600) * 600 AS BIGINT) AS bucket,
+       |  COUNT(*) AS n,
+       |  ${sqlSum("value")} AS sum_value
+       |FROM events
+       |GROUP BY event_type, bucket
+       |ORDER BY event_type, bucket""".stripMargin
+
+  // ---------------------------------------------------------------- all
+  val all: Seq[Declared] = Seq(
+    Declared("q1_pricing_summary", q1, Some(q1Sql)),
+    Declared("q2_join_agg", q2, Some(q2Sql)),
+    Declared("q3_multi_join", q3, Some(q3Sql)),
+    Declared("q4_semi_join", q4Semi, Some(q4SemiSql)),
+    Declared("q4_anti_join", q4Anti, Some(q4AntiSql)),
+    Declared("q5_range_join", q5, Some(q5Sql)),
+    Declared("q6_rollup", q6Rollup, Some(q6RollupSql)),
+    Declared("q6_cube", q6Cube, Some(q6CubeSql)),
+    Declared("q7_topk_per_group", q7Top3, Some(q7Top3Sql)),
+    Declared("q7_running_sum", q7Running, Some(q7RunningSql)),
+    Declared("q7_lag_lead", q7Lag, Some(q7LagSql)),
+    Declared("q8_global_topk", q8, Some(q8Sql)),
+    Declared("q9_intersect", q9Intersect, Some(q9IntersectSql)),
+    Declared("q9_except", q9Except, Some(q9ExceptSql)),
+    Declared("q9_union_agg", q9Union, Some(q9UnionSql)),
+    Declared("q10_string_fns", q10String, Some(q10StringSql)),
+    Declared("q10_date_fns", q10Date, Some(q10DateSql)),
+    Declared("q10_math_fns", q10Math, Some(q10MathSql)),
+    Declared("q10_json_fns", q10Json, Some(q10JsonSql)),
+    Declared("q11_event_buckets", q11, Some(q11Sql)))
+}
