@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Declared, Relational}
+import graft.operators.{Declared, Ingest, Relational}
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +13,7 @@ import graft.operators.{Declared, Relational}
   */
 object SparkEntry {
   private def modules: Seq[Declared] =
-    Relational.all
+    Relational.all ++ Ingest.all ++ EventStreams.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.functions.GoQuote
+
+/** The reference's ingest pipeline re-expressed as batch columnar
+  * transforms (SURVEY.md §2A rows 3-7, 16; Q12).
+  *
+  * The reference frames a binary payload per connection, drops empties,
+  * renders hex + Go-%q projections, tags a severity, stamps an RFC3339
+  * UTC timestamp and serializes a LogEntry JSON object whose empty fields
+  * are omitted (reference main.go:43-53, 101-116, 298-309). Here the same
+  * record shape is produced declaratively so it runs identically over a
+  * batch DataFrame (this module) and a stream (graft.streaming.IngestStream)
+  * — one narrow, shuffle-free, codegen-friendly projection either way.
+  */
+object Ingest {
+
+  /** Empty-payload drop (reference main.go:298-301): a pushed-down filter. */
+  def nonEmpty(payload: Column): Column = octet_length(payload) > 0
+
+  /** Severity tagging (reference main.go:30-41): code-path enum as CASE WHEN. */
+  def severity(payload: Column): Column =
+    when(payload.isNull || octet_length(payload) === 0, "WARN").otherwise("INFO")
+
+  /** Lowercase hex rendering; Go %x is lowercase, Spark hex() is upper
+    * (reference main.go:112). */
+  def hexLower(payload: Column): Column = lower(hex(payload))
+
+  /** RFC3339 UTC timestamp string (reference main.go:102); session TZ is
+    * always UTC so the literal 'Z' suffix is exact. */
+  def rfc3339(ts: Column): Column = date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+  /** The LogEntry record as a struct column. Absent fields are null here
+    * and dropped by [[toJson]], reproducing Go omitempty — including the
+    * int quirk: byte_count 0 is omitted, so it is null-when-0 (reference
+    * main.go:49). Field order matches the Go struct declaration so the
+    * serialized JSON is field-for-field comparable. */
+  def logEntry(ts: Column, payload: Column, clientIp: Column): Column = {
+    val n = octet_length(payload)
+    struct(
+      rfc3339(ts).as("timestamp"),
+      severity(payload).as("level"),
+      concat(lit("received "), n.cast(StringType), lit(" bytes")).as("message"),
+      clientIp.as("client_ip"),
+      when(n > 0, n).as("byte_count"),
+      when(n > 0, hexLower(payload)).as("binary_data_hex"),
+      when(n > 0, GoQuote(payload)).as("binary_data_string"))
+  }
+
+  /** JSONL serialization with omitempty (reference main.go:116). */
+  def toJson(entry: Column): Column =
+    to_json(entry, Map("ignoreNullFields" -> "true"))
+
+  // ---------------------------------------------------------------- Q12
+  /** Oracle-verified portion of the pipeline: hex / byte-count / severity
+    * over deterministic binary payloads (documents.text as UTF-8 bytes).
+    * Pure projection — no shuffle; at 100 TB this is a map-only scan.
+    */
+  private def q12Hex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        hexLower($"text".cast(BinaryType)).as("payload_hex"),
+        octet_length($"text".cast(BinaryType)).as("byte_count"),
+        severity($"text".cast(BinaryType)).as("level"))
+      .filter(nonEmpty($"text".cast(BinaryType)))
+      .orderBy($"doc_id")
+  }
+
+  private val q12HexSql =
+    """SELECT doc_id,
+      |  lower(hex(encode(text))) AS payload_hex,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_count,
+      |  CASE WHEN octet_length(encode(text)) = 0 THEN 'WARN' ELSE 'INFO' END AS level
+      |FROM documents
+      |WHERE octet_length(encode(text)) > 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** Full LogEntry JSON round-trip (rows-only check + golden unit tests;
+    * Go-%q is not SQL-expressible). Timestamps are derived from doc_id so
+    * the output is deterministic. */
+  private def q12Json(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        timestamp_seconds($"doc_id" * 60).as("ts"),
+        $"text".cast(BinaryType).as("payload"),
+        format_string("10.0.%d.%d", $"doc_id" % 256, $"doc_id" % 100).as("client_ip"))
+      .select($"doc_id", toJson(logEntry($"ts", $"payload", $"client_ip")).as("log_json"))
+      .orderBy($"doc_id")
+  }
+
+  val all: Seq[Declared] = Seq(
+    Declared("q12_ingest_hex", q12Hex, Some(q12HexSql)),
+    Declared("q12_ingest_logentry", q12Json, None))
+}

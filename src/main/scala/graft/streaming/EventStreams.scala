@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Num, Tables}
+import graft.operators.Declared
+
+/** S1-S3 — streaming analytics over the events stream (SURVEY.md §2B).
+  *
+  * Each transform takes a DataFrame that may be streaming (from
+  * `readStream`/MemoryStream, with watermarks active) or batch (same code,
+  * watermark a no-op) — the batch run IS the parity oracle, so the
+  * declared queries below execute the very transform the stream runs,
+  * verified against DuckDB SQL.
+  *
+  * Scale posture: all are single-shuffle keyed aggregations; state size is
+  * bounded by the watermark horizon (10-30 min of keys × windows), which
+  * is what makes them runnable forever on an unbounded stream.
+  */
+object EventStreams {
+  import Num._
+
+  /** S1 — tumbling 10-minute count/sum per event_type, 10-minute
+    * watermark. Replayed batch ≡ Q11 (same buckets as epoch seconds). */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("event_type"), window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("event_type"),
+        unix_timestamp(col("window.start")).as("bucket"),
+        col("n"), col("sum_value"))
+
+  /** S2a — sliding window (10 min length / 5 min slide) per user_id:
+    * every event lands in exactly two windows. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("n"), col("sum_value"))
+
+  /** S2b — session window, 30-minute inactivity gap, per user_id.
+    * Sessions merge while consecutive events are < gap apart. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n"), col("sum_value"))
+
+  /** S3 — stateful dedup on event_id. Streaming path: state expires with
+    * the watermark so it does not grow unboundedly; batch path: plain
+    * distinct-on-key. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  def dedupBatch(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
+  // ------------------------------------------------- declared batch forms
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  private def s1(spark: SparkSession, dir: String): DataFrame =
+    tumbling(ev(spark, dir)).orderBy(col("event_type"), col("bucket"))
+
+  private val s1Sql =
+    s"""SELECT event_type,
+       |  CAST(FLOOR(EPOCH(ts) / 600) * 600 AS BIGINT) AS bucket,
+       |  COUNT(*) AS n,
+       |  ${sqlSum("value")} AS sum_value
+       |FROM events
+       |GROUP BY event_type, bucket
+       |ORDER BY event_type, bucket""".stripMargin
+
+  private def s2(spark: SparkSession, dir: String): DataFrame =
+    sliding(ev(spark, dir)).orderBy(col("user_id"), col("win_start"))
+
+  // each event belongs to windows starting at floor(t/300)*300 and that
+  // minus 300 (duration 600, slide 300) — UNNEST reproduces the fanout.
+  private val s2Sql =
+    s"""SELECT user_id, win_start, COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+       |FROM (
+       |  SELECT user_id, value,
+       |    UNNEST([CAST(FLOOR(EPOCH(ts)/300)*300 AS BIGINT),
+       |            CAST(FLOOR(EPOCH(ts)/300)*300 - 300 AS BIGINT)]) AS win_start
+       |  FROM events) e
+       |GROUP BY user_id, win_start
+       |ORDER BY user_id, win_start""".stripMargin
+
+  private def s2b(spark: SparkSession, dir: String): DataFrame =
+    sessions(ev(spark, dir)).orderBy(col("user_id"), col("session_start"))
+
+  // gaps-and-islands: a new session starts when the gap to the previous
+  // event of the same user is >= 1800 s (Spark session windows are
+  // half-open [start, last+gap), so exactly-gap spacing splits).
+  private val s2bSql =
+    s"""WITH e AS (
+       |  SELECT user_id, EPOCH(ts) AS t, value FROM events),
+       |brk AS (
+       |  SELECT user_id, t, value,
+       |    CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800
+       |         OR LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+       |    THEN 1 ELSE 0 END AS new_session
+       |  FROM e),
+       |sess AS (
+       |  SELECT user_id, t, value,
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM brk)
+       |SELECT user_id, CAST(FLOOR(MIN(t)) AS BIGINT) AS session_start,
+       |  COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+       |FROM sess
+       |GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
+  private def s3(spark: SparkSession, dir: String): DataFrame = {
+    // double the input so the dedup provably collapses; output is the
+    // deterministic distinct key set.
+    val e = ev(spark, dir)
+    dedupBatch(e.unionAll(e)).select(col("event_id")).orderBy(col("event_id"))
+  }
+
+  private val s3Sql =
+    """SELECT DISTINCT event_id FROM (
+      |  SELECT event_id FROM events UNION ALL SELECT event_id FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  val all: Seq[Declared] = Seq(
+    Declared("s1_tumbling_window", s1, Some(s1Sql)),
+    Declared("s2_sliding_window", s2, Some(s2Sql)),
+    Declared("s2_session_window", s2b, Some(s2bSql)),
+    Declared("s3_dedup", s3, Some(s3Sql)))
+}

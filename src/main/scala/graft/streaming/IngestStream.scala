@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.Ingest
+
+/** S4 — the reference's ingest pipeline as a Structured Streaming job
+  * (SURVEY.md §2A rows 1-13, 16-18).
+  *
+  * source → frame → empty-filter → hex/%q/severity/timestamp → LogEntry
+  * JSON → date-partitioned append JSONL sink (+ console), with the
+  * running-counter metrics (processed records, total bytes) reported per
+  * 30 s trigger and a final snapshot on termination — mirroring the
+  * reference's 30 s ticker and shutdown report (main.go:145-170) without
+  * any driver-side state: metrics ride the `observe` channel of each
+  * micro-batch.
+  *
+  * Scale posture: the pipeline is narrow (no shuffle, whole-stage
+  * codegen'd projection), so throughput is bounded by source read and sink
+  * write only; parallelism = source file partitions. Admission control and
+  * worker pooling from the reference (main.go:25-27,127-143) are owned by
+  * the engine: `maxFilesPerTrigger` rate-limits intake, the task scheduler
+  * owns parallelism.
+  */
+object IngestStream {
+
+  /** Directory drop-box source: each file is one framed message (the
+    * batch analog of the reference's 1 s-gap framing, which belongs to
+    * the transport edge — SURVEY.md §7 "hard parts"). */
+  def fromDirectory(spark: SparkSession, inDir: String, maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .format("binaryFile")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(StructType(Seq( // binaryFile's fixed schema, declared not inferred
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .load(inDir)
+      .select(
+        col("content").as("payload"),
+        col("modificationTime").as("ts"),
+        regexp_extract(col("path"), "([^/]+)$", 1).as("client_ip"))
+
+  /** Line-framed TCP source (built-in; text only — binary fidelity needs
+    * the DSv2 source, SURVEY.md §4 item 1). */
+  def fromSocket(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream
+      .format("socket").option("host", host).option("port", port)
+      .load()
+      .select(
+        col("value").cast(BinaryType).as("payload"),
+        current_timestamp().as("ts"),
+        lit(s"$host:$port").as("client_ip"))
+
+  /** The shared pipeline body — identical logic to the batch Q12 path. */
+  def transform(payloads: DataFrame): DataFrame =
+    payloads
+      .filter(Ingest.nonEmpty(col("payload")))
+      .select(
+        Ingest.toJson(Ingest.logEntry(col("ts"), col("payload"), col("client_ip"))).as("value"),
+        to_date(col("ts")).as("date"))
+
+  /** Start the JSONL sink query with observed metrics at a 30 s cadence.
+    * The `date` partition column gives the daily-rotation layout the
+    * reference gets from logrotate (configs/logrotate.conf:1-12); a
+    * retention pass is [[dropExpiredPartitions]].
+    */
+  def start(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    transform(fromDirectory(spark, inDir))
+      .observe("ingest_metrics",
+        count(lit(1)).as("processed_requests"),
+        sum(octet_length(col("value"))).as("total_bytes_processed"))
+      .writeStream
+      .format("json")
+      .partitionBy("date")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** Metrics reporter: logs each batch's observed counters (the 30 s
+    * report, main.go:145-158) and a final cumulative snapshot on
+    * termination (main.go:159-167). Cumulative totals live here, driver
+    * side, exactly like the reference's atomics. */
+  final class MetricsListener extends StreamingQueryListener {
+    @volatile var processedRequests: Long = 0L
+    @volatile var totalBytes: Long = 0L
+
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val m = e.progress.observedMetrics.get("ingest_metrics")
+      if (m != null) {
+        processedRequests += (if (m.isNullAt(0)) 0L else m.getLong(0))
+        totalBytes += (if (m.isNullAt(1)) 0L else m.getLong(1))
+        println(s"[metrics] processed=$processedRequests bytes=$totalBytes " +
+          s"batch=${e.progress.batchId}")
+      }
+    }
+
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      println(s"[metrics] FINAL processed=$processedRequests bytes=$totalBytes")
+  }
+
+  /** Retention: drop date partitions older than `keepDays` (reference
+    * keeps 30 dailies, configs/logrotate.conf:2-4). Pure filesystem
+    * maintenance — no data rewrite. */
+  def dropExpiredPartitions(spark: SparkSession, outDir: String, keepDays: Int = 30): Unit = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      val cutoff = java.time.LocalDate.now(java.time.ZoneOffset.UTC).minusDays(keepDays.toLong)
+      fs.listStatus(path).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("date=")) {
+          val d = java.time.LocalDate.parse(name.stripPrefix("date="))
+          if (d.isBefore(cutoff)) fs.delete(st.getPath, true)
+        }
+      }
+    }
+  }
+}

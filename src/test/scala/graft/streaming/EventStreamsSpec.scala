@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Streaming semantics verified with MemoryStream + manual watermark
+  * advancement — never wall-clock (SURVEY.md §5.4). */
+class EventStreamsSpec extends SparkSpec {
+  private def t(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("S1 streaming tumbling equals batch on replay (parity)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rows = Seq(
+      Ev(1, t(0), 1, "click", 1.0, "{}"),
+      Ev(2, t(3), 2, "click", 2.0, "{}"),
+      Ev(3, t(12), 1, "view", 4.0, "{}"),
+      Ev(4, t(14), 3, "click", 8.0, "{}"))
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val q = EventStreams.tumbling(mem.toDF())
+      .writeStream.format("memory").queryName("s1par").outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("s1par").orderBy("event_type", "bucket").collect()
+    val batch = EventStreams.tumbling(rows.toDF()).orderBy("event_type", "bucket").collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(batch.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("click", 1704103200L, 2L), ("click", 1704103800L, 1L), ("view", 1704103800L, 1L)))
+  }
+
+  test("S1 append mode drops late events behind the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.tumbling(mem.toDF())
+      .writeStream.format("memory").queryName("s1late").outputMode("append").start()
+    try {
+      mem.addData(Ev(1, t(0), 1, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // advance watermark far past the first window: wm = 40:00 - 10:00
+      mem.addData(Ev(2, t(40), 1, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // late event for the long-closed first window: must be dropped
+      mem.addData(Ev(3, t(1), 1, "click", 99.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("s1late").orderBy("bucket")
+      .select("bucket", "n", "sum_value").collect()
+    // only the first window has closed; it emits n=1 — the late row (99.0)
+    // was dropped, not merged
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 1L && out(0).getDouble(2) == 1.0)
+  }
+
+  test("S3 streaming dedup collapses cross-batch duplicates") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.dedupStream(mem.toDF())
+      .select("event_id", "value")
+      .writeStream.format("memory").queryName("s3dedup").outputMode("append").start()
+    try {
+      mem.addData(Ev(10, t(0), 1, "click", 1.0, "{}"), Ev(10, t(0, 30), 1, "click", 2.0, "{}"))
+      q.processAllAvailable()
+      mem.addData(Ev(10, t(1), 1, "click", 3.0, "{}"), Ev(11, t(1), 1, "click", 4.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("s3dedup").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(10L, 11L))
+  }
+
+  test("S2 session windows split at the 30-minute gap") {
+    import spark.implicits._
+    val rows = Seq(
+      Ev(1, t(0), 7, "a", 1.0, "{}"),
+      Ev(2, t(20), 7, "a", 2.0, "{}"), // 20 min gap → same session
+      Ev(3, t(55), 7, "a", 4.0, "{}"), // 35 min gap → new session
+      Ev(4, t(10), 8, "a", 8.0, "{}"))
+    val out = EventStreams.sessions(rows.toDF()).orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((7L, 2L), (7L, 1L), (8L, 1L)))
+  }
+}
