@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Multimodal-column plumbing (SURVEY.md north-star extension).
+  *
+  * Media is carried as an opaque `binary` column plus typed metadata —
+  * never decoded by the engine core. Decode / feature-extraction runs as
+  * per-partition batch logic over `Dataset[MediaRecord]` (`mapPartitions`):
+  * the iterator shape means one decoder instance per partition (the
+  * expensive init is amortized across the batch, exactly how a JNI/FFmpeg
+  * decoder would be held), rows stream through without materializing the
+  * partition, and the output is a typed Dataset the optimizer can prune.
+  *
+  * The codec itself is a STUB (no image/audio libraries in this
+  * environment): [[StubCodec.decode]] derives deterministic pseudo
+  * dimensions/features from the bytes. The Spark-side contract — schema,
+  * binary transport, partition batching, typed output — is real and
+  * tested; swapping in a real decoder changes only the body of
+  * [[StubCodec]].
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + metadata the pipeline can route on. */
+  final case class MediaRecord(media_id: Long, fmt: String, content: Array[Byte])
+
+  /** Extracted features (what a real image/audio decoder would emit). */
+  final case class MediaFeatures(
+      media_id: Long, fmt: String, n_bytes: Int,
+      width: Int, height: Int, mean_byte: Double, n_frames: Int)
+
+  /** STUB decoder — deterministic fake in place of a real codec. */
+  object StubCodec {
+    /** ??? real implementation: image/audio decode via a native library.
+      * The stub derives pseudo-dimensions from leading bytes and a mean
+      * over the payload — deterministic, so tests and the driver's
+      * rows-check are stable. */
+    def decode(r: MediaRecord): MediaFeatures = {
+      val n = r.content.length
+      val b0 = if (n > 0) r.content(0) & 0xff else 0
+      val b1 = if (n > 1) r.content(1) & 0xff else 0
+      var s = 0L; var i = 0
+      while (i < n) { s += r.content(i) & 0xff; i += 1 }
+      MediaFeatures(r.media_id, r.fmt, n,
+        width = 16 + (b0 % 64) * 16, height = 16 + (b1 % 64) * 16,
+        mean_byte = if (n == 0) 0.0 else s.toDouble / n,
+        n_frames = 1 + n % 4)
+    }
+
+    /** ??? real implementation: resample/resize. Stub: byte subsampling
+      * that keeps every k-th byte — preserves the batch/stream shape. */
+    def resize(content: Array[Byte], k: Int): Array[Byte] = {
+      val out = new Array[Byte]((content.length + k - 1) / k)
+      var i = 0
+      while (i < out.length) { out(i) = content(i * k); i += 1 }
+      out
+    }
+  }
+
+  /** The fixture's media table: documents' bytes as opaque payloads with
+    * a format tag derived from the source column. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id".as("media_id"),
+        concat(lit("fake/"), $"source").as("fmt"),
+        $"text".cast(BinaryType).as("content"))
+      .as[MediaRecord]
+  }
+
+  /** Decode features per partition — one codec per partition, streaming
+    * iterator in/out. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would go here (native handles etc.)
+      it.map(StubCodec.decode)
+    }
+  }
+
+  // ----------------------------------------------------------- declared
+  /** Metadata/bytes portion — oracle-verifiable in SQL. */
+  private def xmMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).toDF()
+      .select($"media_id", $"fmt",
+        octet_length($"content").as("n_bytes"),
+        md5($"content").as("content_md5"))
+      .orderBy($"media_id")
+  }
+
+  private val xmMetaSql =
+    """SELECT doc_id AS media_id, 'fake/' || source AS fmt,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  md5(text) AS content_md5
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  /** Feature extraction through the mapPartitions decode path (stub
+    * codec ⇒ deterministic; driver rows-check + unit tests). */
+  private def xmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(mediaTable(spark, dir)).toDF()
+      .select($"media_id", $"fmt", $"n_bytes", $"width", $"height",
+        round($"mean_byte", 4).as("mean_byte"), $"n_frames")
+      .orderBy($"media_id")
+  }
+
+  val all: Seq[Declared] = Seq(
+    Declared("xm_media_meta", xmMeta, Some(xmMetaSql)),
+    Declared("xm_media_features", xmFeatures, None))
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** Similarity search over an embedding column (SURVEY.md §2B X2).
+  *
+  * Brute-force cosine top-k is the exactness baseline: the (small) probe
+  * set is broadcast against the corpus so the corpus never shuffles and
+  * each partition computes its probe×local-rows block — at 100 TB this is
+  * a map-only pass plus a top-k (TakeOrderedAndProject-style) reduction.
+  *
+  * The scale path is random-hyperplane LSH: a 16-bit signature per vector,
+  * banded 4×4 bits, probes join candidates on band equality (keyed
+  * equi-join, no cross product) and only candidates get exact scoring.
+  */
+object Similarity {
+
+  /** double-typed vector + its L2 norm. */
+  private def prep(emb: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame =
+    emb.select(col("vec_id").as(idAs),
+        transform(col("embedding"), x => x.cast(DoubleType)).as(vAs))
+      .withColumn(nAs, sqrt(aggregate(col(vAs), lit(0.0), (a, x) => a + x * x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Exact cosine top-k of each probe against the corpus (self excluded). */
+  def cosineTopK(emb: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val corpus = prep(emb, "neighbor_id", "nv", "nn")
+    val p = prep(probes, "probe_id", "pv", "pn")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    corpus.join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
+      .withColumn("sim", dot(col("pv"), col("nv")) / (col("pn") * col("nn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("sim"))
+  }
+
+  // ------------------------------------------------------ LSH-bucketed
+  /** Deterministic random hyperplanes (seed 42), dim × planes. */
+  private[operators] def hyperplanes(dim: Int, planes: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature of each vector under the hyperplanes. */
+  def signatures(emb: DataFrame, dim: Int, planes: Int = 16): DataFrame = {
+    val hp = hyperplanes(dim, planes)
+    val v = transform(col("embedding"), x => x.cast(DoubleType))
+    val bits = (0 until planes).map { j =>
+      val proj = (0 until dim).map(i => v.getItem(i) * lit(hp(j)(i))).reduce(_ + _)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    emb.select(col("vec_id"), col("embedding"), bits.reduce(_.bitwiseOR(_)).as("sig"))
+  }
+
+  /** Candidate pairs for probes: corpus vectors sharing ≥1 of the 4
+    * 4-bit signature bands with the probe. */
+  def annCandidates(corpusSigs: DataFrame, probeSigs: DataFrame): DataFrame = {
+    def banded(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding").as(s"${idAs}_emb"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("sig"), b * 4).bitwiseAND(0xfL)): _*))
+          .as(Seq("band", "chunk")))
+    banded(probeSigs, "probe_id").join(banded(corpusSigs, "neighbor_id"), Seq("band", "chunk"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("probe_id_emb"), col("neighbor_id"), col("neighbor_id_emb"))
+      .distinct()
+  }
+
+  /** Approximate top-k: exact cosine over the LSH candidate set only. */
+  def annTopK(emb: DataFrame, probes: DataFrame, dim: Int, k: Int): DataFrame = {
+    val cands = annCandidates(signatures(emb, dim), signatures(probes, dim))
+      .select(col("probe_id"),
+        transform(col("probe_id_emb"), x => x.cast(DoubleType)).as("pv"),
+        col("neighbor_id"),
+        transform(col("neighbor_id_emb"), x => x.cast(DoubleType)).as("nv"))
+      .withColumn("pn", sqrt(aggregate(col("pv"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("nn", sqrt(aggregate(col("nv"), lit(0.0), (a, x) => a + x * x)))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands
+      .withColumn("sim", dot(col("pv"), col("nv")) / (col("pn") * col("nn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("sim"))
+  }
+
+  // ----------------------------------------------------------- declared
+  private def x2Brute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    cosineTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  private val x2BruteSql =
+    """SELECT probe_id, rnk, neighbor_id, sim FROM (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |    list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS sim,
+      |    ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+      |      list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) DESC,
+      |      c.vec_id) AS rnk
+      |  FROM embeddings p JOIN embeddings c ON p.vec_id < 10 AND c.vec_id <> p.vec_id) t
+      |WHERE rnk <= 5
+      |ORDER BY probe_id, rnk""".stripMargin
+
+  private def x2Ann(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    annTopK(emb, emb.filter(col("vec_id") < 10), 64, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  val all: Seq[Declared] = Seq(
+    Declared("x2_cosine_topk", x2Brute, Some(x2BruteSql)),
+    Declared("x2_ann_lsh", x2Ann, None))
+}

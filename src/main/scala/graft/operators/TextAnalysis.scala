@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{Num, Tables}
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §2B X3
+  * + extension surface): token statistics, quality scoring, language ID,
+  * fingerprinting, term frequency. All are map-only projections or single
+  * keyed aggregations — nothing here shuffles more than once at 100 TB.
+  */
+object TextAnalysis {
+  import Dedup.{normText, tokens}
+
+  // ------------------------------------------------------- token stats
+  /** BPE-ish pre-tokenizer: letter runs, single digits, single
+    * non-alnum marks (the common BPE vocab shape). Simple character
+    * classes only so Java regex and RE2 agree byte-for-byte. */
+  private val BpeIsh = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  private def xtTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        length($"text").as("n_chars"),
+        octet_length($"text").as("n_bytes"),
+        size(split(trim($"text"), "\\s+")).as("ws_tokens"),
+        size(regexp_extract_all($"text", lit(BpeIsh), lit(0))).as("bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  private val xtTokensSql =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INTEGER) AS n_chars,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- quality
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Length/punctuation/stopword quality heuristics + a linear composite
+    * score. Pure +,*,/ arithmetic so Spark and the oracle agree
+    * bit-exactly (no exp/log). */
+  private def xtQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = tokens($"text")
+    val nWords = size(w).cast(DoubleType)
+    val stopHits = size(filter(w, t => t.isInCollection(Stopwords))).cast(DoubleType)
+    val nChars = length($"text").cast(DoubleType)
+    val punct = (nChars - length(regexp_replace($"text", "[^A-Za-z0-9\\s]", ""))) / nChars
+    val digits = (nChars - length(regexp_replace($"text", "[0-9]", ""))) / nChars
+    val stopRatio = stopHits / nWords
+    val score = least(nWords / 100, lit(1.0)) * 0.3 + (lit(1.0) - punct) * 0.4 + stopRatio * 0.3
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", nWords.cast(IntegerType).as("n_words"),
+        round(punct, 4).as("punct_ratio"),
+        round(digits, 4).as("digit_ratio"),
+        round(stopRatio, 4).as("stopword_ratio"),
+        round(score, 4).as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  private val xtQualitySql = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, n_words, punct_ratio, digit_ratio, stopword_ratio,
+       |  round(least(n_words / 100.0, 1.0) * 0.3 + (1.0 - p) * 0.4 + sr * 0.3, 4) AS quality_score
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS INTEGER) AS n_words,
+       |    round(p, 4) AS punct_ratio, p,
+       |    round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
+       |    round(sr, 4) AS stopword_ratio, sr
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') w,
+       |      (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE) AS p,
+       |      len(list_filter(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |        t -> t IN ($stopList))) / CAST(len(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS DOUBLE) AS sr
+       |    FROM documents) t1) t2
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ language ID
+  /** Tiny per-language stopword lexicons + CJK character ratio — the
+    * classic n-gram/stopword heuristic. Deterministic; verified by unit
+    * tests on labeled snippets (not SQL-expressible compactly). */
+  private val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "que", "es", "una", "para", "con", "por"))
+
+  def languageId(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    val nWords = greatest(size(w), lit(1)).cast(DoubleType)
+    val scores: Seq[(String, Column)] = Lexicons.map { case (lang, lex) =>
+      lang -> (size(filter(w, t => t.isInCollection(lex))).cast(DoubleType) / nWords)
+    }
+    val nChars = greatest(length(col("text")), lit(1)).cast(DoubleType)
+    val cjk = (nChars - length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))) / nChars
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    // zh wins on any CJK presence; else argmax with first-listed tie-break;
+    // no stopword hits at all → "und" (undetermined)
+    val pred = when(cjk > 0.05, "zh").otherwise(
+      scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+        when(s === best && best > 0, lang).otherwise(acc)
+      })
+    docs.select(col("doc_id"), pred.as("lang_pred"))
+  }
+
+  private def xtLangid(spark: SparkSession, dir: String): DataFrame =
+    languageId(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  // --------------------------------------------------- fingerprinting
+  /** Content fingerprints: md5 of the normalized text (exact-dup key)
+    * and of the leading 8-token prefix (head fingerprint for clustering
+    * truncation variants). */
+  private def xtFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = tokens($"text")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        md5(normText($"text").cast(BinaryType)).as("fp_full"),
+        md5(concat_ws(" ", slice(w, 1, 8)).cast(BinaryType)).as("fp_head8"))
+      .orderBy($"doc_id")
+  }
+
+  private val xtFingerprintSql =
+    """SELECT doc_id,
+      |  md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_full,
+      |  md5(array_to_string(string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')[1:8], ' ')) AS fp_head8
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- term freq
+  private def x3TokenFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val win = Window.partitionBy($"lang").orderBy($"n".desc, $"token")
+    Tables.load(spark, dir, "documents")
+      .select($"lang", explode(tokens($"text")).as("token"))
+      .groupBy($"lang", $"token")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(win))
+      .filter($"rnk" <= 10)
+      .select($"lang", $"rnk", $"token", $"n")
+      .orderBy($"lang", $"rnk")
+  }
+
+  private val x3TokenFreqSql =
+    """SELECT lang, rnk, token, n FROM (
+      |  SELECT lang, token, COUNT(*) AS n,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, token) AS rnk
+      |  FROM (SELECT lang,
+      |          unnest(string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+      |        FROM documents) t
+      |  GROUP BY lang, token) x
+      |WHERE rnk <= 10
+      |ORDER BY lang, rnk""".stripMargin
+
+  // ---------------------------------------------------- approx distinct
+  /** X4 — HLL++ sketch vs exact distinct; the declared output asserts the
+    * ≤5 % error bound holds (the sketch value itself is
+    * engine-specific so only the bound is cross-checked). */
+  private def x4Approx(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .agg(
+        countDistinct($"user_id").as("exact_cnt"),
+        approx_count_distinct($"user_id", 0.02).as("approx"))
+      .select($"exact_cnt",
+        (abs($"approx" - $"exact_cnt") / $"exact_cnt" <= 0.05).as("within_bound"))
+  }
+
+  private val x4ApproxSql =
+    """SELECT COUNT(DISTINCT user_id) AS exact_cnt, TRUE AS within_bound
+      |FROM events""".stripMargin
+
+  val all: Seq[Declared] = Seq(
+    Declared("x3_token_freq", x3TokenFreq, Some(x3TokenFreqSql)),
+    Declared("x4_approx_distinct", x4Approx, Some(x4ApproxSql)),
+    Declared("xt_token_stats", xtTokens, Some(xtTokensSql)),
+    Declared("xt_quality", xtQuality, Some(xtQualitySql)),
+    Declared("xt_langid", xtLangid, None),
+    Declared("xt_fingerprint", xtFingerprint, Some(xtFingerprintSql)))
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("minhash-LSH finds a planted near-duplicate and skips unrelated docs") {
+    // 1 edited token of 100 → 5 of 96 shingles change → J = 91/101 ≈ 0.90
+    val base = (1 to 100).map(i => s"word-$i").mkString(" ")
+    val nearDup = base.replace("word-50 ", "changed ")
+    val other = (100 to 200).map(i => s"other$i").mkString(" ")
+    val out = Dedup.neardupMinhash(docs(1L -> base, 2L -> nearDup, 3L -> other))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("identical docs have jaccard 1.0") {
+    val t = "alpha beta gamma delta epsilon zeta eta"
+    val out = Dedup.neardupMinhash(docs(1L -> t, 2L -> t)).collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical token multisets collide, edits stay within small hamming") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val shuffled = (1 to 60).map(i => s"tok$i").reverse.mkString(" ")
+    val edited = base.replace("tok30", "xx")
+    val m = Dedup.simhash(docs(1L -> base, 2L -> shuffled, 3L -> edited))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L)) // order-insensitive
+    val ham = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    assert(ham > 0 && ham <= 12, s"hamming=$ham")
+  }
+
+  test("simhashNeardup banding finds hamming<=3 pairs via equi-join") {
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
+    val edited = base.replace("w100 ", "") // tiny multiset change
+    val far = (1 to 200).map(i => s"z$i").mkString(" ")
+    val pairs = Dedup.simhashNeardup(docs(1L -> base, 2L -> edited, 3L -> far))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("embedding neardup finds planted high-cosine pair only") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val a = vec()
+    val aJit = a.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val emb = Seq((1L, a), (2L, aJit), (3L, vec()), (4L, vec()))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNeardup(emb, 0.95)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("LSH plan contains no cartesian product") {
+    val plan = Dedup.neardupMinhash(
+      docs(1L -> "a b c d e f", 2L -> "a b c d e g")).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(500))
+  }
+}

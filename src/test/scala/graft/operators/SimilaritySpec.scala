@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force topk: nearest neighbor of a planted near-dup is the original") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def vec() = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val a = vec()
+    val aJit = a.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val emb = (Seq((0L, a), (1L, aJit)) ++ (2L to 30L).map(_ -> vec()))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(emb, emb.filter($"vec_id" === 0), 3).collect()
+    assert(top.head.getLong(2) == 1L && top.head.getDouble(3) > 0.99)
+  }
+
+  test("ANN-LSH recovers the planted neighbor through bucket pruning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    def vec() = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val a = vec()
+    val aJit = a.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val emb = (Seq((0L, a), (1L, aJit)) ++ (2L to 60L).map(_ -> vec()))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.annTopK(emb, emb.filter($"vec_id" === 0), 32, 3).collect()
+    assert(top.nonEmpty && top.head.getLong(2) == 1L, top.mkString(";"))
+  }
+
+  test("ANN candidate set on the fixture is a strict subset of the corpus (pruning is real)") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val probes = emb.filter($"vec_id" < 5)
+    val n = emb.count()
+    val cands = Similarity.annCandidates(
+      Similarity.signatures(emb, 64), Similarity.signatures(probes, 64))
+    val perProbe = cands.groupBy($"probe_id").count().collect()
+    assert(perProbe.forall(_.getLong(1) < n))
+  }
+}

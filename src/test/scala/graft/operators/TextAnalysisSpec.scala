@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("language ID identifies snippets of each supported language") {
+    import spark.implicits._
+    val snippets = Seq(
+      (1L, "the cat sat on the mat and it is happy with that"),
+      (2L, "der hund ist nicht in das haus und die katze"),
+      (3L, "le chat est dans la maison et les oiseaux des arbres"),
+      (4L, "el perro es una mascota que vive con los gatos para siempre"),
+      (5L, "中文文本分析很有趣"),
+      (6L, "qwerty zxcvb asdfgh"))
+      .toDF("doc_id", "text")
+    val preds = TextAnalysis.languageId(snippets)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
+      5L -> "zh", 6L -> "und"))
+  }
+
+  test("multimodal feature extraction is deterministic and shaped by the payload") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "fake/img", Array[Byte](10, 20, 30, 40)),
+      Multimodal.MediaRecord(2L, "fake/img", Array[Byte](10, 20, 30, 40)),
+      Multimodal.MediaRecord(3L, "fake/img", Array[Byte](-1, 0)))
+      .toDS()
+    val f = Multimodal.extractFeatures(media).collect().map(x => x.media_id -> x).toMap
+    assert(f(1L) == f(2L).copy(media_id = 1L)) // deterministic
+    assert(f(1L).n_bytes == 4 && f(1L).mean_byte == 25.0)
+    assert(f(3L).width == 16 + (255 % 64) * 16)
+  }
+
+  test("stub resize keeps every k-th byte") {
+    val out = Multimodal.StubCodec.resize(Array[Byte](1, 2, 3, 4, 5, 6, 7), 3)
+    assert(out.toSeq == Seq[Byte](1, 4, 7))
+  }
+}
