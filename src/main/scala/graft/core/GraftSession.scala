@@ -25,6 +25,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // typed Aggregators (MinHash) run under ObjectHashAggregate; the
+      // default 128-key fallback to sort-based aggregation would sort the
+      // whole shingle stream — keep hashing up to ~1M groups per task
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.sql.streaming.stopGracefullyOnShutdown", "true")
       .config("spark.ui.enabled", "false")
 

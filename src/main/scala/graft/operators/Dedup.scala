@@ -58,33 +58,82 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------- minhash + LSH
-  /** 128 MinHash functions as xxhash64 re-mixes of the shingle hash
-    * (one string hash per shingle, then cheap long-long mixing), banded
-    * 32×4: P(candidate | J=0.8) = 1-(1-0.8⁴)³² ≈ 1-5e-8 — no misses at
-    * the declared threshold. */
+  /** 128 MinHash permutations (splitmix64 re-mixes of the shingle hash),
+    * banded 32×4: P(candidate | J=0.8) = 1-(1-0.8⁴)³² ≈ 1-5e-8 — no
+    * misses at the declared threshold. */
   private val MinhashK = 128
   private val Bands = 32
   private val RowsPerBand = MinhashK / Bands
 
-  /** (doc_id, sig array(128)) signatures. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val withShingle = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-      .withColumn("x", xxhash64(col("shingle")))
-    val mins = (0 until MinhashK).map(i => min(xxhash64(col("x"), lit(i))).as(s"m$i"))
-    withShingle.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+  /** Per-doc shingle hash set + MinHash signature + LSH band hashes, all
+    * in one typed map pass — no explode, no aggregation, no shuffle.
+    * Shingling, k minima and band folding are tight primitive loops over
+    * one JIT'd function; the column-expression formulation (explode 400
+    * shingles/doc → 128 hash aggregates) was ~10× slower and shuffled
+    * the whole shingle stream.
+    *
+    * Shingles are carried as 64-bit hashes: Jaccard on hash sets equals
+    * Jaccard on string sets up to hash collisions (~2⁻⁶⁴ per pair —
+    * negligible even at 100 TB). Tokenization (trim/lower/split-on-\s+)
+    * mirrors [[normText]]+split byte-for-byte on ASCII.
+    */
+  private[operators] def shingleAndSign(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.functions.Hashing._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val th = new Array[Long](toks.length)
+      var i = 0
+      while (i < toks.length) { th(i) = stringHash(toks(i)); i += 1 }
+      // 5-gram shingle hashes (whole doc if shorter), deduped via sort
+      val n = if (toks.length < 5) 1 else toks.length - 4
+      val raw = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        var h = FnvOffset
+        var j = 0
+        val m = if (toks.length < 5) toks.length else 5
+        while (j < m) { h = combine(h, th(i + j)); j += 1 }
+        raw(i) = mix64(h)
+        i += 1
+      }
+      java.util.Arrays.sort(raw)
+      var uniq = 0
+      i = 0
+      while (i < n) { if (i == 0 || raw(i) != raw(i - 1)) { raw(uniq) = raw(i); uniq += 1 }; i += 1 }
+      val sh = java.util.Arrays.copyOf(raw, uniq)
+      // 128 running minima over the deduped shingle hashes
+      val sig = Array.fill(MinhashK)(Long.MaxValue)
+      i = 0
+      while (i < uniq) {
+        var p = 0
+        while (p < MinhashK) {
+          val v = mixSeeded(sh(i), p)
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+        i += 1
+      }
+      // fold each 4-row band to one hash
+      val bands = new Array[Long](Bands)
+      var b = 0
+      while (b < Bands) {
+        var h = FnvOffset
+        var r = 0
+        while (r < RowsPerBand) { h = combine(h, sig(b * RowsPerBand + r)); r += 1 }
+        bands(b) = mix64(h)
+        b += 1
+      }
+      (id, sh, bands)
+    }.toDF("doc_id", "sh", "bands")
   }
 
-  /** LSH candidate pairs: docs sharing at least one band hash. */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
-    val bandHashes = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
-      xxhash64(cols: _*)
-    }
-    val banded = sigs
-      .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+  /** LSH candidate pairs: docs sharing at least one band hash. A keyed
+    * equi-join on (band, hash) — the only pairwise work is within
+    * buckets, O(true pairs + banding false positives), never O(n²). */
+  def lshCandidates(shingled: DataFrame): DataFrame = {
+    val banded = shingled
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -93,11 +142,12 @@ object Dedup {
   }
 
   /** Near-dup pairs at Jaccard ≥ `threshold`, exact-verified on the LSH
-    * candidate set. */
+    * candidate set (intersection of the full shingle-hash sets, not the
+    * sketch). */
   def neardupMinhash(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-    val cands = lshCandidates(minhashSignatures(docs))
-    cands
+    val shingled = shingleAndSign(docs)
+    val sh = shingled.select(col("doc_id"), col("sh"))
+    lshCandidates(shingled)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
@@ -169,20 +219,49 @@ object Dedup {
     simhash(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
 
   // ------------------------------------------- embedding cosine neardup
-  /** Exact pairwise cosine pairs ≥ threshold. The fixture's vectors are
-    * near-orthogonal (max pair ≈ 0.51) so the declared threshold is 0.4.
-    * At 100 TB replace the self-join with [[Similarity.annCandidates]]
-    * bucketing first; the verification arithmetic is identical. */
+  /** Exact pairwise cosine pairs ≥ threshold.
+    *
+    * Shaped like a broadcast nested-loop join but with a primitive-array
+    * kernel: the normalized corpus is broadcast (like a BHJ build side),
+    * each partition streams its rows and runs a tight double[] dot loop
+    * against the broadcast block — ~100× faster than evaluating
+    * interpreted `zip_with`/`aggregate` lambdas per pair. At 100 TB the
+    * corpus no longer fits one broadcast: split it into broadcastable
+    * column blocks and union the per-block passes (block outer-product),
+    * or prune first with [[Similarity.annCandidates]] when the threshold
+    * is high enough for hyperplane LSH. */
   def embeddingNeardup(emb: DataFrame, threshold: Double): DataFrame = {
-    val e = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot", aggregate(
-        zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), (a, x) => a + x))
-      .withColumn("cosine", col("dot") / (col("a.nrm") * col("b.nrm")))
-      .filter(col("cosine") >= threshold)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    // raw-double dot then divide by the norm product, left-to-right — the
+    // same fp order as the SQL oracle, so results are bit-comparable.
+    def widen(v: Array[Float]): Array[Double] = {
+      val d = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
+      d
+    }
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val corpus = e.collect()
+      .map { case (id, v) => val d = widen(v); (id, d, math.sqrt(dotd(d, d))) }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(corpus)
+    e.mapPartitions { it =>
+      val block = bc.value
+      it.flatMap { case (idA, raw) =>
+        val va = widen(raw)
+        val na = math.sqrt(dotd(va, va))
+        block.iterator.filter(_._1 > idA).flatMap { case (idB, vb, nb) =>
+          val cos = dotd(va, vb) / (na * nb)
+          if (cos >= threshold) Some((idA, idB, cos)) else None
+        }
+      }
+    }.toDF("vec_a", "vec_b", "cosine")
   }
 
   private def x1Embedding(spark: SparkSession, dir: String): DataFrame =

@@ -49,15 +49,25 @@ object Similarity {
     Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit signature of each vector under the hyperplanes. */
+  /** Sign-bit signature of each vector under the hyperplanes. A compact
+    * UDF with a primitive double loop (the 16×dim plane matrix rides the
+    * closure) — far cheaper than 16×dim generated column expressions and
+    * still a map-only pass. */
   def signatures(emb: DataFrame, dim: Int, planes: Int = 16): DataFrame = {
     val hp = hyperplanes(dim, planes)
-    val v = transform(col("embedding"), x => x.cast(DoubleType))
-    val bits = (0 until planes).map { j =>
-      val proj = (0 until dim).map(i => v.getItem(i) * lit(hp(j)(i))).reduce(_ + _)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    val sigUdf = udf { (v: Seq[Float]) =>
+      var sig = 0L
+      var j = 0
+      while (j < planes) {
+        val row = hp(j)
+        var s = 0.0; var i = 0
+        while (i < dim) { s += v(i) * row(i); i += 1 }
+        if (s >= 0) sig |= (1L << j)
+        j += 1
+      }
+      sig
     }
-    emb.select(col("vec_id"), col("embedding"), bits.reduce(_.bitwiseOR(_)).as("sig"))
+    emb.select(col("vec_id"), col("embedding"), sigUdf(col("embedding")).as("sig"))
   }
 
   /** Candidate pairs for probes: corpus vectors sharing ≥1 of the 4

@@ -98,21 +98,34 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "que", "es", "una", "para", "con", "por"))
 
   def languageId(docs: DataFrame): DataFrame = {
-    val w = tokens(col("text"))
-    val nWords = greatest(size(w), lit(1)).cast(DoubleType)
-    val scores: Seq[(String, Column)] = Lexicons.map { case (lang, lex) =>
-      lang -> (size(filter(w, t => t.isInCollection(lex))).cast(DoubleType) / nWords)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one tokenize pass: explode → broadcast lexicon join → per-doc hit
+    // counts (all codegen'd; naive per-language lambda filters would
+    // re-evaluate the tokenizer once per lexicon per row)
+    val lex = Lexicons.flatMap { case (l, ws) => ws.map(w => (w, l)) }
+      .toDF("token", "lex_lang")
+    val hitCols = Lexicons.map { case (l, _) =>
+      sum(when(col("lex_lang") === l, 1).otherwise(0)).cast(DoubleType).as(s"hits_$l")
     }
+    val counts = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .join(broadcast(lex), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(DoubleType).as("n_words"), hitCols: _*)
     val nChars = greatest(length(col("text")), lit(1)).cast(DoubleType)
     val cjk = (nChars - length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))) / nChars
+    val scores = Lexicons.map { case (l, _) => l -> (col(s"hits_$l") / col("n_words")) }
     val best = scores.map(_._2).reduce(greatest(_, _))
-    // zh wins on any CJK presence; else argmax with first-listed tie-break;
+    // zh wins on CJK presence; else argmax with first-listed tie-break;
     // no stopword hits at all → "und" (undetermined)
-    val pred = when(cjk > 0.05, "zh").otherwise(
+    val pred = when(col("cjk") > 0.05, "zh").otherwise(
       scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
         when(s === best && best > 0, lang).otherwise(acc)
       })
-    docs.select(col("doc_id"), pred.as("lang_pred"))
+    docs.select(col("doc_id"), cjk.as("cjk"))
+      .join(counts, Seq("doc_id"))
+      .select(col("doc_id"), pred.as("lang_pred"))
   }
 
   private def xtLangid(spark: SparkSession, dir: String): DataFrame =
