@@ -465,6 +465,65 @@ object Relational {
       |WHERE l_linenumber = 1
       |ORDER BY l_orderkey""".stripMargin
 
+  /** Array higher-order functions: construction, sort, element access,
+    * transform/filter lambdas, left-fold aggregate — all codegen'd
+    * collection expressions, no UDFs. */
+  private def q10Array(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .filter($"l_linenumber" === 1)
+      .withColumn("arr", array($"l_quantity", $"l_discount", $"l_tax"))
+      .select(
+        $"l_orderkey",
+        size($"arr").as("n"),
+        element_at(sort_array($"arr"), 1).as("lo"),
+        element_at(sort_array($"arr"), -1).as("hi"),
+        aggregate($"arr", lit(0.0), (acc, x) => acc + x).as("tot"),
+        size(filter($"arr", x => x > 0.1)).as("n_big"),
+        aggregate(transform($"arr", x => x * 2), lit(0.0), (acc, x) => acc + x).as("tot2"),
+        array_contains($"arr", 0.0).as("has_zero"))
+      .orderBy($"l_orderkey")
+  }
+
+  private val q10ArraySql =
+    """SELECT l_orderkey,
+      |  CAST(len(arr) AS INTEGER) AS n,
+      |  list_sort(arr)[1] AS lo,
+      |  list_sort(arr)[-1] AS hi,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), arr), (acc, x) -> acc + x) AS tot,
+      |  CAST(len(list_filter(arr, x -> x > 0.1)) AS INTEGER) AS n_big,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(arr, x -> x * 2)), (acc, x) -> acc + x) AS tot2,
+      |  list_contains(arr, 0.0) AS has_zero
+      |FROM (SELECT l_orderkey, [l_quantity, l_discount, l_tax] AS arr
+      |      FROM lineitem WHERE l_linenumber = 1) t
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** Map functions: construction from columns, key/value extraction. */
+  private def q10Map(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "part")
+      .withColumn("m", map(lit("brand"), $"p_brand", lit("type"), $"p_type"))
+      .select(
+        $"p_partkey",
+        size($"m").as("n_keys"),
+        concat_ws(",", sort_array(map_keys($"m"))).as("keys"),
+        element_at($"m", "brand").as("brand_v"),
+        element_at($"m", "type").as("type_v"),
+        concat_ws("|", map_values($"m")).as("vals"))
+      .orderBy($"p_partkey")
+  }
+
+  private val q10MapSql =
+    """SELECT p_partkey,
+      |  CAST(cardinality(m) AS INTEGER) AS n_keys,
+      |  array_to_string(list_sort(map_keys(m)), ',') AS keys,
+      |  m['brand'][1] AS brand_v,
+      |  m['type'][1] AS type_v,
+      |  array_to_string(map_values(m), '|') AS vals
+      |FROM (SELECT p_partkey, MAP {'brand': p_brand, 'type': p_type} AS m
+      |      FROM part) t
+      |ORDER BY p_partkey""".stripMargin
+
   private def q10Json(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     t(spark, dir, "events")
@@ -533,5 +592,7 @@ object Relational {
     Declared("q10_date_fns", q10Date, Some(q10DateSql)),
     Declared("q10_math_fns", q10Math, Some(q10MathSql)),
     Declared("q10_json_fns", q10Json, Some(q10JsonSql)),
+    Declared("q10_array_fns", q10Array, Some(q10ArraySql)),
+    Declared("q10_map_fns", q10Map, Some(q10MapSql)),
     Declared("q11_event_buckets", q11, Some(q11Sql)))
 }

@@ -45,6 +45,16 @@ object IngestStream {
         col("modificationTime").as("ts"),
         regexp_extract(col("path"), "([^/]+)$", 1).as("client_ip"))
 
+  /** Binary TCP source with the reference's gap framing, via the custom
+    * DSv2 [[graft.sources.TcpBinaryTableProvider]] (SURVEY.md §2A#1-2). */
+  def fromTcp(spark: SparkSession, port: Int, gapMillis: Long = 1000L): DataFrame =
+    spark.readStream
+      .format("graft.sources.TcpBinaryTableProvider")
+      .option("port", port)
+      .option("gapMillis", gapMillis)
+      .load()
+      .select(col("payload"), col("ts"), col("client_ip"))
+
   /** Line-framed TCP source (built-in; text only — binary fidelity needs
     * the DSv2 source, SURVEY.md §4 item 1). */
   def fromSocket(spark: SparkSession, host: String, port: Int): DataFrame =
@@ -56,8 +66,19 @@ object IngestStream {
         current_timestamp().as("ts"),
         lit(s"$host:$port").as("client_ip"))
 
-  /** The shared pipeline body — identical logic to the batch Q12 path. */
+  /** The shared pipeline body — identical logic to the batch Q12 path.
+    * LogEntry fields are emitted as real columns; the JSON sink writes
+    * them one-object-per-line with `ignoreNullFields` reproducing Go's
+    * omitempty (reference main.go:43-53). */
   def transform(payloads: DataFrame): DataFrame =
+    payloads
+      .filter(Ingest.nonEmpty(col("payload")))
+      .select(Ingest.logEntry(col("ts"), col("payload"), col("client_ip")).as("e"),
+        to_date(col("ts")).as("date"))
+      .select(col("e.*"), col("date"))
+
+  /** Single-string JSONL form (console echo / socket-ack payloads). */
+  def transformJson(payloads: DataFrame): DataFrame =
     payloads
       .filter(Ingest.nonEmpty(col("payload")))
       .select(
@@ -78,9 +99,10 @@ object IngestStream {
     transform(fromDirectory(spark, inDir))
       .observe("ingest_metrics",
         count(lit(1)).as("processed_requests"),
-        sum(octet_length(col("value"))).as("total_bytes_processed"))
+        sum(col("byte_count")).as("total_bytes_processed"))
       .writeStream
       .format("json")
+      .option("ignoreNullFields", "true")
       .partitionBy("date")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)

@@ -44,8 +44,10 @@ class IngestSpec extends SparkSpec {
       ("a".getBytes, Timestamp.valueOf("2024-01-01 00:00:01"), "c1"),
       (Array.emptyByteArray, Timestamp.valueOf("2024-01-01 00:00:02"), "c2"))
       .toDF("payload", "ts", "client_ip")
-    val out = IngestStream.transform(df).select($"value").as[String].collect()
+    val out = IngestStream.transformJson(df).select($"value").as[String].collect()
     assert(out.length == 1 && out.head.contains("\"client_ip\":\"c1\""))
+    val flat = IngestStream.transform(df).select($"client_ip").as[String].collect()
+    assert(flat.toSeq == Seq("c1"))
   }
 
   test("q12 queries run on sf0.001 and agree with documents count") {
