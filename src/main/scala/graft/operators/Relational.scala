@@ -155,6 +155,68 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Left outer join + aggregation: every customer, order count and
+    * revenue including the zero-order ones (null-group handling). */
+  private def q4Left(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = t(spark, dir, "customer").select($"c_custkey", $"c_mktsegment")
+    val orders = t(spark, dir, "orders").select($"o_custkey", $"o_totalprice")
+    cust.join(orders, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey", $"c_mktsegment")
+      .agg(
+        count($"o_custkey").as("n_orders"),
+        coalesce(dsum($"o_totalprice"), lit(0.0)).as("revenue"))
+      .orderBy($"c_custkey")
+  }
+
+  private val q4LeftSql =
+    s"""SELECT c_custkey, c_mktsegment,
+       |  COUNT(o_custkey) AS n_orders,
+       |  COALESCE(${sqlSum("o_totalprice")}, 0.0) AS revenue
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey, c_mktsegment
+       |ORDER BY c_custkey""".stripMargin
+
+  /** Full outer join of two keyed aggregates with presence indicators. */
+  private def q4Full(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rich = t(spark, dir, "customer").filter($"c_acctbal" > 9000)
+      .select($"c_custkey".as("k"), $"c_acctbal")
+    val big = t(spark, dir, "orders").filter($"o_totalprice" > 450000)
+      .groupBy($"o_custkey".as("k2")).agg(count(lit(1)).as("n_big"))
+    rich.join(big, $"k" === $"k2", "full")
+      .select(
+        coalesce($"k", $"k2").as("custkey"),
+        $"k".isNotNull.as("is_rich"),
+        $"k2".isNotNull.as("has_big_order"),
+        coalesce($"n_big", lit(0L)).as("n_big"))
+      .orderBy($"custkey")
+  }
+
+  private val q4FullSql =
+    """SELECT COALESCE(k, k2) AS custkey,
+      |  k IS NOT NULL AS is_rich,
+      |  k2 IS NOT NULL AS has_big_order,
+      |  COALESCE(n_big, 0) AS n_big
+      |FROM (SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_acctbal > 9000) r
+      |FULL OUTER JOIN (SELECT o_custkey AS k2, COUNT(*) AS n_big
+      |                 FROM orders WHERE o_totalprice > 450000 GROUP BY o_custkey) b
+      |  ON k = k2
+      |ORDER BY custkey""".stripMargin
+
+  /** Deliberate cross join of two bounded dimensions (the only place a
+    * cartesian product is acceptable at scale: both sides tiny). */
+  private def q4Cross(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "region").crossJoin(t(spark, dir, "nation"))
+      .select($"r_name", $"n_name")
+      .orderBy($"r_name", $"n_name")
+  }
+
+  private val q4CrossSql =
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
   // ---------------------------------------------------------------- Q5
   /** Theta (band range) self-join: same-brand parts priced within ±0.5%.
     *
@@ -578,6 +640,9 @@ object Relational {
     Declared("q3_multi_join", q3, Some(q3Sql)),
     Declared("q4_semi_join", q4Semi, Some(q4SemiSql)),
     Declared("q4_anti_join", q4Anti, Some(q4AntiSql)),
+    Declared("q4_left_outer", q4Left, Some(q4LeftSql)),
+    Declared("q4_full_outer", q4Full, Some(q4FullSql)),
+    Declared("q4_cross_dims", q4Cross, Some(q4CrossSql)),
     Declared("q5_range_join", q5, Some(q5Sql)),
     Declared("q6_rollup", q6Rollup, Some(q6RollupSql)),
     Declared("q6_cube", q6Cube, Some(q6CubeSql)),

@@ -68,6 +68,23 @@ object EventStreams {
   def dedupBatch(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
 
+  /** Stream-stream join: each click joined to same-user views from the
+    * preceding 10 minutes. Watermarks on both sides + the time-bound
+    * condition let the join state expire (without them a stream-stream
+    * join buffers forever). Same code runs in batch for parity tests. */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    c.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("click_ts") - expr("interval 10 minutes") &&
+        col("view_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("click_ts"), col("view_id"), col("view_ts"))
+  }
+
   // ------------------------------------------------- declared batch forms
   private def ev(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

@@ -1,0 +1,65 @@
+package graft
+
+/** Physical-plan shape assertions — the 100 TB posture, pinned by tests:
+  * filters reach the parquet scan, projections prune the read schema,
+  * small dimensions broadcast, top-k never global-sorts, and nothing
+  * degenerates into a cartesian product. A regression here is a scale
+  * bug even when results stay correct. */
+class PlanSpec extends SparkSpec {
+  private val dir = sf("sf0.001")
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter is pushed into the parquet scan, schema pruned") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("ReadSchema"), p)
+    // only the 7 needed columns are read, not all 11
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_orderkey") && read.contains("l_returnflag"), read)
+  }
+
+  test("q2/q3: dimension sides broadcast; no cartesian anywhere") {
+    val p2 = plan("q2_join_agg")
+    assert(p2.contains("BroadcastHashJoin"), p2)
+    val p3 = plan("q3_multi_join")
+    assert(p3.contains("BroadcastHashJoin"), p3)
+    assert(!p3.contains("CartesianProduct"), p3)
+  }
+
+  test("q4: semi/anti joins plan as semi/anti (no materialized product)") {
+    assert(plan("q4_semi_join").contains("LeftSemi"))
+    assert(plan("q4_anti_join").contains("LeftAnti"))
+  }
+
+  test("q5: banded range join is an equi hash join, not a nested loop") {
+    val p = plan("q5_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q8: global top-k plans TakeOrderedAndProject (no full sort)") {
+    val p = plan("q8_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("aggregations are two-phase (partial before shuffle)") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
+  }
+
+  test("whole-stage codegen spans the relational pipeline") {
+    // AQE prints codegen stages only in the executed final plan
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen'd operators
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p)
+  }
+
+  test("minhash near-dup: candidate join is keyed, verification never cross-joins") {
+    val p = plan("x1_neardup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

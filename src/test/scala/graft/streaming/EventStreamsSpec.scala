@@ -77,6 +77,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(ids.toSeq == Seq(10L, 11L))
   }
 
+  test("stream-stream click-view join within the 10-minute bound") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val q = EventStreams.clickViewJoin(clicks.toDF(), views.toDF())
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      views.addData(Ev(100, t(0), 1, "view", 1.0, "{}"),
+        Ev(101, t(30), 1, "view", 1.0, "{}")) // > 10 min before the click: excluded
+      clicks.addData(Ev(200, t(8), 1, "click", 1.0, "{}"),
+        Ev(201, t(35), 1, "click", 1.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssjoin").select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // click@8 ← view@0 (8 min before); click@35 ← view@30; not view@0 (35 min)
+    assert(got == Set((200L, 100L), (201L, 101L)))
+  }
+
   test("S2 session windows split at the 30-minute gap") {
     import spark.implicits._
     val rows = Seq(
