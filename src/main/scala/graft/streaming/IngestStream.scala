@@ -110,6 +110,37 @@ object IngestStream {
       .trigger(trigger)
       .start()
 
+  /** §2A#18 — documented-but-vestigial reference behavior (README.md:24):
+    * each message also saved as a timestamped per-message text file under
+    * `dataDir`, via a foreachBatch side-effect sink. */
+  def startPerMessageFiles(
+      spark: SparkSession,
+      inDir: String,
+      dataDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    fromDirectory(spark, inDir)
+      .filter(graft.operators.Ingest.nonEmpty(col("payload")))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // single-node semantics (the reference writes to its local ./data);
+        // a cluster deployment would foreachPartition onto a shared FS
+        val rows = batch.select(
+          date_format(col("ts"), "yyyyMMdd'T'HHmmss").as("stamp"),
+          col("client_ip"), col("payload")).collect()
+        val dir = java.nio.file.Paths.get(dataDir)
+        java.nio.file.Files.createDirectories(dir)
+        rows.zipWithIndex.foreach { case (r, i) =>
+          java.nio.file.Files.write(
+            dir.resolve(s"${r.getString(0)}-$batchId-$i-${r.getString(1)}.txt"),
+            r.getAs[Array[Byte]]("payload"))
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Metrics reporter: logs each batch's observed counters (the 30 s
     * report, main.go:145-158) and a final cumulative snapshot on
     * termination (main.go:159-167). Cumulative totals live here, driver

@@ -1,0 +1,37 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Bucketed co-located join: both sides pre-bucketed on the key join
+  * without any Exchange — the at-scale layout for repeated fact⋈fact
+  * joins. */
+class BucketingSpec extends SparkSpec {
+
+  test("join of two tables bucketed on the key plans without a shuffle") {
+    val orders = Tables.load(spark, sf("sf0.001"), "orders")
+    val lineitem = Tables.load(spark, sf("sf0.001"), "lineitem")
+    Bucketing.writeBucketed(orders, "b_orders", "o_orderkey", 4)
+    Bucketing.writeBucketed(lineitem, "b_lineitem", "l_orderkey", 4)
+
+    // disable broadcast so the join-strategy choice (shuffle vs bucket
+    // co-location) is what the plan shows — at real fact⋈fact scale
+    // broadcast wouldn't apply anyway
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem").join(
+        spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      assert(joined.count() == lineitem.count()) // every line item matches
+
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+
+      // the same join unbucketed DOES shuffle (sanity of the claim)
+      val p2 = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p2.contains("Exchange"), p2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
