@@ -30,6 +30,7 @@ object GraftSession {
       // whole shingle stream — keep hashing up to ~1M groups per task
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.sql.streaming.stopGracefullyOnShutdown", "true")
+      .config("spark.sql.extensions", "graft.core.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
-import graft.functions.GoQuote
+import graft.functions.GoQuoteExpr
 
 /** The reference's ingest pipeline re-expressed as batch columnar
   * transforms (SURVEY.md §2A rows 3-7, 16; Q12).
@@ -49,7 +49,7 @@ object Ingest {
       clientIp.as("client_ip"),
       when(n > 0, n).as("byte_count"),
       when(n > 0, hexLower(payload)).as("binary_data_hex"),
-      when(n > 0, GoQuote(payload)).as("binary_data_string"))
+      when(n > 0, GoQuoteExpr.native(payload)).as("binary_data_string"))
   }
 
   /** JSONL serialization with omitempty (reference main.go:116). */

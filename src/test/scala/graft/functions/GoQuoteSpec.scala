@@ -50,6 +50,26 @@ class GoQuoteSpec extends AnyFunSuite {
       assert(GoQuote.quote(s.getBytes("UTF-8")) == "\"" + s + "\"")
     }
   }
+  test("native expression agrees with the kernel, handles null, works from SQL") {
+    val spark = graft.core.GraftSession.builder("local[4]", 4).getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val payloads: Seq[Array[Byte]] =
+      Seq("plain".getBytes, Array[Byte](0, 0x7f, -1, -2), Array.emptyByteArray) ++
+        Seq.fill(20)(Array.fill(rnd.nextInt(32))(rnd.nextInt(256).toByte))
+    val viaExpr = payloads.toDF("p")
+      .select(GoQuoteExpr.native(col("p"))).as[String].collect()
+    assert(viaExpr.toSeq == payloads.map(GoQuote.quote))
+    val nullRow = Seq(Option.empty[Array[Byte]]).toDF("p")
+      .select(GoQuoteExpr.native(col("p"))).collect()
+    assert(nullRow.head.isNullAt(0))
+    // SQL surface via GraftExtensions
+    val viaSql = spark.sql("SELECT go_quote(CAST('hi\n' AS BINARY)) AS q")
+      .collect().head.getString(0)
+    assert(viaSql == "\"hi\\n\"")
+  }
+
   test("property: output is always quoted and never raw-control") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 200) {
