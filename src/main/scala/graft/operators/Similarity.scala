@@ -102,6 +102,96 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("sim"))
   }
 
+  // ------------------------------------------------------- IVF variant
+  /** IVF-style cluster-pruned ANN — the scale path when hyperplane LSH
+    * recall is not enough: partition the corpus into `nlist` inverted
+    * lists by nearest centroid, search only the `nprobe` lists closest
+    * to each probe. Candidate generation is a keyed equi-join on
+    * cluster id; exact scoring touches ~nprobe/nlist of the corpus.
+    *
+    * Centroids are a deterministic sample (first `nlist` by vec_id) —
+    * real deployments would k-means-refine them, which changes recall
+    * but not the dataflow shape. Assignment is a map-only pass with the
+    * (tiny) centroid set broadcast.
+    */
+  def ivfAssign(emb: DataFrame, nlist: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = emb.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().map { case (id, v) =>
+        val d = v.map(_.toDouble)
+        val n = math.sqrt(d.map(x => x * x).sum)
+        (id, d, n)
+      }
+    val bc = spark.sparkContext.broadcast(cents)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      var bestId = -1L; var best = Double.NegativeInfinity
+      val d = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { d(i) = v(i); i += 1 }
+      var nv = 0.0; i = 0
+      while (i < d.length) { nv += d(i) * d(i); i += 1 }
+      nv = math.sqrt(nv)
+      cs.foreach { case (cid, cv, cn) =>
+        var dot = 0.0; var j = 0
+        while (j < cv.length) { dot += d(j) * cv(j); j += 1 }
+        val cos = dot / (nv * cn)
+        if (cos > best) { best = cos; bestId = cid }
+      }
+      bestId
+    }
+    emb.withColumn("cluster", assignUdf(col("embedding")))
+  }
+
+  /** nprobe nearest clusters per probe (same centroid set). */
+  private def ivfProbeClusters(probes: DataFrame, emb: DataFrame,
+      nlist: Int, nprobe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = emb.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().map { case (id, v) =>
+        val d = v.map(_.toDouble); (id, d, math.sqrt(d.map(x => x * x).sum))
+      }
+    val bc = spark.sparkContext.broadcast(cents)
+    val topClustersUdf = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      val d = v.map(_.toDouble).toArray
+      val nv = math.sqrt(d.map(x => x * x).sum)
+      cs.map { case (cid, cv, cn) =>
+        var dot = 0.0; var j = 0
+        while (j < cv.length) { dot += d(j) * cv(j); j += 1 }
+        (cid, dot / (nv * cn))
+      }.sortBy(-_._2).take(nprobe).map(_._1)
+    }
+    probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+      explode(topClustersUdf(col("embedding"))).as("cluster"))
+  }
+
+  /** Approximate top-k via IVF: probes search their nprobe lists only. */
+  def ivfTopK(emb: DataFrame, probes: DataFrame,
+      nlist: Int, nprobe: Int, k: Int): DataFrame = {
+    val assigned = ivfAssign(emb, nlist)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("cluster"))
+    val pc = ivfProbeClusters(probes, emb, nlist, nprobe)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    pc.join(assigned, Seq("cluster"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"),
+        transform(col("p_emb"), x => x.cast(DoubleType)).as("pv"),
+        col("neighbor_id"),
+        transform(col("n_emb"), x => x.cast(DoubleType)).as("nv"))
+      .withColumn("pn", sqrt(aggregate(col("pv"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("nn", sqrt(aggregate(col("nv"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("sim", dot(col("pv"), col("nv")) / (col("pn") * col("nn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("sim"))
+  }
+
   // ----------------------------------------------------------- declared
   private def x2Brute(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
@@ -130,7 +220,14 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  private def x2Ivf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    ivfTopK(emb, emb.filter(col("vec_id") < 10), nlist = 16, nprobe = 4, k = 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   val all: Seq[Declared] = Seq(
     Declared("x2_cosine_topk", x2Brute, Some(x2BruteSql)),
-    Declared("x2_ann_lsh", x2Ann, None))
+    Declared("x2_ann_lsh", x2Ann, None),
+    Declared("x2_ann_ivf", x2Ivf, None))
 }

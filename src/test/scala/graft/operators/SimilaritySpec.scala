@@ -29,6 +29,25 @@ class SimilaritySpec extends SparkSpec {
     assert(top.nonEmpty && top.head.getLong(2) == 1L, top.mkString(";"))
   }
 
+  test("IVF ANN recovers the planted neighbor while scanning a corpus subset") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def vec() = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val a = vec()
+    val aJit = a.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val emb = (Seq((0L, a), (1L, aJit)) ++ (2L to 99L).map(_ -> vec()))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 0),
+      nlist = 8, nprobe = 2, k = 3).collect()
+    assert(top.nonEmpty && top.head.getLong(2) == 1L, top.mkString(";"))
+    // pruning is real: probe+planted share a cluster but the candidate
+    // pool is far smaller than the corpus
+    val assigned = Similarity.ivfAssign(emb, 8)
+    val clusterOfProbe = assigned.filter($"vec_id" === 0).select("cluster").as[Long].head()
+    val poolSize = assigned.filter($"cluster" === clusterOfProbe).count()
+    assert(poolSize < 60, s"pool $poolSize of 100")
+  }
+
   test("ANN candidate set on the fixture is a strict subset of the corpus (pruning is real)") {
     import spark.implicits._
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
