@@ -242,11 +242,13 @@ object Relational {
         explode(array(floor($"p_retailprice" / bandWidth),
                       floor($"p_retailprice" / bandWidth) + 1,
                       floor($"p_retailprice" / bandWidth) - 1)).as("band"))
+    // no distinct needed: the left side carries exactly one band value,
+    // so each (pk1, pk2) pair joins through at most one of the right's
+    // three candidate bands
     left.join(right, Seq("brand", "band"))
       .filter($"pk1" < $"pk2" &&
         $"price1" >= $"price2" * 0.995 && $"price1" <= $"price2" * 1.005)
       .select($"pk1", $"pk2", $"brand", $"price1", $"price2")
-      .distinct() // a pair can match via two of the three candidate bands
       .orderBy($"pk1", $"pk2")
   }
 
@@ -310,6 +312,33 @@ object Relational {
        |FROM orders
        |GROUP BY CUBE(o_orderpriority, o_orderstatus)
        |ORDER BY gp, gs, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  /** Statistical aggregates: sample stddev/variance and exact
+    * interpolated median. Both engines implement the same estimators;
+    * the 4 dp canonicalization absorbs summation-order noise. */
+  private def q6Stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+        round(var_samp($"l_quantity"), 4).as("var_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q6StatsSql =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+      |  min(l_quantity) AS min_qty,
+      |  max(l_quantity) AS max_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- Q7
   /** Window functions. Partitioned by customer — parallel across the key
@@ -646,6 +675,7 @@ object Relational {
     Declared("q5_range_join", q5, Some(q5Sql)),
     Declared("q6_rollup", q6Rollup, Some(q6RollupSql)),
     Declared("q6_cube", q6Cube, Some(q6CubeSql)),
+    Declared("q6_stats", q6Stats, Some(q6StatsSql)),
     Declared("q7_topk_per_group", q7Top3, Some(q7Top3Sql)),
     Declared("q7_running_sum", q7Running, Some(q7RunningSql)),
     Declared("q7_lag_lead", q7Lag, Some(q7LagSql)),

@@ -1,0 +1,41 @@
+package graft
+
+import graft.core.Tables
+
+/** The engine's SQL surface: fixture tables registered as views, queries
+  * expressed in `spark.sql`, results identical to the DataFrame forms —
+  * the two front-ends share one Catalyst plan space. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private def registerViews(): Unit =
+    Tables.names.foreach { n =>
+      Tables.load(spark, sf("sf0.001"), n).createOrReplaceTempView(n)
+    }
+
+  test("SQL and DataFrame front-ends produce identical results") {
+    registerViews()
+    val viaSql = spark.sql(
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin).collect()
+    val viaDf = SparkEntry.queries("q2_join_agg")(spark, sf("sf0.001"))
+      .selectExpr("c_mktsegment", "revenue", "n_orders").collect()
+    assert(viaSql.toSeq == viaDf.toSeq)
+  }
+
+  test("window + grouping-set SQL works over the views") {
+    registerViews()
+    val top = spark.sql(
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey LIMIT 5""".stripMargin)
+    assert(top.count() == 5)
+    val gs = spark.sql(
+      "SELECT o_orderstatus, COUNT(*) FROM orders GROUP BY ROLLUP(o_orderstatus)")
+    assert(gs.count() >= 2)
+  }
+}
