@@ -662,6 +662,31 @@ object Relational {
        |GROUP BY event_type, bucket
        |ORDER BY event_type, bucket""".stripMargin
 
+  // --------------------------------------------------------------- Q14
+  /** Correlated scalar subquery (TPC-H Q17 shape): line items whose
+    * quantity is under 40% of their part's average. Catalyst
+    * decorrelates the subquery into an aggregate + join
+    * (RewriteCorrelatedScalarSubquery) — expressed via the SQL front-end,
+    * which is part of the engine surface. */
+  private def q14(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    spark.sql(
+      """SELECT l_orderkey, l_partkey, l_quantity
+        |FROM v_lineitem l1
+        |WHERE l_quantity < 0.4 * (
+        |  SELECT AVG(l_quantity) FROM v_lineitem l2
+        |  WHERE l2.l_partkey = l1.l_partkey)
+        |ORDER BY l_orderkey, l_partkey, l_quantity""".stripMargin)
+  }
+
+  private val q14Sql =
+    """SELECT l_orderkey, l_partkey, l_quantity
+      |FROM lineitem l1
+      |WHERE l_quantity < 0.4 * (
+      |  SELECT AVG(l_quantity) FROM lineitem l2
+      |  WHERE l2.l_partkey = l1.l_partkey)
+      |ORDER BY l_orderkey, l_partkey, l_quantity""".stripMargin
+
   // ---------------------------------------------------------------- all
   val all: Seq[Declared] = Seq(
     Declared("q1_pricing_summary", q1, Some(q1Sql)),
@@ -689,5 +714,6 @@ object Relational {
     Declared("q10_json_fns", q10Json, Some(q10JsonSql)),
     Declared("q10_array_fns", q10Array, Some(q10ArraySql)),
     Declared("q10_map_fns", q10Map, Some(q10MapSql)),
-    Declared("q11_event_buckets", q11, Some(q11Sql)))
+    Declared("q11_event_buckets", q11, Some(q11Sql)),
+    Declared("q14_correlated_subquery", q14, Some(q14Sql)))
 }

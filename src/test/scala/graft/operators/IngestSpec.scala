@@ -50,6 +50,24 @@ class IngestSpec extends SparkSpec {
     assert(flat.toSeq == Seq("c1"))
   }
 
+  test("LogEntry JSON round-trips through from_json (omitempty = absent, not null-literal)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("timestamp", StringType), StructField("level", StringType),
+      StructField("message", StringType), StructField("client_ip", StringType),
+      StructField("byte_count", IntegerType), StructField("binary_data_hex", StringType),
+      StructField("binary_data_string", StringType)))
+    val js = Seq(entryJson("hi\n".getBytes), entryJson(Array.emptyByteArray)).toDF("j")
+      .select(from_json($"j", schema).as("e")).select($"e.*")
+      .collect()
+    assert(js(0).getAs[String]("binary_data_hex") == "68690a")
+    assert(js(0).getAs[Int]("byte_count") == 3)
+    // omitted fields parse back as nulls
+    assert(js(1).isNullAt(js(1).fieldIndex("byte_count")))
+    assert(js(1).getAs[String]("level") == "WARN")
+  }
+
   test("q12 queries run on sf0.001 and agree with documents count") {
     val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents").count()
     val q = graft.SparkEntry.queries
