@@ -46,6 +46,25 @@ class IngestStreamSpec extends SparkSpec {
     assert(listener.totalBytes > 0)
   }
 
+  test("checkpoint recovery is exactly-once: restart processes only new files") {
+    val root = Files.createTempDirectory("graft-ckpt").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(s"$in/c1"), "first".getBytes)
+
+    def runOnce(): Unit = {
+      val q = IngestStream.start(spark, in, out, ck, trigger = Trigger.AvailableNow())
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    runOnce()
+    Files.write(Paths.get(s"$in/c2"), "second".getBytes)
+    runOnce() // same checkpoint: must pick up only c2
+
+    val msgs = spark.read.json(s"$out/date=*")
+      .select("client_ip").collect().map(_.getString(0)).sorted
+    assert(msgs.toSeq == Seq("c1", "c2")) // each exactly once
+  }
+
   test("retention drops only expired date partitions") {
     val out = Files.createTempDirectory("graft-retention").toString
     Files.createDirectories(Paths.get(s"$out/date=2020-01-01"))
