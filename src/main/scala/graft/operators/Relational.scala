@@ -408,6 +408,116 @@ object Relational {
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Ranking-function battery: rank/dense_rank/ntile/percent_rank/
+    * cume_dist plus first/last_value over an explicit frame. */
+  private def q7Ranks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc, $"o_orderkey")
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .filter($"o_totalprice" > 400000) // keep ranked sets small but multi-row
+      .select(
+        $"o_orderpriority", $"o_orderkey",
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("prank"),
+        round(cume_dist().over(w), 4).as("cdist"),
+        first($"o_orderkey").over(frame).as("top_key"),
+        last($"o_orderkey").over(frame).as("bottom_key"))
+      .orderBy($"o_orderpriority", $"rnk", $"o_orderkey")
+  }
+
+  private val q7RanksSql =
+    """SELECT o_orderpriority, o_orderkey,
+      |  RANK() OVER w AS rnk,
+      |  DENSE_RANK() OVER w AS drnk,
+      |  NTILE(4) OVER w AS quartile,
+      |  round(PERCENT_RANK() OVER w, 4) AS prank,
+      |  round(CUME_DIST() OVER w, 4) AS cdist,
+      |  FIRST_VALUE(o_orderkey) OVER wf AS top_key,
+      |  LAST_VALUE(o_orderkey) OVER wf AS bottom_key
+      |FROM orders
+      |WHERE o_totalprice > 400000
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey),
+      |  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin
+
+  /** RANGE frame over a numeric ordering: 30-day trailing revenue per
+    * customer (value-based window, not row-based). */
+  private def q7RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days30 = 30L * 86400
+    val w = Window.partitionBy($"o_custkey").orderBy($"t")
+      .rangeBetween(-days30, 0)
+    t(spark, dir, "orders")
+      .withColumn("t", unix_timestamp($"o_orderdate"))
+      .withColumn("rev30",
+        sum($"o_totalprice".cast(DataTypes.createDecimalType(28, 10))).over(w).cast(DoubleType))
+      .select($"o_custkey", $"o_orderkey", $"rev30")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  private val q7RangeFrameSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+      |    PARTITION BY o_custkey ORDER BY EPOCH(o_orderdate)
+      |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev30
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Pivot: revenue matrix orderstatus × orderpriority with an explicit
+    * value list (deterministic output columns). */
+  private def q6Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(dsum($"o_totalprice"))
+      .select($"o_orderstatus",
+        coalesce($"1-URGENT", lit(0.0)).as("p1"),
+        coalesce($"2-HIGH", lit(0.0)).as("p2"),
+        coalesce($"3-MEDIUM", lit(0.0)).as("p3"),
+        coalesce($"4-NOT SPECIFIED", lit(0.0)).as("p4"),
+        coalesce($"5-LOW", lit(0.0)).as("p5"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val q6PivotSql = {
+    def cell(p: String) =
+      s"COALESCE(CAST(SUM(CAST(CASE WHEN o_orderpriority = '$p' THEN o_totalprice END AS DECIMAL(28,10))) AS DOUBLE), 0.0)"
+    s"""SELECT o_orderstatus,
+       |  ${cell("1-URGENT")} AS p1,
+       |  ${cell("2-HIGH")} AS p2,
+       |  ${cell("3-MEDIUM")} AS p3,
+       |  ${cell("4-NOT SPECIFIED")} AS p4,
+       |  ${cell("5-LOW")} AS p5
+       |FROM orders
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+  }
+
+  /** Generator/UDTF path: posexplode of a per-row array into rows. */
+  private def q10Explode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "part")
+      .filter($"p_partkey" <= 200)
+      .select($"p_partkey", posexplode(split($"p_name", " ")).as(Seq("pos", "word")))
+      .orderBy($"p_partkey", $"pos")
+  }
+
+  // DuckDB 1.0 has no WITH ORDINALITY; a correlated UNNEST over
+  // range(len(words)) provides the position
+  private val q10ExplodeSql =
+    """SELECT p_partkey, CAST(u.i AS INTEGER) AS pos,
+      |  words[CAST(u.i AS INTEGER) + 1] AS word
+      |FROM (SELECT p_partkey, string_split(p_name, ' ') AS words
+      |      FROM part WHERE p_partkey <= 200) t,
+      |  UNNEST(range(len(words))) AS u(i)
+      |ORDER BY p_partkey, pos""".stripMargin
+
   // ---------------------------------------------------------------- Q8
   /** Global top-k. orderBy().limit(k) plans TakeOrderedAndProject: each
     * partition keeps its local top-k and only k rows per partition reach
@@ -704,6 +814,10 @@ object Relational {
     Declared("q7_topk_per_group", q7Top3, Some(q7Top3Sql)),
     Declared("q7_running_sum", q7Running, Some(q7RunningSql)),
     Declared("q7_lag_lead", q7Lag, Some(q7LagSql)),
+    Declared("q7_ranks", q7Ranks, Some(q7RanksSql)),
+    Declared("q7_range_frame", q7RangeFrame, Some(q7RangeFrameSql)),
+    Declared("q6_pivot", q6Pivot, Some(q6PivotSql)),
+    Declared("q10_explode", q10Explode, Some(q10ExplodeSql)),
     Declared("q8_global_topk", q8, Some(q8Sql)),
     Declared("q9_intersect", q9Intersect, Some(q9IntersectSql)),
     Declared("q9_except", q9Except, Some(q9ExceptSql)),
