@@ -131,6 +131,37 @@ object TextAnalysis {
   private def xtLangid(spark: SparkSession, dir: String): DataFrame =
     languageId(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
 
+  private val xtLangidSql = {
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    val hitExprs = Lexicons.map { case (l, ws) =>
+      s"SUM(CASE WHEN t IN (${inList(ws)}) THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) AS s_$l"
+    }.mkString(",\n    ")
+    val bestExpr = Lexicons.map(l => s"s_${l._1}").mkString("GREATEST(", ", ", ")")
+    val argmax = Lexicons.map { case (l, _) =>
+      s"WHEN s_$l = $bestExpr THEN '$l'"
+    }.mkString("\n      ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id,
+       |    $hitExprs
+       |  FROM tok GROUP BY doc_id),
+       |cjkt AS (
+       |  SELECT doc_id,
+       |    (length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')))
+       |      / CAST(GREATEST(length(text), 1) AS DOUBLE) AS cjk
+       |  FROM documents)
+       |SELECT h.doc_id,
+       |  CASE WHEN c.cjk > 0.05 THEN 'zh'
+       |    WHEN $bestExpr <= 0 THEN 'und'
+       |    $argmax
+       |    ELSE 'und' END AS lang_pred
+       |FROM hits h JOIN cjkt c ON h.doc_id = c.doc_id
+       |ORDER BY h.doc_id""".stripMargin
+  }
+
   // --------------------------------------------------- fingerprinting
   /** Content fingerprints: md5 of the normalized text (exact-dup key)
     * and of the leading 8-token prefix (head fingerprint for clustering
@@ -200,6 +231,6 @@ object TextAnalysis {
     Declared("x4_approx_distinct", x4Approx, Some(x4ApproxSql)),
     Declared("xt_token_stats", xtTokens, Some(xtTokensSql)),
     Declared("xt_quality", xtQuality, Some(xtQualitySql)),
-    Declared("xt_langid", xtLangid, None),
+    Declared("xt_langid", xtLangid, Some(xtLangidSql)),
     Declared("xt_fingerprint", xtFingerprint, Some(xtFingerprintSql)))
 }
