@@ -321,9 +321,9 @@ object Relational {
     t(spark, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
-        round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
-        round(var_samp($"l_quantity"), 4).as("var_qty"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+        stddev_samp($"l_quantity").as("sd_qty"),
+        var_samp($"l_quantity").as("var_qty"),
+        expr("percentile(l_quantity, 0.5)").as("med_qty"),
         min($"l_quantity").as("min_qty"),
         max($"l_quantity").as("max_qty"))
       .orderBy($"l_returnflag")
@@ -331,9 +331,9 @@ object Relational {
 
   private val q6StatsSql =
     """SELECT l_returnflag,
-      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
-      |  round(var_samp(l_quantity), 4) AS var_qty,
-      |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+      |  stddev_samp(l_quantity) AS sd_qty,
+      |  var_samp(l_quantity) AS var_qty,
+      |  quantile_cont(l_quantity, 0.5) AS med_qty,
       |  min(l_quantity) AS min_qty,
       |  max(l_quantity) AS max_qty
       |FROM lineitem
@@ -421,8 +421,11 @@ object Relational {
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 4).as("prank"),
-        round(cume_dist().over(w), 4).as("cdist"),
+        // unrounded: k/(n-1) rationals hit half-way decimals where the two
+        // engines' round() diverge; raw doubles are bit-identical and the
+        // compare layer rounds both sides with one implementation
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
         first($"o_orderkey").over(frame).as("top_key"),
         last($"o_orderkey").over(frame).as("bottom_key"))
       .orderBy($"o_orderpriority", $"rnk", $"o_orderkey")
@@ -433,8 +436,8 @@ object Relational {
       |  RANK() OVER w AS rnk,
       |  DENSE_RANK() OVER w AS drnk,
       |  NTILE(4) OVER w AS quartile,
-      |  round(PERCENT_RANK() OVER w, 4) AS prank,
-      |  round(CUME_DIST() OVER w, 4) AS cdist,
+      |  PERCENT_RANK() OVER w AS prank,
+      |  CUME_DIST() OVER w AS cdist,
       |  FIRST_VALUE(o_orderkey) OVER wf AS top_key,
       |  LAST_VALUE(o_orderkey) OVER wf AS bottom_key
       |FROM orders

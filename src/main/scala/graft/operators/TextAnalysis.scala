@@ -58,25 +58,31 @@ object TextAnalysis {
     val digits = (nChars - length(regexp_replace($"text", "[0-9]", ""))) / nChars
     val stopRatio = stopHits / nWords
     val score = least(nWords / 100, lit(1.0)) * 0.3 + (lit(1.0) - punct) * 0.4 + stopRatio * 0.3
+    // ratios/score are emitted UNROUNDED: every input is an exact integer
+    // and the division/multiply order matches the oracle SQL exactly, so
+    // the doubles are bit-identical across engines; rounding inside each
+    // engine would diverge on half-way decimals (score 0.71925 rounds to
+    // .7193 in Spark and .7192 in DuckDB) while the compare layer rounds
+    // both sides with one implementation.
     Tables.load(spark, dir, "documents")
       .select($"doc_id", nWords.cast(IntegerType).as("n_words"),
-        round(punct, 4).as("punct_ratio"),
-        round(digits, 4).as("digit_ratio"),
-        round(stopRatio, 4).as("stopword_ratio"),
-        round(score, 4).as("quality_score"))
+        punct.as("punct_ratio"),
+        digits.as("digit_ratio"),
+        stopRatio.as("stopword_ratio"),
+        score.as("quality_score"))
       .orderBy($"doc_id")
   }
 
   private val xtQualitySql = {
     val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
     s"""SELECT doc_id, n_words, punct_ratio, digit_ratio, stopword_ratio,
-       |  round(least(n_words / 100.0, 1.0) * 0.3 + (1.0 - p) * 0.4 + sr * 0.3, 4) AS quality_score
+       |  least(n_words / 100.0, 1.0) * 0.3 + (1.0 - p) * 0.4 + sr * 0.3 AS quality_score
        |FROM (
        |  SELECT doc_id,
        |    CAST(len(w) AS INTEGER) AS n_words,
-       |    round(p, 4) AS punct_ratio, p,
-       |    round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
-       |    round(sr, 4) AS stopword_ratio, sr
+       |    p AS punct_ratio, p,
+       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / CAST(length(text) AS DOUBLE) AS digit_ratio,
+       |    sr AS stopword_ratio, sr
        |  FROM (
        |    SELECT doc_id, text,
        |      string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') w,
