@@ -728,6 +728,33 @@ object Relational {
       |      FROM part) t
       |ORDER BY p_partkey""".stripMargin
 
+  /** Predicate battery: IN, BETWEEN, LIKE, null-safe equality. */
+  private def q10Pred(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "part")
+      .withColumn("maybe_brand", when($"p_size" % 2 === 0, $"p_brand"))
+      .select(
+        $"p_partkey",
+        $"p_brand".isin("Brand#1", "Brand#2", "Brand#3").as("in_brands"),
+        $"p_size".between(10, 20).as("mid_size"),
+        $"p_name".like("%ring%").as("has_ring"),
+        ($"maybe_brand" <=> $"p_brand").as("nsafe_eq"),
+        $"maybe_brand".isNull.as("was_nulled"))
+      .filter($"p_size".between(1, 40))
+      .orderBy($"p_partkey")
+  }
+
+  private val q10PredSql =
+    """SELECT p_partkey,
+      |  p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') AS in_brands,
+      |  p_size BETWEEN 10 AND 20 AS mid_size,
+      |  p_name LIKE '%ring%' AS has_ring,
+      |  (CASE WHEN p_size % 2 = 0 THEN p_brand END) IS NOT DISTINCT FROM p_brand AS nsafe_eq,
+      |  (CASE WHEN p_size % 2 = 0 THEN p_brand END) IS NULL AS was_nulled
+      |FROM part
+      |WHERE p_size BETWEEN 1 AND 40
+      |ORDER BY p_partkey""".stripMargin
+
   private def q10Json(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     t(spark, dir, "events")
@@ -821,6 +848,7 @@ object Relational {
     Declared("q7_range_frame", q7RangeFrame, Some(q7RangeFrameSql)),
     Declared("q6_pivot", q6Pivot, Some(q6PivotSql)),
     Declared("q10_explode", q10Explode, Some(q10ExplodeSql)),
+    Declared("q10_predicates", q10Pred, Some(q10PredSql)),
     Declared("q8_global_topk", q8, Some(q8Sql)),
     Declared("q9_intersect", q9Intersect, Some(q9IntersectSql)),
     Declared("q9_except", q9Except, Some(q9ExceptSql)),
