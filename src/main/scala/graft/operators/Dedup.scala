@@ -77,29 +77,59 @@ object Dedup {
     * negligible even at 100 TB). Tokenization (trim/lower/split-on-\s+)
     * mirrors [[normText]]+split byte-for-byte on ASCII.
     */
-  private[operators] def shingleAndSign(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
+  /** Word 5-gram shingle hashes of the normalized text (whole doc if
+    * shorter). */
+  private[operators] def wordShingleHashes(text: String): Array[Long] = {
     import graft.functions.Hashing._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
-      val toks = text.trim.toLowerCase.split("\\s+")
-      val th = new Array[Long](toks.length)
+    val toks = text.trim.toLowerCase.split("\\s+")
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = stringHash(toks(i)); i += 1 }
+    val n = if (toks.length < 5) 1 else toks.length - 4
+    val raw = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      var h = FnvOffset
+      var j = 0
+      val m = if (toks.length < 5) toks.length else 5
+      while (j < m) { h = combine(h, th(i + j)); j += 1 }
+      raw(i) = mix64(h)
+      i += 1
+    }
+    raw
+  }
+
+  /** Character n-gram hashes of the whitespace-collapsed lowercase text
+    * (whole doc if shorter) — finer-grained similarity than word
+    * shingles, robust to word-boundary edits. */
+  private[operators] def charNgramHashes(text: String, n: Int): Array[Long] = {
+    import graft.functions.Hashing._
+    val s = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    if (s.length < n) Array(stringHash(s))
+    else {
+      val raw = new Array[Long](s.length - n + 1)
       var i = 0
-      while (i < toks.length) { th(i) = stringHash(toks(i)); i += 1 }
-      // 5-gram shingle hashes (whole doc if shorter), deduped via sort
-      val n = if (toks.length < 5) 1 else toks.length - 4
-      val raw = new Array[Long](n)
-      i = 0
-      while (i < n) {
+      while (i < raw.length) {
         var h = FnvOffset
         var j = 0
-        val m = if (toks.length < 5) toks.length else 5
-        while (j < m) { h = combine(h, th(i + j)); j += 1 }
+        while (j < n) { h = (h ^ s.charAt(i + j)) * FnvPrime; j += 1 }
         raw(i) = mix64(h)
         i += 1
       }
+      raw
+    }
+  }
+
+  private[operators] def shingleAndSign(
+      docs: DataFrame, shingler: String => Array[Long]): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.functions.Hashing._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val raw = shingler(text)
+      val n = raw.length
       java.util.Arrays.sort(raw)
       var uniq = 0
-      i = 0
+      var i = 0
       while (i < n) { if (i == 0 || raw(i) != raw(i - 1)) { raw(uniq) = raw(i); uniq += 1 }; i += 1 }
       val sh = java.util.Arrays.copyOf(raw, uniq)
       // 128 running minima over the deduped shingle hashes
@@ -144,8 +174,9 @@ object Dedup {
   /** Near-dup pairs at Jaccard ≥ `threshold`, exact-verified on the LSH
     * candidate set (intersection of the full shingle-hash sets, not the
     * sketch). */
-  def neardupMinhash(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val shingled = shingleAndSign(docs)
+  def neardupMinhash(docs: DataFrame, threshold: Double = 0.8,
+      shingler: String => Array[Long] = wordShingleHashes): DataFrame = {
+    val shingled = shingleAndSign(docs, shingler)
     val sh = shingled.select(col("doc_id"), col("sh"))
     lshCandidates(shingled)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -160,6 +191,26 @@ object Dedup {
   private def x1Minhash(spark: SparkSession, dir: String): DataFrame =
     neardupMinhash(Tables.load(spark, dir, "documents"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Character 3-gram Jaccard variant (threshold 0.85: the fixture's
+    * near-dups sit ≥0.93, unrelated word-soup pairs top out ≈0.73). */
+  private def x1CharNgram(spark: SparkSession, dir: String): DataFrame =
+    neardupMinhash(Tables.load(spark, dir, "documents"), 0.85, charNgramHashes(_, 3))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val x1CharNgramSql =
+    """WITH s AS (
+      |  SELECT doc_id, CASE WHEN length(norm) < 3 THEN [norm]
+      |    ELSE list_distinct([substr(norm, i+1, 3) for i in range(length(norm)-2)]) END sh
+      |  FROM (SELECT doc_id, trim(lower(regexp_replace(text,'\s+',' ','g'))) norm
+      |        FROM documents))
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id) p
+      |WHERE jaccard >= 0.85
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   // the oracle verifies the WHOLE pipeline end-to-end against an exact
   // O(n²) Jaccard — any banding miss would show as a missing row.
@@ -281,6 +332,7 @@ object Dedup {
   val all: Seq[Declared] = Seq(
     Declared("x1_exact_dedup", x1Exact, Some(x1ExactSql)),
     Declared("x1_neardup_minhash", x1Minhash, Some(x1MinhashSql)),
+    Declared("x1_neardup_chargram", x1CharNgram, Some(x1CharNgramSql)),
     Declared("x1_simhash", x1Simhash, None),
     Declared("x1_embedding_neardup", x1Embedding, Some(x1EmbeddingSql)))
 }

@@ -214,6 +214,44 @@ object TextAnalysis {
       |WHERE rnk <= 10
       |ORDER BY lang, rnk""".stripMargin
 
+  // ------------------------------------------------------------ tf-idf
+  /** Per-doc top-5 distinguishing terms by tf/df ratio. The score is
+    * scaled INTEGER division — exact in both engines — rather than the
+    * classic tf·log(N/df): libm log() is not guaranteed bit-identical
+    * across engines and ranking must not flap on the last ulp. Two
+    * keyed aggregations + a broadcast-size df join; at 100 TB the df
+    * table is vocabulary-sized (millions, not rows). */
+  private def xtTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+    val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tok.distinct().groupBy($"token").agg(count(lit(1)).as("df"))
+    val win = Window.partitionBy($"doc_id").orderBy($"score".desc, $"token")
+    tf.join(df, "token")
+      .withColumn("score", expr("(tf * 1000000) DIV df"))
+      .withColumn("rnk", row_number().over(win))
+      .filter($"rnk" <= 5)
+      .select($"doc_id", $"rnk", $"token", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  private val xtTfidfSql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+      |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token)
+      |SELECT doc_id, rnk, token, tf, df, score FROM (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    (tf.tf * 1000000) // df.df AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY (tf.tf * 1000000) // df.df DESC, tf.token) AS rnk
+      |  FROM tf JOIN df USING (token)) x
+      |WHERE rnk <= 5
+      |ORDER BY doc_id, rnk""".stripMargin
+
   // ---------------------------------------------------- approx distinct
   /** X4 — HLL++ sketch vs exact distinct; the declared output asserts the
     * ≤5 % error bound holds (the sketch value itself is
@@ -238,5 +276,6 @@ object TextAnalysis {
     Declared("xt_token_stats", xtTokens, Some(xtTokensSql)),
     Declared("xt_quality", xtQuality, Some(xtQualitySql)),
     Declared("xt_langid", xtLangid, Some(xtLangidSql)),
-    Declared("xt_fingerprint", xtFingerprint, Some(xtFingerprintSql)))
+    Declared("xt_fingerprint", xtFingerprint, Some(xtFingerprintSql)),
+    Declared("xt_tfidf", xtTfidf, Some(xtTfidfSql)))
 }

@@ -65,6 +65,39 @@ class IngestStreamSpec extends SparkSpec {
     assert(msgs.toSeq == Seq("c1", "c2")) // each exactly once
   }
 
+  test("built-in socket source feeds the pipeline (line-framed text)") {
+    val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    @volatile var done = false
+    val feeder = new Thread(() => {
+      try {
+        val s = server.accept()
+        val out = new java.io.PrintWriter(s.getOutputStream, true)
+        out.println("gps:10.1,20.2")
+        out.println("gps:30.3,40.4")
+        while (!done) Thread.sleep(50) // keep the connection open
+        s.close()
+      } catch { case _: java.io.IOException => }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val q = IngestStream.transformJson(
+      IngestStream.fromSocket(spark, "127.0.0.1", server.getLocalPort))
+      .writeStream.format("memory").queryName("socksrc").outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var vals: Array[String] = Array.empty
+      while (vals.length < 2 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        vals = spark.table("socksrc").collect().map(_.getString(0))
+        if (vals.length < 2) Thread.sleep(200)
+      }
+      assert(vals.length == 2)
+      assert(vals.exists(_.contains("\"byte_count\":13")), vals.mkString("|"))
+    } finally {
+      q.stop(); done = true; server.close()
+    }
+  }
+
   test("retention drops only expired date partitions") {
     val out = Files.createTempDirectory("graft-retention").toString
     Files.createDirectories(Paths.get(s"$out/date=2020-01-01"))
