@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
@@ -96,6 +98,40 @@ class IngestStreamSpec extends SparkSpec {
     } finally {
       q.stop(); done = true; server.close()
     }
+  }
+
+  test("rate source produces schema'd rows (streaming source coverage)") {
+    val q = spark.readStream.format("rate").option("rowsPerSecond", 50).load()
+      .writeStream.format("memory").queryName("ratesrc").outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (spark.table("ratesrc").isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val df = spark.table("ratesrc")
+    assert(df.columns.toSeq == Seq("timestamp", "value"))
+    assert(df.count() > 0)
+  }
+
+  test("compaction rewrites a closed partition into one file, content intact") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    // several runs → several small files in the same date partition
+    for (i <- 1 to 3) {
+      Files.write(Paths.get(s"$in/c$i"), s"payload-$i".getBytes)
+      val q = IngestStream.start(spark, in, out, ck, trigger = Trigger.AvailableNow())
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    val date = java.nio.file.Files.list(Paths.get(out)).iterator().asScala
+      .map(_.getFileName.toString).find(_.startsWith("date=")).get.stripPrefix("date=")
+    val before = spark.read.json(s"$out/date=$date").collect().sortBy(_.getAs[String]("client_ip"))
+    val nFiles = Maintenance.compactJsonPartition(spark, out, date)
+    assert(nFiles == 1)
+    val after = spark.read.json(s"$out/date=$date").collect().sortBy(_.getAs[String]("client_ip"))
+    assert(after.map(_.getAs[String]("binary_data_hex")).toSeq ==
+      before.map(_.getAs[String]("binary_data_hex")).toSeq)
   }
 
   test("retention drops only expired date partitions") {
