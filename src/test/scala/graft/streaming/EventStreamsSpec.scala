@@ -97,6 +97,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == Set((200L, 100L), (201L, 101L)))
   }
 
+  test("stream-static join enriches a stream against a batch dimension") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().join(broadcast(dim), Seq("user_id"), "left")
+      .select($"event_id", $"user_id", coalesce($"tier", lit("none")).as("tier"))
+      .writeStream.format("memory").queryName("ssdim").outputMode("append").start()
+    try {
+      mem.addData(Ev(1, t(0), 1, "click", 1.0, "{}"), Ev(2, t(1), 9, "click", 1.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssdim").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "gold", 2L -> "none"))
+  }
+
   test("S2 session windows split at the 30-minute gap") {
     import spark.implicits._
     val rows = Seq(
