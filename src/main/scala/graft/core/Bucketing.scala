@@ -36,8 +36,12 @@ object Bucketing {
   /** Join two bucketed tables on their bucket key — planned without a
     * shuffle when bucketing lines up. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
-      leftKey: String, rightKey: String): DataFrame =
-    spark.table(leftTable).join(
-      spark.table(rightTable),
-      spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+      leftKey: String, rightKey: String): DataFrame = {
+    // bind each table once: building the condition from fresh
+    // spark.table() calls only resolves while the relation cache returns
+    // identical exprIds
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

@@ -31,11 +31,11 @@ object Num {
     * is order-dependent, and DuckDB's AVG over decimal returns double
     * computed differently from Spark's decimal average).
     */
-  def davg(c: Column): Column = dsum(c) / count(lit(1))
+  def davg(c: Column): Column = dsum(c) / count(c) // count(c): nulls excluded, true AVG semantics
 
   /** SQL fragment builders for the DuckDB oracle, mirroring dsum/davg. */
   def sqlSum(expr: String): String =
     s"CAST(SUM(CAST(($expr) AS DECIMAL(28,10))) AS DOUBLE)"
   def sqlAvg(expr: String): String =
-    s"(${sqlSum(expr)} / COUNT(*))"
+    s"(${sqlSum(expr)} / COUNT($expr))"
 }

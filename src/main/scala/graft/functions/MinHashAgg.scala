@@ -20,19 +20,12 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 final class MinHashAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
 
-  @inline private def mix(x: Long, i: Int): Long = {
-    var z = x ^ (i.toLong * 0x9e3779b97f4a7c15L)
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], x: Long): Array[Long] = {
     var i = 0
     while (i < k) {
-      val h = mix(x, i)
+      val h = Hashing.mixSeeded(x, i) // same perms as Dedup's fused kernel
       if (h < buf(i)) buf(i) = h
       i += 1
     }

@@ -81,7 +81,7 @@ object Dedup {
     * shorter). */
   private[operators] def wordShingleHashes(text: String): Array[Long] = {
     import graft.functions.Hashing._
-    val toks = text.trim.toLowerCase.split("\\s+")
+    val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val th = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) { th(i) = stringHash(toks(i)); i += 1 }
@@ -104,7 +104,9 @@ object Dedup {
     * shingles, robust to word-boundary edits. */
   private[operators] def charNgramHashes(text: String, n: Int): Array[Long] = {
     import graft.functions.Hashing._
-    val s = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    // Locale.ROOT: default-locale lowercasing (Turkish dotless-i etc.)
+    // would diverge from Spark's lower() and the oracle per machine
+    val s = text.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
     if (s.length < n) Array(stringHash(s))
     else {
       val raw = new Array[Long](s.length - n + 1)

@@ -41,7 +41,9 @@ object Ingest {
     * main.go:49). Field order matches the Go struct declaration so the
     * serialized JSON is field-for-field comparable. */
   def logEntry(ts: Column, payload: Column, clientIp: Column): Column = {
-    val n = octet_length(payload)
+    // null payload ≡ empty: severity already maps it to WARN; without the
+    // coalesce the message concat would null out and omitempty-drop it
+    val n = coalesce(octet_length(payload), lit(0))
     struct(
       rfc3339(ts).as("timestamp"),
       severity(payload).as("level"),

@@ -114,17 +114,25 @@ object Similarity {
     * but not the dataflow shape. Assignment is a map-only pass with the
     * (tiny) centroid set broadcast.
     */
-  def ivfAssign(emb: DataFrame, nlist: Int): DataFrame = {
+  /** Deterministic centroid sample with norms, collected once and shared
+    * by assignment and probe routing. */
+  private def centroids(emb: DataFrame, nlist: Int): Array[(Long, Array[Double], Double)] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = emb.orderBy(col("vec_id")).limit(nlist)
+    emb.orderBy(col("vec_id")).limit(nlist)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .collect().map { case (id, v) =>
         val d = v.map(_.toDouble)
-        val n = math.sqrt(d.map(x => x * x).sum)
-        (id, d, n)
+        (id, d, math.sqrt(d.map(x => x * x).sum))
       }
-    val bc = spark.sparkContext.broadcast(cents)
+  }
+
+  def ivfAssign(emb: DataFrame, nlist: Int): DataFrame =
+    ivfAssignWith(emb, centroids(emb, nlist))
+
+  private def ivfAssignWith(
+      emb: DataFrame, cents: Array[(Long, Array[Double], Double)]): DataFrame = {
+    val bc = emb.sparkSession.sparkContext.broadcast(cents)
     val assignUdf = udf { (v: Seq[Float]) =>
       val cs = bc.value
       var bestId = -1L; var best = Double.NegativeInfinity
@@ -146,16 +154,9 @@ object Similarity {
   }
 
   /** nprobe nearest clusters per probe (same centroid set). */
-  private def ivfProbeClusters(probes: DataFrame, emb: DataFrame,
-      nlist: Int, nprobe: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val cents = emb.orderBy(col("vec_id")).limit(nlist)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .collect().map { case (id, v) =>
-        val d = v.map(_.toDouble); (id, d, math.sqrt(d.map(x => x * x).sum))
-      }
-    val bc = spark.sparkContext.broadcast(cents)
+  private def ivfProbeClusters(probes: DataFrame,
+      cents: Array[(Long, Array[Double], Double)], nprobe: Int): DataFrame = {
+    val bc = probes.sparkSession.sparkContext.broadcast(cents)
     val topClustersUdf = udf { (v: Seq[Float]) =>
       val cs = bc.value
       val d = v.map(_.toDouble).toArray
@@ -173,9 +174,10 @@ object Similarity {
   /** Approximate top-k via IVF: probes search their nprobe lists only. */
   def ivfTopK(emb: DataFrame, probes: DataFrame,
       nlist: Int, nprobe: Int, k: Int): DataFrame = {
-    val assigned = ivfAssign(emb, nlist)
+    val cents = centroids(emb, nlist) // one collect + one shared broadcastable array
+    val assigned = ivfAssignWith(emb, cents)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("cluster"))
-    val pc = ivfProbeClusters(probes, emb, nlist, nprobe)
+    val pc = ivfProbeClusters(probes, cents, nprobe)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     pc.join(assigned, Seq("cluster"))

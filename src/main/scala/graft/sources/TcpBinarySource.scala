@@ -179,7 +179,20 @@ class TcpBinaryMicroBatchStream(
   }
 
   override def initialOffset(): Offset = { ensureStarted(); TcpOffset(0) }
-  override def deserializeOffset(json: String): Offset = TcpOffset(json.toLong)
+
+  /** Called with checkpointed offsets on restart. The in-memory buffer
+    * died with the previous process, so fast-forward past any recovered
+    * offset we no longer hold — restart semantics are at-most-once for
+    * the in-flight window (a TCP socket cannot replay unacked bytes),
+    * and without this the source would silently under-deliver until the
+    * counter caught up to the checkpoint. */
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    synchronized {
+      if (n > baseOffset + buffer.size) { buffer.clear(); baseOffset = n }
+    }
+    TcpOffset(n)
+  }
   override def latestOffset(): Offset = synchronized {
     ensureStarted(); TcpOffset(baseOffset + buffer.size)
   }
@@ -187,7 +200,11 @@ class TcpBinaryMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[TcpOffset].n, end.asInstanceOf[TcpOffset].n)
     val slice = synchronized {
-      buffer.slice((s - baseOffset).toInt, (e - baseOffset).toInt).toArray
+      // clamp: after a restart the checkpointed range may predate the
+      // buffer (see deserializeOffset) — deliver what we hold
+      val lo = math.max(0L, s - baseOffset).toInt
+      val hi = math.max(lo.toLong, math.min(buffer.size.toLong, e - baseOffset)).toInt
+      buffer.slice(lo, hi).toArray
     }
     Array(TcpBinaryInputPartition(slice))
   }

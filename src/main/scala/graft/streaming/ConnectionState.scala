@@ -74,7 +74,11 @@ object ConnectionState {
             }
             if (s != null) {
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              // clamp above the eviction watermark: an event can pass the
+              // late filter while lastMs+gap is already behind the
+              // watermark, and setTimeoutTimestamp throws on that
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.lastMs + gapMs, wm + 1))
             } else state.remove()
             out.reverseIterator
           }

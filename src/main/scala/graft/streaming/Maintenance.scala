@@ -15,7 +15,15 @@ object Maintenance {
 
   /** Rewrite one `date=`-partition of a JSONL sink directory into
     * `targetFiles` files (atomically: write aside, swap). Returns the
-    * resulting file count, or -1 if the partition does not exist. */
+    * resulting file count, or -1 if the partition does not exist.
+    *
+    * CONTRACT: downstream readers must target partition paths
+    * (`outDir/date=.../`) — a batch read of the sink ROOT resolves files
+    * through the FileStreamSink's `_spark_metadata` log, which still
+    * lists the pre-compaction files. Rewriting that log in place is not
+    * safe while the stream is live, so compaction deliberately leaves it
+    * alone and the root-read view stays consistent for the stream's own
+    * exactly-once bookkeeping. */
   def compactJsonPartition(
       spark: SparkSession, outDir: String, date: String, targetFiles: Int = 1): Int = {
     val part = new Path(s"$outDir/date=$date")
