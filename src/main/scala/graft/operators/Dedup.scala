@@ -122,8 +122,15 @@ object Dedup {
     }
   }
 
+  /** @param rowsPerBand banding granularity: 4 (32 bands) for
+    *   low-background shingle spaces (word 5-grams, background J≈0);
+    *   8 (16 bands) when the background Jaccard is substantial (char
+    *   n-grams over a small vocabulary) — r=4 banding would make a
+    *   quarter of ALL pairs candidates at background J≈0.3, an O(n²)
+    *   explosion at scale. */
   private[operators] def shingleAndSign(
-      docs: DataFrame, shingler: String => Array[Long]): DataFrame = {
+      docs: DataFrame, shingler: String => Array[Long],
+      rowsPerBand: Int = RowsPerBand): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.functions.Hashing._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
@@ -146,13 +153,14 @@ object Dedup {
         }
         i += 1
       }
-      // fold each 4-row band to one hash
-      val bands = new Array[Long](Bands)
+      // fold each r-row band to one hash
+      val nBands = MinhashK / rowsPerBand
+      val bands = new Array[Long](nBands)
       var b = 0
-      while (b < Bands) {
+      while (b < nBands) {
         var h = FnvOffset
         var r = 0
-        while (r < RowsPerBand) { h = combine(h, sig(b * RowsPerBand + r)); r += 1 }
+        while (r < rowsPerBand) { h = combine(h, sig(b * rowsPerBand + r)); r += 1 }
         bands(b) = mix64(h)
         b += 1
       }
@@ -177,8 +185,9 @@ object Dedup {
     * candidate set (intersection of the full shingle-hash sets, not the
     * sketch). */
   def neardupMinhash(docs: DataFrame, threshold: Double = 0.8,
-      shingler: String => Array[Long] = wordShingleHashes): DataFrame = {
-    val shingled = shingleAndSign(docs, shingler)
+      shingler: String => Array[Long] = wordShingleHashes,
+      rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val shingled = shingleAndSign(docs, shingler, rowsPerBand)
     val sh = shingled.select(col("doc_id"), col("sh"))
     lshCandidates(shingled)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -194,16 +203,23 @@ object Dedup {
     neardupMinhash(Tables.load(spark, dir, "documents"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** Character 3-gram Jaccard variant (threshold 0.85: the fixture's
-    * near-dups sit ≥0.93, unrelated word-soup pairs top out ≈0.73). */
+  /** Character 8-gram Jaccard variant, threshold 0.85. n=8 (not 3) and
+    * 16×8 banding because this corpus's small vocabulary gives char
+    * 3-grams a background Jaccard of 0.65-0.73 — with the word-shingle
+    * banding nearly every pair became an LSH candidate (52 s at sf0.1
+    * for what is now sub-second of candidate work). At n=8 the
+    * background tops out ≈0.31 while true near-dups stay ≥0.93, and r=8
+    * banding makes P(candidate) ≈ 4e-6 at background vs ≈ 1 at the
+    * threshold. */
   private def x1CharNgram(spark: SparkSession, dir: String): DataFrame =
-    neardupMinhash(Tables.load(spark, dir, "documents"), 0.85, charNgramHashes(_, 3))
+    neardupMinhash(Tables.load(spark, dir, "documents"), 0.85,
+      charNgramHashes(_, 8), rowsPerBand = 8)
       .orderBy(col("doc_a"), col("doc_b"))
 
   private val x1CharNgramSql =
     """WITH s AS (
-      |  SELECT doc_id, CASE WHEN length(norm) < 3 THEN [norm]
-      |    ELSE list_distinct([substr(norm, i+1, 3) for i in range(length(norm)-2)]) END sh
+      |  SELECT doc_id, CASE WHEN length(norm) < 8 THEN [norm]
+      |    ELSE list_distinct([substr(norm, i+1, 8) for i in range(length(norm)-7)]) END sh
       |  FROM (SELECT doc_id, trim(lower(regexp_replace(text,'\s+',' ','g'))) norm
       |        FROM documents))
       |SELECT doc_a, doc_b, jaccard FROM (
