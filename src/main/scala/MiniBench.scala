@@ -1,3 +1,6 @@
+/** Dev tool: time individual declared queries at sf0.1 into a noop sink
+  * (`runMain MiniBench q1_pricing_summary ...`); first query doubles as
+  * warm-up. */
 object MiniBench {
   def main(a: Array[String]): Unit = {
     val spark = graft.core.GraftSession.builder("local[32]", 32).getOrCreate()
