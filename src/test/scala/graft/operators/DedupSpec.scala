@@ -25,6 +25,17 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getDouble(2) == 1.0)
   }
 
+  test("char 8-gram minhash finds a planted near-dup with the 16x8 banding") {
+    val base = (1 to 120).map(i => s"token-$i").mkString(" ")
+    val nearDup = base.replace("token-60 ", "") // tiny char-level edit
+    val other = (1 to 120).map(i => s"zzz-$i").mkString(" ")
+    val pairs = Dedup.neardupMinhash(
+      docs(1L -> base, 2L -> nearDup, 3L -> other),
+      0.85, Dedup.charNgramHashes(_, 8), rowsPerBand = 8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("simhash: identical token multisets collide, edits stay within small hamming") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val shuffled = (1 to 60).map(i => s"tok$i").reverse.mkString(" ")
