@@ -18,9 +18,9 @@ import graft.core.Tables
   *  - SimHash: 64-bit fingerprint whose Hamming distance tracks cosine
   *    similarity of the token multiset; banding over 16-bit chunks finds
   *    all pairs within Hamming ≤ 3 by pigeonhole,
-  *  - embedding near-dup: exact pairwise at fixture scale (the declared
-  *    oracle-verified form); the LSH-pruned scale path is
-  *    [[Similarity.annCandidates]].
+  *  - embedding near-dup: exact pairwise cosine as a distributed triangle
+  *    block-join — O(1) driver memory at any corpus size; LSH pre-pruning
+  *    ([[Similarity.annCandidates]]) only applies at high thresholds.
   */
 object Dedup {
 
@@ -288,49 +288,78 @@ object Dedup {
     simhash(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
 
   // ------------------------------------------- embedding cosine neardup
-  /** Exact pairwise cosine pairs ≥ threshold.
+  /** Exact pairwise cosine pairs ≥ threshold, as a distributed triangle
+    * block-join — no driver `collect()`, no broadcast of the corpus.
     *
-    * Shaped like a broadcast nested-loop join but with a primitive-array
-    * kernel: the normalized corpus is broadcast (like a BHJ build side),
-    * each partition streams its rows and runs a tight double[] dot loop
-    * against the broadcast block — ~100× faster than evaluating
-    * interpreted `zip_with`/`aggregate` lambdas per pair. At 100 TB the
-    * corpus no longer fits one broadcast: split it into broadcastable
-    * column blocks and union the per-block passes (block outer-product),
-    * or prune first with [[Similarity.annCandidates]] when the threshold
-    * is high enough for hyperplane LSH. */
-  def embeddingNeardup(emb: DataFrame, threshold: Double): DataFrame = {
+    * Each vector lands in one of B blocks (`vec_id % B`); a block is
+    * materialized as ONE row (array of id/vector/norm triples), and every
+    * unordered block pair (i ≤ j) is realized exactly once by a keyed
+    * equi-join on (ba, bb): the a-side replicates block i to keys
+    * (i, i..B-1), the b-side replicates block j to keys (0..j, j). Each
+    * joined row holds two whole blocks and the kernel nested-loops them
+    * with a primitive double[] dot (~100× faster than interpreted
+    * `zip_with`/`aggregate` lambdas per pair) — so the shuffle carries
+    * B(B+1) block rows, never n² vector-pair rows. Norms are computed
+    * once per vector before replication; per-task memory is bounded by
+    * 2·rowsPerBlock vectors.
+    *
+    * Scale posture: exact all-pairs is inherently O(n²) flops; this shape
+    * distributes that work across the cluster with O(B) row replication
+    * and O(rowsPerBlock²) pairs per task — driver memory stays O(1). LSH
+    * pre-pruning ([[Similarity.annCandidates]]) is NOT a correct shortcut
+    * at low thresholds: at cos ≥ 0.4 a hyperplane bit agrees with
+    * p = 1 − acos(0.4)/π ≈ 0.63, and any banding with usable recall there
+    * admits nearly all random pairs too — prune only when the threshold
+    * (and thus p) is high, e.g. ≥ 0.9. */
+  def embeddingNeardup(emb: DataFrame, threshold: Double,
+      rowsPerBlock: Int = 4096): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val e = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    // distributed count only (O(1) driver result) — sizes the block grid.
+    // Floor of 8 blocks (36 grid keys) keeps small corpora parallel: with
+    // B blocks the join has B(B+1)/2 keys, and 2 blocks = 3 tasks would
+    // serialize the O(n²) kernel work regardless of cluster size.
+    val n = emb.select(col("vec_id")).count()
+    val nBlocks = math.max((n + rowsPerBlock - 1) / rowsPerBlock,
+      math.min(n, 8L)).max(1L).toInt
     // raw-double dot then divide by the norm product, left-to-right — the
     // same fp order as the SQL oracle, so results are bit-comparable.
-    def widen(v: Array[Float]): Array[Double] = {
-      val d = new Array[Double](v.length)
-      var i = 0
-      while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
-      d
-    }
-    def dotd(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    val corpus = e.collect()
-      .map { case (id, v) => val d = widen(v); (id, d, math.sqrt(dotd(d, d))) }
-      .sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(corpus)
-    e.mapPartitions { it =>
-      val block = bc.value
-      it.flatMap { case (idA, raw) =>
-        val va = widen(raw)
-        val na = math.sqrt(dotd(va, va))
-        block.iterator.filter(_._1 > idA).flatMap { case (idB, vb, nb) =>
-          val cos = dotd(va, vb) / (na * nb)
-          if (cos >= threshold) Some((idA, idB, cos)) else None
-        }
+    // one row PER BLOCK (id, widened vector, norm triples) — the join
+    // then shuffles B(B+1)/2 block-pair rows, not n² vector-pair rows,
+    // and all pairwise flops run inside the kernel on plain arrays.
+    val blocks = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val d = Kernels.widen(v)
+        (id, (id % nBlocks).toInt, d, math.sqrt(Kernels.dotd(d, d)))
       }
-    }.toDF("vec_a", "vec_b", "cosine")
+      .groupByKey(_._2)
+      .mapGroups { (blk, it) => (blk, it.map(t => (t._1, t._3, t._4)).toArray) }
+    val a = blocks.flatMap { case (blk, arr) =>
+      Iterator.range(blk, nBlocks).map(bb => (blk, bb, arr))
+    }.toDF("ba", "bb", "block_a")
+    val b = blocks.flatMap { case (blk, arr) =>
+      Iterator.range(0, blk + 1).map(ba => (ba, blk, arr))
+    }.toDF("ba2", "bb2", "block_b")
+    // same-block pairs appear in both orientations → keep ida < idb there;
+    // cross-block pairs appear in exactly one orientation → keep always
+    // (normalized to (min, max); dot and the norm product are bitwise
+    // orientation-symmetric).
+    a.join(b, col("ba") === col("ba2") && col("bb") === col("bb2"))
+      .select(col("ba"), col("bb"), col("block_a"), col("block_b"))
+      .as[(Int, Int, Array[(Long, Array[Double], Double)], Array[(Long, Array[Double], Double)])]
+      .flatMap { case (ba, bb, xs, ys) =>
+        val same = ba == bb
+        xs.iterator.flatMap { case (ida, va, na) =>
+          ys.iterator
+            .filter { case (idb, _, _) => !same || ida < idb }
+            .flatMap { case (idb, vb, nb) =>
+              val cos = Kernels.dotd(va, vb) / (na * nb)
+              if (cos >= threshold) {
+                Some(if (ida < idb) (ida, idb, cos) else (idb, ida, cos))
+              } else None
+            }
+        }
+      }.toDF("vec_a", "vec_b", "cosine")
   }
 
   private def x1Embedding(spark: SparkSession, dir: String): DataFrame =

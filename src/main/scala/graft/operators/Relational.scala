@@ -771,7 +771,7 @@ object Relational {
   private val q10JsonSql =
     """SELECT event_type,
       |  COUNT(*) AS n,
-      |  SUM(CAST(props->>'$.k' AS INTEGER)) AS sum_k,
+      |  CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
       |  MIN(CAST(props->>'$.k' AS INTEGER)) AS min_k,
       |  MAX(CAST(props->>'$.k' AS INTEGER)) AS max_k
       |FROM events

@@ -62,4 +62,16 @@ class PlanSpec extends SparkSpec {
     val p = plan("x1_neardup_minhash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("embedding near-dup: pairwise stage is a distributed keyed block-join, " +
+      "not a driver collect/broadcast") {
+    val p = plan("x1_embedding_neardup")
+    // the pairwise work must come from a keyed equi-join on the block
+    // grid — the old driver-side collect()+broadcast showed no join at all
+    // (a BroadcastHashJoin is acceptable: that's the optimizer sizing the
+    // build side, not the driver materializing the corpus)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
