@@ -101,20 +101,33 @@ object Dedup {
 
   /** Character n-gram hashes of the whitespace-collapsed lowercase text
     * (whole doc if shorter) — finer-grained similarity than word
-    * shingles, robust to word-boundary edits. */
+    * shingles, robust to word-boundary edits. N-grams are CODEPOINT
+    * n-grams (surrogate pairs count once), matching the DuckDB oracle's
+    * codepoint-based substr/length — indexing UTF-16 units would make
+    * both the shingles and the short-doc guard diverge on non-BMP text. */
   private[operators] def charNgramHashes(text: String, n: Int): Array[Long] = {
     import graft.functions.Hashing._
     // Locale.ROOT: default-locale lowercasing (Turkish dotless-i etc.)
     // would diverge from Spark's lower() and the oracle per machine
     val s = text.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
-    if (s.length < n) Array(stringHash(s))
+    val m = s.codePointCount(0, s.length)
+    if (m < n) Array(stringHash(s))
     else {
-      val raw = new Array[Long](s.length - n + 1)
+      val cps = new Array[Int](m)
+      var ci = 0
+      var si = 0
+      while (si < s.length) {
+        val cp = s.codePointAt(si)
+        cps(ci) = cp
+        ci += 1
+        si += Character.charCount(cp)
+      }
+      val raw = new Array[Long](m - n + 1)
       var i = 0
       while (i < raw.length) {
         var h = FnvOffset
         var j = 0
-        while (j < n) { h = (h ^ s.charAt(i + j)) * FnvPrime; j += 1 }
+        while (j < n) { h = (h ^ cps(i + j)) * FnvPrime; j += 1 }
         raw(i) = mix64(h)
         i += 1
       }
@@ -284,8 +297,110 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------ portable (oracled) simhash
+  /** Engine-portable SimHash: token bits come from the md5 hex digest
+    * (bit j = bit j%4 of hex nibble j/4), so DuckDB reproduces the
+    * fingerprint bit-for-bit and the oracle checks the WHOLE computation
+    * — tokenization, per-bit majority vote, assembly. The fingerprint is
+    * emitted as a 16-char hex string (nibble 0 first) to stay unsigned-
+    * safe in both engines. [[simhash]] (xxhash64) remains the cheaper
+    * production fingerprint; the dataflow is identical.
+    */
+  def simhashPortable(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("h", md5(encode(col("t"), "UTF-8")))
+    val withNibs = tok.select(col("doc_id") +: (0 until 16).map(i =>
+      conv(substring(col("h"), i + 1, 1), 16, 10).cast(IntegerType).as(s"nib$i")): _*)
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col(s"nib${j / 4}"), j % 4).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val hexChars = (0 until 16).map { i =>
+      val nibVal = (0 until 4).map { b =>
+        when(col(s"v${i * 4 + b}") > 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+      lit("0123456789abcdef").substr(nibVal + 1, lit(1))
+    }
+    withNibs.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), concat(hexChars: _*).as("simhash"))
+  }
+
+  private val hammingHexUdf = udf { (a: String, b: String) =>
+    var d = 0
+    var i = 0
+    while (i < a.length) {
+      d += Integer.bitCount(
+        Character.digit(a.charAt(i), 16) ^ Character.digit(b.charAt(i), 16))
+      i += 1
+    }
+    d
+  }
+
+  /** All pairs within Hamming ≤ 3 over the portable fingerprint, via the
+    * same 4×16-bit pigeonhole banding as [[simhashNeardup]] — bands are
+    * 4-hex-char substrings, the join stays keyed. */
+  def simhashPortableNeardup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhashPortable(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("simhash"), b * 4 + 1, 4)): _*)).as(Seq("band", "chunk")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hammingHexUdf(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   private def x1Simhash(spark: SparkSession, dir: String): DataFrame =
-    simhash(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
+    simhashPortable(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  private def x1SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPortableNeardup(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** DuckDB reproduction of the md5-bit SimHash (shared CTE text): 64
+    * SUM(CASE) majority votes over unnested tokens, nibble-assembled into
+    * the same hex string. */
+  private val simhashOracleCte = {
+    val votes = (0 until 64).map { j =>
+      s"SUM(CASE WHEN (((strpos('0123456789abcdef', substr(h,${j / 4 + 1},1))-1) >> ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(", ")
+    val chars = (0 until 16).map { i =>
+      val nibVal = (0 until 4)
+        .map(b => s"(CASE WHEN v${i * 4 + b} > 0 THEN ${1 << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', 1 + $nibVal, 1)"
+    }.mkString(" || ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(t) AS h FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split(trim(lower(regexp_replace(text,'\\s+',' ','g'))), ' ')) AS t
+       |    FROM documents)),
+       |v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id),
+       |f AS (SELECT doc_id, $chars AS simhash FROM v)""".stripMargin
+  }
+
+  private val x1SimhashSql =
+    s"""$simhashOracleCte
+       |SELECT doc_id, simhash FROM f ORDER BY doc_id""".stripMargin
+
+  private val x1SimhashPairsSql = {
+    val ham = (0 until 16).map { i =>
+      s"bit_count(xor(strpos('0123456789abcdef', substr(a.simhash,${i + 1},1))-1, " +
+        s"strpos('0123456789abcdef', substr(b.simhash,${i + 1},1))-1))"
+    }.mkString(" + ")
+    s"""$simhashOracleCte
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST($ham AS INTEGER) AS hamming
+       |  FROM f a JOIN f b ON a.doc_id < b.doc_id) p
+       |WHERE hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   // ------------------------------------------- embedding cosine neardup
   /** Exact pairwise cosine pairs ≥ threshold, as a distributed triangle
@@ -380,6 +495,7 @@ object Dedup {
     Declared("x1_exact_dedup", x1Exact, Some(x1ExactSql)),
     Declared("x1_neardup_minhash", x1Minhash, Some(x1MinhashSql)),
     Declared("x1_neardup_chargram", x1CharNgram, Some(x1CharNgramSql)),
-    Declared("x1_simhash", x1Simhash, None),
+    Declared("x1_simhash", x1Simhash, Some(x1SimhashSql)),
+    Declared("x1_simhash_pairs", x1SimhashPairs, Some(x1SimhashPairsSql)),
     Declared("x1_embedding_neardup", x1Embedding, Some(x1EmbeddingSql)))
 }

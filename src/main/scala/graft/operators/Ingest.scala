@@ -98,7 +98,40 @@ object Ingest {
       .orderBy($"doc_id")
   }
 
+  /** The SQL-expressible LogEntry fields as columns, oracle-checked —
+    * timestamp, level, message, client_ip, byte_count (with the
+    * omitempty null-when-0 quirk), hex. Only the Go-%q projection stays
+    * with the golden unit tests ([[q12Json]] keeps the full JSON
+    * round-trip as a rows-only check). */
+  private def q12Fields(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        timestamp_seconds($"doc_id" * 60).as("ts"),
+        $"text".cast(BinaryType).as("payload"),
+        format_string("10.0.%d.%d", $"doc_id" % 256, $"doc_id" % 100).as("client_ip"))
+      .select($"doc_id", logEntry($"ts", $"payload", $"client_ip").as("e"))
+      .select($"doc_id", $"e.timestamp".as("timestamp"), $"e.level".as("level"),
+        $"e.message".as("message"), $"e.client_ip".as("client_ip"),
+        $"e.byte_count".as("byte_count"), $"e.binary_data_hex".as("binary_data_hex"))
+      .orderBy($"doc_id")
+  }
+
+  private val q12FieldsSql =
+    """SELECT doc_id,
+      |  strftime(make_timestamp(doc_id * 60 * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS "timestamp",
+      |  CASE WHEN octet_length(encode(text)) = 0 THEN 'WARN' ELSE 'INFO' END AS level,
+      |  'received ' || CAST(octet_length(encode(text)) AS VARCHAR) || ' bytes' AS message,
+      |  '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) AS client_ip,
+      |  CASE WHEN octet_length(encode(text)) > 0
+      |       THEN CAST(octet_length(encode(text)) AS INTEGER) END AS byte_count,
+      |  CASE WHEN octet_length(encode(text)) > 0
+      |       THEN lower(hex(encode(text))) END AS binary_data_hex
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("q12_ingest_hex", q12Hex, Some(q12HexSql)),
-    Declared("q12_ingest_logentry", q12Json, None))
+    Declared("q12_ingest_logentry", q12Json, None),
+    Declared("q12_ingest_fields", q12Fields, Some(q12FieldsSql)))
 }

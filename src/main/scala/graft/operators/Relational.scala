@@ -231,17 +231,24 @@ object Relational {
   private def q5(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = t(spark, dir, "part").select($"p_partkey", $"p_brand", $"p_retailprice")
-    // Window is ±0.5% of a price in [900, 1000) → max width ~5.0; band=8
-    // safely exceeds it so |band(p1) - band(p2)| <= 1.
-    val bandWidth = 8.0
-    val left = p.select(
+    // Band width is DERIVED from the data — ceil(max(price) * 0.005), the
+    // widest possible ±0.5% window — so qualifying pairs always differ by
+    // at most one band whatever the price domain (a hard-coded width
+    // silently drops pairs once prices outgrow it). The 1-row aggregate
+    // rides a 1-row IdentityBroadcastMode cross join (a broadcast scalar
+    // — NOT a data×data nested loop); floor-of-1 guards an all-zero
+    // domain.
+    val bw = p.agg(greatest(lit(1.0),
+      ceil(max($"p_retailprice") * 0.005).cast(DoubleType)).as("bw"))
+    val pb = p.crossJoin(broadcast(bw))
+    val left = pb.select(
       $"p_partkey".as("pk1"), $"p_brand".as("brand"), $"p_retailprice".as("price1"),
-      floor($"p_retailprice" / bandWidth).as("band"))
-    val right = p.select(
+      floor($"p_retailprice" / $"bw").as("band"))
+    val right = pb.select(
         $"p_partkey".as("pk2"), $"p_brand".as("brand"), $"p_retailprice".as("price2"),
-        explode(array(floor($"p_retailprice" / bandWidth),
-                      floor($"p_retailprice" / bandWidth) + 1,
-                      floor($"p_retailprice" / bandWidth) - 1)).as("band"))
+        explode(array(floor($"p_retailprice" / $"bw"),
+                      floor($"p_retailprice" / $"bw") + 1,
+                      floor($"p_retailprice" / $"bw") - 1)).as("band"))
     // no distinct needed: the left side carries exactly one band value,
     // so each (pk1, pk2) pair joins through at most one of the right's
     // three candidate bands
@@ -314,30 +321,43 @@ object Relational {
        |ORDER BY gp, gs, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
 
   /** Statistical aggregates: sample stddev/variance and exact
-    * interpolated median. Both engines implement the same estimators;
-    * the 4 dp canonicalization absorbs summation-order noise. */
+    * interpolated median. Variance is computed from exact decimal-routed
+    * sum / sum-of-squares / count — the same formula, on the same exact
+    * inputs, in both engines — so the doubles are bit-identical (native
+    * stddev_samp/var_samp are summation-order-dependent partial
+    * aggregates that can flake on a 4 dp rounding boundary). */
   private def q6Stats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val v = (($"ss" - $"s" * $"s" / $"n") / ($"n" - 1)).as("var_qty")
     t(spark, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
-        stddev_samp($"l_quantity").as("sd_qty"),
-        var_samp($"l_quantity").as("var_qty"),
+        dsum($"l_quantity").as("s"),
+        dsum($"l_quantity" * $"l_quantity").as("ss"),
+        count($"l_quantity").as("n"),
         expr("percentile(l_quantity, 0.5)").as("med_qty"),
         min($"l_quantity").as("min_qty"),
         max($"l_quantity").as("max_qty"))
+      .select($"l_returnflag",
+        sqrt(($"ss" - $"s" * $"s" / $"n") / ($"n" - 1)).as("sd_qty"),
+        v, $"med_qty", $"min_qty", $"max_qty")
       .orderBy($"l_returnflag")
   }
 
   private val q6StatsSql =
-    """SELECT l_returnflag,
-      |  stddev_samp(l_quantity) AS sd_qty,
-      |  var_samp(l_quantity) AS var_qty,
+    s"""SELECT l_returnflag,
+      |  sqrt((ss - s*s/n)/(n-1)) AS sd_qty,
+      |  (ss - s*s/n)/(n-1) AS var_qty,
+      |  med_qty, min_qty, max_qty
+      |FROM (SELECT l_returnflag,
+      |  ${sqlSum("l_quantity")} AS s,
+      |  ${sqlSum("l_quantity * l_quantity")} AS ss,
+      |  COUNT(l_quantity) AS n,
       |  quantile_cont(l_quantity, 0.5) AS med_qty,
       |  min(l_quantity) AS min_qty,
       |  max(l_quantity) AS max_qty
       |FROM lineitem
-      |GROUP BY l_returnflag
+      |GROUP BY l_returnflag) t
       |ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- Q7

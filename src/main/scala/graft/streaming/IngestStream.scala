@@ -110,6 +110,22 @@ object IngestStream {
       .trigger(trigger)
       .start()
 
+  /** Console echo sink (§2A#9, reference main.go:310-315): the JSONL
+    * line of each record printed per micro-batch. The payload text is
+    * the same [[transformJson]] the socket-ack path uses, so a console
+    * regression is caught by any transformJson assertion. */
+  def startConsole(
+      payloads: DataFrame,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    transformJson(payloads)
+      .select(col("value"))
+      .writeStream
+      .format("console")
+      .option("truncate", "false")
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
   /** §2A#18 — documented-but-vestigial reference behavior (README.md:24):
     * each message also saved as a timestamped per-message text file under
     * `dataDir`, via a foreachBatch side-effect sink. */
@@ -123,18 +139,25 @@ object IngestStream {
       .filter(graft.operators.Ingest.nonEmpty(col("payload")))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // single-node semantics (the reference writes to its local ./data);
-        // a cluster deployment would foreachPartition onto a shared FS
-        val rows = batch.select(
-          date_format(col("ts"), "yyyyMMdd'T'HHmmss").as("stamp"),
-          col("client_ip"), col("payload")).collect()
-        val dir = java.nio.file.Paths.get(dataDir)
-        java.nio.file.Files.createDirectories(dir)
-        rows.zipWithIndex.foreach { case (r, i) =>
-          java.nio.file.Files.write(
-            dir.resolve(s"${r.getString(0)}-$batchId-$i-${r.getString(1)}.txt"),
-            r.getAs[Array[Byte]]("payload"))
-        }
+        // executor-side writes to a shared FS — no rows ever reach the
+        // driver. File names carry (partition, row-in-partition) so they
+        // are unique and deterministic within a batch.
+        batch.select(
+            date_format(col("ts"), "yyyyMMdd'T'HHmmss").as("stamp"),
+            col("client_ip"), col("payload"))
+          .repartition(col("client_ip")) // co-locate a client's files per task
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val dir = java.nio.file.Paths.get(dataDir)
+            java.nio.file.Files.createDirectories(dir)
+            var i = 0
+            it.foreach { r =>
+              java.nio.file.Files.write(
+                dir.resolve(s"${r.getString(0)}-$batchId-$pid-$i-${r.getString(1)}.txt"),
+                r.getAs[Array[Byte]]("payload"))
+              i += 1
+            }
+          }
         ()
       }
       .option("checkpointLocation", checkpointDir)

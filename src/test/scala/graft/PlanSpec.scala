@@ -35,7 +35,15 @@ class PlanSpec extends SparkSpec {
 
   test("q5: banded range join is an equi hash join, not a nested loop") {
     val p = plan("q5_range_join")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the band join itself must be an equi join on (brand, band)
+    assert(p.contains("BroadcastHashJoin [brand") || p.contains("SortMergeJoin [brand") ||
+      p.contains("ShuffledHashJoin [brand"), p)
+    // the only nested-loop joins allowed are the 1-row band-width scalar
+    // attaches (IdentityBroadcastMode build side), never data×data
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    val scalarBuilds = "IdentityBroadcastMode".r.findAllIn(p).length
+    assert(bnlj <= scalarBuilds, p)
   }
 
   test("q8: global top-k plans TakeOrderedAndProject (no full sort)") {

@@ -69,6 +69,33 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("char n-grams index codepoints, not UTF-16 units (oracle parity)") {
+    // 7 astral-plane codepoints = 14 UTF-16 units: the short-doc guard
+    // must fire on the CODEPOINT count, like DuckDB's length()
+    val sevenEmoji = "🎉" * 7 // 🎉 ×7
+    assert(Dedup.charNgramHashes(sevenEmoji, 8).length == 1)
+    // 9 codepoints → 2 overlapping 8-grams; UTF-16 indexing would give 11
+    val nineEmoji = "🎉" * 9
+    assert(Dedup.charNgramHashes(nineEmoji, 8).length == 2)
+    // ASCII path unchanged: m - n + 1 shingles
+    assert(Dedup.charNgramHashes("abcdefghij", 8).length == 3)
+  }
+
+  test("portable simhash: md5-bit fingerprint is order-insensitive; edits stay near") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val shuffled = (1 to 60).map(i => s"tok$i").reverse.mkString(" ")
+    val edited = base.replace("tok30", "xx")
+    val m = Dedup.simhashPortable(docs(1L -> base, 2L -> shuffled, 3L -> edited))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L).matches("[0-9a-f]{16}"), m(1L))
+    assert(m(1L) == m(2L)) // majority vote over the multiset: order-free
+    def ham(a: String, b: String): Int = a.zip(b).map { case (x, y) =>
+      Integer.bitCount(Character.digit(x, 16) ^ Character.digit(y, 16))
+    }.sum
+    val d = ham(m(1L), m(3L))
+    assert(d > 0 && d <= 12, s"hamming=$d")
+  }
+
   test("LSH plan contains no cartesian product") {
     val plan = Dedup.neardupMinhash(
       docs(1L -> "a b c d e f", 2L -> "a b c d e g")).queryExecution.executedPlan.toString

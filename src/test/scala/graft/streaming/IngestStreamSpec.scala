@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
@@ -14,6 +15,9 @@ import graft.SparkSpec
   * listener — the Structured Streaming realization of the reference's
   * ingest loop (main.go:220-318), golden-checked modulo timestamp like
   * the nc smoke probe (deploy.sh:174). */
+/** Public top-level so the MemoryStream encoder can resolve it. */
+case class PayloadRow(payload: Array[Byte], ts: java.sql.Timestamp, client_ip: String)
+
 class IngestStreamSpec extends SparkSpec {
 
   test("S4: directory source → JSONL sink with metrics") {
@@ -132,6 +136,61 @@ class IngestStreamSpec extends SparkSpec {
     val after = spark.read.json(s"$out/date=$date").collect().sortBy(_.getAs[String]("client_ip"))
     assert(after.map(_.getAs[String]("binary_data_hex")).toSeq ==
       before.map(_.getAs[String]("binary_data_hex")).toSeq)
+    // compacted JSON keeps the Go struct field order (main.go:43-51), not
+    // the alphabetized order schema inference would produce
+    val raw = Files.list(Paths.get(s"$out/date=$date")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json")).flatMap(p =>
+        Files.readAllLines(p).asScala).next()
+    val keyOrder = """"(\w+)":""".r.findAllMatchIn(raw).map(_.group(1)).toSeq
+    val declOrder = Maintenance.logEntrySchema.fieldNames.toSeq
+    assert(keyOrder == keyOrder.sortBy(k => declOrder.indexOf(k)), raw)
+  }
+
+  test("per-message file sink writes each payload executor-side") {
+    val root = Files.createTempDirectory("graft-permsg").toString
+    val in = s"$root/in"; val data = s"$root/data"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(s"$in/10.0.0.7"), "alpha".getBytes)
+    Files.write(Paths.get(s"$in/10.0.0.8"), Array[Byte](0x00, 0x42))
+    Files.write(Paths.get(s"$in/10.0.0.9"), Array.emptyByteArray) // dropped
+    val q = IngestStream.startPerMessageFiles(spark, in, data, ck,
+      trigger = Trigger.AvailableNow())
+    try q.awaitTermination(60000) finally q.stop()
+    val files = Files.list(Paths.get(data)).iterator().asScala.toSeq
+      .sortBy(_.getFileName.toString)
+    assert(files.length == 2, files.map(_.getFileName))
+    val byIp = files.map(f => f.getFileName.toString.split("-").last -> f).toMap
+    assert(new String(Files.readAllBytes(byIp("10.0.0.7.txt"))) == "alpha")
+    assert(Files.readAllBytes(byIp("10.0.0.8.txt")).toSeq == Seq[Byte](0x00, 0x42))
+    // stamped names: yyyyMMdd'T'HHmmss prefix, batch/partition/row infix
+    assert(files.forall(_.getFileName.toString.matches("""\d{8}T\d{6}-\d+-\d+-\d+-.+\.txt""")))
+  }
+
+  test("console sink echoes the transformJson line per record (§2A#9)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[PayloadRow]
+    mem.addData(PayloadRow("gps:1.0,2.0".getBytes,
+      java.sql.Timestamp.valueOf("2024-06-01 10:00:00"), "10.9.9.9"))
+    val payloads = mem.toDF().select(
+      col("payload"), col("ts"), col("client_ip"))
+    // content: the exact line the console echoes, via a memory sink on
+    // the same transformJson plan
+    val qm = IngestStream.transformJson(payloads)
+      .writeStream.format("memory").queryName("consolejson").outputMode("append").start()
+    try qm.processAllAvailable() finally qm.stop()
+    val line = spark.table("consolejson").collect().map(_.getString(0)).head
+    assert(line.contains("\"binary_data_hex\":\"6770733a312e302c322e30\""), line)
+    assert(line.contains("\"byte_count\":11"), line)
+    assert(line.contains("\"timestamp\":\"2024-06-01T10:00:00Z\""), line)
+    // and the console-format query itself runs that plan to completion
+    val q = IngestStream.startConsole(payloads, trigger = Trigger.AvailableNow())
+    try {
+      assert(q.awaitTermination(60000))
+      assert(q.exception.isEmpty, q.exception)
+      assert(q.recentProgress.map(_.numInputRows).sum == 1L)
+    } finally q.stop()
   }
 
   test("retention drops only expired date partitions") {
