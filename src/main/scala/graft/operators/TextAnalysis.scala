@@ -114,13 +114,21 @@ object TextAnalysis {
     val hitCols = Lexicons.map { case (l, _) =>
       sum(when(col("lex_lang") === l, 1).otherwise(0)).cast(DoubleType).as(s"hits_$l")
     }
-    val counts = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .join(broadcast(lex), Seq("token"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast(DoubleType).as("n_words"), hitCols: _*)
     val nChars = greatest(length(col("text")), lit(1)).cast(DoubleType)
     val cjk = (nChars - length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))) / nChars
+    // cjk is computed pre-explode and carried through the groupBy as a
+    // (functionally dependent) key — ONE scan of docs, no self-join of
+    // two derivations of the same input. The separate withColumn matters:
+    // a generator select evaluates its non-generator expressions ABOVE
+    // the Generate (once per token); as a lower Project the CJK regex
+    // runs once per doc.
+    val counts = docs
+      .withColumn("cjk", cjk)
+      .select(col("doc_id"), col("cjk"), explode(tokens(col("text"))).as("token"))
+      .join(broadcast(lex), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(first(col("cjk")).as("cjk"),
+        (count(lit(1)).cast(DoubleType).as("n_words") +: hitCols): _*)
     val scores = Lexicons.map { case (l, _) => l -> (col(s"hits_$l") / col("n_words")) }
     val best = scores.map(_._2).reduce(greatest(_, _))
     // zh wins on CJK presence; else argmax with first-listed tie-break;
@@ -129,9 +137,7 @@ object TextAnalysis {
       scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
         when(s === best && best > 0, lang).otherwise(acc)
       })
-    docs.select(col("doc_id"), cjk.as("cjk"))
-      .join(counts, Seq("doc_id"))
-      .select(col("doc_id"), pred.as("lang_pred"))
+    counts.select(col("doc_id"), pred.as("lang_pred"))
   }
 
   private def xtLangid(spark: SparkSession, dir: String): DataFrame =
