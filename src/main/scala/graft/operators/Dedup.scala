@@ -307,24 +307,46 @@ object Dedup {
     * production fingerprint; the dataflow is identical.
     */
   def simhashPortable(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .withColumn("h", md5(encode(col("t"), "UTF-8")))
-    val withNibs = tok.select(col("doc_id") +: (0 until 16).map(i =>
-      conv(substring(col("h"), i + 1, 1), 16, 10).cast(IntegerType).as(s"nib$i")): _*)
-    val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col(s"nib${j / 4}"), j % 4).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"v$j")
-    }
-    val hexChars = (0 until 16).map { i =>
-      val nibVal = (0 until 4).map { b =>
-        when(col(s"v${i * 4 + b}") > 0, lit(1 << b)).otherwise(lit(0))
-      }.reduce(_ + _)
-      lit("0123456789abcdef").substr(nibVal + 1, lit(1))
-    }
-    withNibs.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), concat(hexChars: _*).as("simhash"))
+    import docs.sparkSession.implicits._
+    // fused typed-map kernel (the minhash lesson, BENCHNOTES.md #2): one
+    // JIT'd pass per doc — tokenize, MD5 per token, 64 vote counters,
+    // nibble assembly — no explode, no 64-sum aggregate, NO shuffle.
+    // java.security MD5 produces the same digest bytes as Spark's md5()/
+    // DuckDB's md5(), so the fingerprint is bit-identical to the oracle.
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = "0123456789abcdef".toCharArray
+      it.map { case (id, text) =>
+        // same tokens as tokens(): collapse-\s+ then split ≡ split on \s+
+        val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        val votes = new Array[Int](64)
+        var ti = 0
+        while (ti < toks.length) {
+          md.reset()
+          val d = md.digest(toks(ti).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var j = 0
+          while (j < 64) {
+            // hex nibble j/4 of the digest: even index = high nibble
+            val ni = j / 4
+            val b = d(ni / 2)
+            val nib = if (ni % 2 == 0) (b >> 4) & 0xf else b & 0xf
+            votes(j) += (if (((nib >> (j % 4)) & 1) == 1) 1 else -1)
+            j += 1
+          }
+          ti += 1
+        }
+        val out = new Array[Char](16)
+        var i = 0
+        while (i < 16) {
+          var nib = 0
+          var b = 0
+          while (b < 4) { if (votes(i * 4 + b) > 0) nib |= (1 << b); b += 1 }
+          out(i) = hex(nib)
+          i += 1
+        }
+        (id, new String(out))
+      }
+    }.toDF("doc_id", "simhash")
   }
 
   private val hammingHexUdf = udf { (a: String, b: String) =>
