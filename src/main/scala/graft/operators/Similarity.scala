@@ -230,7 +230,7 @@ object Similarity {
     * Bounds leave ~40 % headroom under the measured values on the
     * fixture corpora (LSH recall 0.32-0.50 across sf0.001-0.1 — random
     * gaussian vectors are LSH's worst case; IVF 0.92-1.0). */
-  private def annBoundSummary(ann: DataFrame, brute: DataFrame,
+  private[operators] def annBoundSummary(ann: DataFrame, brute: DataFrame,
       candidatePairs: DataFrame, emb: DataFrame, probes: DataFrame,
       k: Int, recallFloor: Double, maxCandidateFrac: Double): DataFrame = {
     val hits = ann.join(

@@ -48,6 +48,27 @@ class SimilaritySpec extends SparkSpec {
     assert(poolSize < 60, s"pool $poolSize of 100")
   }
 
+  test("annBoundSummary booleans actually flip on a recall/pruning regression") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val probes = emb.filter($"vec_id" < 5)
+    val brute = Similarity.cosineTopK(emb, probes, 3)
+    val allPairs = probes.select($"vec_id".as("probe_id"))
+      .crossJoin(emb.select($"vec_id".as("neighbor_id")))
+      .filter($"probe_id" =!= $"neighbor_id")
+    def row(ann: org.apache.spark.sql.DataFrame, cand: org.apache.spark.sql.DataFrame) =
+      Similarity.annBoundSummary(ann, brute, cand, emb, probes,
+        k = 3, recallFloor = 0.2, maxCandidateFrac = 0.6).collect().head
+    // perfect ann (= brute), tiny candidate set → both bounds hold
+    val good = row(brute, brute.select($"probe_id", $"neighbor_id"))
+    assert(good.getAs[Boolean]("recall_ok") && good.getAs[Boolean]("pruned_ok"))
+    // broken banding (no overlap with brute) → recall flips false;
+    // no pruning (all pairs are candidates) → pruned flips false
+    val badAnn = brute.withColumn("neighbor_id", $"neighbor_id" + 1000000L)
+    val bad = row(badAnn, allPairs)
+    assert(!bad.getAs[Boolean]("recall_ok") && !bad.getAs[Boolean]("pruned_ok"))
+  }
+
   test("ANN candidate set on the fixture is a strict subset of the corpus (pruning is real)") {
     import spark.implicits._
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
