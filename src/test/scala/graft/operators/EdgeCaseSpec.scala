@@ -12,9 +12,24 @@ class EdgeCaseSpec extends SparkSpec {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.neardupMinhash(noDocs).count() == 0)
     assert(Dedup.simhash(noDocs).count() == 0)
+    assert(Dedup.simhashPortable(noDocs).count() == 0)
+    assert(Dedup.simhashPortableNeardup(noDocs).count() == 0)
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Dedup.embeddingNeardup(noVecs, 0.5).count() == 0)
     assert(Similarity.cosineTopK(noVecs, noVecs, 5).count() == 0)
+  }
+
+  test("embedding block grid handles n=1 and n < block floor") {
+    import spark.implicits._
+    val one = Seq((7L, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNeardup(one, 0.0).count() == 0) // no self-pairs
+    // 3 vectors < the 8-block floor: every distinct pair still found once
+    val tri = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.01f)), (2L, Array(0.99f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNeardup(tri, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((0L, 1L), (0L, 2L), (1L, 2L)), pairs.toSeq)
   }
 
   test("one-token and whitespace-heavy docs shingle without error") {
