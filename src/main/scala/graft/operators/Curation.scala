@@ -1,0 +1,424 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Corpus-curation operators for a large-scale training-data pipeline
+  * (extension surface beyond SURVEY.md §2B): deterministic train/val/test
+  * splitting, benchmark-contamination checks, within-document repetition
+  * scoring, domain-mixture budgeting, and int8 embedding quantization.
+  *
+  * Scale posture, operator by operator:
+  *  - hashSplit / repetition: map-only projections, zero shuffles;
+  *  - contamination: the eval-set shingle dictionary is benchmark-sized
+  *    (thousands of docs), so it broadcasts and the corpus never
+  *    shuffles — one keyed aggregation after a broadcast hash join;
+  *  - domainMix: one keyed aggregation to group totals (domain-count
+  *    sized, i.e. tiny) plus a one-row broadcast scalar attach;
+  *  - quantizeInt8: per-partition partial min/max reduced on the driver
+  *    (#partitions × 2 × dim doubles — bounded like the IVF centroid
+  *    collect), broadcast back into a map-only primitive kernel.
+  */
+/** Per-doc repetition metrics (public: Spark needs a visible encoder for
+  * the UDF's struct return type). */
+case class RepMetrics(
+    n_words: Int,
+    dup_word_frac: Double,
+    dup_bigram_frac: Double,
+    dup_trigram_frac: Double,
+    mean_word_len: Double)
+
+object Curation {
+  import Dedup.tokens
+
+  // ------------------------------------------------- deterministic split
+  /** Train/val/test assignment from the first two hex chars of
+    * md5(doc_id): lowercase hex sorts numerically, so `bucket < "cd"`
+    * selects md5 buckets 0x00-0xcc = 205/256 ≈ 80 %, `< "e6"` the next
+    * 25/256 ≈ 10 %, remainder test. md5 is bit-identical across engines
+    * (JDK MessageDigest ≡ Spark md5() ≡ DuckDB md5()), so the split is
+    * reproducible anywhere — the property that matters when train/eval
+    * membership must never drift between pipeline runs. Map-only.
+    */
+  def hashSplit(docs: DataFrame, trainHi: String = "cd", valHi: String = "e6"): DataFrame =
+    docs
+      .withColumn("bucket",
+        substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 2))
+      .withColumn("split",
+        when(col("bucket") < trainHi, "train")
+          .when(col("bucket") < valHi, "val")
+          .otherwise("test"))
+
+  private def xcSplit(spark: SparkSession, dir: String): DataFrame =
+    hashSplit(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  private val xcSplitSql =
+    """SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 'cd' THEN 'train'
+      |       WHEN bucket < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- benchmark contamination
+  /** Documents sharing ≥1 word 5-gram with the eval set, with the hit
+    * count — the standard n-gram decontamination check before training.
+    * The eval shingle dictionary is distinct'd and broadcast (benchmarks
+    * are small; at 100 TB of *corpus* this stays a broadcast hash join
+    * and the corpus side never shuffles until the per-doc count).
+    * Shingling reuses [[Dedup.shingles]] so the oracle expression is
+    * shared with the minhash pipeline.
+    */
+  /** Distinct word 5-gram strings of the normalized text (whole doc if
+    * shorter) — the string twin of [[Dedup.wordShingleHashes]], as a
+    * primitive loop: the column-expression shingler
+    * (`transform`/`slice`/`concat_ws`) evaluates interpreted HOF lambdas
+    * per shingle and was 5× slower over the corpus (BENCHNOTES.md #2). */
+  private[operators] def wordShingleStrings(text: String): Array[String] = {
+    val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    if (toks.length < 5) Array(toks.mkString(" "))
+    else {
+      val hs = new java.util.LinkedHashSet[String]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - 5) {
+        sb.setLength(0)
+        var j = 0
+        while (j < 5) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        hs.add(sb.toString)
+        i += 1
+      }
+      hs.toArray(new Array[String](hs.size))
+    }
+  }
+
+  private val shingleUdf = udf(wordShingleStrings _)
+
+  def contamination(docs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(shingleUdf(col("text"))).as("g"))
+      .distinct()
+    docs
+      .select(col("doc_id"), explode(shingleUdf(col("text"))).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      // the shingler is already per-doc distinct, so plain count = number
+      // of distinct contaminated 5-grams in the doc
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  private def xcContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    contamination(docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
+      .orderBy(col("doc_id"))
+  }
+
+  private val xcContaminationSql =
+    """WITH s AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+      |    ELSE list_distinct([array_to_string(w[i+1:i+5], ' ') for i in range(len(w)-4)]) END) AS g
+      |  FROM (SELECT doc_id,
+      |          string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') w
+      |        FROM documents)),
+      |e AS (SELECT DISTINCT g FROM s WHERE doc_id % 20 = 0)
+      |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |FROM s JOIN e USING (g) WHERE s.doc_id % 20 <> 0
+      |GROUP BY s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
+  // ------------------------------------------------- repetition scoring
+  /** Gopher-style within-document repetition signals: duplicate
+    * word/bigram/trigram instance fractions plus mean word length; short
+    * docs collapse to one whole-text gram (the oracle guard). All ratios
+    * are exact-integer divisions evaluated in the same order as the
+    * oracle SQL, so the doubles are bit-identical across engines.
+    *
+    * One fused kernel per doc (tokenize once, three hash-set distinct
+    * counts) — the column-expression formulation (`transform`+`slice`
+    * n-gram arrays + `array_distinct`) evaluates interpreted HOF lambdas
+    * per gram and was 25× slower over the sf0.1 corpus. Map-only, no
+    * shuffle either way.
+    */
+  def repetition(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_rep", repUdf(col("text")))
+      .withColumn("n_words", col("_rep.n_words"))
+      .withColumn("dup_word_frac", col("_rep.dup_word_frac"))
+      .withColumn("dup_bigram_frac", col("_rep.dup_bigram_frac"))
+      .withColumn("dup_trigram_frac", col("_rep.dup_trigram_frac"))
+      .withColumn("mean_word_len", col("_rep.mean_word_len"))
+      .drop("_rep")
+
+  /** (total, distinct) n-gram instance counts; n > token count → the
+    * single whole-text gram. */
+  private def gramCounts(toks: Array[String], n: Int): (Int, Int) =
+    if (toks.length < n) (1, 1)
+    else {
+      val hs = new java.util.HashSet[String]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        hs.add(sb.toString)
+        i += 1
+      }
+      (toks.length - n + 1, hs.size)
+    }
+
+  private val repUdf = udf { (text: String) =>
+    val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val n = toks.length
+    val words = new java.util.HashSet[String]()
+    var sumLen = 0L
+    var i = 0
+    while (i < n) {
+      words.add(toks(i))
+      // codepoint length, matching the oracle's codepoint-based length()
+      sumLen += toks(i).codePointCount(0, toks(i).length)
+      i += 1
+    }
+    val (t2, d2) = gramCounts(toks, 2)
+    val (t3, d3) = gramCounts(toks, 3)
+    RepMetrics(n,
+      (n - words.size).toDouble / n.toDouble,
+      (t2 - d2).toDouble / t2.toDouble,
+      (t3 - d3).toDouble / t3.toDouble,
+      sumLen.toDouble / n.toDouble)
+  }
+
+  private def xcRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetition(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        col("dup_bigram_frac"), col("dup_trigram_frac"), col("mean_word_len"))
+      .orderBy(col("doc_id"))
+
+  private val xcRepetitionSql =
+    """SELECT doc_id,
+      |  CAST(len(w) AS INTEGER) AS n_words,
+      |  (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE) AS dup_word_frac,
+      |  (len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE) AS dup_bigram_frac,
+      |  (len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE) AS dup_trigram_frac,
+      |  length(array_to_string(w, '')) / CAST(len(w) AS DOUBLE) AS mean_word_len
+      |FROM (
+      |  SELECT doc_id, w,
+      |    CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+      |      ELSE [array_to_string(w[i+1:i+2], ' ') for i in range(len(w)-1)] END g2,
+      |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |      ELSE [array_to_string(w[i+1:i+3], ' ') for i in range(len(w)-2)] END g3
+      |  FROM (SELECT doc_id,
+      |          string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') w
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- domain mixture
+  /** Budget-capped uniform domain mix: each (lang, source) domain gets an
+    * equal share of a token budget (`total DIV budgetDen`), capped at
+    * what the domain actually has; `weight_ppm` is the per-domain
+    * sampling rate in parts-per-million. All-integer arithmetic (DIV,
+    * LEAST) so both engines agree exactly. One keyed aggregation to
+    * domain totals (domain-count rows — tiny at any corpus size), then a
+    * one-row broadcast scalar attach for the global budget.
+    */
+  def domainMix(docs: DataFrame, budgetDen: Int = 2): DataFrame = {
+    val g = docs
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(size(tokens(col("text")))).as("group_tokens"))
+    val t = g.agg(sum(col("group_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_groups"))
+    g.crossJoin(broadcast(t))
+      .withColumn("target_tokens", expr(s"(total_tokens DIV $budgetDen) DIV n_groups"))
+      .withColumn("sampled_tokens", least(col("group_tokens"), col("target_tokens")))
+      .withColumn("weight_ppm", expr("(sampled_tokens * 1000000) DIV group_tokens"))
+      .select(col("lang"), col("source"), col("group_tokens"),
+        col("target_tokens"), col("sampled_tokens"), col("weight_ppm"))
+  }
+
+  private def xcDomainMix(spark: SparkSession, dir: String): DataFrame =
+    domainMix(Tables.load(spark, dir, "documents"))
+      .orderBy(col("lang"), col("source"))
+
+  private val xcDomainMixSql =
+    """WITH g AS (
+      |  SELECT lang, source,
+      |    CAST(SUM(len(string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS BIGINT) AS group_tokens
+      |  FROM documents GROUP BY lang, source),
+      |t AS (SELECT CAST(SUM(group_tokens) AS BIGINT) AS total_tokens,
+      |             CAST(COUNT(*) AS BIGINT) AS n_groups FROM g)
+      |SELECT lang, source, group_tokens,
+      |  (t.total_tokens // 2) // t.n_groups AS target_tokens,
+      |  LEAST(group_tokens, (t.total_tokens // 2) // t.n_groups) AS sampled_tokens,
+      |  (LEAST(group_tokens, (t.total_tokens // 2) // t.n_groups) * 1000000) // group_tokens AS weight_ppm
+      |FROM g CROSS JOIN t
+      |ORDER BY lang, source""".stripMargin
+
+  // --------------------------------------------- int8 scalar quantization
+  /** Per-dimension (min, max) of the corpus, computed as per-partition
+    * partials reduced on the driver — the classic partial-aggregation
+    * shape; the driver sees #partitions rows of 2×dim doubles, never the
+    * data. */
+  private[operators] def dimMinMax(emb: DataFrame): (Array[Double], Array[Double]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val partials = emb.select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        var mn: Array[Double] = null
+        var mx: Array[Double] = null
+        it.foreach { v =>
+          if (mn == null) {
+            mn = new Array[Double](v.length)
+            mx = new Array[Double](v.length)
+            var i = 0
+            while (i < v.length) { mn(i) = v(i); mx(i) = v(i); i += 1 }
+          } else {
+            var i = 0
+            while (i < v.length) {
+              val d = v(i).toDouble
+              if (d < mn(i)) mn(i) = d
+              if (d > mx(i)) mx(i) = d
+              i += 1
+            }
+          }
+        }
+        if (mn == null) Iterator.empty else Iterator.single((mn, mx))
+      }.collect()
+    require(partials.nonEmpty, "quantizeInt8: empty embedding corpus")
+    partials.reduce { (a, b) =>
+      val (amn, amx) = a; val (bmn, bmx) = b
+      var i = 0
+      while (i < amn.length) {
+        if (bmn(i) < amn(i)) amn(i) = bmn(i)
+        if (bmx(i) > amx(i)) amx(i) = bmx(i)
+        i += 1
+      }
+      a
+    }
+  }
+
+  /** Int8 scalar quantization of an embedding column: each dimension is
+    * mapped to floor((v - min_d) * 255 / (max_d - min_d)) ∈ [0, 255]
+    * (constant dimensions → 0). Returns the quantized vector plus exact
+    * integer summaries (sum/min/max of the codes) that the oracle
+    * reproduces bit-for-bit — every arithmetic step is IEEE-double in
+    * the same order in both engines, and floor makes the result integral
+    * so no rounding-mode divergence is possible. 4× memory compression
+    * for ANN candidate stores; the quantize pass itself is map-only.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (mn, mx) = dimMinMax(emb)
+    val bc = spark.sparkContext.broadcast((mn, mx))
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val (bmn, bmx) = bc.value
+        val q = new Array[Int](v.length)
+        var s = 0L
+        var qmin = Int.MaxValue
+        var qmax = Int.MinValue
+        var i = 0
+        while (i < v.length) {
+          val lo = bmn(i); val hi = bmx(i)
+          val qv = if (hi == lo) 0
+            else math.floor((v(i).toDouble - lo) * 255.0 / (hi - lo)).toInt
+          q(i) = qv
+          s += qv
+          if (qv < qmin) qmin = qv
+          if (qv > qmax) qmax = qv
+          i += 1
+        }
+        (id, q, s, qmin, qmax)
+      }
+      .toDF("vec_id", "qvec", "q_sum", "q_min", "q_max")
+  }
+
+  private def xcQuantize(spark: SparkSession, dir: String): DataFrame =
+    quantizeInt8(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("q_sum"), col("q_min"), col("q_max"))
+      .orderBy(col("vec_id"))
+
+  private val xcQuantizeSql =
+    """WITH d AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |         unnest(embedding)::DOUBLE AS v
+      |  FROM embeddings),
+      |mm AS (SELECT dim, min(v) mn, max(v) mx FROM d GROUP BY dim),
+      |q AS (SELECT d.vec_id,
+      |        CASE WHEN mx = mn THEN 0
+      |             ELSE floor((v - mn) * 255.0 / (mx - mn)) END AS qv
+      |      FROM d JOIN mm USING (dim))
+      |SELECT vec_id, CAST(SUM(qv) AS BIGINT) AS q_sum,
+      |  CAST(MIN(qv) AS INTEGER) AS q_min, CAST(MAX(qv) AS INTEGER) AS q_max
+      |FROM q GROUP BY vec_id
+      |ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------- end-to-end curation run
+  /** The curation stages composed the way a real corpus build runs them:
+    * exact dedup (keep the lowest doc_id per normalized text) → C4-style
+    * repetition/length filter (≥ `minWords` words, duplicate-word
+    * fraction ≤ `maxDupWordFrac`) → deterministic md5 split. Returns the
+    * surviving docs with their repetition metrics and split labels, so
+    * callers can keep filtering or write the corpus out.
+    *
+    * Shuffle budget at 100 TB: ONE shuffle for the dedup (a window
+    * keyed on the normalized text — strictly cheaper than the
+    * groupBy-keeper-ids + semi-join formulation, which shuffles the
+    * corpus twice); the filter and split stages are map-only on top. */
+  def curate(docs: DataFrame, minWords: Int = 30,
+      maxDupWordFrac: Double = 0.5): DataFrame = {
+    import Dedup.normText
+    import org.apache.spark.sql.expressions.Window
+    val keepFirst = Window.partitionBy(normText(col("text"))).orderBy(col("doc_id"))
+    val deduped = docs
+      .withColumn("_rn", row_number().over(keepFirst))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+    hashSplit(repetition(deduped)
+      .filter(col("n_words") >= minWords && col("dup_word_frac") <= maxDupWordFrac))
+  }
+
+  /** Declared pipeline output: per-(lang, split) doc and token counts of
+    * the curated corpus — the numbers a training run budgets against. */
+  private def xcPipeline(spark: SparkSession, dir: String): DataFrame =
+    curate(Tables.load(spark, dir, "documents"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("tot_words"))
+      .orderBy(col("lang"), col("split"))
+
+  private val xcPipelineSql =
+    """WITH keep AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents
+      |  GROUP BY trim(lower(regexp_replace(text, '\s+', ' ', 'g')))),
+      |rep AS (
+      |  SELECT doc_id, lang, len(w) AS n_words,
+      |    (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE) AS dwf
+      |  FROM (SELECT doc_id, lang,
+      |          string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') w
+      |        FROM documents WHERE doc_id IN (SELECT doc_id FROM keep))),
+      |s AS (
+      |  SELECT lang, n_words,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM rep WHERE n_words >= 30 AND dwf <= 0.5)
+      |SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_words) AS BIGINT) AS tot_words
+      |FROM s GROUP BY lang, split
+      |ORDER BY lang, split""".stripMargin
+
+  val all: Seq[Declared] = Seq(
+    Declared("xc_split", xcSplit, Some(xcSplitSql)),
+    Declared("xc_contamination", xcContamination, Some(xcContaminationSql)),
+    Declared("xc_repetition", xcRepetition, Some(xcRepetitionSql)),
+    Declared("xc_domain_mix", xcDomainMix, Some(xcDomainMixSql)),
+    Declared("xc_quantize", xcQuantize, Some(xcQuantizeSql)),
+    Declared("xc_pipeline", xcPipeline, Some(xcPipelineSql)))
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // ---------------------------------------------------------- hashSplit
+  test("hashSplit is deterministic and lands near the 80/10/10 design") {
+    val d = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val counts = Curation.hashSplit(d).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    val train = counts("train").toDouble / 2000
+    val vl = counts("val").toDouble / 2000
+    assert(train > 0.75 && train < 0.85, s"train frac $train")
+    assert(vl > 0.05 && vl < 0.15, s"val frac $vl")
+    // rerun → byte-identical assignment (the property the md5 basis buys)
+    val again = Curation.hashSplit(d).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
+  test("hashSplit bucket is the md5 hex prefix (portable across engines)") {
+    val one = Curation.hashSplit(docs(7L -> "x")).select("bucket").head.getString(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(one == hex.substring(0, 2))
+  }
+
+  // ------------------------------------------------------ contamination
+  test("contamination flags docs overlapping the eval set and skips clean docs") {
+    val evalDoc = (1 to 40).map(i => s"eval$i").mkString(" ")
+    val leaked = s"prefix words here $evalDoc trailing tail"
+    val clean = (1 to 40).map(i => s"clean$i").mkString(" ")
+    val out = Curation.contamination(
+        docs(10L -> leaked, 11L -> clean),
+        docs(1L -> evalDoc))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(10L) && out(10L) >= 30, s"hits=${out.get(10L)}")
+    assert(!out.contains(11L))
+  }
+
+  test("contamination plans the eval dictionary as a broadcast join") {
+    val plan = Curation.contamination(
+        docs(1L -> "a b c d e f g"), docs(2L -> "a b c d e f g"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  // --------------------------------------------------------- repetition
+  test("repetition scores duplicate-heavy docs high and unique docs zero") {
+    val loop = (Seq.fill(20)("spam spam wonderful spam")).mkString(" ")
+    val unique = (1 to 80).map(i => s"uniq$i").mkString(" ")
+    val m = Curation.repetition(docs(1L -> loop, 2L -> unique))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Double]("dup_word_frac") > 0.9)
+    assert(m(1L).getAs[Double]("dup_bigram_frac") > 0.9)
+    assert(m(2L).getAs[Double]("dup_word_frac") == 0.0 &&
+      m(2L).getAs[Double]("dup_bigram_frac") == 0.0 &&
+      m(2L).getAs[Double]("dup_trigram_frac") == 0.0)
+  }
+
+  test("repetition mean word length is exact") {
+    val m = Curation.repetition(docs(1L -> "ab cdef")).head
+    assert(m.getAs[Int]("n_words") == 2 && m.getAs[Double]("mean_word_len") == 3.0)
+  }
+
+  test("repetition short-doc guard: below-n docs score zero, not NaN") {
+    val r = Curation.repetition(docs(1L -> "solo")).head
+    assert(r.getAs[Double]("dup_bigram_frac") == 0.0 &&
+      r.getAs[Double]("dup_trigram_frac") == 0.0)
+  }
+
+  // ------------------------------------------------------------- curate
+  test("curate drops exact dups and low-quality docs, keeps the rest with splits") {
+    val good = (1 to 60).map(i => s"w$i").mkString(" ")
+    val spammy = Seq.fill(60)("spam").mkString(" ")
+    val short = "too short"
+    val d = Seq(
+      (1L, good, "en", "s", 0L), (2L, good, "en", "s", 0L), // exact dup pair
+      (3L, spammy, "en", "s", 0L), (4L, short, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.curate(d).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L)) // min id survives
+    assert(Set("train", "val", "test").contains(out.head.getAs[String]("split")))
+  }
+
+  // ---------------------------------------------------------- domainMix
+  test("domainMix caps oversized domains and passes small ones through") {
+    val d = Seq(
+      (1L, ("w " * 300).trim, "en", "big"),
+      (2L, ("w " * 20).trim, "en", "small"))
+      .toDF("doc_id", "text", "lang", "source")
+    val m = Curation.domainMix(d) // budget = 320/2 = 160, target = 80/domain
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(m("big").getLong(2) == 300 && m("big").getLong(4) == 80)
+    assert(m("big").getLong(5) == 80L * 1000000 / 300)
+    assert(m("small").getLong(4) == 20 && m("small").getLong(5) == 1000000)
+  }
+
+  // ------------------------------------------------------- quantizeInt8
+  private def emb(rows: (Long, Array[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("quantizeInt8 maps min->0, max->255, constant dims->0") {
+    val q = Curation.quantizeInt8(emb(
+        1L -> Array(0f, 10f, 5f),
+        2L -> Array(1f, 20f, 5f)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // dim0: [0,1] -> codes 0/255; dim1: [10,20] -> 0/255; dim2 constant -> 0
+    assert(q(1L).getSeq[Int](1) == Seq(0, 0, 0))
+    assert(q(2L).getSeq[Int](1) == Seq(255, 255, 0))
+    assert(q(1L).getLong(2) == 0 && q(2L).getLong(2) == 510)
+    assert(q(2L).getInt(3) == 0 && q(2L).getInt(4) == 255)
+  }
+
+  test("quantizeInt8 codes stay in [0,255] and reconstruct within one step") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 50L).map(i => i -> Array.fill(16)(rnd.nextFloat() * 4 - 2))
+    val data = emb(vecs: _*)
+    val (mn, mx) = Curation.dimMinMax(data)
+    val rows = Curation.quantizeInt8(data)
+      .select("vec_id", "qvec").as[(Long, Array[Int])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val q = rows(id)
+      q.indices.foreach { i =>
+        assert(q(i) >= 0 && q(i) <= 255)
+        val step = (mx(i) - mn(i)) / 255.0
+        val deq = mn(i) + (q(i) + 0.5) * step
+        assert(math.abs(deq - v(i)) <= step, s"dim $i off by more than a step")
+      }
+    }
+  }
+
+  test("quantizeInt8 is a map-only plan (no Exchange)") {
+    val plan = Curation.quantizeInt8(emb(1L -> Array(1f, 2f), 2L -> Array(3f, 4f)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
