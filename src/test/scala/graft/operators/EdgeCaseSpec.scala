@@ -43,6 +43,30 @@ class EdgeCaseSpec extends SparkSpec {
       Set((1L, 11L), (2L, 12L))) // whitespace normalization collapses doc 2/12
   }
 
+  test("curation kernels survive empty, whitespace-only, and non-BMP text") {
+    import spark.implicits._
+    // U+1F600 (surrogate pair): mean_word_len must count codepoints like
+    // the oracle's length(), not UTF-16 units
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "😀 ab"))
+      .toDF("doc_id", "text")
+    val rep = Curation.repetition(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rep(1L).getAs[Int]("n_words") == 1) // split of "" -> [""]
+    assert(rep(3L).getAs[Double]("mean_word_len") == 1.5) // (1 cp + 2 cp) / 2
+    assert(Curation.contamination(docs, docs.limit(0)).count() == 0) // empty eval set
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    assert(Curation.curate(empty).count() == 0)
+    assert(Curation.domainMix(empty).count() == 0)
+  }
+
+  test("quantizeInt8 single-vector corpus: all dims constant, all codes 0") {
+    import spark.implicits._
+    val one = Seq((3L, Array(0.5f, -2f, 9f))).toDF("vec_id", "embedding")
+    val r = Curation.quantizeInt8(one).head
+    assert(r.getAs[Seq[Int]]("qvec") == Seq(0, 0, 0) && r.getAs[Long]("q_sum") == 0)
+  }
+
   test("asof join with no matching earlier rows yields empty (not nulls)") {
     import spark.implicits._
     import java.sql.Timestamp
