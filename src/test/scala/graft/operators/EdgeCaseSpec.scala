@@ -64,7 +64,8 @@ class EdgeCaseSpec extends SparkSpec {
     import spark.implicits._
     val one = Seq((3L, Array(0.5f, -2f, 9f))).toDF("vec_id", "embedding")
     val r = Curation.quantizeInt8(one).head
-    assert(r.getAs[Seq[Int]]("qvec") == Seq(0, 0, 0) && r.getAs[Long]("q_sum") == 0)
+    assert(r.getSeq[Int](r.fieldIndex("qvec")) == Seq(0, 0, 0) &&
+      r.getAs[Long]("q_sum") == 0)
   }
 
   test("asof join with no matching earlier rows yields empty (not nulls)") {
