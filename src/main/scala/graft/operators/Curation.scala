@@ -368,19 +368,24 @@ object Curation {
     * surviving docs with their repetition metrics and split labels, so
     * callers can keep filtering or write the corpus out.
     *
-    * Shuffle budget at 100 TB: ONE shuffle for the dedup (a window
-    * keyed on the normalized text — strictly cheaper than the
-    * groupBy-keeper-ids + semi-join formulation, which shuffles the
-    * corpus twice); the filter and split stages are map-only on top. */
+    * Shuffle budget at 100 TB: the keep-first dedup costs one groupBy
+    * shuffle of tiny post-combine (key, min-id) pairs plus one semi-join
+    * shuffle of the corpus keyed on the unique doc_id — both skew-free.
+    * A `Window.partitionBy(normText)` would be one shuffle instead of
+    * two, but it funnels every copy of a hot key into a single task: a
+    * viral boilerplate page duplicated millions of times in a crawl
+    * becomes one straggler task. The groupBy formulation partially
+    * aggregates map-side, so that same hot key contributes at most one
+    * row per input partition to the shuffle. The filter and split stages
+    * are map-only on top. */
   def curate(docs: DataFrame, minWords: Int = 30,
       maxDupWordFrac: Double = 0.5): DataFrame = {
     import Dedup.normText
-    import org.apache.spark.sql.expressions.Window
-    val keepFirst = Window.partitionBy(normText(col("text"))).orderBy(col("doc_id"))
-    val deduped = docs
-      .withColumn("_rn", row_number().over(keepFirst))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    val keepers = docs
+      .groupBy(normText(col("text")).as("_k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = docs.join(keepers, Seq("doc_id"), "left_semi")
     hashSplit(repetition(deduped)
       .filter(col("n_words") >= minWords && col("dup_word_frac") <= maxDupWordFrac))
   }

@@ -349,16 +349,16 @@ object Dedup {
     }.toDF("doc_id", "simhash")
   }
 
-  private val hammingHexUdf = udf { (a: String, b: String) =>
-    var d = 0
-    var i = 0
-    while (i < a.length) {
-      d += Integer.bitCount(
-        Character.digit(a.charAt(i), 16) ^ Character.digit(b.charAt(i), 16))
-      i += 1
-    }
-    d
-  }
+  /** Hamming distance between two 16-hex-char fingerprints with built-in
+    * (codegen'd) expressions only: each 4-hex-char chunk fits a Long, so
+    * conv → xor → bit_count per chunk, summed. Keeps the verify stage
+    * inside WholeStageCodegen (no UDF boundary on the candidate set). */
+  private def hammingHex(a: Column, b: Column): Column =
+    (0 until 4).map { i =>
+      bit_count(
+        conv(substring(a, i * 4 + 1, 4), 16, 10).cast(LongType)
+          .bitwiseXOR(conv(substring(b, i * 4 + 1, 4), 16, 10).cast(LongType)))
+    }.reduce(_ + _)
 
   /** All pairs within Hamming ≤ 3 over the portable fingerprint, via the
     * same 4×16-bit pigeonhole banding as [[simhashNeardup]] — bands are
@@ -372,7 +372,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hammingHexUdf(col("a.simhash"), col("b.simhash")).as("hamming"))
+        hammingHex(col("a.simhash"), col("b.simhash")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

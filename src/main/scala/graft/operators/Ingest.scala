@@ -130,8 +130,45 @@ object Ingest {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** The serialized LogEntry JSON envelope minus only the Go-%q field —
+    * i.e. everything SQL-expressible of the reference's omitempty
+    * serialization (main.go:101-116), oracle-checked as one string.
+    * DuckDB rebuilds the identical JSON by concatenation: none of the
+    * retained fields (RFC3339 timestamp, level enum, "received N bytes",
+    * dotted-quad ip, integer count, lowercase hex) can contain a
+    * JSON-escapable character, so plain concat is byte-exact against
+    * Spark's to_json. Only binary_data_string stays golden-test-only
+    * ([[q12Json]] keeps the full round-trip as a rows-only check). */
+  private def q12Envelope(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        timestamp_seconds($"doc_id" * 60).as("ts"),
+        $"text".cast(BinaryType).as("payload"),
+        format_string("10.0.%d.%d", $"doc_id" % 256, $"doc_id" % 100).as("client_ip"))
+      .select($"doc_id",
+        toJson(logEntry($"ts", $"payload", $"client_ip")
+          .dropFields("binary_data_string")).as("envelope_json"))
+      .orderBy($"doc_id")
+  }
+
+  private val q12EnvelopeSql =
+    """SELECT doc_id,
+      |  '{"timestamp":"' || strftime(make_timestamp(doc_id * 60 * 1000000), '%Y-%m-%dT%H:%M:%SZ') ||
+      |  '","level":"' || CASE WHEN octet_length(encode(text)) = 0 THEN 'WARN' ELSE 'INFO' END ||
+      |  '","message":"received ' || CAST(octet_length(encode(text)) AS VARCHAR) ||
+      |  ' bytes","client_ip":"10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      |  CAST(doc_id % 100 AS VARCHAR) || '"' ||
+      |  CASE WHEN octet_length(encode(text)) > 0
+      |       THEN ',"byte_count":' || CAST(octet_length(encode(text)) AS VARCHAR) ||
+      |            ',"binary_data_hex":"' || lower(hex(encode(text))) || '"'
+      |       ELSE '' END || '}' AS envelope_json
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("q12_ingest_hex", q12Hex, Some(q12HexSql)),
     Declared("q12_ingest_logentry", q12Json, None),
+    Declared("q12_ingest_envelope", q12Envelope, Some(q12EnvelopeSql)),
     Declared("q12_ingest_fields", q12Fields, Some(q12FieldsSql)))
 }

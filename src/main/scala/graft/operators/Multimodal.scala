@@ -100,17 +100,51 @@ object Multimodal {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
-  /** Feature extraction through the mapPartitions decode path (stub
-    * codec ⇒ deterministic; driver rows-check + unit tests). */
+  /** Feature extraction through the mapPartitions decode path. The stub
+    * codec is deterministic byte-math, so the whole query IS
+    * SQL-oracle-able: DuckDB reproduces every field from the UTF-8 bytes
+    * of `text` (hex-pair decoding keeps it byte-exact with no ASCII
+    * assumption). `mean_byte` is left as the raw IEEE division of the
+    * same two integers in both engines — no round() on either side, so
+    * no rounding-boundary flake. */
   private def xmFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     extractFeatures(mediaTable(spark, dir)).toDF()
       .select($"media_id", $"fmt", $"n_bytes", $"width", $"height",
-        round($"mean_byte", 4).as("mean_byte"), $"n_frames")
+        $"mean_byte", $"n_frames")
       .orderBy($"media_id")
   }
 
+  /** Byte i of the blob, decoded from its lowercase-hex pair (1-based). */
+  private val xmFeaturesSql =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    lower(hex(encode(text))) AS h,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, source, n,
+      |    CASE WHEN n > 0 THEN (strpos('0123456789abcdef', substr(h,1,1))-1)*16
+      |                       + (strpos('0123456789abcdef', substr(h,2,1))-1)
+      |         ELSE 0 END AS b0,
+      |    CASE WHEN n > 1 THEN (strpos('0123456789abcdef', substr(h,3,1))-1)*16
+      |                       + (strpos('0123456789abcdef', substr(h,4,1))-1)
+      |         ELSE 0 END AS b1,
+      |    CASE WHEN n = 0 THEN 0
+      |         ELSE list_sum([(strpos('0123456789abcdef', substr(h, 2*i-1, 1))-1)*16
+      |                      + (strpos('0123456789abcdef', substr(h, 2*i,   1))-1)
+      |                        for i in range(1, n+1)]) END AS byte_sum
+      |  FROM b
+      |)
+      |SELECT doc_id AS media_id, 'fake/' || source AS fmt,
+      |  CAST(n AS INTEGER) AS n_bytes,
+      |  CAST(16 + (b0 % 64) * 16 AS INTEGER) AS width,
+      |  CAST(16 + (b1 % 64) * 16 AS INTEGER) AS height,
+      |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(byte_sum AS DOUBLE) / n END AS mean_byte,
+      |  CAST(1 + n % 4 AS INTEGER) AS n_frames
+      |FROM d ORDER BY media_id""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("xm_media_meta", xmMeta, Some(xmMetaSql)),
-    Declared("xm_media_features", xmFeatures, None))
+    Declared("xm_media_features", xmFeatures, Some(xmFeaturesSql)))
 }

@@ -71,6 +71,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("simhash pairs: hamming verify stays codegen'd — no UDF in the plan") {
+    val p = plan("x1_simhash_pairs")
+    // bit_count(xor(conv(...))) per chunk is a built-in expression chain;
+    // a UDF here would break whole-stage codegen on the candidate set
+    assert(!p.contains("UDF") && !p.toLowerCase.contains("scalaudf"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("curate pipeline: keep-first dedup has no window, aggregates partially") {
+    val p = plan("xc_pipeline")
+    assert(!p.contains("Window"), p) // hot normText key must not funnel to one task
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final min(doc_id)
+  }
+
   test("embedding near-dup: pairwise stage is a distributed keyed block-join, " +
       "not a driver collect/broadcast") {
     val p = plan("x1_embedding_neardup")

@@ -68,6 +68,25 @@ class EdgeCaseSpec extends SparkSpec {
       r.getAs[Long]("q_sum") == 0)
   }
 
+  test("curate dedup is skew-safe: 10^4-dup hot key, no window in the plan") {
+    import spark.implicits._
+    // one viral text duplicated 10^4 times + 50 unique docs: the keep-first
+    // stage must partially aggregate (map-side combine bounds the hot key
+    // at one row per input partition) instead of windowing, which would
+    // funnel all 10^4 copies into a single task
+    val viral = "viral boilerplate " + Seq.tabulate(40)(i => s"w$i").mkString(" ")
+    val hot = (0L until 10000L).map(i => (i, viral, "en", "src0"))
+    val uniq = (10000L until 10050L).map(i =>
+      (i, s"unique $i " + Seq.tabulate(40)(j => s"u${i}_$j").mkString(" "), "en", "src0"))
+    val docs = (hot ++ uniq).toDF("doc_id", "text", "lang", "source").repartition(8)
+    val out = Curation.curate(docs, minWords = 5, maxDupWordFrac = 1.0)
+    assert(out.filter($"doc_id" === 0L).count() == 1) // min-id copy survives
+    assert(out.count() == 51)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "skew-prone window formulation crept back")
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+  }
+
   test("asof join with no matching earlier rows yields empty (not nulls)") {
     import spark.implicits._
     import java.sql.Timestamp
