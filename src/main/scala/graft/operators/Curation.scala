@@ -390,6 +390,28 @@ object Curation {
       .filter(col("n_words") >= minWords && col("dup_word_frac") <= maxDupWordFrac))
   }
 
+  /** Every curation operator composed into one pipeline, the way a full
+    * corpus build runs them: [[curate]] (keep-first dedup → repetition
+    * filter → md5 split) → n-gram decontamination against an eval set
+    * (docs with any shared eval 5-gram dropped) → [[domainMix]] weights
+    * of the surviving corpus attached per (lang, source).
+    *
+    * Scale posture: curate's two skew-free shuffles, the broadcast-join
+    * contamination pass (eval dictionary broadcast, corpus map-side), a
+    * doc_id anti-join against the (small) contaminated-id set, and a
+    * domain-count-sized broadcast for the weights — no new corpus-sized
+    * shuffle beyond curate's own. */
+  def curateFull(docs: DataFrame, evalDocs: DataFrame, minWords: Int = 30,
+      maxDupWordFrac: Double = 0.5, maxEvalHits: Long = 0): DataFrame = {
+    val curated = curate(docs, minWords, maxDupWordFrac)
+    val contaminated = contamination(curated, evalDocs)
+      .filter(col("n_hits") > maxEvalHits)
+      .select(col("doc_id"))
+    val clean = curated.join(contaminated, Seq("doc_id"), "left_anti")
+    val weights = domainMix(clean).select(col("lang"), col("source"), col("weight_ppm"))
+    clean.join(broadcast(weights), Seq("lang", "source"))
+  }
+
   /** Declared pipeline output: per-(lang, split) doc and token counts of
     * the curated corpus — the numbers a training run budgets against. */
   private def xcPipeline(spark: SparkSession, dir: String): DataFrame =
@@ -419,7 +441,69 @@ object Curation {
       |FROM s GROUP BY lang, split
       |ORDER BY lang, split""".stripMargin
 
+  /** Declared full-pipeline output: per-(lang, source, split) doc and
+    * token counts with the domain sampling weight — every curation
+    * operator exercised in one query. Eval set = doc_id % 20 == 0,
+    * corpus = the rest (the xc_contamination convention). */
+  private def xcPipelineFull(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    curateFull(docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
+      .groupBy(col("lang"), col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("tot_words"),
+        min(col("weight_ppm")).as("weight_ppm"))
+      .orderBy(col("lang"), col("source"), col("split"))
+  }
+
+  private val xcPipelineFullSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 20 <> 0),
+      |ev AS (SELECT text FROM documents WHERE doc_id % 20 = 0),
+      |keep AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM corpus
+      |  GROUP BY trim(lower(regexp_replace(text, '\s+', ' ', 'g')))),
+      |rep AS (
+      |  SELECT doc_id, lang, source, len(w) AS n_words, w,
+      |    (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE) AS dwf
+      |  FROM (SELECT doc_id, lang, source,
+      |          string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |        FROM corpus WHERE doc_id IN (SELECT doc_id FROM keep))),
+      |filt AS (SELECT doc_id, lang, source, n_words, w FROM rep
+      |         WHERE n_words >= 30 AND dwf <= 0.5),
+      |eg AS (
+      |  SELECT DISTINCT unnest(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+      |    ELSE list_distinct([array_to_string(w[i+1:i+5], ' ') for i in range(len(w)-4)]) END) AS g
+      |  FROM (SELECT string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |        FROM ev)),
+      |cg AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+      |    ELSE list_distinct([array_to_string(w[i+1:i+5], ' ') for i in range(len(w)-4)]) END) AS g
+      |  FROM filt),
+      |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (g)),
+      |clean AS (SELECT * FROM filt WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      |gm AS (SELECT lang, source, CAST(SUM(n_words) AS BIGINT) AS group_tokens
+      |       FROM clean GROUP BY lang, source),
+      |tt AS (SELECT CAST(SUM(group_tokens) AS BIGINT) AS total_tokens,
+      |              CAST(COUNT(*) AS BIGINT) AS n_groups FROM gm),
+      |mix AS (SELECT lang, source,
+      |  (LEAST(group_tokens, (tt.total_tokens // 2) // tt.n_groups) * 1000000)
+      |    // group_tokens AS weight_ppm
+      |  FROM gm CROSS JOIN tt),
+      |sp AS (SELECT c.doc_id, c.lang, c.source, c.n_words,
+      |  CASE WHEN substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+      |       WHEN substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM clean c)
+      |SELECT sp.lang, sp.source, sp.split,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(sp.n_words) AS BIGINT) AS tot_words,
+      |  mix.weight_ppm
+      |FROM sp JOIN mix USING (lang, source)
+      |GROUP BY sp.lang, sp.source, sp.split, mix.weight_ppm
+      |ORDER BY lang, source, split""".stripMargin
+
   val all: Seq[Declared] = Seq(
+    Declared("xc_pipeline_full", xcPipelineFull, Some(xcPipelineFullSql)),
     Declared("xc_split", xcSplit, Some(xcSplitSql)),
     Declared("xc_contamination", xcContamination, Some(xcContaminationSql)),
     Declared("xc_repetition", xcRepetition, Some(xcRepetitionSql)),

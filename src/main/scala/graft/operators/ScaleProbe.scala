@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Dev tool (VERDICT r2 item 7): demonstrate that the banding claims in
+  * [[Dedup]] and [[Similarity]] hold beyond the fixture scale — candidate
+  * -set sizes must grow near-linearly with the corpus, not O(n²).
+  *
+  * `runMain graft.operators.ScaleProbe [baseDir [outRoot [m...]]]`
+  * amplifies the sf0.1 fixture to m× (default 1,2,5,10) with a
+  * deterministic distributed generator matched to the base corpus
+  * (same vocabulary, doc-length/lang/source profile, and planted
+  * exact-dup ≈0.2% / near-dup ≈1% rates — a near-dup appends one token
+  * to its partner's text, word-5-gram J ≥ (L-4)/(L-3) ≥ 0.857 at the
+  * base minimum length 10), then measures per scale:
+  *   - MinHash LSH candidate pairs + verified pairs (x1_neardup_minhash)
+  *   - char-8-gram candidates + pairs (x1_neardup_chargram)
+  *   - hyperplane-LSH and IVF ANN candidate fractions (x2_ann_*)
+  *   - curate() pipeline wall time (xc_pipeline shape)
+  * One JSON line per scale; results land in BENCHNOTES.md.
+  *
+  * Slice 0 is the base fixture verbatim, so m=1 IS the fixture; slices
+  * k ≥ 1 regenerate fresh text from pure functions of (slice, index) —
+  * generation is a map-only `spark.range` pass, the same shape a 100 TB
+  * fixture build would use.
+  */
+object ScaleProbe {
+
+  private val Vmul = 0x9e3779b97f4a7c15L
+
+  private def rng(k: Long, i: Long, salt: Long): java.util.Random =
+    new java.util.Random(scala.util.hashing.byteswap64(k * Vmul + i * 0x85ebca77L + salt))
+
+  /** 0 = fresh, 1 = near-dup (append one token), 2 = exact dup. */
+  private def role(k: Long, i: Long): Int = {
+    if (i == 0) return 0
+    val p = rng(k, i, 1).nextDouble()
+    if (p < 0.002) 2 else if (p < 0.012) 1 else 0
+  }
+
+  private def freshTokens(vocab: Array[String], lens: Array[Int],
+      k: Long, i: Long): Array[String] = {
+    val r = rng(k, i, 2)
+    val len = lens(r.nextInt(lens.length))
+    Array.fill(len)(vocab(r.nextInt(vocab.length)))
+  }
+
+  /** Pure text function: dup roles copy the FRESH text of an earlier
+    * partner that is itself fresh (bounded resample keeps it recursion-
+    * free and guarantees the planted pair exists verbatim). */
+  private def textFor(vocab: Array[String], lens: Array[Int],
+      k: Long, i: Long): String = {
+    val ro = role(k, i)
+    if (ro == 0) return freshTokens(vocab, lens, k, i).mkString(" ")
+    val r = rng(k, i, 3)
+    var j = -1L
+    var tries = 0
+    while (tries < 10 && j < 0) {
+      val c = i - 1 - r.nextInt(math.min(i, 50L).toInt)
+      if (role(k, c) == 0) j = c
+      tries += 1
+    }
+    if (j < 0) return freshTokens(vocab, lens, k, i).mkString(" ")
+    val part = freshTokens(vocab, lens, k, j)
+    if (ro == 2) part.mkString(" ")
+    else (part :+ vocab(r.nextInt(vocab.length))).mkString(" ")
+  }
+
+  private def genFixture(spark: SparkSession, base: String, out: String, m: Int): Unit = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))) return
+
+    val docs0 = Tables.load(spark, base, "documents")
+    val emb0 = Tables.load(spark, base, "embeddings")
+    val nDocs = docs0.count()
+    val nVecs = emb0.count()
+    val dim = emb0.select(size(col("embedding"))).as[Int].head()
+    val profile = docs0.select(col("text"), col("lang"), col("source"))
+      .as[(String, String, String)].collect()
+      .map { case (t, l, s) => (t.split("\\s+").length, l, s) }
+    val vocab = docs0.select(explode(split(col("text"), "\\s+")).as("t"))
+      .distinct().as[String].collect().sorted
+    val lens = profile.map(_._1)
+
+    val synthDocs = spark.range(nDocs * (m - 1)).map { g =>
+      val k = 1 + g / nDocs
+      val i = g % nDocs
+      val r = rng(k, i, 4)
+      val (_, lang, source) = profile(r.nextInt(profile.length))
+      (k * nDocs + i, textFor(vocab, lens, k, i), lang, source)
+    }.toDF("doc_id", "text", "lang", "source")
+    docs0.select("doc_id", "text", "lang", "source").unionByName(synthDocs)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val synthVecs = spark.range(nVecs * (m - 1)).map { g =>
+      val k = 1 + g / nVecs
+      val i = g % nVecs
+      val r = rng(k, i, 5)
+      (k * nVecs + i, Array.fill(dim)((r.nextGaussian() * 0.15).toFloat))
+    }.toDF("vec_id", "embedding")
+    emb0.select("vec_id", "embedding").unionByName(synthVecs)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val v = f
+    (v, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outRoot = if (args.length > 1) args(1) else "/root/repo/out/scale"
+    val scales = if (args.length > 2) args.drop(2).map(_.toInt).toSeq else Seq(1, 2, 5, 10)
+    val spark = graft.core.GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for (m <- scales) {
+      val dir = s"$outRoot/m$m"
+      genFixture(spark, base, dir, m)
+      val docs = Tables.load(spark, dir, "documents")
+      val emb = Tables.load(spark, dir, "embeddings")
+      val nDocs = docs.count()
+      val nVecs = emb.count()
+
+      val (mhCand, _) =
+        timed(Dedup.lshCandidates(Dedup.shingleAndSign(docs, Dedup.wordShingleHashes)).count())
+      val (mhPairs, mhSec) = timed(Dedup.neardupMinhash(docs).count())
+      val (cgCand, _) = timed(Dedup.lshCandidates(
+        Dedup.shingleAndSign(docs, Dedup.charNgramHashes(_, 8), rowsPerBand = 8)).count())
+      val (cgPairs, cgSec) =
+        timed(Dedup.neardupMinhash(docs, 0.85, Dedup.charNgramHashes(_, 8), rowsPerBand = 8).count())
+
+      val probes = emb.filter(col("vec_id") < 10)
+      val (lshCand, lshSec) = timed(
+        Similarity.annCandidates(Similarity.signatures(emb, 64), Similarity.signatures(probes, 64))
+          .count())
+      val cents = Similarity.centroids(emb, 16)
+      val (ivfCand, ivfSec) = timed(
+        Similarity.ivfProbeClusters(probes, cents, 4)
+          .join(Similarity.ivfAssignWith(emb, cents)
+            .select(col("vec_id").as("neighbor_id"), col("cluster")), Seq("cluster"))
+          .filter(col("probe_id") =!= col("neighbor_id"))
+          .select(col("probe_id"), col("neighbor_id")).distinct().count())
+
+      val (_, pipeSec) = timed(
+        Curation.curate(docs)
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("tot_words"))
+          .write.format("noop").mode("overwrite").save())
+
+      val pairSpace = nVecs.toDouble * 10 // probes × corpus
+      println(f"""{"scale":$m,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
+        f""""mh_cand":$mhCand,"mh_pairs":$mhPairs,"mh_cand_per_doc":${mhCand.toDouble / nDocs}%.4f,"mh_sec":$mhSec%.2f,""" +
+        f""""cg_cand":$cgCand,"cg_pairs":$cgPairs,"cg_cand_per_doc":${cgCand.toDouble / nDocs}%.4f,"cg_sec":$cgSec%.2f,""" +
+        f""""ann_lsh_cand":$lshCand,"ann_lsh_frac":${lshCand / pairSpace}%.4f,"ann_lsh_sec":$lshSec%.2f,""" +
+        f""""ann_ivf_cand":$ivfCand,"ann_ivf_frac":${ivfCand / pairSpace}%.4f,"ann_ivf_sec":$ivfSec%.2f,""" +
+        f""""pipeline_sec":$pipeSec%.2f}""")
+    }
+    spark.stop()
+  }
+}

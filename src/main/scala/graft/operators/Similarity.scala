@@ -116,7 +116,7 @@ object Similarity {
     */
   /** Deterministic centroid sample with norms, collected once and shared
     * by assignment and probe routing. */
-  private def centroids(emb: DataFrame, nlist: Int): Array[(Long, Array[Double], Double)] = {
+  private[operators] def centroids(emb: DataFrame, nlist: Int): Array[(Long, Array[Double], Double)] = {
     val spark = emb.sparkSession
     import spark.implicits._
     emb.orderBy(col("vec_id")).limit(nlist)
@@ -130,7 +130,45 @@ object Similarity {
   def ivfAssign(emb: DataFrame, nlist: Int): DataFrame =
     ivfAssignWith(emb, centroids(emb, nlist))
 
-  private def ivfAssignWith(
+  /** Lloyd-refined centroids: `iters` rounds of assign → per-cluster
+    * mean. Each round is one map-only assignment pass plus a keyed
+    * aggregation that partially combines to nlist × dim rows before the
+    * shuffle (posexplode puts the per-dimension sums through a two-phase
+    * HashAggregate — the full vectors never shuffle); the collect is
+    * nlist × dim doubles, bounded exactly like the sample collect.
+    * Dimension sums go through DECIMAL so the centroid doubles are
+    * independent of partial-aggregation order — refinement is
+    * bit-deterministic run to run. Empty clusters keep their previous
+    * centroid. */
+  private[operators] def kmeansCentroids(emb: DataFrame, nlist: Int,
+      iters: Int): Array[(Long, Array[Double], Double)] = {
+    var cents = centroids(emb, nlist)
+    val dim = cents.head._2.length
+    for (_ <- 0 until iters) {
+      val rows = ivfAssignWith(emb, cents)
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("v").cast(DecimalType(28, 10))).cast(DoubleType).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val sums = new scala.collection.mutable.HashMap[Long, (Array[Double], Long)]()
+      rows.foreach { r =>
+        val (acc, _) = sums.getOrElseUpdate(r.getLong(0), (new Array[Double](dim), r.getLong(3)))
+        acc(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = cents.map { case (cid, oldV, oldN) =>
+        sums.get(cid) match {
+          case Some((acc, n)) =>
+            val v = acc.map(_ / n)
+            (cid, v, math.sqrt(v.map(x => x * x).sum))
+          case None => (cid, oldV, oldN)
+        }
+      }
+    }
+    cents
+  }
+
+  private[operators] def ivfAssignWith(
       emb: DataFrame, cents: Array[(Long, Array[Double], Double)]): DataFrame = {
     val bc = emb.sparkSession.sparkContext.broadcast(cents)
     val assignUdf = udf { (v: Seq[Float]) =>
@@ -154,7 +192,7 @@ object Similarity {
   }
 
   /** nprobe nearest clusters per probe (same centroid set). */
-  private def ivfProbeClusters(probes: DataFrame,
+  private[operators] def ivfProbeClusters(probes: DataFrame,
       cents: Array[(Long, Array[Double], Double)], nprobe: Int): DataFrame = {
     val bc = probes.sparkSession.sparkContext.broadcast(cents)
     val topClustersUdf = udf { (v: Seq[Float]) =>
@@ -171,10 +209,14 @@ object Similarity {
       explode(topClustersUdf(col("embedding"))).as("cluster"))
   }
 
-  /** Approximate top-k via IVF: probes search their nprobe lists only. */
+  /** Approximate top-k via IVF: probes search their nprobe lists only.
+    * `kmeansIters` > 0 Lloyd-refines the sampled centroids first —
+    * better-balanced lists and higher recall for the same nprobe. */
   def ivfTopK(emb: DataFrame, probes: DataFrame,
-      nlist: Int, nprobe: Int, k: Int): DataFrame = {
-    val cents = centroids(emb, nlist) // one collect + one shared broadcastable array
+      nlist: Int, nprobe: Int, k: Int, kmeansIters: Int = 0): DataFrame = {
+    val cents = // one collect + one shared broadcastable array
+      if (kmeansIters > 0) kmeansCentroids(emb, nlist, kmeansIters)
+      else centroids(emb, nlist)
     val assigned = ivfAssignWith(emb, cents)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("cluster"))
     val pc = ivfProbeClusters(probes, cents, nprobe)
@@ -265,16 +307,22 @@ object Similarity {
   private def x2Ivf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val probes = emb.filter(col("vec_id") < 10)
-    val cents = centroids(emb, 16)
-    val cands = ivfProbeClusters(probes, cents, 4)
+    // 1 Lloyd round + nprobe 5 (sweep-measured, KmSweep): recall
+    // 0.96/0.94/1.00 across sf0.001/0.01/0.1 vs 0.94/0.92/1.00 for the
+    // raw sample at nprobe 4, so the declared floor rises 0.8 → 0.85.
+    // More rounds HURT at fixed nprobe (tighter balanced lists spread a
+    // probe's true neighbors over more lists than its centroid ranking
+    // probes) — the fix is nprobe, not more Lloyd.
+    val cents = kmeansCentroids(emb, 16, iters = 1)
+    val cands = ivfProbeClusters(probes, cents, 5)
       .join(ivfAssignWith(emb, cents)
         .select(col("vec_id").as("neighbor_id"), col("cluster")), Seq("cluster"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id")).distinct()
     annBoundSummary(
-      ivfTopK(emb, probes, nlist = 16, nprobe = 4, k = 5),
+      ivfTopK(emb, probes, nlist = 16, nprobe = 5, k = 5, kmeansIters = 1),
       cosineTopK(emb, probes, 5),
-      cands, emb, probes, k = 5, recallFloor = 0.8, maxCandidateFrac = 0.6)
+      cands, emb, probes, k = 5, recallFloor = 0.85, maxCandidateFrac = 0.6)
   }
 
   private val annBoundSql =

@@ -58,6 +58,7 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source")
     assert(Curation.curate(empty).count() == 0)
     assert(Curation.domainMix(empty).count() == 0)
+    assert(Curation.curateFull(empty, empty).count() == 0)
   }
 
   test("quantizeInt8 single-vector corpus: all dims constant, all codes 0") {
