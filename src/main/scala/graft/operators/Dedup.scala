@@ -349,30 +349,30 @@ object Dedup {
     }.toDF("doc_id", "simhash")
   }
 
-  /** Hamming distance between two 16-hex-char fingerprints with built-in
-    * (codegen'd) expressions only: each 4-hex-char chunk fits a Long, so
-    * conv → xor → bit_count per chunk, summed. Keeps the verify stage
-    * inside WholeStageCodegen (no UDF boundary on the candidate set). */
-  private def hammingHex(a: Column, b: Column): Column =
-    (0 until 4).map { i =>
-      bit_count(
-        conv(substring(a, i * 4 + 1, 4), 16, 10).cast(LongType)
-          .bitwiseXOR(conv(substring(b, i * 4 + 1, 4), 16, 10).cast(LongType)))
-    }.reduce(_ + _)
-
   /** All pairs within Hamming ≤ 3 over the portable fingerprint, via the
-    * same 4×16-bit pigeonhole banding as [[simhashNeardup]] — bands are
-    * 4-hex-char substrings, the join stays keyed. */
+    * same 4×16-bit pigeonhole banding as [[simhashNeardup]]. The hex
+    * fingerprint is decoded to four 16-bit Long chunks ONCE per doc in a
+    * projection below the band explode (conv/substring are codegen'd but
+    * not free — doing this per candidate pair measurably slowed the
+    * verify stage, and a UDF breaks codegen entirely); the band key is
+    * then a Long equi-join and per-pair work is just bit_count(xor),
+    * all inside WholeStageCodegen. */
   def simhashPortableNeardup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhashPortable(docs)
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        substring(col("simhash"), b * 4 + 1, 4)): _*)).as(Seq("band", "chunk")))
+    val chunks = (0 until 4).map(i => s"c$i")
+    val pre = simhashPortable(docs).select(
+      col("doc_id") +: (0 until 4).map(i =>
+        conv(substring(col("simhash"), i * 4 + 1, 4), 16, 10)
+          .cast(LongType).as(s"c$i")): _*)
+    val banded = pre.select(
+      col("doc_id") +: chunks.map(col) :+
+        posexplode(array(chunks.map(col): _*)).as(Seq("band", "chunk")): _*)
+    val hamming = (0 until 4).map(i =>
+      bit_count(col(s"a.c$i").bitwiseXOR(col(s"b.c$i")))).reduce(_ + _)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hammingHex(col("a.simhash"), col("b.simhash")).as("hamming"))
+        hamming.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

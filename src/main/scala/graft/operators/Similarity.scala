@@ -213,10 +213,18 @@ object Similarity {
     * `kmeansIters` > 0 Lloyd-refines the sampled centroids first —
     * better-balanced lists and higher recall for the same nprobe. */
   def ivfTopK(emb: DataFrame, probes: DataFrame,
-      nlist: Int, nprobe: Int, k: Int, kmeansIters: Int = 0): DataFrame = {
-    val cents = // one collect + one shared broadcastable array
+      nlist: Int, nprobe: Int, k: Int, kmeansIters: Int = 0): DataFrame =
+    ivfTopKWith(emb, probes,
+      // one collect + one shared broadcastable array
       if (kmeansIters > 0) kmeansCentroids(emb, nlist, kmeansIters)
-      else centroids(emb, nlist)
+      else centroids(emb, nlist),
+      nprobe, k)
+
+  /** Same, against an already-built centroid array — callers that also
+    * need the candidate set (x2_ann_ivf's bound row) pass one shared
+    * array so the Lloyd refinement runs once, not per use. */
+  private[operators] def ivfTopKWith(emb: DataFrame, probes: DataFrame,
+      cents: Array[(Long, Array[Double], Double)], nprobe: Int, k: Int): DataFrame = {
     val assigned = ivfAssignWith(emb, cents)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("cluster"))
     val pc = ivfProbeClusters(probes, cents, nprobe)
@@ -320,7 +328,7 @@ object Similarity {
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id")).distinct()
     annBoundSummary(
-      ivfTopK(emb, probes, nlist = 16, nprobe = 5, k = 5, kmeansIters = 1),
+      ivfTopKWith(emb, probes, cents, nprobe = 5, k = 5),
       cosineTopK(emb, probes, 5),
       cands, emb, probes, k = 5, recallFloor = 0.85, maxCandidateFrac = 0.6)
   }
