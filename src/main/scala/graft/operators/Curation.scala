@@ -360,6 +360,70 @@ object Curation {
       |FROM q GROUP BY vec_id
       |ORDER BY vec_id""".stripMargin
 
+  // ----------------------------------------------- sequence packing
+  /** GPT-style sequence packing: documents in doc_id order are
+    * conceptually concatenated and cut into fixed-`seqLen`-token
+    * training sequences; each doc reports its global token offset and
+    * the sequence its first token lands in.
+    *
+    * The global running offset is a distributed two-phase prefix sum —
+    * the scale-correct substitute for `SUM() OVER (ORDER BY doc_id)`,
+    * which Spark plans as a SINGLE-partition window (the whole corpus
+    * through one task):
+    *   1. docs map to `buckets` contiguous doc_id ranges (explicit
+    *      arithmetic on collected min/max — deterministic, no sampled
+    *      RangePartitioner boundaries, which differ between jobs and
+    *      would silently corrupt the offsets);
+    *   2. per-bucket token totals (one tiny partially-aggregated
+    *      groupBy) are exclusive-scanned on the driver — `buckets`
+    *      longs — and broadcast-joined back;
+    *   3. within each bucket a parallel window computes the local
+    *      prefix; global offset = bucket offset + local prefix.
+    * One corpus shuffle (the per-bucket window sort). Dense doc_ids
+    * give balanced buckets; a production variant would pick boundaries
+    * by quantile sketch instead of min/max width. */
+  def pack(docs: DataFrame, seqLen: Int = 512, buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), size(tokens(col("text"))).as("n_words"))
+    val bounds = d.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (bounds.isNullAt(0))
+      return d.limit(0).select(col("doc_id"), col("n_words"),
+        lit(0L).as("offset_tokens"), lit(0L).as("seq_id"))
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val db = d.withColumn("_b",
+      ((col("doc_id") - mn) * buckets / (mx - mn + 1)).cast(LongType))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val totals = db.groupBy(col("_b")).agg(sum(col("n_words")).as("t"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val offs = totals.scanLeft((-1L, 0L)) {
+      case ((_, acc), (b, t)) => (b, acc + t)
+    }.sliding(2).map { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
+    val offDf = offs.toDF("_b", "_boff")
+    val w = Window.partitionBy(col("_b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    db.join(broadcast(offDf), Seq("_b"))
+      .withColumn("offset_tokens",
+        col("_boff") + coalesce(sum(col("n_words")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_words"), col("offset_tokens"),
+        expr(s"offset_tokens DIV $seqLen").as("seq_id"))
+  }
+
+  private def xcPack(spark: SparkSession, dir: String): DataFrame =
+    pack(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private val xcPackSql =
+    """SELECT doc_id, n_words, offset_tokens, offset_tokens // 512 AS seq_id
+      |FROM (
+      |  SELECT doc_id, CAST(n AS INTEGER) AS n_words,
+      |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
+      |  FROM (SELECT doc_id,
+      |          len(string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------- end-to-end curation run
   /** The curation stages composed the way a real corpus build runs them:
     * exact dedup (keep the lowest doc_id per normalized text) → C4-style
@@ -509,5 +573,6 @@ object Curation {
     Declared("xc_repetition", xcRepetition, Some(xcRepetitionSql)),
     Declared("xc_domain_mix", xcDomainMix, Some(xcDomainMixSql)),
     Declared("xc_quantize", xcQuantize, Some(xcQuantizeSql)),
+    Declared("xc_pack", xcPack, Some(xcPackSql)),
     Declared("xc_pipeline", xcPipeline, Some(xcPipelineSql)))
 }

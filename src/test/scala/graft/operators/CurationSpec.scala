@@ -142,4 +142,32 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("pack: bucketed two-phase prefix sum equals the sequential scan") {
+    import spark.implicits._
+    // sparse, unordered-by-insert ids across several buckets; lengths 1-13
+    val rnd = new scala.util.Random(11)
+    val docs = rnd.shuffle((0 until 200).map(_ * 7L + 3)).map(id =>
+      (id, Seq.fill(1 + (id % 13).toInt)("w").mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Curation.pack(docs, seqLen = 64, buckets = 8)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_words", $"offset_tokens", $"seq_id")
+      .as[(Long, Int, Long, Long)].collect()
+    var off = 0L
+    got.foreach { case (id, n, o, s) =>
+      assert(o == off, s"doc $id offset $o != $off")
+      assert(n == 1 + (id % 13).toInt)
+      assert(s == off / 64)
+      off += n
+    }
+    // no single-partition global window: every window is keyed on _b
+    val plan = Curation.pack(docs, 64, 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") ||
+      !plan.contains("SinglePartition"), plan.take(2000))
+    // empty input keeps the schema
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    assert(Curation.pack(empty).count() == 0)
+  }
 }
