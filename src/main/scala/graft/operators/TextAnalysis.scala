@@ -258,6 +258,41 @@ object TextAnalysis {
       |WHERE rnk <= 5
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // -------------------------------------------------------- redaction
+  /** Ordered regex scrub rules applied to one column — the PII-redaction
+    * pass a training corpus runs before release (emails, ids, phone
+    * numbers → placeholder tokens). Each rule is a codegen'd global
+    * `regexp_replace`, composed in order; the whole pass is map-only and
+    * fuses into whatever scan precedes it, so at 100 TB it costs one
+    * read. */
+  def redact(df: DataFrame, column: String,
+      rules: Seq[(String, String)], as: String): DataFrame =
+    df.withColumn(as, rules.foldLeft(col(column)) {
+      case (c, (pat, rep)) => regexp_replace(c, pat, rep)
+    })
+
+  /** Declared redaction demo over `customer`: emails (none in the
+    * fixture — the rule still composes) then digit runs → placeholders,
+    * with the per-row mask count. */
+  private def xtRedact(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    redact(cust, "c_name", Seq(
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+" -> "<EMAIL>",
+        "[0-9]+" -> "<ID>"), "redacted")
+      .select(col("c_custkey"), col("c_name"), col("redacted"),
+        size(expr("regexp_extract_all(c_name, '[0-9]+', 0)")).as("n_masked"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val xtRedactSql =
+    """SELECT c_custkey, c_name,
+      |  regexp_replace(
+      |    regexp_replace(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+      |    '[0-9]+', '<ID>', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INTEGER) AS n_masked
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   // ---------------------------------------------------- approx distinct
   /** X4 — HLL++ sketch vs exact distinct; the declared output asserts the
     * ≤5 % error bound holds (the sketch value itself is
@@ -283,5 +318,6 @@ object TextAnalysis {
     Declared("xt_quality", xtQuality, Some(xtQualitySql)),
     Declared("xt_langid", xtLangid, Some(xtLangidSql)),
     Declared("xt_fingerprint", xtFingerprint, Some(xtFingerprintSql)),
+    Declared("xt_redact", xtRedact, Some(xtRedactSql)),
     Declared("xt_tfidf", xtTfidf, Some(xtTfidfSql)))
 }

@@ -37,4 +37,22 @@ class TextAnalysisSpec extends SparkSpec {
     val out = Multimodal.StubCodec.resize(Array[Byte](1, 2, 3, 4, 5, 6, 7), 3)
     assert(out.toSeq == Seq[Byte](1, 4, 7))
   }
+
+  test("redact applies rules in order and globally") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob123@ex-a.io and bob123@ex-a.io, id 42"),
+      (2L, "no pii here")).toDF("id", "t")
+    val out = TextAnalysis.redact(df, "t", Seq(
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+" -> "<EMAIL>",
+        "[0-9]+" -> "<ID>"), "r")
+      .select("id", "r").as[(Long, String)].collect().toMap
+    // email rule must fire before the digit rule eats the local part
+    assert(out(1L) == "mail <EMAIL> and <EMAIL>, id <ID>")
+    assert(out(2L) == "no pii here")
+    // map-only: no Exchange in the plan
+    val plan = TextAnalysis.redact(df, "t", Seq("[0-9]+" -> "#"), "r")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
