@@ -258,6 +258,42 @@ object TextAnalysis {
       |WHERE rnk <= 5
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // --------------------------------------------------------- chunking
+  /** Overlapping token-window chunking — the doc → training-sequence /
+    * RAG-passage splitter: windows of `window` tokens every `stride`
+    * tokens (the final partial window is kept). One generator per doc
+    * (`posexplode` over a `sequence` of window starts), so the pass is
+    * map-only and explodes to ~n/stride rows per doc — no shuffle, no
+    * per-token work outside the slice/concat of each emitted chunk. */
+  def chunk(docs: DataFrame, window: Int = 32, stride: Int = 16): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).as("n"),
+        posexplode(expr(
+          s"transform(sequence(0, size(w) - 1, $stride), i -> concat_ws(' ', slice(w, i + 1, $window)))"))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("off_tokens"),
+        least(lit(window), col("n") - col("chunk_id") * stride).as("n_tokens"),
+        col("chunk_text"))
+
+  private def xtChunk(spark: SparkSession, dir: String): DataFrame =
+    chunk(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val xtChunkSql =
+    """SELECT doc_id,
+      |  CAST(off // 16 AS INTEGER) AS chunk_id,
+      |  CAST(off AS INTEGER) AS off_tokens,
+      |  CAST(LEAST(32, n - off) AS INTEGER) AS n_tokens,
+      |  array_to_string(w[off + 1 : off + 32], ' ') AS chunk_text
+      |FROM (
+      |  SELECT doc_id, w, len(w) AS n, unnest(range(0, len(w), 16)) AS off
+      |  FROM (SELECT doc_id,
+      |          string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |        FROM documents))
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   // -------------------------------------------------------- redaction
   /** Ordered regex scrub rules applied to one column — the PII-redaction
     * pass a training corpus runs before release (emails, ids, phone
@@ -319,5 +355,6 @@ object TextAnalysis {
     Declared("xt_langid", xtLangid, Some(xtLangidSql)),
     Declared("xt_fingerprint", xtFingerprint, Some(xtFingerprintSql)),
     Declared("xt_redact", xtRedact, Some(xtRedactSql)),
+    Declared("xt_chunk", xtChunk, Some(xtChunkSql)),
     Declared("xt_tfidf", xtTfidf, Some(xtTfidfSql)))
 }
