@@ -24,4 +24,33 @@ class SkewSpec extends SparkSpec {
       .select(countDistinct($"s")).as[Long].head()
     assert(spread >= 6, s"only $spread salt buckets used")
   }
+
+  test("AQE skew-join split fires at runtime (GraftSession posture, not just config)") {
+    import spark.implicits._
+    // GraftSession enables adaptive.skewJoin; prove the optimization
+    // actually rewrites a skewed sort-merge join, with the thresholds
+    // scaled down to fixture size (they are runtime-tunable per session)
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val pad = "x" * 64
+      val left = spark.range(60000)
+        .select(when($"id" % 10 =!= 0, 7L).otherwise($"id").as("k"), // 90 % on one key
+          concat(lit(pad), $"id").as("payload"))
+      val right = spark.range(200).select($"id".as("rk"), concat(lit("d"), $"id").as("attr"))
+      val joined = left.join(right, $"k" === $"rk")
+      joined.collect() // finalize the adaptive plan on THIS QueryExecution
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
