@@ -84,9 +84,14 @@ object Ingest {
       |WHERE octet_length(encode(text)) > 0
       |ORDER BY doc_id""".stripMargin
 
-  /** Full LogEntry JSON round-trip (rows-only check + golden unit tests;
-    * Go-%q is not SQL-expressible). Timestamps are derived from doc_id so
-    * the output is deterministic. */
+  /** Full LogEntry JSON round-trip, oracle-checked: over printable
+    * ASCII, Go-%q is quote-wrapping plus escaping of `"` and `\` — both
+    * expressible as SQL `replace` chains, as is the JSON re-escaping
+    * to_json applies on top — so DuckDB rebuilds the ENTIRE serialized
+    * line byte-for-byte (the fixture is verified `[a-z0-9 ]`-only at
+    * every SF; control-char and non-ASCII %q escapes remain covered by
+    * the `GoQuoteSpec` goldens/properties, not the oracle). Timestamps
+    * derive from doc_id so the output is deterministic. */
   private def q12Json(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
@@ -166,9 +171,27 @@ object Ingest {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  private val q12JsonSql =
+    """SELECT doc_id,
+      |  '{"timestamp":"' || strftime(make_timestamp(doc_id * 60 * 1000000), '%Y-%m-%dT%H:%M:%SZ') ||
+      |  '","level":"' || CASE WHEN octet_length(encode(text)) = 0 THEN 'WARN' ELSE 'INFO' END ||
+      |  '","message":"received ' || CAST(octet_length(encode(text)) AS VARCHAR) ||
+      |  ' bytes","client_ip":"10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      |  CAST(doc_id % 100 AS VARCHAR) || '"' ||
+      |  CASE WHEN octet_length(encode(text)) > 0
+      |       THEN ',"byte_count":' || CAST(octet_length(encode(text)) AS VARCHAR) ||
+      |            ',"binary_data_hex":"' || lower(hex(encode(text))) ||
+      |            '","binary_data_string":"' ||
+      |            replace(replace(
+      |              '"' || replace(replace(text, '\', '\\'), '"', '\"') || '"',
+      |              '\', '\\'), '"', '\"') || '"'
+      |       ELSE '' END || '}' AS log_json
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("q12_ingest_hex", q12Hex, Some(q12HexSql)),
-    Declared("q12_ingest_logentry", q12Json, None),
+    Declared("q12_ingest_logentry", q12Json, Some(q12JsonSql)),
     Declared("q12_ingest_envelope", q12Envelope, Some(q12EnvelopeSql)),
     Declared("q12_ingest_fields", q12Fields, Some(q12FieldsSql)))
 }
