@@ -476,6 +476,22 @@ object Curation {
     clean.join(broadcast(weights), Seq("lang", "source"))
   }
 
+  /** Write a curated corpus in the training-ready layout: parquet
+    * partitioned by (lang, split) so a loader reads exactly the split it
+    * trains on (partition pruning, no file listing of the rest), with
+    * `maxRecordsPerFile` bounding file size so a 100 TB output lands as
+    * uniformly-sized files instead of one giant file per final task.
+    * The pre-write `repartition(lang, split)` clusters each output
+    * partition's rows into the same tasks — without it every task writes
+    * a sliver of every (lang, split) directory and the output is
+    * tasks × partitions tiny files. */
+  def writeCurated(df: DataFrame, dir: String, maxRecordsPerFile: Int = 500000): Unit =
+    df.repartition(col("lang"), col("split"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .partitionBy("lang", "split")
+      .parquet(dir)
+
   /** Declared pipeline output: per-(lang, split) doc and token counts of
     * the curated corpus — the numbers a training run budgets against. */
   private def xcPipeline(spark: SparkSession, dir: String): DataFrame =

@@ -143,6 +143,36 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("writeCurated lands the (lang, split)-partitioned training layout") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i =>
+      (i, s"doc $i " + Seq.tabulate(35)(j => s"w${i % 7}_$j").mkString(" "),
+        if (i % 2 == 0) "en" else "fr", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("curated").toString
+    try {
+      Curation.writeCurated(Curation.curate(docs), dir, maxRecordsPerFile = 50)
+      val root = new java.io.File(dir)
+      val parts = root.listFiles().filter(_.isDirectory).map(_.getName).toSet
+      assert(parts.contains("lang=en") && parts.contains("lang=fr"), parts)
+      val splits = new java.io.File(s"$dir/lang=en").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(splits.subsetOf(Set("split=train", "split=val", "split=test")) &&
+        splits.contains("split=train"), splits)
+      // maxRecordsPerFile honored: >100 train/en rows at 50/file → ≥2 files
+      val enTrain = new java.io.File(s"$dir/lang=en/split=train")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      // read-back round-trips and partition columns survive
+      val back = spark.read.parquet(dir)
+      assert(back.count() == Curation.curate(docs).count())
+      assert(back.filter($"lang" === "en" && $"split" === "train").count() > 0)
+      val rows = back.filter($"lang" === "en" && $"split" === "train").count()
+      if (rows > 50) assert(enTrain >= 2, s"$rows rows in $enTrain files")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("pack: bucketed two-phase prefix sum equals the sequential scan") {
     import spark.implicits._
     // sparse, unordered-by-insert ids across several buckets; lengths 1-13
