@@ -315,38 +315,45 @@ object Dedup {
     // DuckDB's md5(), so the fingerprint is bit-identical to the oracle.
     docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = "0123456789abcdef".toCharArray
-      it.map { case (id, text) =>
-        // same tokens as tokens(): collapse-\s+ then split ≡ split on \s+
-        val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-        val votes = new Array[Int](64)
-        var ti = 0
-        while (ti < toks.length) {
-          md.reset()
-          val d = md.digest(toks(ti).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          var j = 0
-          while (j < 64) {
-            // hex nibble j/4 of the digest: even index = high nibble
-            val ni = j / 4
-            val b = d(ni / 2)
-            val nib = if (ni % 2 == 0) (b >> 4) & 0xf else b & 0xf
-            votes(j) += (if (((nib >> (j % 4)) & 1) == 1) 1 else -1)
-            j += 1
-          }
-          ti += 1
-        }
-        val out = new Array[Char](16)
-        var i = 0
-        while (i < 16) {
-          var nib = 0
-          var b = 0
-          while (b < 4) { if (votes(i * 4 + b) > 0) nib |= (1 << b); b += 1 }
-          out(i) = hex(nib)
-          i += 1
-        }
-        (id, new String(out))
-      }
+      it.map { case (id, text) => (id, simhashPortableOne(md, text)) }
     }.toDF("doc_id", "simhash")
+  }
+
+  /** The per-doc kernel of [[simhashPortable]] — one JIT'd pass:
+    * tokenize, MD5 per token, 64 vote counters, nibble assembly. The
+    * caller owns the (reusable, non-serializable) digest so partition
+    * iterators amortize it. */
+  private[graft] def simhashPortableOne(
+      md: java.security.MessageDigest, text: String): String = {
+    val hex = "0123456789abcdef"
+    // same tokens as tokens(): collapse-\s+ then split ≡ split on \s+
+    val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val votes = new Array[Int](64)
+    var ti = 0
+    while (ti < toks.length) {
+      md.reset()
+      val d = md.digest(toks(ti).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 64) {
+        // hex nibble j/4 of the digest: even index = high nibble
+        val ni = j / 4
+        val b = d(ni / 2)
+        val nib = if (ni % 2 == 0) (b >> 4) & 0xf else b & 0xf
+        votes(j) += (if (((nib >> (j % 4)) & 1) == 1) 1 else -1)
+        j += 1
+      }
+      ti += 1
+    }
+    val out = new Array[Char](16)
+    var i = 0
+    while (i < 16) {
+      var nib = 0
+      var b = 0
+      while (b < 4) { if (votes(i * 4 + b) > 0) nib |= (1 << b); b += 1 }
+      out(i) = hex.charAt(nib)
+      i += 1
+    }
+    new String(out)
   }
 
   /** All pairs within Hamming ≤ 3 over the portable fingerprint, via the

@@ -68,6 +68,31 @@ object EventStreams {
   def dedupBatch(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
 
+  /** S3b — streaming CONTENT dedup: a document stream is fingerprinted
+    * with the same md5-bit SimHash as the batch dedup family
+    * ([[graft.operators.Dedup.simhashPortable]]) and deduped on the
+    * fingerprint within the watermark, so re-crawled/re-posted documents
+    * whose token multiset is unchanged (whitespace/case/order edits
+    * included) collapse to their first arrival. The fingerprint pass is
+    * a narrow mapPartitions (one digest per partition); state is one
+    * 16-char key per distinct doc inside the watermark horizon —
+    * bounded, like every stateful op here. Batch path: keep-first per
+    * fingerprint (the x1_simhash oracle family covers the fingerprint
+    * itself). */
+  def contentDedupStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text, ts) =>
+          (id, graft.operators.Dedup.simhashPortableOne(md, text), ts)
+        }
+      }.toDF("doc_id", "simhash", "ts")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("simhash")
+  }
+
   /** Stream-stream join: each click joined to same-user views from the
     * preceding 10 minutes. Watermarks on both sides + the time-bound
     * condition let the join state expire (without them a stream-stream

@@ -77,6 +77,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(ids.toSeq == Seq(10L, 11L))
   }
 
+  test("S3b streaming content dedup collapses token-multiset duplicates") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = EventStreams.contentDedupStream(
+        mem.toDF().toDF("doc_id", "text", "ts"))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("s3content").outputMode("append").start()
+    try {
+      mem.addData((1L, "Alpha beta gamma", t(0)), (2L, "wholly different words", t(0, 30)))
+      q.processAllAvailable()
+      // same token multiset as doc 1 (case + whitespace + order edits) →
+      // identical simhash → dropped; doc 4 is new content → kept
+      mem.addData((3L, "  beta   GAMMA alpha ", t(1)), (4L, "fresh content here", t(1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("s3content").select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 4L))
+  }
+
   test("stream-stream click-view join within the 10-minute bound") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
