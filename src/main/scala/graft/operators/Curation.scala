@@ -228,10 +228,17 @@ object Curation {
     * domain totals (domain-count rows — tiny at any corpus size), then a
     * one-row broadcast scalar attach for the global budget.
     */
-  def domainMix(docs: DataFrame, budgetDen: Int = 2): DataFrame = {
-    val g = docs
-      .groupBy(col("lang"), col("source"))
-      .agg(sum(size(tokens(col("text")))).as("group_tokens"))
+  def domainMix(docs: DataFrame, budgetDen: Int = 2): DataFrame =
+    domainMixFromCounts(
+      docs.groupBy(col("lang"), col("source"))
+        .agg(sum(size(tokens(col("text")))).as("group_tokens")),
+      budgetDen)
+
+  /** The budgeting arithmetic over already-aggregated (lang, source,
+    * group_tokens) rows — lets callers that have a token count per doc
+    * (e.g. [[curateFull]]'s repetition metrics) skip re-tokenizing the
+    * corpus. */
+  private def domainMixFromCounts(g: DataFrame, budgetDen: Int): DataFrame = {
     val t = g.agg(sum(col("group_tokens")).as("total_tokens"),
       count(lit(1)).as("n_groups"))
     g.crossJoin(broadcast(t))
@@ -464,7 +471,12 @@ object Curation {
     * contamination pass (eval dictionary broadcast, corpus map-side), a
     * doc_id anti-join against the (small) contaminated-id set, and a
     * domain-count-sized broadcast for the weights — no new corpus-sized
-    * shuffle beyond curate's own. */
+    * shuffle beyond curate's own. The weights reuse the `n_words` the
+    * repetition stage already computed (no re-tokenize). Lazily composed,
+    * the curate subtree is re-evaluated once per consumer (shuffles are
+    * AQE-reused but post-exchange map work is not); a production run
+    * persists/materializes `curated` between stages — operators here
+    * stay side-effect-free so the driver can run them as one query. */
   def curateFull(docs: DataFrame, evalDocs: DataFrame, minWords: Int = 30,
       maxDupWordFrac: Double = 0.5, maxEvalHits: Long = 0): DataFrame = {
     val curated = curate(docs, minWords, maxDupWordFrac)
@@ -472,7 +484,11 @@ object Curation {
       .filter(col("n_hits") > maxEvalHits)
       .select(col("doc_id"))
     val clean = curated.join(contaminated, Seq("doc_id"), "left_anti")
-    val weights = domainMix(clean).select(col("lang"), col("source"), col("weight_ppm"))
+    val weights = domainMixFromCounts(
+        clean.groupBy(col("lang"), col("source"))
+          .agg(sum(col("n_words")).as("group_tokens")),
+        budgetDen = 2)
+      .select(col("lang"), col("source"), col("weight_ppm"))
     clean.join(broadcast(weights), Seq("lang", "source"))
   }
 
@@ -486,7 +502,13 @@ object Curation {
     * a sliver of every (lang, split) directory and the output is
     * tasks × partitions tiny files. */
   def writeCurated(df: DataFrame, dir: String, maxRecordsPerFile: Int = 500000): Unit =
-    df.repartition(col("lang"), col("split"))
+    // repartitionByRange (not hash-repartition!) on (lang, split, doc_id):
+    // a plain repartition(lang, split) funnels ALL rows of a (lang, split)
+    // pair through ONE task — the same hot-key straggler this module's
+    // dedup avoids — while range partitioning spreads each directory
+    // across many contiguous tasks, each still writing only 1-2
+    // directories' worth of files
+    df.repartitionByRange(col("lang"), col("split"), col("doc_id"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .partitionBy("lang", "split")

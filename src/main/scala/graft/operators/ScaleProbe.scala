@@ -73,7 +73,10 @@ object ScaleProbe {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))) return
+    // resume only when BOTH outputs exist — a run killed between the two
+    // writes must not leave a half-built dir that is then skipped forever
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$out/embeddings.parquet"))) return
 
     val docs0 = Tables.load(spark, base, "documents")
     val emb0 = Tables.load(spark, base, "embeddings")
@@ -142,9 +145,10 @@ object ScaleProbe {
       val (lshCand, lshSec) = timed(
         Similarity.annCandidates(Similarity.signatures(emb, 64), Similarity.signatures(probes, 64))
           .count())
-      val cents = Similarity.centroids(emb, 16)
+      // same config as the declared x2_ann_ivf: 1 Lloyd round, nprobe 5
+      val cents = Similarity.kmeansCentroids(emb, 16, iters = 1)
       val (ivfCand, ivfSec) = timed(
-        Similarity.ivfProbeClusters(probes, cents, 4)
+        Similarity.ivfProbeClusters(probes, cents, 5)
           .join(Similarity.ivfAssignWith(emb, cents)
             .select(col("vec_id").as("neighbor_id"), col("cluster")), Seq("cluster"))
           .filter(col("probe_id") =!= col("neighbor_id"))

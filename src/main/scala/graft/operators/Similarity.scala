@@ -143,6 +143,7 @@ object Similarity {
   private[operators] def kmeansCentroids(emb: DataFrame, nlist: Int,
       iters: Int): Array[(Long, Array[Double], Double)] = {
     var cents = centroids(emb, nlist)
+    if (cents.isEmpty) return cents // empty corpus: degrade like iters=0
     val dim = cents.head._2.length
     for (_ <- 0 until iters) {
       val rows = ivfAssignWith(emb, cents)

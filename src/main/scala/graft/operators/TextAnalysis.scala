@@ -300,33 +300,41 @@ object TextAnalysis {
     * numbers → placeholder tokens). Each rule is a codegen'd global
     * `regexp_replace`, composed in order; the whole pass is map-only and
     * fuses into whatever scan precedes it, so at 100 TB it costs one
-    * read. */
+    * read. Patterns use Java regex syntax (keep to the RE2-compatible
+    * subset if oracle parity with DuckDB matters); replacements are
+    * taken LITERALLY — `Matcher.quoteReplacement` guards the `$`/`\`
+    * group-reference metacharacters Java would otherwise interpret. */
   def redact(df: DataFrame, column: String,
       rules: Seq[(String, String)], as: String): DataFrame =
     df.withColumn(as, rules.foldLeft(col(column)) {
-      case (c, (pat, rep)) => regexp_replace(c, pat, rep)
+      case (c, (pat, rep)) =>
+        regexp_replace(c, pat, java.util.regex.Matcher.quoteReplacement(rep))
     })
 
   /** Declared redaction demo over `customer`: emails (none in the
-    * fixture — the rule still composes) then digit runs → placeholders,
-    * with the per-row mask count. */
+    * fixture — the rule still composes) then digit runs → placeholders.
+    * `n_masked` counts digit runs the <ID> rule ACTUALLY replaced, i.e.
+    * runs surviving the email pass — counting the raw column would
+    * misreport whenever an earlier rule consumes digits. */
   private def xtRedact(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
-    redact(cust, "c_name", Seq(
-        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+" -> "<EMAIL>",
-        "[0-9]+" -> "<ID>"), "redacted")
+    val emailRule = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+" -> "<EMAIL>"
+    redact(cust, "c_name", Seq(emailRule), "_deemailed")
+      .withColumn("redacted", regexp_replace(col("_deemailed"), "[0-9]+", "<ID>"))
       .select(col("c_custkey"), col("c_name"), col("redacted"),
-        size(expr("regexp_extract_all(c_name, '[0-9]+', 0)")).as("n_masked"))
+        size(expr("regexp_extract_all(_deemailed, '[0-9]+', 0)")).as("n_masked"))
       .orderBy(col("c_custkey"))
   }
 
   private val xtRedactSql =
-    """SELECT c_custkey, c_name,
-      |  regexp_replace(
-      |    regexp_replace(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
-      |    '[0-9]+', '<ID>', 'g') AS redacted,
-      |  CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INTEGER) AS n_masked
-      |FROM customer
+    """WITH d AS (
+      |  SELECT c_custkey, c_name,
+      |    regexp_replace(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS de
+      |  FROM customer)
+      |SELECT c_custkey, c_name,
+      |  regexp_replace(de, '[0-9]+', '<ID>', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(de, '[0-9]+')) AS INTEGER) AS n_masked
+      |FROM d
       |ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------- approx distinct

@@ -50,6 +50,10 @@ class TextAnalysisSpec extends SparkSpec {
     // email rule must fire before the digit rule eats the local part
     assert(out(1L) == "mail <EMAIL> and <EMAIL>, id <ID>")
     assert(out(2L) == "no pii here")
+    // replacements are literal: $ and \ must not be group references
+    val meta = TextAnalysis.redact(df, "t", Seq("[0-9]+" -> "<US$0\\>"), "r")
+      .select("id", "r").as[(Long, String)].collect().toMap
+    assert(meta(1L) == "mail bob<US$0\\>@ex-a.io and bob<US$0\\>@ex-a.io, id <US$0\\>")
     // map-only: no Exchange in the plan
     val plan = TextAnalysis.redact(df, "t", Seq("[0-9]+" -> "#"), "r")
       .queryExecution.executedPlan.toString
