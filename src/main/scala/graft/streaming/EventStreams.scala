@@ -179,9 +179,29 @@ object EventStreams {
       |  SELECT event_id FROM events UNION ALL SELECT event_id FROM events)
       |ORDER BY event_id""".stripMargin
 
+  /** Batch parity of the stream-stream [[clickViewJoin]] — the same
+    * transform the stream runs, oracled: clicks joined to same-user
+    * views from the preceding 10 minutes. */
+  private def s3Join(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    clickViewJoin(e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "view"))
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
+  private val s3JoinSql =
+    """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+      |       v.event_id AS view_id, v.ts AS view_ts
+      |FROM events c JOIN events v
+      |  ON c.event_type = 'click' AND v.event_type = 'view'
+      | AND c.user_id = v.user_id
+      | AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts <= c.ts
+      |ORDER BY click_id, view_id""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("s1_tumbling_window", s1, Some(s1Sql)),
     Declared("s2_sliding_window", s2, Some(s2Sql)),
     Declared("s2_session_window", s2b, Some(s2bSql)),
-    Declared("s3_dedup", s3, Some(s3Sql)))
+    Declared("s3_dedup", s3, Some(s3Sql)),
+    Declared("s3_click_view_join", s3Join, Some(s3JoinSql)))
 }
