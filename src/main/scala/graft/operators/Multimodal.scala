@@ -144,7 +144,46 @@ object Multimodal {
       |  CAST(1 + n % 4 AS INTEGER) AS n_frames
       |FROM d ORDER BY media_id""".stripMargin
 
+  /** The resize verb through the same mapPartitions batch path: the
+    * stub keeps every 4th byte, so DuckDB reproduces the resized
+    * payload's length and byte-mean from the original's hex (byte i of
+    * the output is input byte 4i — hex chars 8i+1, 8i+2). Like
+    * [[xmFeatures]], mean stays the raw IEEE division of identical
+    * integers on both sides. */
+  private def xmResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { it =>
+      // per-partition codec init would go here, as in extractFeatures
+      it.map { r =>
+        val rs = StubCodec.resize(r.content, 4)
+        var s = 0L; var i = 0
+        while (i < rs.length) { s += rs(i) & 0xff; i += 1 }
+        (r.media_id, rs.length,
+          if (rs.isEmpty) 0.0 else s.toDouble / rs.length)
+      }
+    }.toDF("media_id", "n_bytes", "mean_byte")
+      .orderBy($"media_id")
+  }
+
+  private val xmResizeSql =
+    """WITH b AS (
+      |  SELECT doc_id, lower(hex(encode(text))) AS h,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, (n + 3) // 4 AS m,
+      |    CASE WHEN n = 0 THEN 0
+      |         ELSE list_sum([(strpos('0123456789abcdef', substr(h, 8*i + 1, 1))-1)*16
+      |                      + (strpos('0123456789abcdef', substr(h, 8*i + 2, 1))-1)
+      |                        for i in range(0, (n + 3) // 4)]) END AS s
+      |  FROM b
+      |)
+      |SELECT doc_id AS media_id, CAST(m AS INTEGER) AS n_bytes,
+      |  CASE WHEN m = 0 THEN 0.0 ELSE CAST(s AS DOUBLE) / m END AS mean_byte
+      |FROM d ORDER BY media_id""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("xm_media_meta", xmMeta, Some(xmMetaSql)),
-    Declared("xm_media_features", xmFeatures, Some(xmFeaturesSql)))
+    Declared("xm_media_features", xmFeatures, Some(xmFeaturesSql)),
+    Declared("xm_media_resize", xmResize, Some(xmResizeSql)))
 }
