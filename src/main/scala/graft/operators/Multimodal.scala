@@ -59,6 +59,21 @@ object Multimodal {
       while (i < out.length) { out(i) = content(i * k); i += 1 }
       out
     }
+
+    /** ??? real implementation: decode container, sample video frames.
+      * Stub: split the payload into `decode(r).n_frames` contiguous
+      * slices — the last frame absorbs the remainder — so frame shape
+      * and count are deterministic functions of the bytes. */
+    def frameSample(r: MediaRecord): Seq[Array[Byte]] = {
+      val n = r.content.length
+      val frames = 1 + n % 4
+      val base = n / frames
+      (0 until frames).map { f =>
+        val start = f * base
+        val end = if (f == frames - 1) n else start + base
+        java.util.Arrays.copyOfRange(r.content, start, end)
+      }
+    }
   }
 
   /** The fixture's media table: documents' bytes as opaque payloads with
@@ -182,8 +197,53 @@ object Multimodal {
       |  CASE WHEN m = 0 THEN 0.0 ELSE CAST(s AS DOUBLE) / m END AS mean_byte
       |FROM d ORDER BY media_id""".stripMargin
 
+  /** The frame-sample verb: one row per stub frame with its length and
+    * byte-mean. DuckDB reproduces the contiguous-slice frames from the
+    * hex (frame f of `frames = 1 + n % 4` covers bytes [f·⌊n/frames⌋,
+    * next start), last frame takes the remainder). */
+  private def xmFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).flatMap { r =>
+      StubCodec.frameSample(r).zipWithIndex.map { case (fb, idx) =>
+        var s = 0L; var i = 0
+        while (i < fb.length) { s += fb(i) & 0xff; i += 1 }
+        (r.media_id, idx, fb.length,
+          if (fb.isEmpty) 0.0 else s.toDouble / fb.length)
+      }
+    }.toDF("media_id", "frame_idx", "n_bytes", "mean_byte")
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  private val xmFramesSql =
+    """WITH b AS (
+      |  SELECT doc_id, lower(hex(encode(text))) AS h,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, h, n, 1 + n % 4 AS frames, n // (1 + n % 4) AS base,
+      |    unnest(range(0, 1 + n % 4)) AS fi
+      |  FROM b
+      |), d AS (
+      |  SELECT doc_id, fi, base, frames,
+      |    fi * base AS s0,
+      |    CASE WHEN fi = frames - 1 THEN n ELSE (fi + 1) * base END AS s1
+      |  FROM f
+      |), m AS (
+      |  SELECT doc_id, fi, s1 - s0 AS len,
+      |    CASE WHEN s1 = s0 THEN 0
+      |         ELSE list_sum([(strpos('0123456789abcdef', substr(b.h, 2*i + 1, 1))-1)*16
+      |                      + (strpos('0123456789abcdef', substr(b.h, 2*i + 2, 1))-1)
+      |                        for i in range(s0, s1)]) END AS s
+      |  FROM d JOIN b USING (doc_id)
+      |)
+      |SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_idx,
+      |  CAST(len AS INTEGER) AS n_bytes,
+      |  CASE WHEN len = 0 THEN 0.0 ELSE CAST(s AS DOUBLE) / len END AS mean_byte
+      |FROM m ORDER BY media_id, frame_idx""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("xm_media_meta", xmMeta, Some(xmMetaSql)),
     Declared("xm_media_features", xmFeatures, Some(xmFeaturesSql)),
-    Declared("xm_media_resize", xmResize, Some(xmResizeSql)))
+    Declared("xm_media_resize", xmResize, Some(xmResizeSql)),
+    Declared("xm_media_frames", xmFrames, Some(xmFramesSql)))
 }

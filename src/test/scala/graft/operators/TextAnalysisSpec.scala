@@ -38,6 +38,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq[Byte](1, 4, 7))
   }
 
+  test("stub frame-sample slices contiguously, last frame takes the remainder") {
+    val r = Multimodal.MediaRecord(1L, "fake/x", Array[Byte](1, 2, 3, 4, 5, 6, 7))
+    // n=7 → frames = 1 + 7%4 = 4, base = 1 → [1],[2],[3],[4,5,6,7]
+    val fs = Multimodal.StubCodec.frameSample(r).map(_.toSeq)
+    assert(fs == Seq(Seq[Byte](1), Seq[Byte](2), Seq[Byte](3), Seq[Byte](4, 5, 6, 7)))
+    val empty = Multimodal.StubCodec.frameSample(Multimodal.MediaRecord(2L, "fake/x", Array.empty))
+    assert(empty.map(_.length) == Seq(0)) // n=0 → 1 empty frame
+  }
+
   test("redact applies rules in order and globally") {
     import spark.implicits._
     val df = Seq(
