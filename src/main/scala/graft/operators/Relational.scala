@@ -847,6 +847,38 @@ object Relational {
       |  WHERE l2.l_partkey = l1.l_partkey)
       |ORDER BY l_orderkey, l_partkey, l_quantity""".stripMargin
 
+  // --------------------------------------------------------------- Q15
+  /** Top supplier by quarterly revenue (TPC-H Q15 shape): an aggregated
+    * revenue "view" compared against its own max — the classic
+    * CTE-plus-scalar-aggregate pattern. The 1-row max rides a broadcast
+    * equality join (no re-aggregation, no window over the whole view);
+    * revenue goes through the decimal-routed sum so the equality join
+    * picks identical winners in both engines. */
+  private def q15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = t(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-04-01")
+      .groupBy($"l_suppkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
+    val mx = rev.agg(max($"total_revenue").as("mx"))
+    rev.join(broadcast(mx), $"total_revenue" === $"mx")
+      .join(t(spark, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy($"s_suppkey")
+  }
+
+  private val q15Sql =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
   // ---------------------------------------------------------------- all
   val all: Seq[Declared] = Seq(
     Declared("q1_pricing_summary", q1, Some(q1Sql)),
@@ -880,5 +912,6 @@ object Relational {
     Declared("q10_array_fns", q10Array, Some(q10ArraySql)),
     Declared("q10_map_fns", q10Map, Some(q10MapSql)),
     Declared("q11_event_buckets", q11, Some(q11Sql)),
-    Declared("q14_correlated_subquery", q14, Some(q14Sql)))
+    Declared("q14_correlated_subquery", q14, Some(q14Sql)),
+    Declared("q15_top_supplier", q15, Some(q15Sql)))
 }
