@@ -377,28 +377,38 @@ object Curation {
     * the scale-correct substitute for `SUM() OVER (ORDER BY doc_id)`,
     * which Spark plans as a SINGLE-partition window (the whole corpus
     * through one task):
-    *   1. docs map to `buckets` contiguous doc_id ranges (explicit
-    *      arithmetic on collected min/max — deterministic, no sampled
+    *   1. docs map to `buckets` contiguous doc_id ranges cut at the
+    *      doc_id quantiles (Greenwald-Khanna sketch via
+    *      `stat.approxQuantile` — one extra corpus pass, collected and
+    *      broadcast as an explicit boundary list; no sampled
     *      RangePartitioner boundaries, which differ between jobs and
-    *      would silently corrupt the offsets);
+    *      would silently corrupt the offsets). Quantile cuts keep
+    *      buckets balanced for ANY id distribution — clustered epochs,
+    *      snowflake-style sparse ids — where fixed (max−min)/buckets
+    *      widths would collapse most rows into a few buckets, and the
+    *      (id−min)×buckets arithmetic would overflow Long on wide id
+    *      ranges;
     *   2. per-bucket token totals (one tiny partially-aggregated
     *      groupBy) are exclusive-scanned on the driver — `buckets`
     *      longs — and broadcast-joined back;
     *   3. within each bucket a parallel window computes the local
     *      prefix; global offset = bucket offset + local prefix.
-    * One corpus shuffle (the per-bucket window sort). Dense doc_ids
-    * give balanced buckets; a production variant would pick boundaries
-    * by quantile sketch instead of min/max width. */
+    * One corpus shuffle (the per-bucket window sort). Offsets are
+    * boundary-independent — any consistent bucketing yields the same
+    * prefix sums — so sketch precision only affects balance, never
+    * correctness. */
   def pack(docs: DataFrame, seqLen: Int = 512, buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs.select(col("doc_id"), size(tokens(col("text"))).as("n_words"))
-    val bounds = d.agg(min(col("doc_id")), max(col("doc_id"))).head()
-    if (bounds.isNullAt(0))
+    val cuts = packCuts(d, buckets)
+    if (cuts.isEmpty)
       return d.limit(0).select(col("doc_id"), col("n_words"),
         lit(0L).as("offset_tokens"), lit(0L).as("seq_id"))
-    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    // bucket id = number of boundary cuts strictly below doc_id: a chain
+    // of `buckets`−1 codegen'd comparisons, no division, no overflow.
     val db = d.withColumn("_b",
-      ((col("doc_id") - mn) * buckets / (mx - mn + 1)).cast(LongType))
+      cuts.map(c => when(col("doc_id") > c, 1L).otherwise(0L))
+        .reduceOption(_ + _).getOrElse(lit(0L)).cast(LongType))
     val spark = docs.sparkSession
     import spark.implicits._
     val totals = db.groupBy(col("_b")).agg(sum(col("n_words")).as("t"))
@@ -414,6 +424,18 @@ object Curation {
         col("_boff") + coalesce(sum(col("n_words")).over(w), lit(0L)))
       .select(col("doc_id"), col("n_words"), col("offset_tokens"),
         expr(s"offset_tokens DIV $seqLen").as("seq_id"))
+  }
+
+  /** Interior bucket boundaries for [[pack]]: the 1/b … (b−1)/b doc_id
+    * quantiles from a deterministic Greenwald-Khanna sketch (relative
+    * error 0.001), deduplicated. Returns an empty array iff the input
+    * has no rows (approxQuantile ignores nothing else here — doc_id is
+    * non-null), so callers can use emptiness as the empty-corpus
+    * signal: all-identical ids still yield one cut. */
+  private[operators] def packCuts(d: DataFrame, buckets: Int): Array[Long] = {
+    val b = math.max(buckets, 2)
+    val probs = (1 until b).map(_.toDouble / b).toArray
+    d.stat.approxQuantile("doc_id", probs, 0.001).map(_.toLong).distinct.sorted
   }
 
   private def xcPack(spark: SparkSession, dir: String): DataFrame =

@@ -141,10 +141,19 @@ object Relational {
       |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Anti-join against a restricted orders slice (one month) so the result
+    * is non-empty: "customers with no order in January 1995". An anti-join
+    * against all orders is vacuously empty on this data — every customer
+    * has at least one order — which would leave the operator verified only
+    * by agreeing on zero rows.
+    */
   private def q4Anti(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cust = t(spark, dir, "customer")
-    val orders = t(spark, dir, "orders").select($"o_custkey")
+    val orders = t(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1995-01-01 00:00:00").cast(TimestampType) &&
+        $"o_orderdate" < lit("1995-02-01 00:00:00").cast(TimestampType))
+      .select($"o_custkey")
     cust.join(orders, $"c_custkey" === $"o_custkey", "left_anti")
       .select($"c_custkey", $"c_name", $"c_acctbal")
       .orderBy($"c_custkey")
@@ -152,7 +161,9 @@ object Relational {
 
   private val q4AntiSql =
     """SELECT c_custkey, c_name, c_acctbal FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1995-02-01 00:00:00')
       |ORDER BY c_custkey""".stripMargin
 
   /** Left outer join + aggregation: every customer, order count and
@@ -579,17 +590,25 @@ object Relational {
       |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
       |ORDER BY c_custkey""".stripMargin
 
+  /** EXCEPT with a non-empty result: early buyers (pre-1996 orders) minus
+    * high-balance customers. "all customers EXCEPT all buyers" is vacuously
+    * empty on this data — both sides had to be restricted so the distinct
+    * anti-set semantics are actually exercised (hundreds of surviving rows).
+    */
   private def q9Except(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val all = t(spark, dir, "customer").select($"c_custkey")
-    val buyers = t(spark, dir, "orders").select($"o_custkey".as("c_custkey"))
-    all.except(buyers).orderBy($"c_custkey")
+    val early = t(spark, dir, "orders")
+      .filter($"o_orderdate" < lit("1996-01-01 00:00:00").cast(TimestampType))
+      .select($"o_custkey".as("c_custkey"))
+    val rich = t(spark, dir, "customer").filter($"c_acctbal" > 3000).select($"c_custkey")
+    early.except(rich).orderBy($"c_custkey")
   }
 
   private val q9ExceptSql =
-    """SELECT c_custkey FROM customer
+    """SELECT o_custkey AS c_custkey FROM orders
+      |WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
       |EXCEPT
-      |SELECT o_custkey AS c_custkey FROM orders
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 3000
       |ORDER BY c_custkey""".stripMargin
 
   private def q9Union(spark: SparkSession, dir: String): DataFrame = {

@@ -26,6 +26,16 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.toSeq == viaDf.toSeq)
   }
 
+  test("anti-join and except declared queries are non-vacuous") {
+    // Regression pin: these two oracles used to hash-match on 0 rows
+    // (every customer has an order), verifying nothing. The restricted
+    // forms must keep returning real rows.
+    val anti = SparkEntry.queries("q4_anti_join")(spark, sf("sf0.001"))
+    assert(anti.count() > 100)
+    val except = SparkEntry.queries("q9_except")(spark, sf("sf0.001"))
+    assert(except.count() > 10)
+  }
+
   test("window + grouping-set SQL works over the views") {
     registerViews()
     val top = spark.sql(

@@ -88,6 +88,36 @@ class EdgeCaseSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(2000))
   }
 
+  test("pack survives clustered + near-Long.MaxValue doc_ids with balanced buckets") {
+    import spark.implicits._
+    // snowflake-style id pathology: two dense epochs 10^9 apart plus a
+    // tail hugging Long.MaxValue. Fixed (max-min)/buckets widths would
+    // collapse both epochs into bucket 0 and the (id-min)*buckets
+    // arithmetic would overflow Long; quantile cuts must keep buckets
+    // balanced and offsets exact.
+    val ids = (0L until 250L) ++
+      (1000000000L until 1000000250L) ++
+      (0L until 50L).map(Long.MaxValue - 50L + _)
+    val docs = new scala.util.Random(7).shuffle(ids)
+      .map(id => (id, Seq.fill(1 + (id % 11).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Curation.pack(docs, seqLen = 64, buckets = 8)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_words", $"offset_tokens")
+      .as[(Long, Int, Long)].collect()
+    assert(got.length == 550)
+    var off = 0L
+    got.foreach { case (id, n, o) =>
+      assert(o == off, s"doc $id offset $o != $off")
+      off += n
+    }
+    // quantile boundaries: no bucket may hold more than 2x the mean
+    val cuts = Curation.packCuts(docs.select($"doc_id"), 8)
+    val counts = ids.groupBy(id => cuts.count(_ < id)).values.map(_.size)
+    val mean = ids.size.toDouble / (cuts.length + 1)
+    assert(counts.max <= 2 * mean, s"skewed buckets: ${counts.toSeq.sorted}")
+  }
+
   test("asof join with no matching earlier rows yields empty (not nulls)") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -47,4 +47,62 @@ class CurateStreamSpec extends SparkSpec {
 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("batch replay after a crash converges: no duplicates, no data loss") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("curatereplay").toString
+    val keysDir = s"$root/out/_keys"; val dataDir = s"$root/out/data"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def ids() = spark.read.parquet(dataDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+    val b0 = Seq(doc(1, longText(1)), doc(2, longText(2)), doc(3, longText(3)))
+      .toDF(cols: _*)
+    CurateStream.processBatch(b0, 0, keysDir, dataDir, 30, 0.5)
+    // batch 1: doc 8 re-posts doc 2's text (cross-batch dup), 7/9 new
+    val b1 = Seq(doc(7, longText(7)), doc(8, longText(2)), doc(9, longText(9)))
+      .toDF(cols: _*)
+    CurateStream.processBatch(b1, 1, keysDir, dataDir, 30, 0.5)
+    val expected = Seq(1L, 2L, 3L, 7L, 9L)
+    assert(ids() == expected)
+
+    // crash case A — between the data and keys writes: batch 1's keys are
+    // lost, its data already on disk. The replay must overwrite, not
+    // append a second copy of docs 7 and 9.
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$keysDir/batch_id=1"))
+    CurateStream.processBatch(b1, 1, keysDir, dataDir, 30, 0.5)
+    assert(ids() == expected, "replay duplicated batch-1 rows")
+    assert(spark.read.parquet(keysDir).count() == 5)
+
+    // crash case B — after the keys write but before the checkpoint
+    // commit: the replay sees its OWN keys in the store. It must exclude
+    // them (batch_id < N) or it would anti-join away every batch-1 doc
+    // and overwrite the batch directory with nothing.
+    CurateStream.processBatch(b1, 1, keysDir, dataDir, 30, 0.5)
+    assert(ids() == expected, "replay self-cancelled batch-1 rows")
+    assert(spark.read.parquet(keysDir).count() == 5)
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("corrupt key store fails the batch instead of silently skipping dedup") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("curatecorrupt").toString
+    val keysDir = s"$root/out/_keys"; val dataDir = s"$root/out/data"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val junk = new java.io.File(s"$keysDir/batch_id=0")
+    junk.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$keysDir/batch_id=0/part-0.parquet"),
+      "this is not parquet".getBytes)
+    val b = Seq(doc(1, longText(1))).toDF(cols: _*)
+    intercept[Exception] {
+      CurateStream.processBatch(b, 1, keysDir, dataDir, 30, 0.5)
+    }
+    // and nothing was admitted on the data side for that failed batch
+    assert(!new java.io.File(s"$dataDir/batch_id=1").exists() ||
+      spark.read.parquet(s"$dataDir/batch_id=1").count() == 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
