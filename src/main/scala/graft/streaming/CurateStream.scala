@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.core.Tables
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Curation, Declared, Dedup}
 
 /** Incremental corpus curation: the batch [[graft.operators.Curation]]
   * stages applied continuously to a GROWING parquet directory — how a
@@ -40,9 +40,23 @@ import graft.operators.{Curation, Dedup}
   * directory existence explicitly and lets every real error (corrupt
   * file, permission) propagate: silently treating a failed read as "no
   * keys yet" would disable cross-batch dedup for the batch and admit
-  * duplicates with no signal. Downstream readers see a `batch_id`
-  * partition column on both outputs; a long-running deployment
-  * periodically compacts old batch directories (see
+  * duplicates with no signal. For the same reason the key-store LAYOUT
+  * is validated before reading: every child of `keysDir` must be a
+  * `batch_id=N` partition directory (hidden `_`/`.` entries excepted —
+  * the parquet reader ignores those). A key file from some older
+  * unpartitioned layout would read as `batch_id = null`, fail the
+  * `batch_id < N` filter, and silently stop deduplicating against those
+  * keys — so a foreign layout fails the batch loudly and the operator
+  * must be pointed at a migrated/rebuilt store instead.
+  *
+  * The exactly-once guarantee is COUPLED TO THE CHECKPOINT: batch ids
+  * come from the streaming checkpoint, so losing/deleting the
+  * checkpoint restarts numbering at 0 and the overwrite-mode sinks
+  * would clobber earlier batches' partitions. Checkpoint and output
+  * directories must be retained (and backed up) together; starting a
+  * fresh checkpoint requires a fresh `outDir`. Downstream readers see a
+  * `batch_id` partition column on both outputs; a long-running
+  * deployment periodically compacts old batch directories (see
   * [[Maintenance.compactJsonPartition]] for the crash-safe pattern).
   */
 object CurateStream {
@@ -72,20 +86,36 @@ object CurateStream {
     val kPath = new Path(keysDir)
     val fs = kPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
     val seen =
-      if (fs.exists(kPath))
+      if (fs.exists(kPath)) {
+        // layout gate: a non-partitioned entry would read as
+        // batch_id = null and be silently dropped by the filter below —
+        // i.e. dedup quietly disabled for those keys. Fail loudly instead.
+        val stray = fs.listStatus(kPath).map(_.getPath.getName)
+          .filterNot(n => n.startsWith("batch_id=") ||
+            n.startsWith("_") || n.startsWith("."))
+        require(stray.isEmpty,
+          s"CurateStream key store $keysDir has non-partitioned entries " +
+            s"${stray.mkString(", ")}; the store layout is batch_id=N " +
+            "directories only — migrate or rebuild the store")
         sp.read.schema(keysSchema).parquet(keysDir)
           .filter(col("batch_id") < batchId).select(col("_key"))
-      else sp.emptyDataFrame.select(lit("").as("_key")).limit(0)
+      } else sp.emptyDataFrame.select(lit("").as("_key")).limit(0)
     val fresh = firsts.join(seen, Seq("_key"), "left_anti")
     // 3. the map-only curation stages
     val curated = Curation.hashSplit(Curation.repetition(fresh)
       .filter(col("n_words") >= minWords && col("dup_word_frac") <= maxDupWordFrac))
     // 4. per-batch overwrite directories: replays converge instead of
-    // duplicating (data) or self-cancelling (keys)
-    curated.drop("_key").write.mode("overwrite")
-      .parquet(s"$dataDir/batch_id=$batchId")
-    curated.select(col("_key")).write.mode("overwrite")
-      .parquet(s"$keysDir/batch_id=$batchId")
+    // duplicating (data) or self-cancelling (keys). The lineage above
+    // (scan → keep-first agg → anti-join against the whole key store) is
+    // the expensive part; persist so the two writes run it once, not
+    // twice.
+    curated.persist()
+    try {
+      curated.drop("_key").write.mode("overwrite")
+        .parquet(s"$dataDir/batch_id=$batchId")
+      curated.select(col("_key")).write.mode("overwrite")
+        .parquet(s"$keysDir/batch_id=$batchId")
+    } finally curated.unpersist()
   }
 
   def start(spark: SparkSession, inDir: String, outDir: String,
@@ -111,4 +141,59 @@ object CurateStream {
     val q = start(spark, inDir, outDir, checkpoint)
     q.awaitTermination()
   }
+
+  // ----------------------------------------------------------- declared
+  /** Stream-vs-batch parity, driver-oracled: the fixture lands as three
+    * doc_id-ordered drops, one AvailableNow pass each (one shared
+    * checkpoint and key store — three real micro-batches through the
+    * incremental path), and the accumulated curated output is returned
+    * per-doc. Because the drops are doc_id-ordered, the stream's
+    * keep-first (min doc_id within a batch, earliest batch across
+    * batches) coincides with batch [[Curation.curate]]'s global
+    * min-doc_id keep-first, so DuckDB's batch curation SQL is an exact
+    * oracle for the incremental pipeline. The min/max collect is one
+    * row (drop-boundary arithmetic); parity holds for ANY ordered
+    * cut, so boundary choice affects batch sizes, never the result. */
+  private def xsCurateStream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("xs-curate-stream").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * ((hi - lo) / 3)
+    val drops = Seq(
+      col("doc_id") <= cut1,
+      col("doc_id") > cut1 && col("doc_id") <= cut2,
+      col("doc_id") > cut2)
+    drops.zipWithIndex.foreach { case (cond, i) =>
+      docs.filter(cond).coalesce(2).write.parquet(s"$inDir/drop$i.parquet")
+      runOnce(spark, s"$inDir/*", outDir, s"$root/ck")
+    }
+    spark.read.parquet(s"$outDir/data")
+      .select(col("doc_id"), col("lang"), col("n_words"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Batch curation per-doc (the [[Curation.curate]] semantics in SQL):
+    * keep-first exact dedup → repetition/length filter → md5 split. */
+  private val xsCurateStreamSql =
+    """WITH keep AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents
+      |  GROUP BY trim(lower(regexp_replace(text, '\s+', ' ', 'g')))),
+      |rep AS (
+      |  SELECT doc_id, lang, len(w) AS n_words,
+      |    (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE) AS dwf
+      |  FROM (SELECT doc_id, lang,
+      |          string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') w
+      |        FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)))
+      |SELECT doc_id, lang, CAST(n_words AS INTEGER) AS n_words,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM rep WHERE n_words >= 30 AND dwf <= 0.5
+      |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Declared] = Seq(
+    Declared("xs_curate_stream", xsCurateStream, Some(xsCurateStreamSql)))
 }

@@ -86,6 +86,26 @@ class CurateStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("non-partitioned key-store layout fails the batch instead of silently skipping dedup") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("curatelayout").toString
+    val keysDir = s"$root/out/_keys"; val dataDir = s"$root/out/data"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    // a stray key file at the store root (e.g. from an old append-mode
+    // layout) would read as batch_id = null and be dropped by the
+    // batch_id < N filter — dedup silently disabled. Must fail loudly.
+    val b0 = Seq(doc(1, longText(1))).toDF(cols: _*)
+    CurateStream.processBatch(b0, 0, keysDir, dataDir, 30, 0.5)
+    val strayDir = s"$keysDir/legacy-keys.parquet"
+    b0.select(md5($"text".cast("binary")).as("_key")).write.parquet(strayDir)
+    val b1 = Seq(doc(2, longText(2))).toDF(cols: _*)
+    val e = intercept[IllegalArgumentException] {
+      CurateStream.processBatch(b1, 1, keysDir, dataDir, 30, 0.5)
+    }
+    assert(e.getMessage.contains("legacy-keys.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("corrupt key store fails the batch instead of silently skipping dedup") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("curatecorrupt").toString
