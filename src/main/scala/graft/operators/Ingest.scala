@@ -85,19 +85,29 @@ object Ingest {
       |ORDER BY doc_id""".stripMargin
 
   /** Full LogEntry JSON round-trip, oracle-checked: over printable
-    * ASCII, Go-%q is quote-wrapping plus escaping of `"` and `\` — both
+    * ASCII plus the whitespace control family, Go-%q is quote-wrapping
+    * plus escaping of `"`, `\`, TAB→`\t`, LF→`\n`, CR→`\r` — all
     * expressible as SQL `replace` chains, as is the JSON re-escaping
     * to_json applies on top — so DuckDB rebuilds the ENTIRE serialized
-    * line byte-for-byte (the fixture is verified `[a-z0-9 ]`-only at
-    * every SF; control-char and non-ASCII %q escapes remain covered by
-    * the `GoQuoteSpec` goldens/properties, not the oracle). Timestamps
-    * derive from doc_id so the output is deterministic. */
+    * line byte-for-byte. The fixture is `[a-z0-9 ]`-only at every SF,
+    * so the control-char paths are exercised by deterministically
+    * rewriting spaces per doc_id residue (doc_id%4: 1→TAB, 2→LF,
+    * 3→CRLF, 0→unchanged) identically in both engines — the oracle now
+    * covers the named control escapes, not just printables; the
+    * remaining `\xNN`/`\uNNNN`/`\UNNNNNNNN` and invalid-UTF-8 paths
+    * stay with the `GoQuoteSpec` goldens/properties. Timestamps derive
+    * from doc_id so the output is deterministic. */
   private def q12Json(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val text =
+      when($"doc_id" % 4 === 1, translate($"text", " ", "\t"))
+        .when($"doc_id" % 4 === 2, translate($"text", " ", "\n"))
+        .when($"doc_id" % 4 === 3, regexp_replace($"text", " ", "\r\n"))
+        .otherwise($"text")
     Tables.load(spark, dir, "documents")
       .select($"doc_id",
         timestamp_seconds($"doc_id" * 60).as("ts"),
-        $"text".cast(BinaryType).as("payload"),
+        text.cast(BinaryType).as("payload"),
         format_string("10.0.%d.%d", $"doc_id" % 256, $"doc_id" % 100).as("client_ip"))
       .select($"doc_id", toJson(logEntry($"ts", $"payload", $"client_ip")).as("log_json"))
       .orderBy($"doc_id")
@@ -171,8 +181,20 @@ object Ingest {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // the %q stage escapes backslash and quote first, then rewrites the
+  // control chars to their Go named escapes (disjoint search chars, so
+  // order among TAB/LF/CR is immaterial); the JSON stage then re-escapes
+  // the backslashes %q introduced — exactly what to_json does on top of
+  // GoQuote's output.
   private val q12JsonSql =
-    """SELECT doc_id,
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 1 THEN replace(text, ' ', chr(9))
+      |         WHEN doc_id % 4 = 2 THEN replace(text, ' ', chr(10))
+      |         WHEN doc_id % 4 = 3 THEN replace(text, ' ', chr(13) || chr(10))
+      |         ELSE text END AS text
+      |  FROM documents)
+      |SELECT doc_id,
       |  '{"timestamp":"' || strftime(make_timestamp(doc_id * 60 * 1000000), '%Y-%m-%dT%H:%M:%SZ') ||
       |  '","level":"' || CASE WHEN octet_length(encode(text)) = 0 THEN 'WARN' ELSE 'INFO' END ||
       |  '","message":"received ' || CAST(octet_length(encode(text)) AS VARCHAR) ||
@@ -183,10 +205,12 @@ object Ingest {
       |            ',"binary_data_hex":"' || lower(hex(encode(text))) ||
       |            '","binary_data_string":"' ||
       |            replace(replace(
-      |              '"' || replace(replace(text, '\', '\\'), '"', '\"') || '"',
+      |              '"' || replace(replace(replace(replace(replace(
+      |                text, '\', '\\'), '"', '\"'),
+      |                chr(9), '\t'), chr(10), '\n'), chr(13), '\r') || '"',
       |              '\', '\\'), '"', '\"') || '"'
       |       ELSE '' END || '}' AS log_json
-      |FROM documents
+      |FROM p
       |ORDER BY doc_id""".stripMargin
 
   val all: Seq[Declared] = Seq(

@@ -241,9 +241,93 @@ object Multimodal {
       |  CASE WHEN len = 0 THEN 0.0 ELSE CAST(s AS DOUBLE) / len END AS mean_byte
       |FROM m ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Cross-modal retrieval (the retrieval-for-captioning shape every
+    * multimodal training pipeline runs): decode each media row's
+    * features through the mapPartitions codec path, then find each
+    * probe's top-3 cosine neighbors among SAME-fmt media on the 5-dim
+    * decoded feature vector [n_bytes, width, height, mean_byte,
+    * n_frames].
+    *
+    * Plan shape: the probe set is small and broadcast, the corpus never
+    * shuffles — a broadcast hash join keyed on fmt plus a per-probe
+    * window top-k, exactly [[Similarity.cosineTopK]]'s posture. A
+    * full-corpus all-pairs variant would ride [[Dedup]]'s block-grid
+    * join or [[Similarity]]'s IVF lists (per-fmt) instead; the
+    * probe-driven form is the common serving/backfill query. Every
+    * arithmetic step (byte-derived ints, one IEEE division, ordered
+    * dot product) is reproduced bit-exactly by the oracle's hex-pair
+    * decode, so the sim doubles hash-match. */
+  private def xmNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = extractFeatures(mediaTable(spark, dir)).toDF()
+      .select($"media_id", $"fmt",
+        array($"n_bytes".cast(DoubleType), $"width".cast(DoubleType),
+          $"height".cast(DoubleType), $"mean_byte",
+          $"n_frames".cast(DoubleType)).as("fv"))
+      .withColumn("nrm",
+        sqrt(aggregate($"fv", lit(0.0), (a, x) => a + x * x)))
+    val probes = feats.filter($"media_id" < 50)
+      .select($"media_id".as("probe_id"), $"fmt".as("p_fmt"),
+        $"fv".as("pv"), $"nrm".as("pn"))
+    val corpus = feats
+      .select($"media_id".as("neighbor_id"), $"fmt".as("n_fmt"),
+        $"fv".as("nv"), $"nrm".as("nn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id").orderBy($"sim".desc, $"neighbor_id")
+    corpus.join(broadcast(probes),
+        $"n_fmt" === $"p_fmt" && $"neighbor_id" =!= $"probe_id")
+      .withColumn("sim",
+        Similarity.dot($"pv", $"nv") / ($"pn" * $"nn"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"probe_id", $"p_fmt".as("fmt"), $"rnk", $"neighbor_id", $"sim")
+      .orderBy($"probe_id", $"rnk")
+  }
+
+  private val xmNeighborsSql =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    lower(hex(encode(text))) AS h,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, source, n,
+      |    CASE WHEN n > 0 THEN (strpos('0123456789abcdef', substr(h,1,1))-1)*16
+      |                       + (strpos('0123456789abcdef', substr(h,2,1))-1)
+      |         ELSE 0 END AS b0,
+      |    CASE WHEN n > 1 THEN (strpos('0123456789abcdef', substr(h,3,1))-1)*16
+      |                       + (strpos('0123456789abcdef', substr(h,4,1))-1)
+      |         ELSE 0 END AS b1,
+      |    CASE WHEN n = 0 THEN 0
+      |         ELSE list_sum([(strpos('0123456789abcdef', substr(h, 2*i-1, 1))-1)*16
+      |                      + (strpos('0123456789abcdef', substr(h, 2*i,   1))-1)
+      |                        for i in range(1, n+1)]) END AS byte_sum
+      |  FROM b
+      |), f AS (
+      |  SELECT doc_id AS media_id, 'fake/' || source AS fmt,
+      |    [CAST(n AS DOUBLE), CAST(16 + (b0 % 64) * 16 AS DOUBLE),
+      |     CAST(16 + (b1 % 64) * 16 AS DOUBLE),
+      |     CASE WHEN n = 0 THEN 0.0 ELSE CAST(byte_sum AS DOUBLE) / n END,
+      |     CAST(1 + n % 4 AS DOUBLE)] AS fv
+      |  FROM d
+      |), j AS (
+      |  SELECT p.media_id AS probe_id, p.fmt, c.media_id AS neighbor_id,
+      |    list_dot_product(p.fv, c.fv) /
+      |      (sqrt(list_dot_product(p.fv, p.fv)) * sqrt(list_dot_product(c.fv, c.fv))) AS sim
+      |  FROM f p JOIN f c
+      |    ON p.media_id < 50 AND c.fmt = p.fmt AND c.media_id <> p.media_id
+      |)
+      |SELECT probe_id, fmt, rnk, neighbor_id, sim FROM (
+      |  SELECT probe_id, fmt, neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM j) t
+      |WHERE rnk <= 3
+      |ORDER BY probe_id, rnk""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("xm_media_meta", xmMeta, Some(xmMetaSql)),
     Declared("xm_media_features", xmFeatures, Some(xmFeaturesSql)),
     Declared("xm_media_resize", xmResize, Some(xmResizeSql)),
-    Declared("xm_media_frames", xmFrames, Some(xmFramesSql)))
+    Declared("xm_media_frames", xmFrames, Some(xmFramesSql)),
+    Declared("xm_media_neighbors", xmNeighbors, Some(xmNeighborsSql)))
 }

@@ -29,7 +29,7 @@ object Similarity {
         transform(col("embedding"), x => x.cast(DoubleType)).as(vAs))
       .withColumn(nAs, sqrt(aggregate(col(vAs), lit(0.0), (a, x) => a + x * x)))
 
-  private def dot(a: Column, b: Column): Column =
+  private[operators] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Exact cosine top-k of each probe against the corpus (self excluded). */
