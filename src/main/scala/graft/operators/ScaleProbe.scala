@@ -69,7 +69,7 @@ object ScaleProbe {
     else (part :+ vocab(r.nextInt(vocab.length))).mkString(" ")
   }
 
-  private def genFixture(spark: SparkSession, base: String, out: String, m: Int): Unit = {
+  private[operators] def genFixture(spark: SparkSession, base: String, out: String, m: Int): Unit = {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
