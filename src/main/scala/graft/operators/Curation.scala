@@ -267,6 +267,65 @@ object Curation {
       |FROM g CROSS JOIN t
       |ORDER BY lang, source""".stripMargin
 
+  // --------------------------------------------- weight-applied sampling
+  /** Apply per-domain sampling weights (parts-per-million, e.g. from
+    * [[domainMix]]) as a DETERMINISTIC hash-threshold sampler: doc kept
+    * iff uniform(doc_id) < weight_ppm of its (lang, source) domain,
+    * where uniform is the first 6 hex chars of a salted md5 mod 10⁶.
+    * Every engine replays the identical keep/drop decision per doc —
+    * the same must-not-drift property as [[hashSplit]], and the reason
+    * this is not `df.sample()` (whose output depends on partitioning
+    * and seed plumbing). The salt keeps the sampler independent of
+    * hashSplit's bucket (chars 1-2 of the UNsalted digest): without it,
+    * low weights would systematically drop whole split ranges. Weights
+    * are domain-count-sized → broadcast; the pass is map-only on top.
+    * The ~1.6 % modulo bias of 16⁶ mod 10⁶ is identical in both
+    * engines and immaterial for budgeting. */
+  def sampleByWeight(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val u = conv(substring(
+        md5(concat(lit("sample:"), col("doc_id").cast(StringType)).cast(BinaryType)),
+        1, 6), 16, 10)
+      .cast(LongType) % 1000000
+    docs.join(broadcast(weights), Seq("lang", "source"))
+      .withColumn("u_ppm", u)
+      .filter(col("u_ppm") < col("weight_ppm"))
+  }
+
+  private def xcSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    sampleByWeight(docs,
+        domainMix(docs).select(col("lang"), col("source"), col("weight_ppm")))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("weight_ppm"), col("u_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val xcSampleSql =
+    """WITH g AS (
+      |  SELECT lang, source,
+      |    CAST(SUM(len(string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS BIGINT) AS group_tokens
+      |  FROM documents GROUP BY lang, source),
+      |t AS (SELECT CAST(SUM(group_tokens) AS BIGINT) AS total_tokens,
+      |             CAST(COUNT(*) AS BIGINT) AS n_groups FROM g),
+      |mix AS (
+      |  SELECT lang, source,
+      |    (LEAST(group_tokens, (t.total_tokens // 2) // t.n_groups) * 1000000)
+      |      // group_tokens AS weight_ppm
+      |  FROM g CROSS JOIN t),
+      |u AS (
+      |  SELECT doc_id, lang, source,
+      |    ((strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576
+      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 65536
+      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 4096
+      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 256
+      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16
+      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 6, 1)) - 1)) % 1000000 AS u_ppm
+      |  FROM documents)
+      |SELECT u.doc_id, u.lang, u.source, mix.weight_ppm, CAST(u.u_ppm AS BIGINT) AS u_ppm
+      |FROM u JOIN mix USING (lang, source)
+      |WHERE u.u_ppm < mix.weight_ppm
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------- int8 scalar quantization
   /** Per-dimension (min, max) of the corpus, computed as per-partition
     * partials reduced on the driver — the classic partial-aggregation
@@ -632,6 +691,7 @@ object Curation {
     Declared("xc_contamination", xcContamination, Some(xcContaminationSql)),
     Declared("xc_repetition", xcRepetition, Some(xcRepetitionSql)),
     Declared("xc_domain_mix", xcDomainMix, Some(xcDomainMixSql)),
+    Declared("xc_sample", xcSample, Some(xcSampleSql)),
     Declared("xc_quantize", xcQuantize, Some(xcQuantizeSql)),
     Declared("xc_pack", xcPack, Some(xcPackSql)),
     Declared("xc_pipeline", xcPipeline, Some(xcPipelineSql)))

@@ -520,11 +520,92 @@ object Dedup {
       |WHERE cosine >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // --------------------------------------------- dedup clustering (CC)
+  /** Connected components over an undirected near-dup pair graph —
+    * the step production dedup needs BETWEEN pair mining and output:
+    * near-duplication is transitive in practice (A≈B, B≈C ⇒ one
+    * cluster), so the keeper is one doc per COMPONENT, not per pair.
+    * Every doc gets `cluster_id` = the smallest doc_id reachable from
+    * it (singletons keep their own id).
+    *
+    * Iterative min-label propagation: each round every vertex takes
+    * min(own label, neighbors' labels) — one keyed join + partial-agg
+    * min per round, converging in O(component diameter) rounds. Dedup
+    * components are shallow (a handful of re-posts of one document), so
+    * the loop runs 2-4 times in practice; the driver sees only the
+    * per-round changed-count (a Long), never data. Labels and edges are
+    * persisted across rounds so round k+1 starts from materialized
+    * round-k output instead of replaying the whole lineage (the pair
+    * mining would otherwise recompute every round). At 100 TB this is
+    * the standard Pregel-style CC shape; for adversarial deep graphs
+    * the large-star/small-star variant halves rounds, but near-dup
+    * graphs never look like that.
+    */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = docs.select(col("doc_id"))
+      .withColumn("cluster_id", col("doc_id")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("cluster_id")), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      changed = next
+        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Declared form: components of the word-5-gram minhash near-dup
+    * graph (the x1_neardup_minhash pairs, whose own oracle is the full
+    * O(n²) exact Jaccard), every doc labeled. */
+  private def x1Clusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    dedupClusters(docs, neardupMinhash(docs))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Transitive closure as a recursive CTE: reachability from every
+    * node over the (symmetric) pair graph; cluster id = min reachable. */
+  private val x1ClustersSql =
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id, CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+      |    ELSE list_distinct([array_to_string(w[i+1:i+5], ' ') for i in range(len(w)-4)]) END sh
+      |  FROM (SELECT doc_id,
+      |          string_split(trim(lower(regexp_replace(text,'\s+',' ','g'))), ' ') w
+      |        FROM documents)),
+      |e0 AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b
+      |  ON a.doc_id < b.doc_id
+      |   AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+      |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY id
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("x1_exact_dedup", x1Exact, Some(x1ExactSql)),
     Declared("x1_neardup_minhash", x1Minhash, Some(x1MinhashSql)),
     Declared("x1_neardup_chargram", x1CharNgram, Some(x1CharNgramSql)),
     Declared("x1_simhash", x1Simhash, Some(x1SimhashSql)),
     Declared("x1_simhash_pairs", x1SimhashPairs, Some(x1SimhashPairsSql)),
-    Declared("x1_embedding_neardup", x1Embedding, Some(x1EmbeddingSql)))
+    Declared("x1_embedding_neardup", x1Embedding, Some(x1EmbeddingSql)),
+    Declared("x1_dedup_clusters", x1Clusters, Some(x1ClustersSql)))
 }

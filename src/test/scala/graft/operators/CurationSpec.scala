@@ -200,4 +200,24 @@ class CurationSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source")
     assert(Curation.pack(empty).count() == 0)
   }
+
+  // ------------------------------------------------------ sampleByWeight
+  test("sampleByWeight: deterministic, weight 0 drops all, 10^6 keeps all") {
+    val d = (0L until 200L).map(i => (i, s"doc $i", "en", if (i < 100) "a" else "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val w = Seq(("en", "a", 0L), ("en", "b", 1000000L))
+      .toDF("lang", "source", "weight_ppm")
+    val kept = Curation.sampleByWeight(d, w).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == (100L until 200L)) // all of b, none of a
+    // half weight keeps roughly half, and reruns are identical
+    val half = Seq(("en", "a", 500000L), ("en", "b", 500000L))
+      .toDF("lang", "source", "weight_ppm")
+    val k1 = Curation.sampleByWeight(d, half).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val k2 = Curation.sampleByWeight(d, half).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(k1 == k2, "sampler must be replay-deterministic")
+    assert(k1.size > 60 && k1.size < 140, s"kept ${k1.size} of 200 at 50%")
+  }
 }

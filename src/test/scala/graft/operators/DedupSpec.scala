@@ -101,4 +101,26 @@ class DedupSpec extends SparkSpec {
       docs(1L -> "a b c d e f", 2L -> "a b c d e g")).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(500))
   }
+
+  test("dedupClusters: transitivity via label propagation, singletons keep their id") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (1 and 3 NOT directly paired) must collapse to one
+    // cluster labeled min=1; 4-5 a separate pair; 6 a singleton. The
+    // 3-chain needs >1 propagation round, exercising the fixpoint loop.
+    val d = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (4L, 5L, 0.85))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val out = Dedup.dedupClusters(d, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("dedupClusters: empty pair set labels every doc as its own cluster") {
+    import spark.implicits._
+    val d = Seq(7L, 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
+    val out = Dedup.dedupClusters(d, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(7L -> 7L, 8L -> 8L))
+  }
 }
