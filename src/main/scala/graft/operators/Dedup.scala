@@ -528,41 +528,53 @@ object Dedup {
     * Every doc gets `cluster_id` = the smallest doc_id reachable from
     * it (singletons keep their own id).
     *
-    * Iterative min-label propagation: each round every vertex takes
-    * min(own label, neighbors' labels) — one keyed join + partial-agg
-    * min per round, converging in O(component diameter) rounds. Dedup
-    * components are shallow (a handful of re-posts of one document), so
-    * the loop runs 2-4 times in practice; the driver sees only the
-    * per-round changed-count (a Long), never data. Labels and edges are
-    * persisted across rounds so round k+1 starts from materialized
-    * round-k output instead of replaying the whole lineage (the pair
-    * mining would otherwise recompute every round). At 100 TB this is
-    * the standard Pregel-style CC shape; for adversarial deep graphs
-    * the large-star/small-star variant halves rounds, but near-dup
-    * graphs never look like that.
+    * Each round combines min-label propagation (every vertex takes
+    * min(own, neighbors' labels) — one keyed join + partial-agg min)
+    * with POINTER JUMPING (each label then re-resolves through its
+    * representative's own label — path halving), so label information
+    * travels 2^k hops after k rounds and the loop converges in
+    * O(log diameter) rounds, not O(diameter): the sf0.1 embedding
+    * graph's deep cos ≥ 0.4 components converge in 5 rounds where
+    * plain propagation took ~20. The driver sees only the per-round
+    * changed-count (a Long), never data.
+    *
+    * Round results are `localCheckpoint`ed, not merely persisted: the
+    * loop references the previous labels multiple times per round, so
+    * carrying lineage would MULTIPLY the logical plan every round —
+    * exponential analyzer/explain cost that overflows the heap near
+    * ~20 rounds (observed before the truncation). Checkpointing to the
+    * materialized blocks keeps every round's plan O(1) — the standard
+    * Spark idiom for Pregel-style iteration, at the price that executor
+    * loss forces a job restart (acceptable: rounds are idempotent and
+    * restart-from-batch is how dedup jobs run anyway).
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     var labels = docs.select(col("doc_id"))
-      .withColumn("cluster_id", col("doc_id")).persist()
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("src"), col("cluster_id")), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .persist()
-      changed = next
-        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      val prop = labels.select(col("doc_id"), col("cluster_id").as("_old"))
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("_old"),
+          least(col("_old"), coalesce(col("nbr_min"), col("_old"))).as("_mid"))
+      // pointer jump: follow _mid to ITS representative's label. Labels
+      // are always real doc_ids of the same component, so the self-join
+      // is total and only ever lowers the label.
+      val next = prop
+        .join(prop.select(col("doc_id").as("_rep"), col("_mid").as("_rep_label")),
+          col("_mid") === col("_rep"))
+        .select(col("doc_id"), col("_rep_label").as("cluster_id"),
+          (col("_rep_label") =!= col("_old")).as("_chg"))
+        .localCheckpoint()
+      changed = next.filter(col("_chg")).count()
+      labels = next.drop("_chg")
     }
     edges.unpersist()
     labels
@@ -600,6 +612,44 @@ object Dedup {
       |FROM reach GROUP BY id
       |ORDER BY doc_id""".stripMargin
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cosine near-dup pairs over the embedding column → connected
+    * components → keep the lowest id per component. Composes the exact
+    * block-grid pair miner with [[dedupClusters]]; `kept` marks the
+    * component representative a pipeline would retain. */
+  private def x1Semantic(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    // 0.45 (vs x1_embedding_neardup's 0.4): on the gaussian fixture the
+    // 0.4 graph at sf0.1 chains into deep components (920 edges/2000
+    // nodes — many propagation rounds for no extra semantics); 0.45
+    // keeps multi-node clusters at every SF (14 pairs at sf0.01, 144 at
+    // sf0.1) with shallow components, which is also the realistic
+    // SemDeDup regime (high-threshold near-identical groups).
+    val pairs = embeddingNeardup(emb, 0.45)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    dedupClusters(emb.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val x1SemanticSql =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+      |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.45),
+      |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |reach(id, r) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+      |SELECT id AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
+      |  id = MIN(r) AS kept
+      |FROM reach GROUP BY id
+      |ORDER BY vec_id""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("x1_exact_dedup", x1Exact, Some(x1ExactSql)),
     Declared("x1_neardup_minhash", x1Minhash, Some(x1MinhashSql)),
@@ -607,5 +657,6 @@ object Dedup {
     Declared("x1_simhash", x1Simhash, Some(x1SimhashSql)),
     Declared("x1_simhash_pairs", x1SimhashPairs, Some(x1SimhashPairsSql)),
     Declared("x1_embedding_neardup", x1Embedding, Some(x1EmbeddingSql)),
-    Declared("x1_dedup_clusters", x1Clusters, Some(x1ClustersSql)))
+    Declared("x1_dedup_clusters", x1Clusters, Some(x1ClustersSql)),
+    Declared("x1_semantic_dedup", x1Semantic, Some(x1SemanticSql)))
 }
