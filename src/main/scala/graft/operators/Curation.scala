@@ -16,6 +16,9 @@ import graft.core.Tables
   *  - contamination: the eval-set shingle dictionary is benchmark-sized
   *    (thousands of docs), so it broadcasts and the corpus never
   *    shuffles — one keyed aggregation after a broadcast hash join;
+  *  - bloomDecontaminate: the same check when the dictionary does NOT
+  *    broadcast — a Bloom filter gates the corpus map-side, the exact
+  *    join runs only on the surviving sliver;
   *  - domainMix: one keyed aggregation to group totals (domain-count
   *    sized, i.e. tiny) plus a one-row broadcast scalar attach;
   *  - quantizeInt8: per-partition partial min/max reduced on the driver
@@ -130,6 +133,68 @@ object Curation {
       |e AS (SELECT DISTINCT g FROM s WHERE doc_id % 20 = 0)
       |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
       |FROM s JOIN e USING (g) WHERE s.doc_id % 20 <> 0
+      |GROUP BY s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
+  // ----------------------------------------- bloom-gated decontamination
+  /** [[contamination]] with a Bloom-filter gate in front of the exact
+    * verification join — the formulation that survives eval sets too
+    * large to broadcast as a string dictionary. The eval 5-gram set is
+    * summarized into a Bloom filter (`DataFrameStatFunctions.bloomFilter`
+    * builds it distributed and merges per-partition sketches on the
+    * driver — ~1.2 bytes/key at 1 % fpp, vs tens of bytes/key for the
+    * dictionary itself), the corpus's exploded shingles are gated
+    * map-side by the broadcast bloom (no false negatives: every truly
+    * contaminated gram passes), and only the surviving sliver — true
+    * hits plus ~1 % false positives — reaches the exact shuffle join
+    * that removes the FPs. Per-doc counts are therefore EXACT, same
+    * semantics as [[contamination]]; only the plan differs: the big
+    * side's shuffle volume collapses from every shingle of the corpus
+    * to the contaminated fraction.
+    */
+  def bloomDecontaminate(docs: DataFrame, evalDocs: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    val evalGrams = evalDocs
+      .select(explode(shingleUdf(col("text"))).as("g"))
+      .distinct()
+      .persist() // used three times: count, bloom build, verify join
+    val n = math.max(evalGrams.count(), 1L) // eval-set-sized action
+    val bloom = evalGrams.stat.bloomFilter("g", n, fpp)
+    val bBloom = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => bBloom.value.mightContainString(g))
+    docs
+      .select(col("doc_id"), explode(shingleUdf(col("text"))).as("g"))
+      .filter(mightContain(col("g")))
+      // exact verify WITHOUT broadcast: the surviving sliver shuffles
+      // against the eval grams (both sides small now), proving no
+      // dependence on the dictionary fitting in driver/executor memory
+      .hint("shuffle_hash")
+      .join(evalGrams, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Declared form — a DIFFERENT eval cut than xc_contamination
+    * (doc_id % 10 vs % 20) so the two queries verify independent
+    * results, not one result via two plans. */
+  private def xcBloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    bloomDecontaminate(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+      .orderBy(col("doc_id"))
+  }
+
+  private val xcBloomDecontaminateSql =
+    """WITH s AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+      |    ELSE list_distinct([array_to_string(w[i+1:i+5], ' ') for i in range(len(w)-4)]) END) AS g
+      |  FROM (SELECT doc_id,
+      |          string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') w
+      |        FROM documents)),
+      |e AS (SELECT DISTINCT g FROM s WHERE doc_id % 10 = 0)
+      |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |FROM s JOIN e USING (g) WHERE s.doc_id % 10 <> 0
       |GROUP BY s.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
@@ -689,6 +754,7 @@ object Curation {
     Declared("xc_pipeline_full", xcPipelineFull, Some(xcPipelineFullSql)),
     Declared("xc_split", xcSplit, Some(xcSplitSql)),
     Declared("xc_contamination", xcContamination, Some(xcContaminationSql)),
+    Declared("xc_bloom_decontaminate", xcBloomDecontaminate, Some(xcBloomDecontaminateSql)),
     Declared("xc_repetition", xcRepetition, Some(xcRepetitionSql)),
     Declared("xc_domain_mix", xcDomainMix, Some(xcDomainMixSql)),
     Declared("xc_sample", xcSample, Some(xcSampleSql)),

@@ -220,6 +220,100 @@ object TextAnalysis {
       |WHERE rnk <= 10
       |ORDER BY lang, rnk""".stripMargin
 
+  // ----------------------------------------------------- n-gram corpus stats
+  /** All word-bigram INSTANCES of the normalized text (duplicates kept —
+    * these feed counts, unlike the distinct'd dedup shingles). Primitive
+    * loop for the same reason as [[Curation.wordShingleStrings]]: the
+    * `transform`+`element_at` column formulation evaluates interpreted
+    * HOF lambdas per gram (BENCHNOTES.md #2). */
+  private[operators] def bigramInstances(text: String): Array[String] = {
+    val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    if (toks.length < 2) Array.empty
+    else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
+  }
+
+  private val bigramUdf = udf(bigramInstances _)
+
+  /** Corpus-level top-k bigrams with collection frequency and document
+    * frequency — the vocabulary/phrase-stats pass of corpus analysis.
+    * One explode → one keyed aggregation (count + distinct-doc count) →
+    * `orderBy.limit` top-k, which Spark plans as the distributed
+    * `TakeOrderedAndProject` (per-partition heaps, no global sort) — at
+    * 100 TB the aggregation output is vocabulary-sized, never a single
+    * partition. */
+  def ngramTopK(docs: DataFrame, k: Int = 20): DataFrame =
+    docs
+      .select(col("doc_id"), explode(bigramUdf(col("text"))).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+
+  private def xtNgramTopk(spark: SparkSession, dir: String): DataFrame =
+    ngramTopK(Tables.load(spark, dir, "documents"))
+
+  private val xtNgramTopkSql =
+    """SELECT g AS gram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM (
+      |  SELECT doc_id, unnest([w[i+1] || ' ' || w[i+2] for i in range(len(w)-1)]) AS g
+      |  FROM (SELECT doc_id,
+      |          string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') w
+      |        FROM documents))
+      |GROUP BY g
+      |ORDER BY n DESC, g
+      |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------ sketch heavy hitters
+  /** φ-heavy hitters (bigrams whose count ≥ total/φ) via a Count-Min
+    * Sketch candidate gate with exact verification — the two-pass shape
+    * that makes heavy hitters tractable at 100 TB. Pass 1 streams every
+    * gram into a CMS (`DataFrameStatFunctions.countMinSketch`: built as
+    * per-partition sketches, merged cell-wise on the driver — size is
+    * depth×width counters, independent of the data). Pass 2 re-explodes
+    * the grams, gates each map-side on the broadcast sketch (CMS only
+    * OVERestimates, so every true heavy hitter survives — no false
+    * negatives, the mirror of the Bloom gate's guarantee in
+    * [[Curation.bloomDecontaminate]]), exactly counts the surviving
+    * candidates, and applies the threshold on the exact counts. Output
+    * is therefore EXACT; the sketch only pruned the shuffle. The gate's
+    * integer comparisons (`est·φ ≥ total`, then `n·φ ≥ total`) avoid any
+    * float threshold. On this fixture's near-uniform synthetic text the
+    * gate keeps most grams (documented in BENCHNOTES.md); the spec
+    * demonstrates the real >99 % prune on a skewed fixture. `eps` must
+    * be well under 1/φ or the +eps·total overestimate admits everything.
+    */
+  def heavyHitters(docs: DataFrame, phi: Long = 2000L,
+      eps: Double = 1e-4): DataFrame = {
+    val spark = docs.sparkSession
+    val grams = docs.select(col("doc_id"), explode(bigramUdf(col("text"))).as("gram"))
+    val cms = grams.stat.countMinSketch("gram", eps, 0.999, 42) // pass 1
+    val total = cms.totalCount() // exact: CMS counts every insertion
+    val bCms = spark.sparkContext.broadcast(cms)
+    val candidate = udf((g: String) => bCms.value.estimateCount(g) * phi >= total)
+    grams
+      .filter(candidate(col("gram"))) // map-side gate, no false negatives
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n")) // exact verify on survivors
+      .filter(col("n") * phi >= total)
+      .withColumn("ppm", expr(s"(n * 1000000) DIV ${total}L"))
+  }
+
+  private def xtHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(Tables.load(spark, dir, "documents"))
+      .orderBy(col("gram"))
+
+  private val xtHeavyHittersSql =
+    """WITH b AS (
+      |  SELECT unnest([w[i+1] || ' ' || w[i+2] for i in range(len(w)-1)]) AS gram
+      |  FROM (SELECT string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') w
+      |        FROM documents)),
+      |t AS (SELECT COUNT(*) AS total FROM b)
+      |SELECT gram, COUNT(*) AS n,
+      |  (COUNT(*) * 1000000) // (SELECT total FROM t) AS ppm
+      |FROM b GROUP BY gram
+      |HAVING COUNT(*) * 2000 >= (SELECT total FROM t)
+      |ORDER BY gram""".stripMargin
+
   // ------------------------------------------------------------ tf-idf
   /** Per-doc top-5 distinguishing terms by tf/df ratio. The score is
     * scaled INTEGER division — exact in both engines — rather than the
@@ -364,5 +458,7 @@ object TextAnalysis {
     Declared("xt_fingerprint", xtFingerprint, Some(xtFingerprintSql)),
     Declared("xt_redact", xtRedact, Some(xtRedactSql)),
     Declared("xt_chunk", xtChunk, Some(xtChunkSql)),
-    Declared("xt_tfidf", xtTfidf, Some(xtTfidfSql)))
+    Declared("xt_tfidf", xtTfidf, Some(xtTfidfSql)),
+    Declared("xt_ngram_topk", xtNgramTopk, Some(xtNgramTopkSql)),
+    Declared("xt_heavy_hitters", xtHeavyHitters, Some(xtHeavyHittersSql)))
 }

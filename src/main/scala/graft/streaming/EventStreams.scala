@@ -93,6 +93,21 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("simhash")
   }
 
+  /** S4b — stream-static enrichment join + keyed aggregation: the events
+    * stream joined to a STATIC dimension (customer) on user_id, revenue
+    * rolled up per market segment. The static side needs no watermark
+    * and holds no stream state — Catalyst plans it as a broadcast hash
+    * join re-read per micro-batch, so at 100 TB/day of events the
+    * dimension ships once per trigger and the stream side never
+    * shuffles before the aggregation. Same code runs in batch for the
+    * parity oracle. */
+  def enrichAgg(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+
   /** Stream-stream join: each click joined to same-user views from the
     * preceding 10 minutes. Watermarks on both sides + the time-bound
     * condition let the join state expire (without them a stream-stream
@@ -198,8 +213,20 @@ object EventStreams {
       | AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts <= c.ts
       |ORDER BY click_id, view_id""".stripMargin
 
+  /** Batch parity of the stream-static [[enrichAgg]], oracled. */
+  private def s4Static(spark: SparkSession, dir: String): DataFrame =
+    enrichAgg(ev(spark, dir), Tables.load(spark, dir, "customer"))
+      .orderBy(col("c_mktsegment"))
+
+  private val s4StaticSql =
+    s"""SELECT c.c_mktsegment, COUNT(*) AS n_events, ${sqlSum("e.value")} AS sum_value
+       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       |GROUP BY c.c_mktsegment
+       |ORDER BY c.c_mktsegment""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("s1_tumbling_window", s1, Some(s1Sql)),
+    Declared("s4_stream_static_join", s4Static, Some(s4StaticSql)),
     Declared("s2_sliding_window", s2, Some(s2Sql)),
     Declared("s2_session_window", s2b, Some(s2bSql)),
     Declared("s3_dedup", s3, Some(s3Sql)),

@@ -52,6 +52,42 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("bloomDecontaminate matches exact contamination on a corpus with overlap") {
+    val evalDoc = (1 to 40).map(i => s"eval$i").mkString(" ")
+    val leaked = s"prefix words here $evalDoc trailing tail"
+    val clean = (1 to 40).map(i => s"clean$i").mkString(" ")
+    val corpus = docs(10L -> leaked, 11L -> clean, 12L -> s"$evalDoc extra")
+    val evals = docs(1L -> evalDoc)
+    val exact = Curation.contamination(corpus, evals)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomed = Curation.bloomDecontaminate(corpus, evals)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloomed == exact)
+    assert(bloomed.contains(10L) && !bloomed.contains(11L))
+  }
+
+  test("bloom gate prunes a disjoint corpus to zero before the verify join") {
+    // 2000 docs sharing no 5-gram with the eval set: every corpus shingle
+    // must fail the bloom (up to fpp). The declared query's scale story IS
+    // this prune; assert it directly on the gated row count.
+    val corpus = (0L until 2000L)
+      .map(i => (i, (0 to 8).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val evals = docs(1L -> (1 to 40).map(i => s"eval$i").mkString(" "))
+    assert(Curation.bloomDecontaminate(corpus, evals).count() == 0)
+    val corpusGrams = corpus.select(
+      explode(udf(Curation.wordShingleStrings _).apply(col("text"))).as("g"))
+    val n = corpusGrams.count()
+    val evalGrams = evals.select(
+      explode(udf(Curation.wordShingleStrings _).apply(col("text"))).as("g")).distinct()
+    val bloom = evalGrams.stat.bloomFilter("g", 40, 0.01)
+    val surviving = corpusGrams.collect()
+      .count(r => bloom.mightContainString(r.getString(0)))
+    // 1% fpp on 10k disjoint grams → ~100 expected survivors; assert the
+    // gate removed ≥95% so a broken bloom (pass-everything) fails loudly
+    assert(surviving <= n / 20, s"bloom passed $surviving of $n disjoint grams")
+  }
+
   // --------------------------------------------------------- repetition
   test("repetition scores duplicate-heavy docs high and unique docs zero") {
     val loop = (Seq.fill(20)("spam spam wonderful spam")).mkString(" ")

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{explode, udf}
+
 import graft.SparkSpec
 
 class TextAnalysisSpec extends SparkSpec {
@@ -45,6 +47,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fs == Seq(Seq[Byte](1), Seq[Byte](2), Seq[Byte](3), Seq[Byte](4, 5, 6, 7)))
     val empty = Multimodal.StubCodec.frameSample(Multimodal.MediaRecord(2L, "fake/x", Array.empty))
     assert(empty.map(_.length) == Seq(0)) // n=0 → 1 empty frame
+  }
+
+  test("ngramTopK counts bigram instances and document frequency") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b c"),   // bigrams: "a b","b a","a b","b c"
+      (2L, "a b x"),       // "a b","b x"
+      (3L, "z")).toDF("doc_id", "text") // <2 tokens → no bigrams
+    val got = TextAnalysis.ngramTopK(d, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L)))
+  }
+
+  test("heavyHitters is exact on a skewed corpus and the CMS gate prunes the tail") {
+    import spark.implicits._
+    // one dominant bigram ("hot hot" ~50% of mass) over a long unique tail
+    val hot = (1 to 500).map(i => (i.toLong, "hot hot"))
+    val tail = (1 to 500).map(i => (500L + i, s"t${i}a t${i}b"))
+    val d = (hot ++ tail).toDF("doc_id", "text")
+    val out = TextAnalysis.heavyHitters(d, phi = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("hot hot", 500L))) // exact count, exact threshold
+    // the gate itself: with phi=10 over 1000 grams the CMS must prune the
+    // 500 singleton tail grams (est ≈ 1 + eps·1000 « 100) — count the rows
+    // that survive the candidate filter by re-running the gated explode
+    val grams = d.select(explode(
+      udf(TextAnalysis.bigramInstances _).apply($"text")).as("gram"))
+    val cms = grams.stat.countMinSketch("gram", 1e-4, 0.999, 42)
+    val kept = grams.collect()
+      .count(r => cms.estimateCount(r.getString(0)) * 10 >= cms.totalCount())
+    assert(kept == 500, s"gate kept $kept of 1000 gram instances")
   }
 
   test("redact applies rules in order and globally") {

@@ -134,6 +134,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == Map(1L -> "gold", 2L -> "none"))
   }
 
+  test("S4b stream-static enrichAgg equals its batch form on replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"), (3L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val rows = Seq(
+      Ev(1, t(0), 1, "click", 1.0, "{}"),
+      Ev(2, t(1), 2, "click", 2.0, "{}"),
+      Ev(3, t(2), 3, "view", 4.0, "{}"),
+      Ev(4, t(3), 9, "view", 8.0, "{}")) // no dim row → dropped (inner)
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val q = EventStreams.enrichAgg(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("s4enrich").outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("s4enrich").orderBy("c_mktsegment").collect()
+    val batch = EventStreams.enrichAgg(rows.toDF(), dim).orderBy("c_mktsegment").collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(batch.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("BUILDING", 2L, 5.0), ("MACHINERY", 1L, 2.0)))
+  }
+
   test("S2 session windows split at the 30-minute gap") {
     import spark.implicits._
     val rows = Seq(
