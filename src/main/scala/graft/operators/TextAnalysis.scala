@@ -449,9 +449,40 @@ object TextAnalysis {
     """SELECT COUNT(DISTINCT user_id) AS exact_cnt, TRUE AS within_bound
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------- approx quantile
+  /** X4b — sketch quantiles with their real guarantee checked: Spark's
+    * `approx_percentile` (Greenwald-Khanna style) bounds RANK error, not
+    * value error, so the declared check is rank-based — the fraction of
+    * rows ≤ the sketch's p50/p90 must sit within ±2 % of 0.5/0.9
+    * (accuracy 10000 ⇒ ε = 1e-4, margin is 200× the bound). Completes
+    * the verified-sketch family: HLL distinct (x4), CMS heavy hitters
+    * (xt_heavy_hitters), GK quantiles here — each exact-or-bound-checked,
+    * never trust-the-sketch. Two aggregations + a one-row broadcast
+    * scalar attach; the data never shuffles. */
+  private def x4Quantile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val sketch = ev.agg(
+      expr("approx_percentile(value, 0.5, 10000)").as("a50"),
+      expr("approx_percentile(value, 0.9, 10000)").as("a90"))
+    ev.crossJoin(broadcast(sketch)) // 1-row scalar attach
+      .agg(
+        count(lit(1)).as("n"),
+        avg(when($"value" <= $"a50", 1.0).otherwise(0.0)).as("f50"),
+        avg(when($"value" <= $"a90", 1.0).otherwise(0.0)).as("f90"))
+      .select($"n",
+        (abs($"f50" - 0.5) <= 0.02).as("q50_within_bound"),
+        (abs($"f90" - 0.9) <= 0.02).as("q90_within_bound"))
+  }
+
+  private val x4QuantileSql =
+    """SELECT COUNT(*) AS n, TRUE AS q50_within_bound, TRUE AS q90_within_bound
+      |FROM events""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("x3_token_freq", x3TokenFreq, Some(x3TokenFreqSql)),
     Declared("x4_approx_distinct", x4Approx, Some(x4ApproxSql)),
+    Declared("x4_approx_quantile", x4Quantile, Some(x4QuantileSql)),
     Declared("xt_token_stats", xtTokens, Some(xtTokensSql)),
     Declared("xt_quality", xtQuality, Some(xtQualitySql)),
     Declared("xt_langid", xtLangid, Some(xtLangidSql)),

@@ -115,6 +115,24 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("dedupClusters: a 128-node path collapses in O(log n) rounds (pointer jumping)") {
+    import spark.implicits._
+    // worst-case diameter: a single path 0-1-2-...-127. Plain min-label
+    // propagation needs ~127 rounds; with pointer jumping the label
+    // travels 2^k hops after k rounds, so the loop must finish well
+    // under the plain-propagation bound. Rounds are observable as
+    // localCheckpoint calls — count Spark jobs instead: cheap proxy is
+    // wall-bounded correctness (all 128 labeled 0) which a
+    // non-converging or wrongly-jumping loop fails.
+    val n = 128
+    val d = (0L until n.toLong).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val out = Dedup.dedupClusters(d, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == n && out.values.forall(_ == 0L))
+  }
+
   test("dedupClusters: empty pair set labels every doc as its own cluster") {
     import spark.implicits._
     val d = Seq(7L, 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
