@@ -650,6 +650,90 @@ object Dedup {
       |FROM reach GROUP BY id
       |ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------- semantic dedup, cluster-pruned
+  /** The SCALE path for [[x1Semantic]]: instead of mining cosine pairs
+    * with the exact O(n²) block join (11× at the 10× sf1 probe — the
+    * one contractual quadratic left in the dedup family), assign every
+    * vector to its `nassign` nearest IVF centroids (map-only, centroids
+    * broadcast — [[Similarity.kmeansCentroids]] reuse) and score pairs
+    * only WITHIN a shared cluster: a keyed equi self-join on cluster id,
+    * O(n²/nlist) cosines instead of O(n²), and the work is partitioned
+    * by cluster — exactly how SemDeDup runs at corpus scale (Abbas et
+    * al. 2023 cluster before comparing for the same reason).
+    * Multi-assignment (`nassign` = 3 of `nlist` = 32, SemSweep-swept) is
+    * the standard boundary fix: a near-dup pair split by a Voronoi edge
+    * still shares one of its 2nd/3rd clusters almost always; duplicate
+    * co-locations are collapsed by the final distinct. Recall is NOT
+    * 1.0 by construction — the declared
+    * query asserts the measured floor and the pruning, the
+    * [[x1Semantic]] exact path stays the oracle of record. */
+  def semanticPairsIvf(emb: DataFrame, threshold: Double,
+      nlist: Int = 32, nassign: Int = 3, kmeansIters: Int = 1): DataFrame = {
+    val cents = Similarity.kmeansCentroids(emb, nlist, kmeansIters)
+    val assigned = Similarity.ivfProbeClusters(emb, cents, nassign)
+      .select(col("cluster"), col("probe_id").as("vec_id"), col("p_emb").as("embedding"))
+    val cos = udf { (x: Seq[Float], y: Seq[Float]) =>
+      val a = Kernels.widen(x.toArray); val b = Kernels.widen(y.toArray)
+      Kernels.dotd(a, b) /
+        (math.sqrt(Kernels.dotd(a, a)) * math.sqrt(Kernels.dotd(b, b)))
+    }
+    assigned.select(col("cluster"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("vec_b"), col("embedding").as("eb")),
+        Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(cos(col("ea"), col("eb")) >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+  }
+
+  /** Declared bound row (the x2_ann pattern, strengthened: the true
+    * pair count is ALSO hash-matched against DuckDB's exact O(n²) SQL).
+    * recall_ok: cluster-pruned pairs recover ≥ 60 % of the exact cosine
+    * ≥ 0.45 pairs (SemSweep-measured 1.00/0.86/0.69 at sf0.001/0.01/0.1
+    * with nlist 32 × nassign 3 — isotropic gaussian fixtures are the
+    * adversarial case, every qualifying pair sits at a Voronoi boundary
+    * in generic position; real near-dup clusters are tighter than their
+    * cluster radius, the same worst-case argument as x2_ann_lsh's 0.5
+    * floor). pruned_ok: the candidate (co-located) pair count stays
+    * ≤ 30 % of n(n-1)/2 — the quadratic actually avoided (measured
+    * ~0.26 ≈ nassign²/nlist; at corpus scale nlist grows ~√n and the
+    * fraction collapses). */
+  private def x1SemanticAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = Similarity.kmeansCentroids(emb, 32, iters = 1)
+    val assigned = Similarity.ivfProbeClusters(emb, cents, 3)
+      .select(col("cluster"), col("probe_id").as("vec_id"), col("p_emb").as("embedding"))
+    val cands = assigned.select(col("cluster"), col("vec_id").as("vec_a"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("vec_b")), Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val got = semanticPairsIvf(emb, 0.45)
+    val exact = embeddingNeardup(emb, 0.45).select(col("vec_a"), col("vec_b"))
+    val hits = got.join(exact, Seq("vec_a", "vec_b")).agg(count(lit(1)).as("n_hits"))
+    val truth = exact.agg(count(lit(1)).as("n_true_pairs"))
+    val nVec = emb.agg(count(lit(1)).as("n_vectors"))
+    hits.crossJoin(truth).crossJoin(nVec)
+      .select(col("n_vectors"), col("n_true_pairs"),
+        (col("n_hits").cast("double") >= col("n_true_pairs") * 0.6).as("recall_ok"))
+      .crossJoin(cands.agg(count(lit(1)).as("n_cand")))
+      .select(col("n_vectors"), col("n_true_pairs"), col("recall_ok"),
+        (col("n_cand").cast("double") /
+          (col("n_vectors").cast("double") * (col("n_vectors") - 1) / 2) <= 0.3)
+          .as("pruned_ok"))
+  }
+
+  private val x1SemanticAnnSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings a JOIN embeddings b
+      |     ON a.vec_id < b.vec_id
+      |    AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.45
+      |  ) AS n_true_pairs,
+      |  TRUE AS recall_ok,
+      |  TRUE AS pruned_ok
+      |FROM embeddings""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("x1_exact_dedup", x1Exact, Some(x1ExactSql)),
     Declared("x1_neardup_minhash", x1Minhash, Some(x1MinhashSql)),
@@ -658,5 +742,6 @@ object Dedup {
     Declared("x1_simhash_pairs", x1SimhashPairs, Some(x1SimhashPairsSql)),
     Declared("x1_embedding_neardup", x1Embedding, Some(x1EmbeddingSql)),
     Declared("x1_dedup_clusters", x1Clusters, Some(x1ClustersSql)),
-    Declared("x1_semantic_dedup", x1Semantic, Some(x1SemanticSql)))
+    Declared("x1_semantic_dedup", x1Semantic, Some(x1SemanticSql)),
+    Declared("x1_semantic_dedup_ann", x1SemanticAnn, Some(x1SemanticAnnSql)))
 }

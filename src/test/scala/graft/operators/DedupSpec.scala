@@ -115,6 +115,29 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("semanticPairsIvf finds a planted near-identical pair and no spurious ones") {
+    import spark.implicits._
+    // 60 well-separated one-hot-ish vectors + one planted near-dup of
+    // vec 0: cluster pruning must co-locate the planted pair (cos≈1 ⇒
+    // same nearest centroids) and the exact within-cluster cosine must
+    // reject everything else (orthogonal ⇒ cos 0).
+    val dim = 8
+    val base = (0 until 60).map { i =>
+      val v = Array.fill(dim)(0.001f * (i % 3)); v(i % dim) = 1.0f
+      (i.toLong, v)
+    }
+    val planted = {
+      val v = base.head._2.clone(); v(1) = v(1) + 0.01f
+      (999L, v)
+    }
+    val emb = (base :+ planted).toDF("vec_id", "embedding")
+    val got = Dedup.semanticPairsIvf(emb, 0.95, nlist = 4, nassign = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 999L)), s"planted pair missing: $got")
+    // every surviving pair must be a genuine cos>=0.95 pair: same one-hot axis
+    assert(got.forall { case (a, b) => (a % dim) == (if (b == 999L) 0L else b % dim) }, got)
+  }
+
   test("dedupClusters: a 128-node path collapses in O(log n) rounds (pointer jumping)") {
     import spark.implicits._
     // worst-case diameter: a single path 0-1-2-...-127. Plain min-label
