@@ -371,6 +371,40 @@ object Relational {
       |GROUP BY l_returnflag) t
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Wide→long reshaping: the native `unpivot`/`melt` operator (the
+    * inverse of q6_pivot). Three per-flag decimal-exact sums melt into
+    * (l_returnflag, measure, value) rows — map-only on top of the
+    * aggregate, no extra shuffle (Catalyst plans `Expand`, same node
+    * family as rollup). Oracle is the portable UNION ALL formulation. */
+  private def q6Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        dsum($"l_quantity").as("s_qty"),
+        dsum($"l_extendedprice").as("s_base"),
+        dsum($"l_discount").as("s_disc"))
+      .unpivot(
+        ids = Array($"l_returnflag"),
+        values = Array($"s_qty", $"s_base", $"s_disc"),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .orderBy($"l_returnflag", $"measure")
+  }
+
+  private val q6UnpivotSql =
+    s"""WITH a AS (
+       |  SELECT l_returnflag,
+       |    ${sqlSum("l_quantity")} AS s_qty,
+       |    ${sqlSum("l_extendedprice")} AS s_base,
+       |    ${sqlSum("l_discount")} AS s_disc
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, measure, value FROM (
+       |  SELECT l_returnflag, 's_qty' AS measure, s_qty AS value FROM a
+       |  UNION ALL SELECT l_returnflag, 's_base', s_base FROM a
+       |  UNION ALL SELECT l_returnflag, 's_disc', s_disc FROM a) u
+       |ORDER BY l_returnflag, measure""".stripMargin
+
   // ---------------------------------------------------------------- Q7
   /** Window functions. Partitioned by customer — parallel across the key
     * space, one shuffle on the partition key; no global sort until the
@@ -794,6 +828,36 @@ object Relational {
       |WHERE p_size BETWEEN 1 AND 40
       |ORDER BY p_partkey""".stripMargin
 
+  /** Error-safe scalar battery: `try_cast` / `try_divide` /
+    * `try_element_at` return null instead of failing — the semantics a
+    * 100 TB ingest needs (one malformed row must not kill a stage).
+    * DuckDB mirrors: TRY_CAST; division is null-on-zero natively; list
+    * indexing is null-out-of-bounds natively. */
+  private def q10Try(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "part")
+      .select(
+        $"p_partkey",
+        expr("try_cast(p_name AS INT)").as("bad_cast"),
+        expr("try_cast(cast(p_size AS STRING) AS INT)").as("good_cast"),
+        expr("try_divide(p_retailprice, p_size - p_size)").as("div0"),
+        expr("try_divide(p_retailprice, 4)").as("quarter"),
+        expr("try_element_at(split(p_name, ' '), 99)").as("oob"),
+        expr("try_element_at(split(p_name, ' '), 1)").as("first_word"))
+      .orderBy($"p_partkey")
+  }
+
+  private val q10TrySql =
+    """SELECT p_partkey,
+      |  TRY_CAST(p_name AS INTEGER) AS bad_cast,
+      |  TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS good_cast,
+      |  p_retailprice / (p_size - p_size) AS div0,
+      |  p_retailprice / 4 AS quarter,
+      |  (string_split(p_name, ' '))[99] AS oob,
+      |  (string_split(p_name, ' '))[1] AS first_word
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
   private def q10Json(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     t(spark, dir, "events")
@@ -840,6 +904,45 @@ object Relational {
        |FROM events
        |GROUP BY event_type, bucket
        |ORDER BY event_type, bucket""".stripMargin
+
+  /** Dense time-series reconstruction (gap filling): every (event_type,
+    * 10-min bucket) slot over the observed span, zero-filled where no
+    * events landed — the step before any windowed model consumes the
+    * series. The dense axis is `sequence` + explode over a ONE-ROW
+    * bounds aggregate cross-joined with the distinct types (both sides
+    * broadcast scalars/tiny), left-joined to the actual bucket counts —
+    * the grid is generated distributed, never collected. */
+  private def q11GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, dir, "events")
+      .withColumn("bucket", (floor(unix_timestamp($"ts") / 600) * 600).cast(LongType))
+    val bounds = ev.agg(min($"bucket").as("lo"), max($"bucket").as("hi"))
+    val grid = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type",
+        explode(sequence($"lo", $"hi", lit(600L))).as("bucket"))
+    val counts = ev.groupBy($"event_type", $"bucket").agg(count(lit(1)).as("n"))
+    grid.join(counts, Seq("event_type", "bucket"), "left")
+      .select($"event_type", $"bucket",
+        coalesce($"n", lit(0L)).as("n"),
+        $"n".isNull.as("filled"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  private val q11GapFillSql =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(FLOOR(EPOCH(ts) / 600) * 600 AS BIGINT) AS bucket
+      |  FROM events),
+      |b AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM ev),
+      |grid AS (
+      |  SELECT t.event_type, g.bucket
+      |  FROM (SELECT DISTINCT event_type FROM ev) t
+      |  CROSS JOIN (SELECT unnest(range(lo, hi + 600, 600)) AS bucket FROM b) g),
+      |c AS (SELECT event_type, bucket, COUNT(*) AS n FROM ev GROUP BY 1, 2)
+      |SELECT grid.event_type, grid.bucket,
+      |  COALESCE(c.n, 0) AS n, c.n IS NULL AS filled
+      |FROM grid LEFT JOIN c USING (event_type, bucket)
+      |ORDER BY event_type, bucket""".stripMargin
 
   // --------------------------------------------------------------- Q14
   /** Correlated scalar subquery (TPC-H Q17 shape): line items whose
@@ -931,6 +1034,9 @@ object Relational {
     Declared("q10_array_fns", q10Array, Some(q10ArraySql)),
     Declared("q10_map_fns", q10Map, Some(q10MapSql)),
     Declared("q11_event_buckets", q11, Some(q11Sql)),
+    Declared("q6_unpivot", q6Unpivot, Some(q6UnpivotSql)),
+    Declared("q10_try_fns", q10Try, Some(q10TrySql)),
+    Declared("q11_gap_fill", q11GapFill, Some(q11GapFillSql)),
     Declared("q14_correlated_subquery", q14, Some(q14Sql)),
     Declared("q15_top_supplier", q15, Some(q15Sql)))
 }
