@@ -159,7 +159,13 @@ object Curation {
       .select(explode(shingleUdf(col("text"))).as("g"))
       .distinct()
       .persist() // used three times: count, bloom build, verify join
-    val n = math.max(evalGrams.count(), 1L) // eval-set-sized action
+    val n = evalGrams.count() // eval-set-sized action
+    if (n == 0) {
+      // empty eval set: contamination is empty by definition — and
+      // stat.bloomFilter NPEs on zero rows (its merge sees a null sketch)
+      evalGrams.unpersist()
+      return docs.select(col("doc_id"), lit(0L).as("n_hits")).limit(0)
+    }
     val bloom = evalGrams.stat.bloomFilter("g", n, fpp)
     val bBloom = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((g: String) => bBloom.value.mightContainString(g))
@@ -390,6 +396,65 @@ object Curation {
       |FROM u JOIN mix USING (lang, source)
       |WHERE u.u_ppm < mix.weight_ppm
       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- weighted up-sampling
+  /** The other half of domain mixing: [[sampleByWeight]] can only DROP
+    * (weight ≤ 10⁶ ppm); real mixes also REPEAT under-represented
+    * high-quality domains (weight > 10⁶ ppm — the Llama/Gopher-style
+    * multi-epoch sources). Each doc emits `weight DIV 10⁶` full copies
+    * plus one more iff its deterministic uniform (same salted-md5 as the
+    * sampler) falls under `weight MOD 10⁶` — so expected copies =
+    * weight/10⁶ exactly, per-doc decisions replay identically anywhere,
+    * and a weight ≤ 10⁶ degrades to exactly [[sampleByWeight]]'s
+    * behavior. Output carries `copy_id` (0-based) so downstream shuffle/
+    * pack stages see distinct rows. Broadcast weights join + map-only
+    * `sequence`/`posexplode` — the fan-out happens distributed, sized by
+    * each row's own copy count, never materialized on the driver. */
+  def upsampleByWeight(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val u = conv(substring(
+        md5(concat(lit("sample:"), col("doc_id").cast(StringType)).cast(BinaryType)),
+        1, 6), 16, 10)
+      .cast(LongType) % 1000000
+    docs.join(broadcast(weights), Seq("lang", "source"))
+      .withColumn("u_ppm", u)
+      .withColumn("n_copies",
+        (col("weight_ppm") / 1000000).cast(LongType) +
+          when(col("u_ppm") < col("weight_ppm") % 1000000, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_copies"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_id"))
+  }
+
+  /** Declared form: a Llama-style mix — English repeated ~2.3×, the rest
+    * kept at 60 % — expressed as a portable CASE weight table. */
+  private def xcUpsample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val weights = docs.select(col("lang"), col("source")).distinct()
+      .withColumn("weight_ppm",
+        when(col("lang") === "en", 2300000L).otherwise(600000L))
+    upsampleByWeight(docs, weights)
+      .orderBy(col("doc_id"), col("copy_id"))
+  }
+
+  private val xcUpsampleSql =
+    """WITH u AS (
+      |  SELECT doc_id, lang, source,
+      |    ((strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576
+      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 65536
+      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 4096
+      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 256
+      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16
+      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 6, 1)) - 1)) % 1000000 AS u_ppm,
+      |    CASE WHEN lang = 'en' THEN 2300000 ELSE 600000 END AS w
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, lang, source,
+      |    w // 1000000 + CASE WHEN u_ppm < w % 1000000 THEN 1 ELSE 0 END AS n_copies
+      |  FROM u)
+      |SELECT doc_id, lang, source, CAST(n_copies AS BIGINT) AS n_copies,
+      |  CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_id
+      |FROM n WHERE n_copies > 0
+      |ORDER BY doc_id, copy_id""".stripMargin
 
   // --------------------------------------------- int8 scalar quantization
   /** Per-dimension (min, max) of the corpus, computed as per-partition
@@ -758,6 +823,7 @@ object Curation {
     Declared("xc_repetition", xcRepetition, Some(xcRepetitionSql)),
     Declared("xc_domain_mix", xcDomainMix, Some(xcDomainMixSql)),
     Declared("xc_sample", xcSample, Some(xcSampleSql)),
+    Declared("xc_upsample", xcUpsample, Some(xcUpsampleSql)),
     Declared("xc_quantize", xcQuantize, Some(xcQuantizeSql)),
     Declared("xc_pack", xcPack, Some(xcPackSql)),
     Declared("xc_pipeline", xcPipeline, Some(xcPipelineSql)))

@@ -88,6 +88,30 @@ class CurationSpec extends SparkSpec {
     assert(surviving <= n / 20, s"bloom passed $surviving of $n disjoint grams")
   }
 
+  test("upsampleByWeight: weight 2.3M gives 2-3 copies, 600k gives 0-1, 10^6 exactly 1") {
+    val d = (0L until 3000L).map(i =>
+      (i, s"doc $i", if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val w = Seq(("en", "s", 2300000L), ("de", "s", 600000L), ("fr", "s", 1000000L))
+      .toDF("lang", "source", "weight_ppm")
+    val out = Curation.upsampleByWeight(d, w)
+    val per = out.groupBy("lang", "doc_id").count()
+      .groupBy("lang").agg(min("count").as("mn"), max("count").as("mx"),
+        (sum("count") / countDistinct("doc_id")).as("avg_copies"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(per("en")._1 == 2 && per("en")._2 == 3) // 2 full + bernoulli(0.3)
+    assert(per("de")._1 == 1 && per("de")._2 == 1) // survivors have exactly 1
+    assert(per("fr") == ((1L, 1L, 1.0)))           // weight 10^6 = identity
+    assert(math.abs(per("en")._3 - 2.3) < 0.1, s"en avg ${per("en")._3}")
+    // de keeps ~60% of docs (hash-threshold half of the operator)
+    val deKept = out.filter($"lang" === "de").select("doc_id").distinct().count()
+    assert(math.abs(deKept / 1000.0 - 0.6) < 0.08, s"de kept $deKept/1000")
+    // copy ids are dense 0..n-1 per doc
+    val bad = out.groupBy("doc_id").agg(max("copy_id").as("mx"), count(lit(1)).as("n"))
+      .filter($"mx" =!= $"n" - 1).count()
+    assert(bad == 0)
+  }
+
   // --------------------------------------------------------- repetition
   test("repetition scores duplicate-heavy docs high and unique docs zero") {
     val loop = (Seq.fill(20)("spam spam wonderful spam")).mkString(" ")

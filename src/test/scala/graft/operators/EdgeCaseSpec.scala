@@ -19,6 +19,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Similarity.cosineTopK(noVecs, noVecs, 5).count() == 0)
   }
 
+  test("round-5 operators on empty input return empty, not exceptions") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    // empty corpus, and the nastier case: empty EVAL set (bloom over 0 keys)
+    assert(Curation.bloomDecontaminate(noDocs, someDocs).count() == 0)
+    assert(Curation.bloomDecontaminate(someDocs, noDocs).count() == 0)
+    // CMS over an empty corpus: totalCount 0 makes every gram a
+    // "candidate" (est*phi >= 0) but there are no grams to gate
+    assert(TextAnalysis.heavyHitters(noDocs).count() == 0)
+    assert(TextAnalysis.ngramTopK(noDocs).count() == 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.semanticPairsIvf(noVecs, 0.5).count() == 0)
+    val noWeighted = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val w = Seq(("en", "s", 2000000L)).toDF("lang", "source", "weight_ppm")
+    assert(Curation.upsampleByWeight(noWeighted, w).count() == 0)
+  }
+
   test("embedding block grid handles n=1 and n < block floor") {
     import spark.implicits._
     val one = Seq((7L, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
