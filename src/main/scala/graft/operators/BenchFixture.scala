@@ -49,8 +49,11 @@ object BenchFixture {
     spark.sparkContext.setLogLevel("ERROR")
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // gate on the commit marker, not the directory: a run killed
+    // mid-write leaves a partial dir that a bare exists() would
+    // silently accept and every later bench would measure garbage
     def done(t: String) =
-      fs.exists(new org.apache.hadoop.fs.Path(s"$out/$t.parquet"))
+      fs.exists(new org.apache.hadoop.fs.Path(s"$out/$t.parquet/_SUCCESS"))
 
     // documents + embeddings: profile-matched synthetic text/vectors
     ScaleProbe.genFixture(spark, base, out, m)
@@ -67,7 +70,18 @@ object BenchFixture {
       // Tables.loadEvents converts both layouts the same way
       if (t == "events")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      replicate(spark.read.parquet(s"$base/$t.parquet"), m, shifts: _*)
+      val df = spark.read.parquet(s"$base/$t.parquet")
+      // spans are sf0.1 cardinalities; amplifying a base whose keys
+      // exceed them would collide slices — fail instead of corrupting
+      val mxCols = shifts.map { case (c, _) => max(col(c)).as(c) }
+      val mx = df.agg(mxCols.head, mxCols.tail: _*).head
+      shifts.zipWithIndex.foreach { case ((c, span), i) =>
+        val v = mx.getAs[Number](i).longValue
+        require(v < span,
+          s"$t.$c max $v >= shift span $span — base $base is " +
+            "not the sf0.1-shaped fixture this tool's spans assume")
+      }
+      replicate(df, m, shifts: _*)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }

@@ -158,7 +158,7 @@ object Curation {
     val evalGrams = evalDocs
       .select(explode(shingleUdf(col("text"))).as("g"))
       .distinct()
-      .persist() // used three times: count, bloom build, verify join
+      .persist() // shared by the two eager actions: count + bloom build
     val n = evalGrams.count() // eval-set-sized action
     if (n == 0) {
       // empty eval set: contamination is empty by definition — and
@@ -167,6 +167,10 @@ object Curation {
       return docs.select(col("doc_id"), lit(0L).as("n_hits")).limit(0)
     }
     val bloom = evalGrams.stat.bloomFilter("g", n, fpp)
+    // both eager uses (count, bloom build) are done — release the cache
+    // now rather than pinning it for the session; the lazy verify join
+    // below recomputes the benchmark-sized dictionary once when it runs
+    evalGrams.unpersist()
     val bBloom = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((g: String) => bBloom.value.mightContainString(g))
     docs
@@ -352,11 +356,26 @@ object Curation {
     * are domain-count-sized → broadcast; the pass is map-only on top.
     * The ~1.6 % modulo bias of 16⁶ mod 10⁶ is identical in both
     * engines and immaterial for budgeting. */
-  def sampleByWeight(docs: DataFrame, weights: DataFrame): DataFrame = {
-    val u = conv(substring(
+  /** The shared deterministic uniform: first 6 hex chars of the salted
+    * md5 of doc_id, mod 10⁶. ONE definition for the sampler and the
+    * upsampler — their keep/copy decisions must stay bit-identical
+    * (weight ≤ 10⁶ upsampling degrades to exactly the sampler). */
+  private def saltedUniformPpm: Column =
+    conv(substring(
         md5(concat(lit("sample:"), col("doc_id").cast(StringType)).cast(BinaryType)),
         1, 6), 16, 10)
       .cast(LongType) % 1000000
+
+  /** SQL twin of [[saltedUniformPpm]] (DuckDB has no hex→int cast wide
+    * enough, so the six nibbles are place-value summed via strpos). */
+  private def saltedUniformPpmSql: String =
+    (0 until 6).map { i =>
+      val pv = math.pow(16, 5 - i).toLong
+      s"(strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), ${i + 1}, 1)) - 1) * $pv"
+    }.mkString("(", "\n   + ", ") % 1000000")
+
+  def sampleByWeight(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val u = saltedUniformPpm
     docs.join(broadcast(weights), Seq("lang", "source"))
       .withColumn("u_ppm", u)
       .filter(col("u_ppm") < col("weight_ppm"))
@@ -385,17 +404,12 @@ object Curation {
       |  FROM g CROSS JOIN t),
       |u AS (
       |  SELECT doc_id, lang, source,
-      |    ((strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576
-      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 65536
-      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 4096
-      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 256
-      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16
-      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 6, 1)) - 1)) % 1000000 AS u_ppm
+      |    $SALTED_U AS u_ppm
       |  FROM documents)
       |SELECT u.doc_id, u.lang, u.source, mix.weight_ppm, CAST(u.u_ppm AS BIGINT) AS u_ppm
       |FROM u JOIN mix USING (lang, source)
       |WHERE u.u_ppm < mix.weight_ppm
-      |ORDER BY doc_id""".stripMargin
+      |ORDER BY doc_id""".stripMargin.replace("$SALTED_U", saltedUniformPpmSql)
 
   // ------------------------------------------------- weighted up-sampling
   /** The other half of domain mixing: [[sampleByWeight]] can only DROP
@@ -411,10 +425,7 @@ object Curation {
     * `sequence`/`posexplode` — the fan-out happens distributed, sized by
     * each row's own copy count, never materialized on the driver. */
   def upsampleByWeight(docs: DataFrame, weights: DataFrame): DataFrame = {
-    val u = conv(substring(
-        md5(concat(lit("sample:"), col("doc_id").cast(StringType)).cast(BinaryType)),
-        1, 6), 16, 10)
-      .cast(LongType) % 1000000
+    val u = saltedUniformPpm
     docs.join(broadcast(weights), Seq("lang", "source"))
       .withColumn("u_ppm", u)
       .withColumn("n_copies",
@@ -439,12 +450,7 @@ object Curation {
   private val xcUpsampleSql =
     """WITH u AS (
       |  SELECT doc_id, lang, source,
-      |    ((strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576
-      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 65536
-      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 4096
-      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 256
-      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16
-      |   + (strpos('0123456789abcdef', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 6, 1)) - 1)) % 1000000 AS u_ppm,
+      |    $SALTED_U AS u_ppm,
       |    CASE WHEN lang = 'en' THEN 2300000 ELSE 600000 END AS w
       |  FROM documents),
       |n AS (
@@ -454,7 +460,7 @@ object Curation {
       |SELECT doc_id, lang, source, CAST(n_copies AS BIGINT) AS n_copies,
       |  CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_id
       |FROM n WHERE n_copies > 0
-      |ORDER BY doc_id, copy_id""".stripMargin
+      |ORDER BY doc_id, copy_id""".stripMargin.replace("$SALTED_U", saltedUniformPpmSql)
 
   // --------------------------------------------- int8 scalar quantization
   /** Per-dimension (min, max) of the corpus, computed as per-partition

@@ -564,6 +564,9 @@ object Dedup {
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("_old"),
           least(col("_old"), coalesce(col("nbr_min"), col("_old"))).as("_mid"))
+        // referenced on BOTH sides of the jump self-join below — persist
+        // for the round or the propagation join+agg runs twice per round
+        .persist()
       // pointer jump: follow _mid to ITS representative's label. Labels
       // are always real doc_ids of the same component, so the self-join
       // is total and only ever lowers the label.
@@ -572,7 +575,8 @@ object Dedup {
           col("_mid") === col("_rep"))
         .select(col("doc_id"), col("_rep_label").as("cluster_id"),
           (col("_rep_label") =!= col("_old")).as("_chg"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: prop is consumed here, release it next
+      prop.unpersist()
       changed = next.filter(col("_chg")).count()
       labels = next.drop("_chg")
     }
@@ -670,8 +674,17 @@ object Dedup {
   def semanticPairsIvf(emb: DataFrame, threshold: Double,
       nlist: Int = 32, nassign: Int = 3, kmeansIters: Int = 1): DataFrame = {
     val cents = Similarity.kmeansCentroids(emb, nlist, kmeansIters)
-    val assigned = Similarity.ivfProbeClusters(emb, cents, nassign)
-      .select(col("cluster"), col("probe_id").as("vec_id"), col("p_emb").as("embedding"))
+    semanticPairsIvfFrom(
+      Similarity.ivfProbeClusters(emb, cents, nassign)
+        .select(col("cluster"), col("probe_id").as("vec_id"), col("p_emb").as("embedding")),
+      threshold)
+  }
+
+  /** Same, from an already-built (cluster, vec_id, embedding) assignment
+    * — callers that also need the raw candidate set (the declared bound
+    * row) share ONE Lloyd refinement + assignment instead of two. */
+  private[operators] def semanticPairsIvfFrom(
+      assigned: DataFrame, threshold: Double): DataFrame = {
     val cos = udf { (x: Seq[Float], y: Seq[Float]) =>
       val a = Kernels.widen(x.toArray); val b = Kernels.widen(y.toArray)
       Kernels.dotd(a, b) /
@@ -707,7 +720,7 @@ object Dedup {
       .join(assigned.select(col("cluster"), col("vec_id").as("vec_b")), Seq("cluster"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b")).distinct()
-    val got = semanticPairsIvf(emb, 0.45)
+    val got = semanticPairsIvfFrom(assigned, 0.45)
     val exact = embeddingNeardup(emb, 0.45).select(col("vec_a"), col("vec_b"))
     val hits = got.join(exact, Seq("vec_a", "vec_b")).agg(count(lit(1)).as("n_hits"))
     val truth = exact.agg(count(lit(1)).as("n_true_pairs"))

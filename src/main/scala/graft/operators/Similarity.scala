@@ -70,16 +70,19 @@ object Similarity {
       var bandMin = Double.MaxValue
       var bandMinBit = 0
       while (j < planes) {
+        // reset at band START, not after band end: if every margin in a
+        // band is NaN/Inf (a NaN embedding value), `m < bandMin` never
+        // fires and a stale bit from the PREVIOUS band would be flipped,
+        // silently cancelling this band's multi-probe perturbation
+        if (j % bandBits == 0) { bandMin = Double.MaxValue; bandMinBit = j }
         val row = hp(j)
         var s = 0.0; var i = 0
         while (i < dim) { s += v(i) * row(i); i += 1 }
         if (s >= 0) sig |= (1L << j)
         val m = math.abs(s)
         if (m < bandMin) { bandMin = m; bandMinBit = j }
-        if (j % bandBits == bandBits - 1) { // band complete: flip weakest
+        if (j % bandBits == bandBits - 1) // band complete: flip weakest
           msig |= (1L << bandMinBit)
-          bandMin = Double.MaxValue
-        }
         j += 1
       }
       (sig, sig ^ msig)

@@ -156,7 +156,18 @@ object CurateStream {
     * cut, so boundary choice affects batch sizes, never the result. */
   private def xsCurateStream(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val root = java.nio.file.Files.createTempDirectory("xs-curate-stream").toString
+    val rootPath = java.nio.file.Files.createTempDirectory("xs-curate-stream")
+    // the returned DataFrame reads lazily from outDir, so the scratch
+    // tree must outlive this call — reap it at JVM exit instead of
+    // accreting a corpus copy per invocation (Verify once + Bench 3×)
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(rootPath))
+        Files.walk(rootPath).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    }
+    val root = rootPath.toString
     val inDir = s"$root/in"; val outDir = s"$root/out"
     val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
     val (lo, hi) = (r.getLong(0), r.getLong(1))
