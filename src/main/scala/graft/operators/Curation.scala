@@ -821,6 +821,55 @@ object Curation {
       |GROUP BY sp.lang, sp.source, sp.split, mix.weight_ppm
       |ORDER BY lang, source, split""".stripMargin
 
+  // ------------------------------------------------ deterministic shard
+  /** Training-shard assignment + within-shard order — the "global
+    * shuffle" every pre-training pipeline runs before writing shards:
+    * each document gets a shard (salted-md5 mod nShards, independent of
+    * the [[hashSplit]] and [[sampleByWeight]] salts so the three
+    * decisions are mutually pseudo-random) and a dense position inside
+    * the shard, ordered by the hash itself — i.e. the read order is a
+    * deterministic, replay-identical permutation of the corpus.
+    *
+    * Scale: one shuffle, partitioned BY SHARD, with an in-partition
+    * sort — `row_number` over `partitionBy(shard)` — so shards
+    * order-assign in parallel. nShards is the output-file count;
+    * production sets it to thousands at 100 TB (each shard = one
+    * training file of a few GB), which simultaneously bounds the
+    * per-task sort. No global sort, no single-partition window. */
+  def shardAssign(docs: DataFrame, nShards: Int): DataFrame = {
+    val h = md5(concat(lit("shard:"), col("doc_id").cast(StringType)).cast(BinaryType))
+    docs
+      .select(col("doc_id"), h.as("_h"))
+      .withColumn("shard",
+        (conv(substring(col("_h"), 1, 6), 16, 10).cast(LongType) % nShards)
+          .cast(IntegerType))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("_h"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  private def xcShard(spark: SparkSession, dir: String): DataFrame =
+    shardAssign(Tables.load(spark, dir, "documents"), 8)
+      .orderBy(col("shard"), col("pos"))
+
+  private val xcShardSql =
+    """WITH h AS (
+      |  SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS _h
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, _h,
+      |    CAST((SALTED_H6) % 8 AS INTEGER) AS shard
+      |  FROM h)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY _h, doc_id) AS INTEGER) AS pos
+      |FROM s
+      |ORDER BY shard, pos""".stripMargin.replace("SALTED_H6",
+      (0 until 6).map { i =>
+        val pv = math.pow(16, 5 - i).toLong
+        s"(strpos('0123456789abcdef', substr(_h, ${i + 1}, 1)) - 1) * $pv"
+      }.mkString("(", " + ", ")"))
+
   val all: Seq[Declared] = Seq(
     Declared("xc_pipeline_full", xcPipelineFull, Some(xcPipelineFullSql)),
     Declared("xc_split", xcSplit, Some(xcSplitSql)),
@@ -832,5 +881,6 @@ object Curation {
     Declared("xc_upsample", xcUpsample, Some(xcUpsampleSql)),
     Declared("xc_quantize", xcQuantize, Some(xcQuantizeSql)),
     Declared("xc_pack", xcPack, Some(xcPackSql)),
+    Declared("xc_shard", xcShard, Some(xcShardSql)),
     Declared("xc_pipeline", xcPipeline, Some(xcPipelineSql)))
 }

@@ -549,8 +549,15 @@ object Dedup {
     * restart-from-batch is how dedup jobs run anyway).
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // symmetrize by exploding each pair into both orientations — ONE
+    // evaluation of the (possibly expensive) pair-mining plan; the
+    // union-of-two-selects form would compute `pairs` twice when the
+    // persisted edges first materialize
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
       .persist()
     var labels = docs.select(col("doc_id"))
       .withColumn("cluster_id", col("doc_id")).localCheckpoint()
@@ -716,20 +723,38 @@ object Dedup {
     val cents = Similarity.kmeansCentroids(emb, 32, iters = 1)
     val assigned = Similarity.ivfProbeClusters(emb, cents, 3)
       .select(col("cluster"), col("probe_id").as("vec_id"), col("p_emb").as("embedding"))
-    val cands = assigned.select(col("cluster"), col("vec_id").as("vec_a"))
-      .join(assigned.select(col("cluster"), col("vec_id").as("vec_b")), Seq("cluster"))
+    val cos = udf { (x: Seq[Float], y: Seq[Float]) =>
+      val a = Kernels.widen(x.toArray); val b = Kernels.widen(y.toArray)
+      Kernels.dotd(a, b) /
+        (math.sqrt(Kernels.dotd(a, a)) * math.sqrt(Kernels.dotd(b, b)))
+    }
+    // ONE cluster self-join yields both the candidate set and the
+    // threshold flag (groupBy collapses multi-cluster co-locations, the
+    // job distinct() did); the old cands/got pair evaluated the join —
+    // and the IVF assignment under it — twice.
+    val scored = assigned.select(col("cluster"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("vec_b"), col("embedding").as("eb")),
+        Seq("cluster"))
       .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b")).distinct()
-    val got = semanticPairsIvfFrom(assigned, 0.45)
-    val exact = embeddingNeardup(emb, 0.45).select(col("vec_a"), col("vec_b"))
-    val hits = got.join(exact, Seq("vec_a", "vec_b")).agg(count(lit(1)).as("n_hits"))
-    val truth = exact.agg(count(lit(1)).as("n_true_pairs"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(max(when(cos(col("ea"), col("eb")) >= 0.45, 1).otherwise(0)).as("passed"))
+    // ONE evaluation of the exact O(n²) miner: full-outer against the
+    // flagged candidates, then a single aggregate computes truth /
+    // hits / candidate counts together (the old hits+truth pair ran
+    // the block-grid join twice).
+    val exact = embeddingNeardup(emb, 0.45)
+      .select(col("vec_a"), col("vec_b"), lit(1).as("t"))
+    val counts = scored.withColumn("c", lit(1))
+      .join(exact, Seq("vec_a", "vec_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("c")), lit(0L)).as("n_cand"),
+        coalesce(sum(col("t")), lit(0L)).as("n_true_pairs"),
+        coalesce(sum(when(col("passed") === 1 && col("t") === 1, 1).otherwise(0)),
+          lit(0L)).as("n_hits"))
     val nVec = emb.agg(count(lit(1)).as("n_vectors"))
-    hits.crossJoin(truth).crossJoin(nVec)
-      .select(col("n_vectors"), col("n_true_pairs"),
-        (col("n_hits").cast("double") >= col("n_true_pairs") * 0.6).as("recall_ok"))
-      .crossJoin(cands.agg(count(lit(1)).as("n_cand")))
-      .select(col("n_vectors"), col("n_true_pairs"), col("recall_ok"),
+    counts.crossJoin(nVec)
+      .select(col("n_vectors"), col("n_true_pairs").cast("long").as("n_true_pairs"),
+        (col("n_hits").cast("double") >= col("n_true_pairs") * 0.6).as("recall_ok"),
         (col("n_cand").cast("double") /
           (col("n_vectors").cast("double") * (col("n_vectors") - 1) / 2) <= 0.3)
           .as("pruned_ok"))

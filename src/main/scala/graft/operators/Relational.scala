@@ -1001,6 +1001,103 @@ object Relational {
        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
        |ORDER BY s_suppkey""".stripMargin
 
+  // --------------------------------------------------------------- Q16
+  /** Parts/supplier stats (TPC-H Q16 shape, adapted: the fixture has no
+    * partsupp/s_comment, so lineitem is the part↔supplier relation and
+    * the exclusion subquery is negative-balance suppliers). The NOT IN
+    * becomes a left-anti join (s_suppkey is non-null, so the null-aware
+    * variant degenerates to plain anti); the excluded-supplier side is
+    * tiny → broadcast anti, part is dim-sized → broadcast inner, and the
+    * only real shuffle is the final distinct aggregation — which Spark
+    * runs as two-phase (partial per-(keys, suppkey) dedup before the
+    * exchange), so the shuffle carries distinct combinations, not
+    * lineitem rows. */
+  private def q16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val badSupp = t(spark, dir, "supplier")
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    val li = t(spark, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey")
+      .join(broadcast(badSupp), $"l_suppkey" === $"s_suppkey", "left_anti")
+    t(spark, dir, "part")
+      .filter($"p_brand" =!= "Brand#13" && $"p_type" =!= "PROMO")
+      .join(li, $"p_partkey" === $"l_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // --------------------------------------------------------------- Q18
+  /** Large-volume customers (TPC-H Q18 shape): aggregate lineitem per
+    * order, HAVING-filter to the big ones, then join orders + customer.
+    * The HAVING side aggregates BEFORE joining — the join input shrinks
+    * from all lineitem to the qualifying orders — and the customer/orders
+    * probes ride hash joins on the already-aggregated key. At 100 TB the
+    * one full shuffle is the per-orderkey aggregation (unavoidable and
+    * map-side partial); everything after is proportional to qualifiers. */
+  private def q18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = t(spark, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(dsum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 180)
+    t(spark, dir, "orders")
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .join(t(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+  }
+
+  private val q18Sql =
+    s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+       |FROM orders
+       |JOIN (SELECT l_orderkey, ${sqlSum("l_quantity")} AS sum_qty
+       |      FROM lineitem GROUP BY l_orderkey
+       |      HAVING ${sqlSum("l_quantity")} > 180) big
+       |  ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
+
+  // ------------------------------------------------- Q6 grouping sets
+  /** Explicit GROUPING SETS — the two one-dimensional marginals in a
+    * single pass (not expressible as ROLLUP; a CUBE would also pay for
+    * the (a,b) and () sets nobody asked for). Spark expands the input
+    * once per set under a single two-phase aggregate, so the scan runs
+    * once regardless of the number of sets. */
+  private def q6GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq($"o_orderpriority"), Seq($"o_orderstatus")),
+        $"o_orderpriority", $"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum($"o_totalprice").as("revenue"),
+        grouping($"o_orderpriority").cast(IntegerType).as("gp"),
+        grouping($"o_orderstatus").cast(IntegerType).as("gs"))
+      .orderBy($"gp", $"gs", $"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  private val q6GroupingSetsSql =
+    s"""SELECT o_orderpriority, o_orderstatus,
+       |  COUNT(*) AS n,
+       |  ${sqlSum("o_totalprice")} AS revenue,
+       |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS gp,
+       |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS gs
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+       |ORDER BY gp, gs, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- all
   val all: Seq[Declared] = Seq(
     Declared("q1_pricing_summary", q1, Some(q1Sql)),
@@ -1038,5 +1135,8 @@ object Relational {
     Declared("q10_try_fns", q10Try, Some(q10TrySql)),
     Declared("q11_gap_fill", q11GapFill, Some(q11GapFillSql)),
     Declared("q14_correlated_subquery", q14, Some(q14Sql)),
-    Declared("q15_top_supplier", q15, Some(q15Sql)))
+    Declared("q15_top_supplier", q15, Some(q15Sql)),
+    Declared("q16_parts_supplier", q16, Some(q16Sql)),
+    Declared("q18_large_volume", q18, Some(q18Sql)),
+    Declared("q6_grouping_sets", q6GroupingSets, Some(q6GroupingSetsSql)))
 }

@@ -33,6 +33,17 @@ class PlanSpec extends SparkSpec {
     assert(plan("q4_anti_join").contains("LeftAnti"))
   }
 
+  test("q16/q18: NOT-IN excludes via broadcast anti; HAVING aggregates before the join") {
+    val p16 = plan("q16_parts_supplier")
+    assert(p16.contains("LeftAnti"), p16)
+    assert(p16.contains("BroadcastHashJoin"), p16)
+    assert(!p16.contains("CartesianProduct"), p16)
+    val p18 = plan("q18_large_volume")
+    // two-phase per-order aggregate feeding the join; no cartesian
+    assert(p18.contains("partial_"), p18)
+    assert(!p18.contains("CartesianProduct"), p18)
+  }
+
   test("q5: banded range join is an equi hash join, not a nested loop") {
     val p = plan("q5_range_join")
     assert(!p.contains("CartesianProduct"), p)

@@ -280,4 +280,34 @@ class CurationSpec extends SparkSpec {
     assert(k1 == k2, "sampler must be replay-deterministic")
     assert(k1.size > 60 && k1.size < 140, s"kept ${k1.size} of 200 at 50%")
   }
+
+  // --------------------------------------------------------- shardAssign
+  test("shardAssign: total, balanced, dense positions, replay-identical") {
+    val d = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val s1 = Curation.shardAssign(d, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // total: every doc assigned exactly once
+    assert(s1.length == 1000 && s1.map(_._1).distinct.length == 1000)
+    // balanced: no shard dominates (md5 uniformity; 1000/8 = 125 mean)
+    val sizes = s1.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet.subsetOf((0 until 8).toSet))
+    assert(sizes.values.forall(n => n > 80 && n < 170), s"shard sizes $sizes")
+    // positions are a dense 1..n sequence inside every shard
+    sizes.foreach { case (sh, n) =>
+      val ps = s1.filter(_._2 == sh).map(_._3).sorted.toSeq
+      assert(ps == (1 to n), s"shard $sh positions not dense")
+    }
+    // replay-identical: same assignment AND same order on a rerun
+    val s2 = Curation.shardAssign(d, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(s1.sortBy(_._1).toSeq == s2.sortBy(_._1).toSeq)
+    // independent of the split salt: shard and split must not correlate
+    val both = Curation.hashSplit(d).select("doc_id", "split")
+      .join(Curation.shardAssign(d, 8), Seq("doc_id"))
+    val trainFracByShard = both.collect().groupBy(_.getInt(2))
+      .map { case (sh, rs) =>
+        sh -> rs.count(_.getString(1) == "train").toDouble / rs.length }
+    assert(trainFracByShard.values.forall(f => f > 0.6 && f < 0.95),
+      s"split/shard correlation: $trainFracByShard")
+  }
 }
