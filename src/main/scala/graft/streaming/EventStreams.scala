@@ -125,6 +125,33 @@ object EventStreams {
       .select(col("click_id"), col("user_id"), col("click_ts"), col("view_id"), col("view_ts"))
   }
 
+  /** S5 — trending top-k: tumbling 10-min counts per event_type, then
+    * the k most frequent types per window. The windowed count is the
+    * streaming aggregate (watermark-bounded state); the per-window rank
+    * is sink-side — append mode emits each window exactly once, AFTER
+    * it finalizes, which is precisely when its full key set exists, so
+    * `foreachBatch(rankTopK(_, k))` ranks complete windows only. The
+    * rank window partitions by bucket (thousands of concurrent buckets
+    * at scale → parallel; never a single global sort). */
+  def windowTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_timestamp(col("window.start")).as("bucket"),
+        col("event_type"), col("n"))
+
+  /** Sink-side ranking for [[windowTypeCounts]] — same code in the
+    * streaming foreachBatch and the batch parity/oracle form. */
+  def rankTopK(counts: DataFrame, k: Int = 3): DataFrame =
+    counts
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket"))
+          .orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rnk") <= k)
+
   // ------------------------------------------------- declared batch forms
   private def ev(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
@@ -224,8 +251,27 @@ object EventStreams {
        |GROUP BY c.c_mktsegment
        |ORDER BY c.c_mktsegment""".stripMargin
 
+  /** Batch parity of the S5 trending pipeline, oracled: the same
+    * counts + rank the stream computes, over the replayed fixture. */
+  private def s5(spark: SparkSession, dir: String): DataFrame =
+    rankTopK(windowTypeCounts(ev(spark, dir)), 3)
+      .orderBy(col("bucket"), col("rnk"))
+
+  private val s5Sql =
+    """WITH c AS (
+      |  SELECT CAST(FLOOR(EPOCH(ts) / 600) * 600 AS BIGINT) AS bucket,
+      |    event_type, COUNT(*) AS n
+      |  FROM events GROUP BY bucket, event_type)
+      |SELECT bucket, event_type, n, CAST(rnk AS INTEGER) AS rnk FROM (
+      |  SELECT bucket, event_type, n,
+      |    row_number() OVER (PARTITION BY bucket ORDER BY n DESC, event_type) AS rnk
+      |  FROM c) r
+      |WHERE rnk <= 3
+      |ORDER BY bucket, rnk""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("s1_tumbling_window", s1, Some(s1Sql)),
+    Declared("s5_trending_topk", s5, Some(s5Sql)),
     Declared("s4_stream_static_join", s4Static, Some(s4StaticSql)),
     Declared("s2_sliding_window", s2, Some(s2Sql)),
     Declared("s2_session_window", s2b, Some(s2bSql)),

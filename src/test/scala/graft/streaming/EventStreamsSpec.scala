@@ -156,6 +156,40 @@ class EventStreamsSpec extends SparkSpec {
       Seq(("BUILDING", 2L, 5.0), ("MACHINERY", 1L, 2.0)))
   }
 
+  test("S5 trending top-k ranks only finalized windows and matches batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val w0 = Seq( // window [10:00, 10:10): click 3×, view 2×, buy 1×
+      Ev(1, t(0), 1, "click", 1.0, "{}"), Ev(2, t(1), 2, "click", 1.0, "{}"),
+      Ev(3, t(2), 3, "click", 1.0, "{}"), Ev(4, t(3), 1, "view", 1.0, "{}"),
+      Ev(5, t(4), 2, "view", 1.0, "{}"), Ev(6, t(5), 3, "buy", 1.0, "{}"))
+    val mem = MemoryStream[Ev]
+    val ranked = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Int)]
+    val q = EventStreams.windowTypeCounts(mem.toDF())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        ranked ++= EventStreams.rankTopK(b, 2).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+        ()
+      }.start()
+    try {
+      mem.addData(w0: _*)
+      q.processAllAvailable()
+      // window not finalized yet (watermark still inside it) → no ranks
+      assert(ranked.isEmpty, s"ranked before finalization: $ranked")
+      // advance the watermark far past the first window → it finalizes
+      mem.addData(Ev(7, t(40), 1, "click", 1.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = EventStreams.rankTopK(
+        EventStreams.windowTypeCounts(w0.toDF()), 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(ranked.sortBy(x => (x._1, x._4)).toSeq == expected.sortBy(x => (x._1, x._4)).toSeq)
+    // top-2 of window 0: click (3) then view (2); buy cut
+    assert(ranked.map(x => (x._2, x._3, x._4)).sortBy(_._3).toSeq ==
+      Seq(("click", 3L, 1), ("view", 2L, 2)))
+  }
+
   test("S2 session windows split at the 30-minute gap") {
     import spark.implicits._
     val rows = Seq(
