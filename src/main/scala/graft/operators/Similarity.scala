@@ -378,8 +378,89 @@ object Similarity {
       |  TRUE AS pruned_ok
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
+  // --------------------------------------------- embedding outlier score
+  /** Per-label centroid distance — embedding-space quality filtering:
+    * vectors far from their own label's centroid are mislabeled/noisy
+    * candidates, the filter CLIP-style pipelines run before training.
+    * The centroid is the per-dimension mean via the decimal-exact
+    * distributed sum ([[graft.core.Num.dsum]] on the posexploded
+    * values — vectors never shuffle whole, and the result is
+    * order-independent so the oracle can reproduce it bit-for-bit);
+    * the collect is bounded at nLabels × dim doubles (the IVF-centroid
+    * argument). Scoring is then map-only with broadcast centroids, and
+    * the bottom-k rank partitions BY LABEL — parallel across labels,
+    * no global sort. */
+  def labelOutliers(emb: DataFrame, k: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    val sums = emb
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(transform(col("embedding"), x => x.cast(DoubleType)))
+          .as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(graft.core.Num.dsum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    if (sums.isEmpty)
+      return emb.select(col("label").cast(LongType).as("label"),
+        col("vec_id"), lit(0.0).as("cos_centroid"),
+        lit(0).as("rnk")).limit(0)
+    val dim = sums.iterator.map(_.getInt(1)).max + 1
+    val cents = sums.groupBy(_.getLong(0)).map { case (label, rs) =>
+      val c = new Array[Double](dim)
+      rs.foreach(r => c(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+      label -> (c, math.sqrt(Kernels.dotd(c, c)))
+    }
+    val bc = spark.sparkContext.broadcast(cents)
+    val cosUdf = udf { (label: Long, v: Seq[Float]) =>
+      val (c, nc) = bc.value(label)
+      val d = Kernels.widen(v.toArray)
+      Kernels.dotd(d, c) / (math.sqrt(Kernels.dotd(d, d)) * nc)
+    }
+    emb
+      .select(col("label").cast(LongType).as("label"), col("vec_id"),
+        cosUdf(col("label").cast(LongType), col("embedding")).as("cos_centroid"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("cos_centroid"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+  }
+
+  private def x2Outliers(spark: SparkSession, dir: String): DataFrame =
+    labelOutliers(Tables.load(spark, dir, "embeddings"), 5)
+      .orderBy(col("label"), col("rnk"))
+
+  /** The same centroid (decimal-exact per-dim mean of the double-widened
+    * floats), reassembled as a list ordered by position, then the same
+    * left-to-right dot — bit-identical to the kernel path. */
+  private val x2OutliersSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT label, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS val
+      |  FROM e),
+      |cd AS (
+      |  SELECT label, pos,
+      |    CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(val) AS c
+      |  FROM d GROUP BY label, pos),
+      |cl AS (
+      |  SELECT label, list(c ORDER BY pos) AS cv FROM cd GROUP BY label),
+      |scored AS (
+      |  SELECT e.label, e.vec_id,
+      |    list_dot_product(e.v, cl.cv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cl.cv, cl.cv)))
+      |      AS cos_centroid
+      |  FROM e JOIN cl USING (label))
+      |SELECT label, vec_id, cos_centroid, CAST(rnk AS INTEGER) AS rnk FROM (
+      |  SELECT label, vec_id, cos_centroid,
+      |    row_number() OVER (PARTITION BY label ORDER BY cos_centroid, vec_id) AS rnk
+      |  FROM scored) r
+      |WHERE rnk <= 5
+      |ORDER BY label, rnk""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("x2_cosine_topk", x2Brute, Some(x2BruteSql)),
     Declared("x2_ann_lsh", x2Ann, Some(annBoundSql)),
-    Declared("x2_ann_ivf", x2Ivf, Some(annBoundSql)))
+    Declared("x2_ann_ivf", x2Ivf, Some(annBoundSql)),
+    Declared("x2_outlier_score", x2Outliers, Some(x2OutliersSql)))
 }

@@ -36,6 +36,14 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source")
     val w = Seq(("en", "s", 2000000L)).toDF("lang", "source", "weight_ppm")
     assert(Curation.upsampleByWeight(noWeighted, w).count() == 0)
+    // shard assignment / z-order / trending on empty input
+    assert(Curation.shardAssign(noDocs, 8).count() == 0)
+    val noXY = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(Layout.layoutByZorder(noXY, "x", "y", 4).count() == 0)
+    val noEv = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(graft.streaming.EventStreams.rankTopK(
+      graft.streaming.EventStreams.windowTypeCounts(noEv), 3).count() == 0)
   }
 
   test("embedding block grid handles n=1 and n < block floor") {

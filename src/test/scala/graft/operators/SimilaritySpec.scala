@@ -79,4 +79,28 @@ class SimilaritySpec extends SparkSpec {
     val perProbe = cands.groupBy($"probe_id").count().collect()
     assert(perProbe.forall(_.getLong(1) < n))
   }
+
+  test("label outliers: a planted far vector ranks first in its label") {
+    import spark.implicits._
+    // label 0: 20 tight vectors near (1, 0, ...) + one pointing the
+    // opposite way; label 1: its own tight cluster (must not mix)
+    def v(x: Float, y: Float) = Array.fill(8)(0f).updated(0, x).updated(1, y)
+    val rows =
+      (0L until 20L).map(i => (i, v(1f, 0.01f * i), 0)) ++
+        Seq((99L, v(-1f, 0f), 0)) ++
+        (100L until 110L).map(i => (i, v(0f, 1f), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelOutliers(emb, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // rank 1 of label 0 is the planted outlier
+    assert(out.contains((0L, 99L, 1)), out.mkString(", "))
+    // exactly 3 per label with >=3 members, ranks dense
+    val byLabel = out.groupBy(_._1)
+    assert(byLabel(0L).map(_._3).sorted.toSeq == Seq(1, 2, 3))
+    assert(byLabel(1L).map(_._3).sorted.toSeq == Seq(1, 2, 3))
+    // empty input: empty output with the declared schema, no exception
+    val empty = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.labelOutliers(empty).count() == 0)
+  }
 }
