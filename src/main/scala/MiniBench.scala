@@ -5,7 +5,7 @@ object MiniBench {
   def main(a: Array[String]): Unit = {
     val spark = graft.core.GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("MINI_DIR", "/root/testdata/sf0.1")
     for (name <- a) {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()

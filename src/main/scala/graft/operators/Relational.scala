@@ -1068,6 +1068,69 @@ object Relational {
        |JOIN customer ON o_custkey = c_custkey
        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- Q19
+  /** Disjunctive join predicate (TPC-H Q19 shape): an OR of three
+    * brand/size/quantity conjunction branches ON the join. The optimizer
+    * exercise is predicate decomposition: Catalyst extracts the
+    * single-side implications of the OR — part gets the brand/size
+    * disjunction, lineitem the quantity-range disjunction — and pushes
+    * BOTH into the parquet scans (visible as Or(...) in PushedFilters),
+    * so each side is pre-filtered before the join evaluates the full
+    * cross-column condition. At 100 TB that pre-filter is the difference
+    * between scanning the table and scanning the qualifying slice. */
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val branch = ($"p_brand" === "Brand#12" && $"l_quantity".between(1, 11) && $"p_size".between(1, 5)) ||
+      ($"p_brand" === "Brand#23" && $"l_quantity".between(10, 20) && $"p_size".between(1, 10)) ||
+      ($"p_brand" === "Brand#34" && $"l_quantity".between(20, 30) && $"p_size".between(1, 15))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "part"), $"l_partkey" === $"p_partkey" && branch)
+      .agg(
+        dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  private val q19Sql =
+    s"""SELECT ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       | AND ((p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15))""".stripMargin
+
+  // --------------------------------------------------------------- Q22
+  /** Dormant high-balance customers (TPC-H Q22 shape): balance above
+    * the positive-balance average (scalar subquery → 1-row broadcast
+    * attach, the q15 pattern) and no orders in a window (NOT IN → anti
+    * join against a date-pruned orders slice). The anti side is filtered
+    * BEFORE the join, so its build input is the window's orders only. */
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = t(spark, dir, "customer")
+    val avgBal = cust.filter($"c_acctbal" > 0)
+      .agg(davg($"c_acctbal").as("ab"))
+    val recent = t(spark, dir, "orders")
+      .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1996-03-01")
+      .select($"o_custkey")
+    cust.join(broadcast(avgBal), $"c_acctbal" > $"ab")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("numcust"), dsum($"c_acctbal").as("totacctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val q22Sql =
+    s"""SELECT c_mktsegment, COUNT(*) AS numcust,
+       |  ${sqlSum("c_acctbal")} AS totacctbal
+       |FROM customer
+       |WHERE c_acctbal > (SELECT ${sqlAvg("c_acctbal")} FROM customer WHERE c_acctbal > 0)
+       |  AND c_custkey NOT IN (
+       |    SELECT o_custkey FROM orders
+       |    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+       |      AND o_orderdate < TIMESTAMP '1996-03-01')
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
   // ------------------------------------------------- Q6 grouping sets
   /** Explicit GROUPING SETS — the two one-dimensional marginals in a
     * single pass (not expressible as ROLLUP; a CUBE would also pay for
@@ -1138,5 +1201,7 @@ object Relational {
     Declared("q15_top_supplier", q15, Some(q15Sql)),
     Declared("q16_parts_supplier", q16, Some(q16Sql)),
     Declared("q18_large_volume", q18, Some(q18Sql)),
+    Declared("q19_disjunctive_join", q19, Some(q19Sql)),
+    Declared("q22_dormant_customers", q22, Some(q22Sql)),
     Declared("q6_grouping_sets", q6GroupingSets, Some(q6GroupingSetsSql)))
 }

@@ -101,13 +101,19 @@ object ScaleProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // labels replicate the base table's per-index labels so the
+    // per-label operators (x2_outlier_score) see the same cardinality
+    // and distribution at every amplification (collect is bounded at
+    // the sf0.1 vector count — a dev-tool-sized array)
+    val baseLabels = emb0.select(col("label").cast("int")).as[Int].collect()
     val synthVecs = spark.range(nVecs * (m - 1)).map { g =>
       val k = 1 + g / nVecs
       val i = g % nVecs
       val r = rng(k, i, 5)
-      (k * nVecs + i, Array.fill(dim)((r.nextGaussian() * 0.15).toFloat))
-    }.toDF("vec_id", "embedding")
-    emb0.select("vec_id", "embedding").unionByName(synthVecs)
+      (k * nVecs + i, Array.fill(dim)((r.nextGaussian() * 0.15).toFloat),
+        baseLabels(i.toInt))
+    }.toDF("vec_id", "embedding", "label")
+    emb0.select("vec_id", "embedding", "label").unionByName(synthVecs)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }

@@ -44,6 +44,16 @@ class PlanSpec extends SparkSpec {
     assert(!p18.contains("CartesianProduct"), p18)
   }
 
+  test("q19: single-side implications of the OR join predicate reach both scans") {
+    val p = plan("q19_disjunctive_join")
+    // the brand/size disjunction is pushed into the part scan and the
+    // quantity disjunction into the lineitem scan (Or in PushedFilters)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(l => l.contains("Or(") && l.contains("p_brand")), p.take(3000))
+    assert(pushed.exists(l => l.contains("Or(") && l.contains("l_quantity")), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q5: banded range join is an equi hash join, not a nested loop") {
     val p = plan("q5_range_join")
     assert(!p.contains("CartesianProduct"), p)
