@@ -772,8 +772,49 @@ object Dedup {
       |  TRUE AS pruned_ok
       |FROM embeddings""".stripMargin
 
+  // ------------------------------------------------ fuzzy entity match
+  /** Blocked fuzzy matching — the entity-resolution shape: a cheap
+    * BLOCKING key (equality join, here (brand, size)) proposes
+    * candidates, an edit-distance VERIFY keeps real matches. The join
+    * is keyed (never a cross product), pair work is quadratic only
+    * within a block, and block size is a design choice of the blocking
+    * key (salt hot blocks like any skewed join at 100 TB). The verify
+    * uses Spark's 3-arg `levenshtein` with a threshold — it abandons a
+    * pair as soon as the running distance exceeds the bound, O(maxDist
+    * × min-length) instead of O(len²) per pair — returning -1 above
+    * the bound, so the filter and the emitted distance come from one
+    * evaluation. */
+  def fuzzyMatch(items: DataFrame, blockCols: Seq[String],
+      idCol: String, nameCol: String, maxDist: Int): DataFrame = {
+    val a = items.selectExpr(blockCols :+ s"$idCol as key_a" :+ s"$nameCol as name_a": _*)
+    val b = items.selectExpr(blockCols :+ s"$idCol as key_b" :+ s"$nameCol as name_b": _*)
+    a.join(b, blockCols)
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") =!= -1)
+      .select((blockCols.map(col) ++
+        Seq(col("key_a"), col("key_b"), col("name_a"), col("name_b"), col("dist"))): _*)
+  }
+
+  private def x1Fuzzy(spark: SparkSession, dir: String): DataFrame =
+    fuzzyMatch(Tables.load(spark, dir, "part"),
+        Seq("p_brand", "p_size"), "p_partkey", "p_name", 5)
+      .orderBy(col("key_a"), col("key_b"))
+
+  private val x1FuzzySql =
+    """SELECT a.p_brand, a.p_size,
+      |  a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+      | AND a.p_partkey < b.p_partkey
+      | AND levenshtein(a.p_name, b.p_name) <= 5
+      |ORDER BY key_a, key_b""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("x1_exact_dedup", x1Exact, Some(x1ExactSql)),
+    Declared("x1_fuzzy_match", x1Fuzzy, Some(x1FuzzySql)),
     Declared("x1_neardup_minhash", x1Minhash, Some(x1MinhashSql)),
     Declared("x1_neardup_chargram", x1CharNgram, Some(x1CharNgramSql)),
     Declared("x1_simhash", x1Simhash, Some(x1SimhashSql)),

@@ -164,4 +164,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(7L -> 7L, 8L -> 8L))
   }
+
+  test("fuzzyMatch: blocked edit-distance pairs, no cross-block leaks, keyed plan") {
+    import spark.implicits._
+    val items = Seq(
+      (1L, "B1", 5, "small ring"),
+      (2L, "B1", 5, "small rings"),  // dist 1, same block → match
+      (3L, "B1", 5, "hot gear"),     // dist > 5 from the rings
+      (4L, "B2", 5, "small ring")    // identical name, DIFFERENT block → no pair
+    ).toDF("p_partkey", "p_brand", "p_size", "p_name")
+    val df = Dedup.fuzzyMatch(items, Seq("p_brand", "p_size"), "p_partkey", "p_name", 5)
+    val out = df.collect().map(r =>
+      (r.getAs[Long]("key_a"), r.getAs[Long]("key_b"), r.getAs[Int]("dist")))
+    assert(out.toSeq == Seq((1L, 2L, 1)), out.mkString(", "))
+    // the blocking join is keyed — never a cartesian product
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan.take(2000))
+    // empty input: empty output, no exception
+    val empty = Seq.empty[(Long, String, Int, String)]
+      .toDF("p_partkey", "p_brand", "p_size", "p_name")
+    assert(Dedup.fuzzyMatch(empty, Seq("p_brand", "p_size"), "p_partkey", "p_name", 5).count() == 0)
+  }
 }
