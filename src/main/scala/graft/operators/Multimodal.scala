@@ -324,8 +324,67 @@ object Multimodal {
       |WHERE rnk <= 3
       |ORDER BY probe_id, rnk""".stripMargin
 
+  /** Media near-dup — the perceptual-hash dedup shape every multimodal
+    * training pipeline runs: a QUANTIZED perceptual bucket proposes
+    * candidates (here (fmt, decoded width) stands in for the pHash
+    * prefix; with a real codec it would be the coarse DCT hash), an
+    * exact verify on the full descriptor keeps real near-dups (mean
+    * byte within 1.0). Same blocking + verify posture as
+    * [[Dedup.fuzzyMatch]]: a keyed equi self-join, quadratic only
+    * inside a bucket, bucket size capped by the quantization choice.
+    * All arithmetic is byte-derived ints plus one IEEE division, so the
+    * oracle's hex-pair decode reproduces the pairs bit-exactly. */
+  def mediaNeardup(media: Dataset[MediaRecord], maxMeanDiff: Double = 1.0): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val feats = extractFeatures(media).toDF()
+      .select($"media_id", $"fmt", $"width", $"mean_byte")
+    val a = feats.select($"fmt", $"width",
+      $"media_id".as("media_a"), $"mean_byte".as("mb_a"))
+    val b = feats.select($"fmt", $"width",
+      $"media_id".as("media_b"), $"mean_byte".as("mb_b"))
+    a.join(b, Seq("fmt", "width"))
+      .filter($"media_a" < $"media_b" && abs($"mb_a" - $"mb_b") <= maxMeanDiff)
+      .select($"fmt", $"width", $"media_a", $"media_b", $"mb_a", $"mb_b")
+  }
+
+  private def xmNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaNeardup(mediaTable(spark, dir)).orderBy($"media_a", $"media_b")
+  }
+
+  private val xmNeardupSql =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    lower(hex(encode(text))) AS h,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, source, n,
+      |    CASE WHEN n > 0 THEN (strpos('0123456789abcdef', substr(h,1,1))-1)*16
+      |                       + (strpos('0123456789abcdef', substr(h,2,1))-1)
+      |         ELSE 0 END AS b0,
+      |    CASE WHEN n = 0 THEN 0
+      |         ELSE list_sum([(strpos('0123456789abcdef', substr(h, 2*i-1, 1))-1)*16
+      |                      + (strpos('0123456789abcdef', substr(h, 2*i,   1))-1)
+      |                        for i in range(1, n+1)]) END AS byte_sum
+      |  FROM b
+      |), f AS (
+      |  SELECT doc_id AS media_id, 'fake/' || source AS fmt,
+      |    CAST(16 + (b0 % 64) * 16 AS INTEGER) AS width,
+      |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(byte_sum AS DOUBLE) / n END AS mean_byte
+      |  FROM d)
+      |SELECT a.fmt, a.width, a.media_id AS media_a, b.media_id AS media_b,
+      |  a.mean_byte AS mb_a, b.mean_byte AS mb_b
+      |FROM f a JOIN f b
+      |  ON a.fmt = b.fmt AND a.width = b.width
+      | AND a.media_id < b.media_id
+      | AND abs(a.mean_byte - b.mean_byte) <= 1.0
+      |ORDER BY media_a, media_b""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("xm_media_meta", xmMeta, Some(xmMetaSql)),
+    Declared("xm_media_neardup", xmNeardup, Some(xmNeardupSql)),
     Declared("xm_media_features", xmFeatures, Some(xmFeaturesSql)),
     Declared("xm_media_resize", xmResize, Some(xmResizeSql)),
     Declared("xm_media_frames", xmFrames, Some(xmFramesSql)),

@@ -35,6 +35,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f(3L).width == 16 + (255 % 64) * 16)
   }
 
+  test("media near-dup: identical payloads pair, different fmt never pairs") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "fake/img", Array[Byte](10, 20, 30, 40)),
+      Multimodal.MediaRecord(2L, "fake/img", Array[Byte](10, 20, 30, 40)), // dup
+      Multimodal.MediaRecord(3L, "fake/aud", Array[Byte](10, 20, 30, 40)), // other fmt
+      Multimodal.MediaRecord(4L, "fake/img", Array[Byte](90, 20, 33, 41))) // far mean
+      .toDS()
+    val pairs = Multimodal.mediaNeardup(media).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")))
+    assert(pairs.toSeq == Seq((1L, 2L)), pairs.mkString(", "))
+    val empty = spark.emptyDataset[Multimodal.MediaRecord]
+    assert(Multimodal.mediaNeardup(empty).count() == 0)
+  }
+
   test("stub resize keeps every k-th byte") {
     val out = Multimodal.StubCodec.resize(Array[Byte](1, 2, 3, 4, 5, 6, 7), 3)
     assert(out.toSeq == Seq[Byte](1, 4, 7))
