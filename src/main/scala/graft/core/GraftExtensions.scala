@@ -8,12 +8,21 @@ import graft.functions.GoQuoteExpr
 
 /** Engine extensions, injected via `spark.sql.extensions` (wired in
   * [[GraftSession.builder]]): exposes the native expressions to SQL —
-  * `SELECT go_quote(payload) ...`. */
+  * `SELECT go_quote(payload) ...`, `ORDER BY zorder16(x, y)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("go_quote"),
       new ExpressionInfo(classOf[GoQuoteExpr].getName, "go_quote"),
       (children: Seq[Expression]) => GoQuoteExpr(children.head)))
+    // zorder16(x, y): the Morton clustering key as a SQL function. The
+    // builder composes built-in codegen arithmetic expression nodes
+    // (same semantics as Layout.zvalue16's Column tree), so SQL users
+    // get whole-stage-codegen interleaving with no new Expression class.
+    ext.injectFunction((
+      new FunctionIdentifier("zorder16"),
+      new ExpressionInfo(graft.operators.Layout.getClass.getName, "zorder16"),
+      (children: Seq[Expression]) =>
+        graft.operators.Layout.zvalue16Expr(children(0), children(1))))
   }
 }

@@ -35,6 +35,23 @@ object Layout {
       xb.plus(yb)
     }.reduce(_ plus _)
 
+  /** [[zvalue16]] as a raw catalyst Expression tree — what the SQL
+    * function registry needs (a Column-API tree handed back from a
+    * function builder stays unresolved; these nodes analyze and
+    * codegen like any built-in arithmetic). Semantically identical to
+    * [[zvalue16]]; `SqlSurfaceSpec` pins SQL ≡ Column-API. */
+  def zvalue16Expr(x: org.apache.spark.sql.catalyst.expressions.Expression,
+      y: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val xl = Cast(x, LongType); val yl = Cast(y, LongType)
+    (0 until 16).map { i =>
+      val xb = ShiftLeft(BitwiseAnd(ShiftRight(xl, Literal(i)), Literal(1L)), Literal(2 * i))
+      val yb = ShiftLeft(BitwiseAnd(ShiftRight(yl, Literal(i)), Literal(1L)), Literal(2 * i + 1))
+      Add(xb, yb): Expression
+    }.reduce((a, b) => Add(a, b))
+  }
+
   /** Re-layout `df` so files cluster on the z-order of (x, y):
     * range-partition on the z-value (balanced output files via the
     * range sampler), then sort within partitions so row groups inside

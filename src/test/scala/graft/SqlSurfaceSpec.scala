@@ -48,4 +48,19 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT o_orderstatus, COUNT(*) FROM orders GROUP BY ROLLUP(o_orderstatus)")
     assert(gs.count() >= 2)
   }
+
+  test("injected native functions are SQL-callable (go_quote, zorder16)") {
+    import spark.implicits._
+    // zorder16 from SQL equals the Column-API composition
+    val viaSql = spark.sql("SELECT zorder16(3, 3) AS z").as[Long].head()
+    assert(viaSql == 15L)
+    val viaCol = Seq((65535L, 0L)).toDF("x", "y")
+      .select(graft.operators.Layout.zvalue16($"x", $"y")).as[Long].head()
+    val viaSql2 = spark.sql("SELECT zorder16(65535, 0) AS z").as[Long].head()
+    assert(viaSql2 == viaCol)
+    // and it stays codegen arithmetic, not a UDF
+    val plan = spark.sql("SELECT zorder16(13, 7) AS z")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
 }
