@@ -772,6 +772,168 @@ object Dedup {
       |  TRUE AS pruned_ok
       |FROM embeddings""".stripMargin
 
+  // ------------------------------------------------ substring-level dedup
+  /** Distinct codepoint k-gram substrings of the normalized text — the
+    * unit of SUBSTRING-level dedup (Lee et al. 2022, arXiv:2107.06499:
+    * training-data dedup at the shared-passage level, not the whole-doc
+    * level). Docs shorter than k yield nothing: a substring match needs
+    * k characters by definition (no whole-text fallback here, unlike the
+    * Jaccard shingles). Codepoint indexing, Locale.ROOT lowercasing —
+    * same portability rules as [[charNgramHashes]]. */
+  private[operators] def charGramSet(text: String, k: Int): Set[String] = {
+    val s = text.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    val m = s.codePointCount(0, s.length)
+    if (m < k) Set.empty
+    else {
+      val cps = new Array[Int](m)
+      var ci = 0; var si = 0
+      while (si < s.length) {
+        val cp = s.codePointAt(si); cps(ci) = cp; ci += 1
+        si += Character.charCount(cp)
+      }
+      val b = Set.newBuilder[String]
+      var i = 0
+      while (i <= m - k) { b += new String(cps, i, k); i += 1 }
+      b.result()
+    }
+  }
+
+  /** Winnowing selection (Schleimer et al., SIGMOD'03): hash every
+    * k-gram, slide a window of `w` consecutive hashes, keep each
+    * window's minimum (rightmost on ties), dedupe repeated selections.
+    * GUARANTEE: two docs sharing a substring of length ≥ w + k − 1
+    * share at least one SELECTED gram; expected selected density is
+    * 2/(w+1) of all grams. This is the scale path: the candidate join
+    * runs on ~12 % of the gram volume (w=16) instead of all of it. */
+  private[operators] def winnowedGramSet(text: String, k: Int, w: Int): Set[String] = {
+    import graft.functions.Hashing._
+    val s = text.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    val m = s.codePointCount(0, s.length)
+    if (m < k) return Set.empty
+    val cps = new Array[Int](m)
+    var ci = 0; var si = 0
+    while (si < s.length) {
+      val cp = s.codePointAt(si); cps(ci) = cp; ci += 1
+      si += Character.charCount(cp)
+    }
+    val nGrams = m - k + 1
+    val hs = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var h = FnvOffset
+      var j = 0
+      while (j < k) { h = (h ^ cps(i + j)) * FnvPrime; j += 1 }
+      hs(i) = mix64(h)
+      i += 1
+    }
+    val picked = new java.util.TreeSet[Integer]()
+    if (nGrams <= w) {
+      // degenerate: one window over everything
+      var best = 0; var p = 1
+      while (p < nGrams) { if (hs(p) <= hs(best)) best = p; p += 1 }
+      picked.add(best)
+    } else {
+      var start = 0
+      while (start + w <= nGrams) {
+        var best = start; var p = start + 1
+        while (p < start + w) { if (hs(p) <= hs(best)) best = p; p += 1 }
+        picked.add(best)
+        start += 1
+      }
+    }
+    val b = Set.newBuilder[String]
+    picked.forEach(ix => b += new String(cps, ix, k))
+    b.result()
+  }
+
+  /** Pairs of docs sharing at least one k-char substring — the exact
+    * form (oracle of record). One flatMap emits each doc's DISTINCT
+    * grams (deduped in-kernel — cheaper than explode + distinct), one
+    * keyed self-join on the gram, one distinct. Scale posture: work is
+    * quadratic only within a gram's posting list; production corpora
+    * drop ubiquitous boilerplate grams (df-capped) exactly like stop
+    * words — the winnowed variant below is the volume fix. */
+  def substringDupPairs(docs: DataFrame, k: Int = 24): DataFrame =
+    substringPairsFrom(docGrams(docs, k, winnow = false))
+
+  private def docGrams(docs: DataFrame, k: Int, winnow: Boolean): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        (if (winnow) winnowedGramSet(t, k, 16) else charGramSet(t, k))
+          .iterator.map(g => (id, g))
+      }.toDF("doc_id", "gram")
+  }
+
+  private def substringPairsFrom(grams: DataFrame): DataFrame =
+    grams.select(col("gram"), col("doc_id").as("doc_a"))
+      .join(grams.select(col("gram"), col("doc_id").as("doc_b")), Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+
+  private def x1Substring(spark: SparkSession, dir: String): DataFrame =
+    substringDupPairs(Tables.load(spark, dir, "documents"), 24)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val x1SubstringSql =
+    """WITH n AS (
+      |  SELECT doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [substr(t, i, 24) for i in range(1, len(t) - 24 + 2)])) AS gram
+      |  FROM n WHERE len(t) >= 24)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The winnowed SCALE path as a declared bound row, verifying the
+    * ACTUAL winnowing guarantee: with k=24, w=16, any two docs sharing
+    * a substring of length ≥ w+k−1 = 39 MUST share a selected
+    * fingerprint — so truth is the 39-gram pair set (hash-matched
+    * against DuckDB's full-gram SQL) and the winnowed join must catch
+    * ALL of it (`guarantee_ok` is equality, not a soft floor; a missed
+    * pair means the selection is wrong, full stop). `pruned_ok` pins
+    * the point of the exercise: selected fingerprints ≤ 20 % of all
+    * grams (measured ~0.11 ≈ 2/(w+1)) — the candidate join runs on an
+    * order-of-magnitude smaller posting table, which is what makes
+    * substring dedup tractable at corpus scale. Shorter matches
+    * (24–38 chars) are best-effort by design — the exact
+    * [[x1Substring]] path stays the oracle of record for those. */
+  private def x1SubstringWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val all = docGrams(docs, 24, winnow = false)
+    val win = docGrams(docs, 24, winnow = true)
+    val truth = substringPairsFrom(docGrams(docs, 39, winnow = false))
+      .withColumn("t", lit(1))
+    val got = substringPairsFrom(win).withColumn("c", lit(1))
+    val counts = truth.join(got, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("t")), lit(0L)).as("n_long_pairs"),
+        coalesce(sum(col("t") * col("c")), lit(0L)).as("n_hits"))
+    val vol = all.agg(count(lit(1)).as("n_all"))
+      .crossJoin(win.agg(count(lit(1)).as("n_win")))
+    counts.crossJoin(vol)
+      .select(col("n_long_pairs").cast("long").as("n_long_pairs"),
+        (col("n_hits") === col("n_long_pairs")).as("guarantee_ok"),
+        (col("n_win").cast("double") / col("n_all") <= 0.2).as("pruned_ok"))
+  }
+
+  private val x1SubstringWinnowSql =
+    """WITH n AS (
+      |  SELECT doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [substr(t, i, 39) for i in range(1, len(t) - 39 + 2)])) AS gram
+      |  FROM n WHERE len(t) >= 39)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_long_pairs,
+      |  TRUE AS guarantee_ok, TRUE AS pruned_ok
+      |FROM (
+      |  SELECT DISTINCT a.doc_id, b.doc_id
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id)""".stripMargin
+
   // ------------------------------------------------ fuzzy entity match
   /** Blocked fuzzy matching — the entity-resolution shape: a cheap
     * BLOCKING key (equality join, here (brand, size)) proposes
@@ -822,5 +984,7 @@ object Dedup {
     Declared("x1_embedding_neardup", x1Embedding, Some(x1EmbeddingSql)),
     Declared("x1_dedup_clusters", x1Clusters, Some(x1ClustersSql)),
     Declared("x1_semantic_dedup", x1Semantic, Some(x1SemanticSql)),
-    Declared("x1_semantic_dedup_ann", x1SemanticAnn, Some(x1SemanticAnnSql)))
+    Declared("x1_semantic_dedup_ann", x1SemanticAnn, Some(x1SemanticAnnSql)),
+    Declared("x1_substring_dup", x1Substring, Some(x1SubstringSql)),
+    Declared("x1_substring_dup_winnow", x1SubstringWinnow, Some(x1SubstringWinnowSql)))
 }

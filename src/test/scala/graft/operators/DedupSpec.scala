@@ -165,6 +165,50 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(7L -> 7L, 8L -> 8L))
   }
 
+  test("substring dedup: exact path finds k-gram shares; winnow keeps the long-match guarantee") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog near the river bank"
+    val docs = Seq(
+      (1L, s"alpha unique opening words $passage and a distinct tail one"),
+      (2L, s"totally different beginning here $passage closing differently"),
+      (3L, "no shared content at all in this one just filler words abc"),
+      (4L, "short")).toDF("doc_id", "text")
+    val exact = Dedup.substringDupPairs(docs, 24).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.toSeq == Seq((1L, 2L)), exact.mkString(", "))
+    // the shared passage is 64 chars >= w+k-1 = 39 → the winnowed join
+    // MUST also pair them (the Schleimer guarantee, not luck)
+    val winGrams = Seq(1L, 2L).map { id =>
+      val t = docs.filter($"doc_id" === id).head.getString(1)
+      Dedup.winnowedGramSet(t, 24, 16)
+    }
+    assert(winGrams(0).intersect(winGrams(1)).nonEmpty, "guarantee violated")
+    // density: winnowed selection is a small fraction of all grams
+    val t1 = docs.filter($"doc_id" === 1L).head.getString(1)
+    val density = Dedup.winnowedGramSet(t1, 24, 16).size.toDouble /
+      Dedup.charGramSet(t1, 24).size
+    assert(density < 0.5, s"density $density")
+    // short docs yield nothing, empty input is safe
+    assert(Dedup.charGramSet("short", 24).isEmpty)
+    assert(Dedup.winnowedGramSet("short", 24, 16).isEmpty)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.substringDupPairs(empty, 24).count() == 0)
+  }
+
+  test("winnowing guarantee holds on randomized shared passages (property)") {
+    val rnd = new scala.util.Random(42)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    for (_ <- 1 to 20) {
+      val shared = randText(39) // exactly the guarantee length w+k-1
+      val a = randText(rnd.nextInt(60)) + shared + randText(rnd.nextInt(60))
+      val b = randText(rnd.nextInt(60)) + shared + randText(rnd.nextInt(60))
+      val ga = Dedup.winnowedGramSet(a, 24, 16)
+      val gb = Dedup.winnowedGramSet(b, 24, 16)
+      assert(ga.intersect(gb).nonEmpty,
+        s"guarantee violated for shared=$shared")
+    }
+  }
+
   test("fuzzyMatch: blocked edit-distance pairs, no cross-block leaks, keyed plan") {
     import spark.implicits._
     val items = Seq(
