@@ -856,12 +856,20 @@ object Dedup {
   def substringDupPairs(docs: DataFrame, k: Int = 24): DataFrame =
     substringPairsFrom(docGrams(docs, k, winnow = false))
 
-  private def docGrams(docs: DataFrame, k: Int, winnow: Boolean): DataFrame = {
+  /** The production form at corpus scale: the same pair join over the
+    * winnowed posting table (~2/(w+1) of the grams, so ~density² of
+    * the exact join's pair volume). Complete for shared substrings of
+    * length ≥ w+k−1 (the Schleimer guarantee, verified by the
+    * x1_substring_dup_winnow bound row); best-effort below that. */
+  def substringDupPairsWinnowed(docs: DataFrame, k: Int = 24, w: Int = 16): DataFrame =
+    substringPairsFrom(docGrams(docs, k, winnow = true, w))
+
+  private def docGrams(docs: DataFrame, k: Int, winnow: Boolean, w: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
-        (if (winnow) winnowedGramSet(t, k, 16) else charGramSet(t, k))
+        (if (winnow) winnowedGramSet(t, k, w) else charGramSet(t, k))
           .iterator.map(g => (id, g))
       }.toDF("doc_id", "gram")
   }
