@@ -821,6 +821,67 @@ object Curation {
       |GROUP BY sp.lang, sp.source, sp.split, mix.weight_ppm
       |ORDER BY lang, source, split""".stripMargin
 
+  // ------------------------------------------------- keep-best dedup
+  /** The production dedup POLICY: within each near-dup cluster keep the
+    * highest-QUALITY document, not the lowest id — what curation
+    * pipelines actually do once a quality score exists (keep-first
+    * throws away the best copy whenever it isn't the oldest). Composes
+    * [[Dedup.dedupClusters]] over the minhash near-dup graph with
+    * [[TextAnalysis.qualityScored]]; the winner is an argmax per
+    * cluster via a cluster-partitioned `row_number` (parallel across
+    * clusters, no global sort — cluster count ~ corpus size, cluster
+    * width ~ dup group size). Ties break on doc_id, so the result is
+    * replay-deterministic. */
+  def keepBest(docs: DataFrame): DataFrame = {
+    val clusters = Dedup.dedupClusters(
+      docs.select(col("doc_id"), col("text")), Dedup.neardupMinhash(docs))
+    val scored = TextAnalysis.qualityScored(docs)
+      .select(col("doc_id"), col("quality_score"))
+    clusters.join(scored, Seq("doc_id"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(col("quality_score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        (col("rnk") === 1).as("kept"))
+  }
+
+  private def xcKeepBest(spark: SparkSession, dir: String): DataFrame =
+    keepBest(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: the recursive-CTE transitive closure over the exact
+    * 5-gram Jaccard ≥ 0.8 graph (same cluster semantics the
+    * x1_dedup_clusters oracle verifies) joined to the shared quality
+    * subquery, argmax per cluster by (quality DESC, doc_id). */
+  private def xcKeepBestSql: String =
+    s"""WITH RECURSIVE s AS (
+       |  SELECT doc_id, CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+       |    ELSE list_distinct([array_to_string(w[i+1:i+5], ' ') for i in range(len(w)-4)]) END sh
+       |  FROM (SELECT doc_id,
+       |          string_split(trim(lower(regexp_replace(text,'\\s+',' ','g'))), ' ') w
+       |        FROM documents)),
+       |e0 AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b
+       |  ON a.doc_id < b.doc_id
+       |   AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+       |cl AS (
+       |  SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY id),
+       |q AS (${TextAnalysis.qualityScoreSql})
+       |SELECT doc_id, cluster_id, quality_score, rnk = 1 AS kept FROM (
+       |  SELECT cl.doc_id, cl.cluster_id, q.quality_score,
+       |    row_number() OVER (PARTITION BY cl.cluster_id
+       |      ORDER BY q.quality_score DESC, cl.doc_id) AS rnk
+       |  FROM cl JOIN q USING (doc_id)) t
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ deterministic shard
   /** Training-shard assignment + within-shard order — the "global
     * shuffle" every pre-training pipeline runs before writing shards:
@@ -882,5 +943,6 @@ object Curation {
     Declared("xc_quantize", xcQuantize, Some(xcQuantizeSql)),
     Declared("xc_pack", xcPack, Some(xcPackSql)),
     Declared("xc_shard", xcShard, Some(xcShardSql)),
+    Declared("xc_keep_best", xcKeepBest, Some(xcKeepBestSql)),
     Declared("xc_pipeline", xcPipeline, Some(xcPipelineSql)))
 }

@@ -47,15 +47,15 @@ object TextAnalysis {
 
   /** Length/punctuation/stopword quality heuristics + a linear composite
     * score. Pure +,*,/ arithmetic so Spark and the oracle agree
-    * bit-exactly (no exp/log). */
-  private def xtQuality(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val w = tokens($"text")
+    * bit-exactly (no exp/log). Public: the curation keep-best policy
+    * ([[Curation]] `xc_keep_best`) ranks duplicates by this score. */
+  def qualityScored(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
     val nWords = size(w).cast(DoubleType)
     val stopHits = size(filter(w, t => t.isInCollection(Stopwords))).cast(DoubleType)
-    val nChars = length($"text").cast(DoubleType)
-    val punct = (nChars - length(regexp_replace($"text", "[^A-Za-z0-9\\s]", ""))) / nChars
-    val digits = (nChars - length(regexp_replace($"text", "[0-9]", ""))) / nChars
+    val nChars = length(col("text")).cast(DoubleType)
+    val punct = (nChars - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))) / nChars
+    val digits = (nChars - length(regexp_replace(col("text"), "[0-9]", ""))) / nChars
     val stopRatio = stopHits / nWords
     val score = least(nWords / 100, lit(1.0)) * 0.3 + (lit(1.0) - punct) * 0.4 + stopRatio * 0.3
     // ratios/score are emitted UNROUNDED: every input is an exact integer
@@ -64,17 +64,19 @@ object TextAnalysis {
     // engine would diverge on half-way decimals (score 0.71925 rounds to
     // .7193 in Spark and .7192 in DuckDB) while the compare layer rounds
     // both sides with one implementation.
-    Tables.load(spark, dir, "documents")
-      .select($"doc_id", nWords.cast(IntegerType).as("n_words"),
-        punct.as("punct_ratio"),
-        digits.as("digit_ratio"),
-        stopRatio.as("stopword_ratio"),
-        score.as("quality_score"))
-      .orderBy($"doc_id")
+    docs.select(col("doc_id"), nWords.cast(IntegerType).as("n_words"),
+      punct.as("punct_ratio"),
+      digits.as("digit_ratio"),
+      stopRatio.as("stopword_ratio"),
+      score.as("quality_score"))
+  }
+
+  private def xtQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    qualityScored(Tables.load(spark, dir, "documents")).orderBy($"doc_id")
   }
 
   private val xtQualitySql = {
-    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
     s"""SELECT doc_id, n_words, punct_ratio, digit_ratio, stopword_ratio,
        |  least(n_words / 100.0, 1.0) * 0.3 + (1.0 - p) * 0.4 + sr * 0.3 AS quality_score
        |FROM (
@@ -83,15 +85,30 @@ object TextAnalysis {
        |    p AS punct_ratio, p,
        |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / CAST(length(text) AS DOUBLE) AS digit_ratio,
        |    sr AS stopword_ratio, sr
-       |  FROM (
-       |    SELECT doc_id, text,
+       |  FROM ($qualityInnerSql) t1) t2
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** SQL fragment shared with the keep-best oracle: (doc_id, text, w,
+    * p, sr) — the tokenization + punct/stopword ratios. (defs, not
+    * vals: xtQualitySql's initializer runs before later vals would be
+    * assigned — object-init order.) */
+  private[operators] def qualityInnerSql: String = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, text,
        |      string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') w,
        |      (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE) AS p,
        |      len(list_filter(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
        |        t -> t IN ($stopList))) / CAST(len(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS DOUBLE) AS sr
-       |    FROM documents) t1) t2
-       |ORDER BY doc_id""".stripMargin
+       |    FROM documents""".stripMargin
   }
+
+  /** (doc_id, quality_score) as a standalone SQL subquery — the
+    * keep-best dedup oracle joins this against the cluster CTE. */
+  private[operators] def qualityScoreSql: String =
+    s"""SELECT doc_id,
+       |  least(len(w) / 100.0, 1.0) * 0.3 + (1.0 - p) * 0.4 + sr * 0.3 AS quality_score
+       |FROM ($qualityInnerSql) tq""".stripMargin
 
   // ------------------------------------------------------ language ID
   /** Tiny per-language stopword lexicons + CJK character ratio — the

@@ -281,6 +281,35 @@ class CurationSpec extends SparkSpec {
     assert(k1.size > 60 && k1.size < 140, s"kept ${k1.size} of 200 at 50%")
   }
 
+  // ------------------------------------------------------------ keepBest
+  test("keepBest keeps the highest-quality duplicate, not the oldest") {
+    import org.apache.spark.sql.functions.col
+    // docs 1/2/3 are near-identical (one cluster); doc 2 has the most
+    // words → highest length term in the quality score. doc 9 is a
+    // singleton and must keep itself.
+    // doc 2 appends two STOPWORDS: keeps 5-gram Jaccard at 9/11 ≈ 0.82
+    // (still a near-dup) while raising both the length and stopword
+    // terms of the quality score above doc 1's
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = Seq(
+      (1L, base),
+      (2L, base + " of the"),
+      (3L, base + " x"),
+      (9L, "completely unrelated content about something else entirely"))
+      .toDF("doc_id", "text")
+    val out = Curation.keepBest(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    // one cluster for 1/2/3 (labeled by min id), 9 alone
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L)
+    assert(out(9L)._1 == 9L && out(9L)._2)
+    // the kept doc is 2 (longest → best quality), not 1 (lowest id)
+    assert(out(2L)._2 && !out(1L)._2 && !out(3L)._2, out.toString)
+    // exactly one keeper per cluster
+    val keepers = Curation.keepBest(d).filter(col("kept"))
+      .groupBy(col("cluster_id")).count().collect()
+    assert(keepers.forall(_.getLong(1) == 1L))
+  }
+
   // --------------------------------------------------------- shardAssign
   test("shardAssign: total, balanced, dense positions, replay-identical") {
     val d = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
