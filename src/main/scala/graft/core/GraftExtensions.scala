@@ -14,7 +14,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("go_quote"),
       new ExpressionInfo(classOf[GoQuoteExpr].getName, "go_quote"),
-      (children: Seq[Expression]) => GoQuoteExpr(children.head)))
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "go_quote", "expectedNum" -> "1",
+              "actualNum" -> children.length.toString, "docroot" -> ""))
+        GoQuoteExpr(children.head)
+      }))
     // zorder16(x, y): the Morton clustering key as a SQL function. The
     // builder composes built-in codegen arithmetic expression nodes
     // (same semantics as Layout.zvalue16's Column tree), so SQL users
@@ -22,7 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("zorder16"),
       new ExpressionInfo(graft.operators.Layout.getClass.getName, "zorder16"),
-      (children: Seq[Expression]) =>
-        graft.operators.Layout.zvalue16Expr(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "zorder16", "expectedNum" -> "2",
+              "actualNum" -> children.length.toString, "docroot" -> ""))
+        graft.operators.Layout.zvalue16Expr(children(0), children(1))
+      }))
   }
 }

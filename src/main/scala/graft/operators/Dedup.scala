@@ -826,20 +826,21 @@ object Dedup {
       hs(i) = mix64(h)
       i += 1
     }
+    // Sliding-window min via a monotonic deque — O(nGrams) total, vs the
+    // naive per-window rescan's O(nGrams·w). Popping `>=` (not `>`) from
+    // the back keeps the RIGHTMOST index among equal minima, matching
+    // Schleimer's tie-break. nGrams <= w degenerates to one window.
     val picked = new java.util.TreeSet[Integer]()
-    if (nGrams <= w) {
-      // degenerate: one window over everything
-      var best = 0; var p = 1
-      while (p < nGrams) { if (hs(p) <= hs(best)) best = p; p += 1 }
-      picked.add(best)
-    } else {
-      var start = 0
-      while (start + w <= nGrams) {
-        var best = start; var p = start + 1
-        while (p < start + w) { if (hs(p) <= hs(best)) best = p; p += 1 }
-        picked.add(best)
-        start += 1
-      }
+    val ww = math.min(w, nGrams)
+    val dq = new Array[Int](nGrams)
+    var head = 0; var tail = 0
+    var p = 0
+    while (p < nGrams) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(p)) tail -= 1
+      dq(tail) = p; tail += 1
+      if (dq(head) <= p - ww) head += 1
+      if (p >= ww - 1) picked.add(dq(head))
+      p += 1
     }
     val b = Set.newBuilder[String]
     picked.forEach(ix => b += new String(cps, ix, k))

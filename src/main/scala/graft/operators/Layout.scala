@@ -78,8 +78,11 @@ object Layout {
   }
 
   private val xlZorderSql = {
+    // BIGINT-cast each term: DuckDB's >> / << on INTEGER stays 32-bit, so
+    // ((l_suppkey >> 15) & 1) << 31 would overflow int32 once suppkey has
+    // bit 15 set (>= 32768) while Spark computes in LongType.
     val terms = (0 until 16).map { i =>
-      s"(((l_partkey >> $i) & 1) << ${2 * i}) + (((l_suppkey >> $i) & 1) << ${2 * i + 1})"
+      s"(((CAST(l_partkey AS BIGINT) >> $i) & 1) << ${2 * i}) + (((CAST(l_suppkey AS BIGINT) >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
     s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
        |  CAST($terms AS BIGINT) AS zval

@@ -469,13 +469,17 @@ object TextAnalysis {
   // ---------------------------------------------------- approx quantile
   /** X4b — sketch quantiles with their real guarantee checked: Spark's
     * `approx_percentile` (Greenwald-Khanna style) bounds RANK error, not
-    * value error, so the declared check is rank-based — the fraction of
-    * rows ≤ the sketch's p50/p90 must sit within ±2 % of 0.5/0.9
-    * (accuracy 10000 ⇒ ε = 1e-4, margin is 200× the bound). Completes
-    * the verified-sketch family: HLL distinct (x4), CMS heavy hitters
-    * (xt_heavy_hitters), GK quantiles here — each exact-or-bound-checked,
-    * never trust-the-sketch. Two aggregations + a one-row broadcast
-    * scalar attach; the data never shuffles. */
+    * value error, so the declared check is rank-based and BRACKETED —
+    * count(value < aφ)/n ≤ φ+margin AND count(value ≤ aφ)/n ≥ φ−margin
+    * (accuracy 10000 ⇒ ε = 1e-4, margin 0.02 is 200× the bound). The
+    * bracket — not a single ≤-fraction window — is what ties hold under:
+    * a heavily duplicated median makes count(≤ median)/n legitimately
+    * exceed φ+margin even for the EXACT quantile, while the strict-<
+    * side stays below it. Completes the verified-sketch family: HLL
+    * distinct (x4), CMS heavy hitters (xt_heavy_hitters), GK quantiles
+    * here — each exact-or-bound-checked, never trust-the-sketch. Two
+    * aggregations + a one-row broadcast scalar attach; the data never
+    * shuffles. */
   private def x4Quantile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.load(spark, dir, "events")
@@ -485,11 +489,13 @@ object TextAnalysis {
     ev.crossJoin(broadcast(sketch)) // 1-row scalar attach
       .agg(
         count(lit(1)).as("n"),
-        avg(when($"value" <= $"a50", 1.0).otherwise(0.0)).as("f50"),
-        avg(when($"value" <= $"a90", 1.0).otherwise(0.0)).as("f90"))
+        avg(when($"value" < $"a50", 1.0).otherwise(0.0)).as("lt50"),
+        avg(when($"value" <= $"a50", 1.0).otherwise(0.0)).as("le50"),
+        avg(when($"value" < $"a90", 1.0).otherwise(0.0)).as("lt90"),
+        avg(when($"value" <= $"a90", 1.0).otherwise(0.0)).as("le90"))
       .select($"n",
-        (abs($"f50" - 0.5) <= 0.02).as("q50_within_bound"),
-        (abs($"f90" - 0.9) <= 0.02).as("q90_within_bound"))
+        ($"lt50" <= 0.5 + 0.02 && $"le50" >= 0.5 - 0.02).as("q50_within_bound"),
+        ($"lt90" <= 0.9 + 0.02 && $"le90" >= 0.9 - 0.02).as("q90_within_bound"))
   }
 
   private val x4QuantileSql =

@@ -63,4 +63,15 @@ class SqlSurfaceSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
+
+  test("wrong arity raises a clean analysis error, not IndexOutOfBounds") {
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT zorder16(1)").collect()
+    }
+    assert(e1.getMessage.contains("zorder16"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT go_quote('a', 'b')").collect()
+    }
+    assert(e2.getMessage.contains("go_quote"), e2.getMessage)
+  }
 }
