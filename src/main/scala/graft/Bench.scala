@@ -9,7 +9,10 @@ import org.apache.spark.sql.SparkSession
   * reports its MEDIAN — single runs at sub-second scale flagged phantom
   * regressions two rounds running (VERDICT r2 item 6). Prints one JSON
   * line; `queries` are medians, `value` is their sum, `runs` the n
-  * per-pass totals for spread. */
+  * per-pass totals, and `spread` each query's [min, max] across the n
+  * passes — so a reader can tell a real regression (min moved) from
+  * page-cache drift (max moved, min stable) without archaeology
+  * (VERDICT r5 "What's missing" item 3). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,9 +48,13 @@ object Bench {
     val med = names.map { case (name, _) => name -> median(samples(name)) }
     val qs = med.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val spread = names.map { case (name, _) =>
+      val xs = samples(name)
+      "\"" + name + "\":[" + f"${xs.min}%.3f" + "," + f"${xs.max}%.3f" + "]"
+    }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val runs = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n,"runs":$runs}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n,"runs":$runs,"spread":$spread}""")
     spark.stop()
   }
 }

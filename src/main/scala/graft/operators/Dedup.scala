@@ -79,7 +79,7 @@ object Dedup {
     */
   /** Word 5-gram shingle hashes of the normalized text (whole doc if
     * shorter). */
-  private[operators] def wordShingleHashes(text: String): Array[Long] = {
+  private[graft] def wordShingleHashes(text: String): Array[Long] = {
     import graft.functions.Hashing._
     val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val th = new Array[Long](toks.length)
@@ -141,7 +141,7 @@ object Dedup {
     *   n-grams over a small vocabulary) — r=4 banding would make a
     *   quarter of ALL pairs candidates at background J≈0.3, an O(n²)
     *   explosion at scale. */
-  private[operators] def shingleAndSign(
+  private[graft] def shingleAndSign(
       docs: DataFrame, shingler: String => Array[Long],
       rowsPerBand: Int = RowsPerBand): DataFrame = {
     import docs.sparkSession.implicits._
@@ -772,6 +772,36 @@ object Dedup {
       |  TRUE AS pruned_ok
       |FROM embeddings""".stripMargin
 
+  /** PRODUCTION-ONLY bench row for the IVF semantic-dedup path: runs
+    * [[semanticPairsIvf]] and NOTHING else — no exact O(n²) baseline in
+    * the plan — so the driver bench can see a regression in the
+    * production subtree that the [[x1SemanticAnn]] verification row
+    * (which runs the exact miner in-row by design) would bury inside
+    * its 4–6 s. The oracle is bound-style: n_vectors hash-matches
+    * DuckDB, nonempty_ok pins that the path still FINDS pairs (true
+    * pair count ≥ 7 on every fixture and measured recall ≥ 0.69 leaves
+    * wide margin), canonical_ok pins the output contract (vec_a <
+    * vec_b, no duplicate pairs — the distinct() and orientation a
+    * downstream cluster pass depends on). Recall/pruning verification
+    * stays the ANN row's job. */
+  private def x1SemanticProd(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val pairs = semanticPairsIvf(emb, 0.45)
+    val stats = pairs.agg(
+      count(lit(1)).as("n_found"),
+      countDistinct(col("vec_a"), col("vec_b")).as("n_distinct"),
+      coalesce(sum(when(col("vec_a") < col("vec_b"), 0).otherwise(1)), lit(0L)).as("n_bad"))
+    emb.agg(count(lit(1)).as("n_vectors")).crossJoin(stats)
+      .select(col("n_vectors"),
+        (col("n_found") >= 1).as("nonempty_ok"),
+        (col("n_found") === col("n_distinct") && col("n_bad") === 0).as("canonical_ok"))
+  }
+
+  private val x1SemanticProdSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      |  TRUE AS nonempty_ok, TRUE AS canonical_ok
+      |FROM embeddings""".stripMargin
+
   // ------------------------------------------------ substring-level dedup
   /** Distinct codepoint k-gram substrings of the normalized text — the
     * unit of SUBSTRING-level dedup (Lee et al. 2022, arXiv:2107.06499:
@@ -943,6 +973,33 @@ object Dedup {
       |  SELECT DISTINCT a.doc_id, b.doc_id
       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** PRODUCTION-ONLY bench row for winnowed substring dedup: runs
+    * [[substringDupPairsWinnowed]] alone — ONE winnowed posting table
+    * and its self-join, not the three posting tables the
+    * [[x1SubstringWinnow]] guarantee row builds by design. Same
+    * bound-style oracle shape as [[x1SemanticProd]]: n_docs
+    * hash-matches DuckDB; nonempty_ok holds with wide margin (the
+    * winnowed join catches ALL ≥ 39-char shared substrings — ≥ 25
+    * pairs on every fixture — per the guarantee row's equality check);
+    * canonical_ok pins orientation + distinctness. */
+  private def x1SubstringWinnowProd(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = substringDupPairsWinnowed(docs, 24, 16)
+    val stats = pairs.agg(
+      count(lit(1)).as("n_found"),
+      countDistinct(col("doc_a"), col("doc_b")).as("n_distinct"),
+      coalesce(sum(when(col("doc_a") < col("doc_b"), 0).otherwise(1)), lit(0L)).as("n_bad"))
+    docs.agg(count(lit(1)).as("n_docs")).crossJoin(stats)
+      .select(col("n_docs"),
+        (col("n_found") >= 1).as("nonempty_ok"),
+        (col("n_found") === col("n_distinct") && col("n_bad") === 0).as("canonical_ok"))
+  }
+
+  private val x1SubstringWinnowProdSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  TRUE AS nonempty_ok, TRUE AS canonical_ok
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------ fuzzy entity match
   /** Blocked fuzzy matching — the entity-resolution shape: a cheap
     * BLOCKING key (equality join, here (brand, size)) proposes
@@ -994,6 +1051,8 @@ object Dedup {
     Declared("x1_dedup_clusters", x1Clusters, Some(x1ClustersSql)),
     Declared("x1_semantic_dedup", x1Semantic, Some(x1SemanticSql)),
     Declared("x1_semantic_dedup_ann", x1SemanticAnn, Some(x1SemanticAnnSql)),
+    Declared("x1_semantic_dedup_prod", x1SemanticProd, Some(x1SemanticProdSql)),
     Declared("x1_substring_dup", x1Substring, Some(x1SubstringSql)),
-    Declared("x1_substring_dup_winnow", x1SubstringWinnow, Some(x1SubstringWinnowSql)))
+    Declared("x1_substring_dup_winnow", x1SubstringWinnow, Some(x1SubstringWinnowSql)),
+    Declared("x1_substring_winnow_prod", x1SubstringWinnowProd, Some(x1SubstringWinnowProdSql)))
 }

@@ -378,6 +378,42 @@ object Similarity {
       |  TRUE AS pruned_ok
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
+  /** PRODUCTION-ONLY bench row for IVF ANN: [[ivfTopKWith]] alone — no
+    * brute-force cosineTopK and no separate candidate-count join in the
+    * plan, so the driver bench times exactly what a production query
+    * costs (the [[x2Ivf]] verification row runs the O(n·probes) brute
+    * baseline in-row by design, which buried the r4→r5 1.3→4.1 s
+    * adjudication). complete_ok pins that every probe got EXACTLY k
+    * results (nprobe 5 of nlist 16 gives each probe ~30 % of the
+    * corpus as candidates — ≥ 150 vectors on every fixture, so a
+    * shortfall means candidate generation broke, not data); sims_ok
+    * pins the cosine range. Recall/pruning verification stays x2_ann_ivf's
+    * job. */
+  private def x2IvfProd(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val cents = kmeansCentroids(emb, 16, iters = 1)
+    val ann = ivfTopKWith(emb, probes, cents, nprobe = 5, k = 5)
+    val perProbe = ann.groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("c"), min(col("sim")).as("mn"), max(col("sim")).as("mx"))
+    perProbe.agg(
+        count(lit(1)).as("n_done"),
+        min(col("c")).as("minc"), max(col("c")).as("maxc"),
+        min(col("mn")).as("gmn"), max(col("mx")).as("gmx"))
+      .crossJoin(probes.agg(countDistinct(col("vec_id")).as("n_probes")))
+      .select(col("n_probes"), lit(5).as("k"),
+        (col("n_done") === col("n_probes") && col("minc") === 5 && col("maxc") === 5)
+          .as("complete_ok"),
+        (col("gmn") >= -1.0000001 && col("gmx") <= 1.0000001).as("sims_ok"))
+  }
+
+  private val x2IvfProdSql =
+    """SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_probes,
+      |  CAST(5 AS INTEGER) AS k,
+      |  TRUE AS complete_ok,
+      |  TRUE AS sims_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
   // --------------------------------------------- embedding outlier score
   /** Per-label centroid distance — embedding-space quality filtering:
     * vectors far from their own label's centroid are mislabeled/noisy
@@ -462,5 +498,6 @@ object Similarity {
     Declared("x2_cosine_topk", x2Brute, Some(x2BruteSql)),
     Declared("x2_ann_lsh", x2Ann, Some(annBoundSql)),
     Declared("x2_ann_ivf", x2Ivf, Some(annBoundSql)),
+    Declared("x2_ann_ivf_prod", x2IvfProd, Some(x2IvfProdSql)),
     Declared("x2_outlier_score", x2Outliers, Some(x2OutliersSql)))
 }

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 
 import graft.core.Tables
 import graft.operators.{Curation, Declared, Dedup}
@@ -21,13 +21,26 @@ import graft.operators.{Curation, Declared, Dedup}
   *   2. anti-join against the persisted key store of every previously
   *      ACCEPTED document's normalized-text md5 — cross-batch dedup
   *      without ever rescanning accepted documents themselves;
-  *   3. repetition filter + md5 split (map-only);
-  *   4. write survivors and their keys, each under a per-batch
-  *      directory (`…/batch_id=N/`, overwrite mode).
+  *   3. repetition filter (map-only), then — when `nearDupJaccard` is
+  *      set — NEAR-dup elimination: within the batch the standard
+  *      minhash LSH candidates + exact-Jaccard verify
+  *      ([[graft.operators.Dedup.lshCandidates]]); across batches a
+  *      band-hash equi-join against the persisted BAND store of every
+  *      previously accepted doc, with survivors of the band match
+  *      exact-verified against the old docs' text point-read from the
+  *      data store (doc_id semi-join pushdown — O(candidates) rows
+  *      read, not O(corpus));
+  *   4. md5 split (map-only);
+  *   5. write survivors, their keys, and their band hashes, each under
+  *      a per-batch directory (`…/batch_id=N/`, overwrite mode).
   *
-  * State is the key store: 16 bytes per accepted doc as parquet — at
-  * 10^10 docs ~300 GB, a broadcast-or-shuffle anti-join per increment,
-  * NOT driver state.
+  * State is two stores, both parquet, both anti-join sides, neither
+  * driver state: the key store (16 B per accepted doc — at 10^10 docs
+  * ~300 GB) and, with near-dup on, the band store (32 × 8 B of LSH band
+  * hashes per accepted doc ~3 TB at 10^10 docs; the full shingle sets
+  * are NOT stored — exact verification re-reads just the candidate old
+  * docs from the data store, which at a word-shingle background Jaccard
+  * of ≈ 0 is O(true near-dups) point reads per increment).
   *
   * Delivery is exactly-once under replay. Both sinks are per-batch
   * directories written with overwrite, so re-running batch N (after a
@@ -64,14 +77,41 @@ object CurateStream {
   private val keysSchema = StructType(Seq(
     StructField("_key", StringType), StructField("batch_id", LongType)))
 
+  private val bandsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("bands", ArrayType(LongType)),
+    StructField("batch_id", LongType)))
+
   private def keyed(docs: DataFrame): DataFrame =
     docs.withColumn("_key", md5(Dedup.normText(col("text")).cast("binary")))
 
+  /** Layout gate shared by every per-batch store: a non-partitioned
+    * entry would read as batch_id = null and be silently dropped by the
+    * `batch_id < N` filter — i.e. dedup quietly disabled for those
+    * rows. Fail loudly instead. */
+  private def gateLayout(fs: org.apache.hadoop.fs.FileSystem,
+      path: Path, what: String): Unit = {
+    val stray = fs.listStatus(path).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("batch_id=") ||
+        n.startsWith("_") || n.startsWith("."))
+    require(stray.isEmpty,
+      s"CurateStream $what $path has non-partitioned entries " +
+        s"${stray.mkString(", ")}; the store layout is batch_id=N " +
+        "directories only — migrate or rebuild the store")
+  }
+
   /** One micro-batch of the pipeline (exposed for the replay tests:
-    * calling it twice with the same `batchId` must be a no-op). */
+    * calling it twice with the same `batchId` must be a no-op).
+    *
+    * `nearDupJaccard`, when set, adds cross-/within-batch NEAR-dup
+    * elimination after the exact stages (see the class doc): state is a
+    * third per-batch store of LSH band hashes (32 longs per accepted
+    * doc), and the exact-verify side reads candidate old docs' text
+    * back from the data store itself — doc_id-pruned point reads of
+    * O(candidates) rows, no shingle-set state. */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
       keysDir: String, dataDir: String, minWords: Int,
-      maxDupWordFrac: Double): Unit = {
+      maxDupWordFrac: Double, nearDupJaccard: Option[Double] = None): Unit = {
     val sp = batch.sparkSession
     // 1. within-batch keep-first (skew-safe, as in Curation.curate)
     val keepers = batch
@@ -87,40 +127,111 @@ object CurateStream {
     val fs = kPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
     val seen =
       if (fs.exists(kPath)) {
-        // layout gate: a non-partitioned entry would read as
-        // batch_id = null and be silently dropped by the filter below —
-        // i.e. dedup quietly disabled for those keys. Fail loudly instead.
-        val stray = fs.listStatus(kPath).map(_.getPath.getName)
-          .filterNot(n => n.startsWith("batch_id=") ||
-            n.startsWith("_") || n.startsWith("."))
-        require(stray.isEmpty,
-          s"CurateStream key store $keysDir has non-partitioned entries " +
-            s"${stray.mkString(", ")}; the store layout is batch_id=N " +
-            "directories only — migrate or rebuild the store")
+        gateLayout(fs, kPath, "key store")
         sp.read.schema(keysSchema).parquet(keysDir)
           .filter(col("batch_id") < batchId).select(col("_key"))
       } else sp.emptyDataFrame.select(lit("").as("_key")).limit(0)
     val fresh = firsts.join(seen, Seq("_key"), "left_anti")
-    // 3. the map-only curation stages
-    val curated = Curation.hashSplit(Curation.repetition(fresh)
-      .filter(col("n_words") >= minWords && col("dup_word_frac") <= maxDupWordFrac))
-    // 4. per-batch overwrite directories: replays converge instead of
+    // 3. repetition/length filter BEFORE near-dup: a doc that fails
+    // quality never suppresses its near-dups (it is not accepted, so it
+    // must not shadow anything) — the same stage order the batch oracle
+    // uses, and the invariant that keeps within-batch and cross-batch
+    // suppressor sets identical.
+    val filtered = Curation.repetition(fresh)
+      .filter(col("n_words") >= minWords && col("dup_word_frac") <= maxDupWordFrac)
+    // 3b. near-dup elimination (opt-in). The shingled batch feeds four
+    // consumers in one DAG (within-pairs twice, the cross-band explode,
+    // the verify join) — persist it for the batch's duration.
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val (deduped, acceptedBands) = nearDupJaccard match {
+      case None => (filtered, None)
+      case Some(t) =>
+        val shingled = Dedup.shingleAndSign(
+          filtered.select(col("doc_id"), col("text")), Dedup.wordShingleHashes)
+        shingled.persist()
+        cached += shingled
+        val sh = shingled.select(col("doc_id"), col("sh"))
+        // within-batch: the standard LSH candidates + exact-Jaccard
+        // verify; the LATER doc of a verified pair drops.
+        val withinDrops = Dedup.lshCandidates(shingled)
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+          .filter(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= t)
+          .select(col("doc_b").as("doc_id"))
+        // cross-batch: band-hash equi-join against earlier batches'
+        // accepted docs (the lshCandidates shape, keyed on (band, bh)),
+        // then EXACT verify — candidate old docs' text is point-read
+        // back from the data store (doc_id semi-join pushes down), so
+        // a band collision between genuinely dissimilar docs cannot
+        // drop anything. Replay safety: both stores read batch_id < N.
+        val bandsDir = bandsDirOf(dataDir)
+        val bPath = new Path(bandsDir)
+        val crossDrops =
+          if (fs.exists(bPath)) {
+            gateLayout(fs, bPath, "band store")
+            val oldBanded = sp.read.schema(bandsSchema).parquet(bandsDir)
+              .filter(col("batch_id") < batchId)
+              .select(col("doc_id").as("old_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+            val newBanded = shingled
+              .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+            // accepted docs always precede the current drop in a
+            // doc_id-ordered ingest; the guard keeps union semantics
+            // (only a SMALLER doc suppresses) if they do not.
+            val cand = newBanded.join(oldBanded, Seq("band", "bh"))
+              .filter(col("old_id") < col("doc_id"))
+              .select(col("doc_id"), col("old_id")).distinct()
+            val oldSh = Dedup.shingleAndSign(
+              sp.read.parquet(dataDir)
+                .filter(col("batch_id") < batchId)
+                .join(cand.select(col("old_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+                .select(col("doc_id"), col("text")),
+              Dedup.wordShingleHashes)
+              .select(col("doc_id").as("old_id"), col("sh").as("sh_old"))
+            cand
+              .join(oldSh, "old_id")
+              .join(sh.select(col("doc_id"), col("sh").as("sh_new")), "doc_id")
+              .withColumn("inter", size(array_intersect(col("sh_new"), col("sh_old"))).cast("double"))
+              .filter(col("inter") / (size(col("sh_new")) + size(col("sh_old")) - col("inter")) >= t)
+              .select(col("doc_id"))
+          } else sp.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+        val drops = withinDrops.union(crossDrops).distinct()
+        (filtered.join(drops, Seq("doc_id"), "left_anti"),
+          Some(shingled.select(col("doc_id"), col("bands"))))
+    }
+    // 4. the map-only split stage
+    val curated = Curation.hashSplit(deduped)
+    // 5. per-batch overwrite directories: replays converge instead of
     // duplicating (data) or self-cancelling (keys). The lineage above
-    // (scan → keep-first agg → anti-join against the whole key store) is
-    // the expensive part; persist so the two writes run it once, not
-    // twice.
+    // (scan → keep-first agg → anti-joins against the stores) is the
+    // expensive part; persist so the writes run it once, not twice.
     curated.persist()
     try {
       curated.drop("_key").write.mode("overwrite")
         .parquet(s"$dataDir/batch_id=$batchId")
       curated.select(col("_key")).write.mode("overwrite")
         .parquet(s"$keysDir/batch_id=$batchId")
-    } finally curated.unpersist()
+      acceptedBands.foreach { bands =>
+        bands.join(curated.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .write.mode("overwrite")
+          .parquet(s"${bandsDirOf(dataDir)}/batch_id=$batchId")
+      }
+    } finally {
+      curated.unpersist()
+      cached.foreach(_.unpersist())
+    }
+  }
+
+  /** The band store lives beside the data store (sibling of `_keys`). */
+  private def bandsDirOf(dataDir: String): String = {
+    val p = new Path(dataDir)
+    new Path(p.getParent, "_bands").toString
   }
 
   def start(spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, minWords: Int = 30,
-      maxDupWordFrac: Double = 0.5): StreamingQuery = {
+      maxDupWordFrac: Double = 0.5,
+      nearDupJaccard: Option[Double] = None): StreamingQuery = {
     val keysDir = s"$outDir/_keys"
     val dataDir = s"$outDir/data"
     spark.readStream
@@ -130,15 +241,16 @@ object CurateStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, keysDir, dataDir, minWords, maxDupWordFrac)
+        processBatch(batch, batchId, keysDir, dataDir, minWords, maxDupWordFrac,
+          nearDupJaccard)
       }
       .start()
   }
 
   /** Run one AvailableNow pass to completion (test / cron entry). */
   def runOnce(spark: SparkSession, inDir: String, outDir: String,
-      checkpoint: String): Unit = {
-    val q = start(spark, inDir, outDir, checkpoint)
+      checkpoint: String, nearDupJaccard: Option[Double] = None): Unit = {
+    val q = start(spark, inDir, outDir, checkpoint, nearDupJaccard = nearDupJaccard)
     q.awaitTermination()
   }
 
@@ -154,7 +266,8 @@ object CurateStream {
     * oracle for the incremental pipeline. The min/max collect is one
     * row (drop-boundary arithmetic); parity holds for ANY ordered
     * cut, so boundary choice affects batch sizes, never the result. */
-  private def xsCurateStream(spark: SparkSession, dir: String): DataFrame = {
+  private def runThreeDrops(spark: SparkSession, dir: String,
+      nearDupJaccard: Option[Double]): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val rootPath = java.nio.file.Files.createTempDirectory("xs-curate-stream")
     // the returned DataFrame reads lazily from outDir, so the scratch
@@ -179,12 +292,33 @@ object CurateStream {
       col("doc_id") > cut2)
     drops.zipWithIndex.foreach { case (cond, i) =>
       docs.filter(cond).coalesce(2).write.parquet(s"$inDir/drop$i.parquet")
-      runOnce(spark, s"$inDir/*", outDir, s"$root/ck")
+      runOnce(spark, s"$inDir/*", outDir, s"$root/ck", nearDupJaccard)
     }
     spark.read.parquet(s"$outDir/data")
       .select(col("doc_id"), col("lang"), col("n_words"), col("split"))
       .orderBy(col("doc_id"))
   }
+
+  private def xsCurateStream(spark: SparkSession, dir: String): DataFrame =
+    runThreeDrops(spark, dir, None)
+
+  /** Near-dup parity, driver-oracled: same three ordered drops, near-dup
+    * elimination at J ≥ 0.8 on — the accumulated stream output must
+    * equal the BATCH pipeline over the union (exact keep-first →
+    * repetition filter → minhash near-dup keep-first). The equivalence
+    * leans on two fixture-verified properties: (a) drops are
+    * doc_id-ordered, so earlier-accepted suppressors always have
+    * smaller ids; (b) the near-dup graph's components are CLIQUES
+    * (synthetic duplicates are mutual near-copies; measured: every
+    * component is a 2-clique at sf0.001/0.01/0.1) — under cliques the
+    * stream's incremental policy (drop a doc that verifies against any
+    * earlier survivor) and the batch policy (drop any doc with a
+    * smaller near-dup survivor) keep identical sets. On a corpus with
+    * near-dup CHAINS crossing the threshold boundary the two policies
+    * can legitimately diverge on middle-of-chain docs — that is a
+    * semantic property of incremental curation, not a bug. */
+  private def xsCurateStreamNeardup(spark: SparkSession, dir: String): DataFrame =
+    runThreeDrops(spark, dir, Some(0.8))
 
   /** Batch curation per-doc (the [[Curation.curate]] semantics in SQL):
     * keep-first exact dedup → repetition/length filter → md5 split. */
@@ -205,6 +339,36 @@ object CurateStream {
       |FROM rep WHERE n_words >= 30 AND dwf <= 0.5
       |ORDER BY doc_id""".stripMargin
 
+  /** Batch near-dup curation in SQL: exact keep-first → repetition
+    * filter → drop any doc with a smaller-id near-dup (word-5-shingle
+    * Jaccard ≥ 0.8) among the filtered survivors → md5 split. */
+  private val xsCurateStreamNeardupSql =
+    """WITH keep AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents
+      |  GROUP BY trim(lower(regexp_replace(text, '\s+', ' ', 'g')))),
+      |rep AS (
+      |  SELECT doc_id, lang, w, len(w) AS n_words
+      |  FROM (SELECT doc_id, lang,
+      |          string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') w
+      |        FROM documents WHERE doc_id IN (SELECT doc_id FROM keep))
+      |  WHERE len(w) >= 30
+      |    AND (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE) <= 0.5),
+      |s AS (
+      |  SELECT doc_id, CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+      |    ELSE list_distinct([array_to_string(w[i+1:i+5], ' ') for i in range(len(w)-4)]) END sh
+      |  FROM rep),
+      |nd AS (
+      |  SELECT DISTINCT b.doc_id FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8)
+      |SELECT doc_id, lang, CAST(n_words AS INTEGER) AS n_words,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM rep WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Declared] = Seq(
-    Declared("xs_curate_stream", xsCurateStream, Some(xsCurateStreamSql)))
+    Declared("xs_curate_stream", xsCurateStream, Some(xsCurateStreamSql)),
+    Declared("xs_curate_stream_neardup", xsCurateStreamNeardup, Some(xsCurateStreamNeardupSql)))
 }

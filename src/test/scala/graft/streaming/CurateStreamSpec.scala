@@ -86,6 +86,78 @@ class CurateStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  /** 100 distinct words; `tweak` ≥ 0 replaces one mid-doc word, changing
+    * 5 of the 96 word-5-shingles → Jaccard ≈ 0.90 vs the untweaked text
+    * (near-dup at the 0.8 threshold, NOT an exact dup). */
+  private def bigText(seed: Long, tweak: Int = -1): String =
+    Array.tabulate(100)(j =>
+      if (j == tweak) s"tweaked${seed}_$j" else s"w${seed}_$j").mkString(" ")
+
+  test("near-dup: within-batch and cross-batch near-duplicates collapse") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("curateneardup").toString
+    val keysDir = s"$root/out/_keys"; val dataDir = s"$root/out/data"
+    val bandsDir = s"$root/out/_bands"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def ids() = spark.read.parquet(dataDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+    // batch 0: doc 2 is a NEAR-dup of doc 1 (one word tweaked — the
+    // exact key store cannot catch it); doc 3 is unrelated
+    val b0 = Seq(doc(1, bigText(1)), doc(2, bigText(1, tweak = 50)),
+        doc(3, bigText(3)))
+      .toDF(cols: _*)
+    CurateStream.processBatch(b0, 0, keysDir, dataDir, 30, 0.5, Some(0.8))
+    assert(ids() == Seq(1L, 3L), "within-batch near-dup must keep-first")
+    // band store: one row per ACCEPTED doc
+    assert(spark.read.parquet(bandsDir).count() == 2)
+
+    // batch 1: doc 4 near-dups doc 1 across the batch boundary (a
+    // different tweak, so not exact either); doc 5 is new
+    val b1 = Seq(doc(4, bigText(1, tweak = 70)), doc(5, bigText(5)))
+      .toDF(cols: _*)
+    CurateStream.processBatch(b1, 1, keysDir, dataDir, 30, 0.5, Some(0.8))
+    assert(ids() == Seq(1L, 3L, 5L), "cross-batch near-dup must drop")
+    assert(spark.read.parquet(bandsDir).count() == 3)
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("near-dup replay converges: lost band partition, then full self-replay") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("curatendreplay").toString
+    val keysDir = s"$root/out/_keys"; val dataDir = s"$root/out/data"
+    val bandsDir = s"$root/out/_bands"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def ids() = spark.read.parquet(dataDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+    val b0 = Seq(doc(1, bigText(1)), doc(3, bigText(3))).toDF(cols: _*)
+    CurateStream.processBatch(b0, 0, keysDir, dataDir, 30, 0.5, Some(0.8))
+    val b1 = Seq(doc(4, bigText(1, tweak = 70)), doc(5, bigText(5)))
+      .toDF(cols: _*)
+    CurateStream.processBatch(b1, 1, keysDir, dataDir, 30, 0.5, Some(0.8))
+    val expected = Seq(1L, 3L, 5L)
+    assert(ids() == expected)
+
+    // crash between the keys and bands writes: batch 1's band partition
+    // lost. Replay must converge (overwrite, same survivors).
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$bandsDir/batch_id=1"))
+    CurateStream.processBatch(b1, 1, keysDir, dataDir, 30, 0.5, Some(0.8))
+    assert(ids() == expected, "replay after band-partition loss diverged")
+    assert(spark.read.parquet(bandsDir).count() == 3)
+
+    // full replay with every store intact: the batch must not near-dup
+    // against its OWN batch-1 data/bands (batch_id < N excludes them) —
+    // doc 5 would otherwise match itself (J = 1) and self-cancel.
+    CurateStream.processBatch(b1, 1, keysDir, dataDir, 30, 0.5, Some(0.8))
+    assert(ids() == expected, "self-replay near-dupped its own rows away")
+    assert(spark.read.parquet(bandsDir).count() == 3)
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("non-partitioned key-store layout fails the batch instead of silently skipping dedup") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("curatelayout").toString
