@@ -69,8 +69,11 @@ import graft.operators.{Curation, Declared, Dedup}
   * directories must be retained (and backed up) together; starting a
   * fresh checkpoint requires a fresh `outDir`. Downstream readers see a
   * `batch_id` partition column on both outputs; a long-running
-  * deployment periodically compacts old batch directories (see
-  * [[Maintenance.compactJsonPartition]] for the crash-safe pattern).
+  * deployment periodically compacts the key/band stores with
+  * [[Maintenance.compactBatchStore]] (crash-safe, replay-preserving:
+  * the compacted partition keeps the largest compacted id, which must
+  * stay strictly below any batch that may replay) and the data
+  * partitions with the [[Maintenance.compactJsonPartition]] pattern.
   */
 object CurateStream {
 
@@ -91,6 +94,11 @@ object CurateStream {
     * rows. Fail loudly instead. */
   private def gateLayout(fs: org.apache.hadoop.fs.FileSystem,
       path: Path, what: String): Unit = {
+    require(!fs.exists(new Path(path, Maintenance.CompactMarker)),
+      s"CurateStream $what $path has an in-progress compaction marker " +
+        s"(${Maintenance.CompactMarker}): a compaction crashed mid-swap and " +
+        "the store may be missing partitions — re-run " +
+        "Maintenance.compactBatchStore to finish the swap before batching")
     val stray = fs.listStatus(path).map(_.getPath.getName)
       .filterNot(n => n.startsWith("batch_id=") ||
         n.startsWith("_") || n.startsWith("."))

@@ -74,4 +74,80 @@ object Maintenance {
     fs.delete(bak, true)
     fs.listStatus(part).count(_.getPath.getName.endsWith(".json"))
   }
+
+  /** Marker a crashed [[compactBatchStore]] leaves behind; its presence
+    * means the store is mid-swap (some source partitions deleted, the
+    * compacted partition not yet installed) and MUST NOT be read until
+    * compaction is re-invoked to finish the plan. [[CurateStream]]'s
+    * layout gate fails any batch that sees it. */
+  private[streaming] val CompactMarker = "_compact_inprogress"
+
+  /** Compact every `batch_id ≤ upTo` partition of a per-batch store
+    * ([[CurateStream]]'s key store or band store — any parquet store
+    * laid out as `batch_id=N` directories) into ONE `batch_id=upTo`
+    * partition of `targetFiles` files. Returns the compacted partition's
+    * row count, or -1 when there was nothing to compact (0 or 1 source
+    * partitions). A store accretes one directory per drop forever;
+    * listing cost and the anti-join's file count degrade with it —
+    * this is the fix, run periodically like any sink maintenance.
+    *
+    * REPLAY CONTRACT: the store is read with `batch_id < N`, so the
+    * compacted partition keeps the LARGEST compacted id (`upTo`) and
+    * `upTo` must be strictly below any batch that may still replay —
+    * i.e. below the streaming checkpoint's newest committed batch.
+    * Then a replay of batch M > upTo still sees every compacted key
+    * (upTo < M) and still excludes its own (M not compacted), so the
+    * `batch_id < N` semantics survive compaction unchanged.
+    *
+    * Crash safety (single maintenance writer, no batch in flight —
+    * same operating rule as [[compactJsonPartition]]): the compacted
+    * tmp is fully written BEFORE a `_compact_inprogress` marker
+    * records the swap plan (target + source partition names); only
+    * then are sources deleted and the tmp renamed in. A crash before
+    * the marker changes nothing durable (tmp is ignored and
+    * rewritten); a crash after it leaves the marker, which (a) makes
+    * [[CurateStream]] batches fail loudly instead of reading a
+    * half-swapped store, and (b) lets the next invocation finish the
+    * plan deterministically — every key is in tmp from before the
+    * marker existed, so no crash point loses keys. */
+  def compactBatchStore(spark: SparkSession, storeDir: String, upTo: Long,
+      targetFiles: Int = 1): Long = {
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, CompactMarker)
+    val tmp = new Path(root, ".compact-tmp")
+    if (fs.exists(marker)) {
+      // finish the interrupted plan: delete listed sources that remain,
+      // install tmp as the target if that rename never happened
+      val in = fs.open(marker)
+      val plan = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      val target = new Path(root, plan.head)
+      plan.tail.foreach(n => fs.delete(new Path(root, n), true))
+      if (fs.exists(tmp)) {
+        fs.delete(target, true)
+        require(fs.rename(tmp, target), s"compaction recovery swap failed: $tmp -> $target")
+      }
+      fs.delete(marker, false)
+    }
+    if (!fs.exists(root)) return -1L
+    val srcs = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(n => n -> n.stripPrefix("batch_id=").toLong)
+      .filter(_._2 <= upTo)
+      .sortBy(_._2)
+    if (srcs.length <= 1) return -1L
+    fs.delete(tmp, true)
+    spark.read.parquet(srcs.map { case (n, _) => s"$storeDir/$n" }.toIndexedSeq: _*)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val out = fs.create(marker, true)
+    try out.write((s"batch_id=$upTo" +: srcs.map(_._1).toSeq).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    srcs.foreach { case (n, _) => fs.delete(new Path(root, n), true) }
+    val target = new Path(root, s"batch_id=$upTo")
+    require(fs.rename(tmp, target), s"compaction swap failed: $tmp -> $target (marker at $marker)")
+    fs.delete(marker, false)
+    spark.read.parquet(target.toString).count()
+  }
 }

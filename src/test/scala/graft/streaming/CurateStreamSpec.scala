@@ -158,6 +158,89 @@ class CurateStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("store compaction: batch_id<=upTo collapse to one partition, dedup and replay semantics survive") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("curatecompact").toString
+    val keysDir = s"$root/out/_keys"; val dataDir = s"$root/out/data"
+    val bandsDir = s"$root/out/_bands"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def ids() = spark.read.parquet(dataDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    def parts(dir: String) = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+
+    val b0 = Seq(doc(1, bigText(1)), doc(2, bigText(2))).toDF(cols: _*)
+    val b1 = Seq(doc(3, bigText(3))).toDF(cols: _*)
+    val b2 = Seq(doc(4, bigText(4))).toDF(cols: _*)
+    CurateStream.processBatch(b0, 0, keysDir, dataDir, 30, 0.5, Some(0.8))
+    CurateStream.processBatch(b1, 1, keysDir, dataDir, 30, 0.5, Some(0.8))
+    CurateStream.processBatch(b2, 2, keysDir, dataDir, 30, 0.5, Some(0.8))
+    assert(ids() == Seq(1L, 2L, 3L, 4L))
+
+    // compact batches 0..1 (strictly below the newest committed batch 2)
+    assert(Maintenance.compactBatchStore(spark, keysDir, upTo = 1) == 3L)
+    assert(Maintenance.compactBatchStore(spark, bandsDir, upTo = 1) == 3L)
+    assert(parts(keysDir) == Seq("batch_id=1", "batch_id=2"))
+    assert(parts(bandsDir) == Seq("batch_id=1", "batch_id=2"))
+    // idempotent: nothing left to compact below upTo
+    assert(Maintenance.compactBatchStore(spark, keysDir, upTo = 1) == -1L)
+
+    // replay of batch 2 after compaction: batch_id=1 < 2 keeps every
+    // compacted key visible, batch 2's own keys still excluded
+    CurateStream.processBatch(b2, 2, keysDir, dataDir, 30, 0.5, Some(0.8))
+    assert(ids() == Seq(1L, 2L, 3L, 4L), "replay after compaction diverged")
+
+    // new batch 3: exact dup of doc 1 and near-dup of doc 2 — both
+    // suppressors live only in the compacted partition now
+    val b3 = Seq(doc(5, bigText(1)), doc(6, bigText(2, tweak = 40)),
+        doc(7, bigText(7))).toDF(cols: _*)
+    CurateStream.processBatch(b3, 3, keysDir, dataDir, 30, 0.5, Some(0.8))
+    assert(ids() == Seq(1L, 2L, 3L, 4L, 7L),
+      "compacted store lost exact or near-dup suppressors")
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("crashed compaction: marker fails batches loudly, re-invocation finishes the swap") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("curatecompcrash").toString
+    val keysDir = s"$root/out/_keys"; val dataDir = s"$root/out/data"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val b0 = Seq(doc(1, bigText(1))).toDF(cols: _*)
+    val b1 = Seq(doc(2, bigText(2))).toDF(cols: _*)
+    CurateStream.processBatch(b0, 0, keysDir, dataDir, 30, 0.5)
+    CurateStream.processBatch(b1, 1, keysDir, dataDir, 30, 0.5)
+
+    // simulate the worst crash point: tmp fully written, marker down,
+    // one source partition already deleted, swap rename never ran
+    spark.read.parquet(s"$keysDir/batch_id=0", s"$keysDir/batch_id=1")
+      .repartition(1).write.parquet(s"$keysDir/.compact-tmp")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$keysDir/${Maintenance.CompactMarker}"),
+      "batch_id=1\nbatch_id=0\nbatch_id=1".getBytes("UTF-8"))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$keysDir/batch_id=0"))
+
+    // a batch arriving now must fail loudly, not read the half-swapped store
+    val b2 = Seq(doc(3, bigText(3))).toDF(cols: _*)
+    val e = intercept[IllegalArgumentException] {
+      CurateStream.processBatch(b2, 2, keysDir, dataDir, 30, 0.5)
+    }
+    assert(e.getMessage.contains(Maintenance.CompactMarker))
+
+    // re-invoking compaction finishes the interrupted plan losslessly
+    Maintenance.compactBatchStore(spark, keysDir, upTo = 1)
+    assert(spark.read.parquet(keysDir).count() == 2)
+    // and an exact dup of the doc whose partition was deleted mid-swap
+    // is still caught — no key was lost
+    val b2b = Seq(doc(3, bigText(1)), doc(4, bigText(4))).toDF(cols: _*)
+    CurateStream.processBatch(b2b, 2, keysDir, dataDir, 30, 0.5)
+    assert(spark.read.parquet(dataDir).select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 4L))
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("non-partitioned key-store layout fails the batch instead of silently skipping dedup") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("curatelayout").toString
