@@ -546,9 +546,26 @@ object Dedup {
     * materialized blocks keeps every round's plan O(1) — the standard
     * Spark idiom for Pregel-style iteration, at the price that executor
     * loss forces a job restart (acceptable: rounds are idempotent and
-    * restart-from-batch is how dedup jobs run anyway).
+    * restart-from-batch is how dedup jobs run anyway). Pass
+    * `checkpointDir` to snapshot each round to RELIABLE storage
+    * (`df.checkpoint()`) instead: rounds then survive executor loss —
+    * the right trade for a multi-hour 100 TB run on preemptible
+    * hardware, at the price of a write to the checkpoint filesystem
+    * per round.
+    *
+    * `maxRounds` bounds the loop: pointer jumping converges in
+    * ⌈log₂(diameter)⌉ + small-constant rounds, so the default 64
+    * accommodates any graph whose diameter fits in a Long — hitting it
+    * means the label state is oscillating (a bug or data corruption,
+    * not a big graph) and the loop fails LOUDLY instead of spinning
+    * a cluster forever.
     */
-  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def dedupClusters(docs: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
+    val sp = docs.sparkSession
+    checkpointDir.foreach(sp.sparkContext.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // symmetrize by exploding each pair into both orientations — ONE
     // evaluation of the (possibly expensive) pair-mining plan; the
     // union-of-two-selects form would compute `pairs` twice when the
@@ -559,10 +576,20 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src"), col("e.dst"))
       .persist()
-    var labels = docs.select(col("doc_id"))
-      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+    var labels = snap(docs.select(col("doc_id"))
+      .withColumn("cluster_id", col("doc_id")))
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      if (rounds >= maxRounds) {
+        edges.unpersist()
+        throw new IllegalStateException(
+          s"dedupClusters failed to converge after $maxRounds rounds " +
+            s"($changed labels still changing): pointer jumping needs only " +
+            "~log2(graph diameter) rounds, so this indicates corrupt or " +
+            "oscillating label state, not a large graph — inspect the pair " +
+            "input (self-loops? non-doc_id labels?) before raising maxRounds")
+      }
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("src"), col("cluster_id")), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
@@ -577,15 +604,15 @@ object Dedup {
       // pointer jump: follow _mid to ITS representative's label. Labels
       // are always real doc_ids of the same component, so the self-join
       // is total and only ever lowers the label.
-      val next = prop
+      val next = snap(prop
         .join(prop.select(col("doc_id").as("_rep"), col("_mid").as("_rep_label")),
           col("_mid") === col("_rep"))
         .select(col("doc_id"), col("_rep_label").as("cluster_id"),
-          (col("_rep_label") =!= col("_old")).as("_chg"))
-        .localCheckpoint() // eager: prop is consumed here, release it next
+          (col("_rep_label") =!= col("_old")).as("_chg"))) // eager: prop is consumed here, release it next
       prop.unpersist()
       changed = next.filter(col("_chg")).count()
       labels = next.drop("_chg")
+      rounds += 1
     }
     edges.unpersist()
     labels

@@ -145,6 +145,48 @@ class EdgeCaseSpec extends SparkSpec {
     assert(counts.max <= 2 * mean, s"skewed buckets: ${counts.toSeq.sorted}")
   }
 
+  test("dedupClusters: 10^4-node path graph converges within the log2 round bound") {
+    import spark.implicits._
+    val n = 10000
+    // a single path 0-1-2-…-9999: diameter n-1, the adversarial shape for
+    // plain propagation (O(n) rounds). Pointer jumping must close it in
+    // ~log2(n) ≈ 14 rounds — maxRounds = 16 is the assertion.
+    val docs = (0 until n).map(_.toLong).toDF("doc_id")
+    val pairs = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.dedupClusters(docs, pairs, maxRounds = 16)
+    assert(labels.filter($"cluster_id" =!= 0L).count() == 0,
+      "every node of the path must land in component 0")
+    assert(labels.count() == n)
+  }
+
+  test("dedupClusters: maxRounds exceeded fails loudly instead of spinning") {
+    import spark.implicits._
+    // the same path graph with a round budget below log2(diameter):
+    // must throw the convergence error, not loop or return partial labels
+    val n = 512
+    val docs = (0 until n).map(_.toLong).toDF("doc_id")
+    val pairs = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupClusters(docs, pairs, maxRounds = 2).count()
+    }
+    assert(e.getMessage.contains("failed to converge"))
+  }
+
+  test("dedupClusters: reliable-checkpoint mode produces identical labels") {
+    import spark.implicits._
+    val ckDir = java.nio.file.Files.createTempDirectory("cc-ck").toString
+    val docs = (0L to 9L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val local = Dedup.dedupClusters(docs, pairs)
+      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    val reliable = Dedup.dedupClusters(docs, pairs, checkpointDir = Some(ckDir))
+      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    assert(local == reliable)
+    assert(local == Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 8L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
+  }
+
   test("asof join with no matching earlier rows yields empty (not nulls)") {
     import spark.implicits._
     import java.sql.Timestamp
