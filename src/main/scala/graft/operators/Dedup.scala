@@ -704,10 +704,19 @@ object Dedup {
     * co-locations are collapsed by the final distinct. Recall is NOT
     * 1.0 by construction — the declared
     * query asserts the measured floor and the pruning, the
-    * [[x1Semantic]] exact path stays the oracle of record. */
+    * [[x1Semantic]] exact path stays the oracle of record.
+    *
+    * `nlist` ≤ 0 (the default) auto-sizes to √n with floor 32
+    * ([[Similarity.autoNlist]]) — the fraction of pair space scored,
+    * ~nassign²/nlist, then COLLAPSES as the corpus grows instead of
+    * depending on a caller re-tuning a constant (ScaleProbe measures
+    * the fraction falling across 1/2/5/10× amplification). Declared
+    * queries pin nlist = 32 explicitly so their oracles are
+    * corpus-size-independent. */
   def semanticPairsIvf(emb: DataFrame, threshold: Double,
-      nlist: Int = 32, nassign: Int = 3, kmeansIters: Int = 1): DataFrame = {
-    val cents = Similarity.kmeansCentroids(emb, nlist, kmeansIters)
+      nlist: Int = 0, nassign: Int = 3, kmeansIters: Int = 1): DataFrame = {
+    val cents = Similarity.kmeansCentroids(emb,
+      Similarity.resolveNlist(emb, nlist, floor = 32), kmeansIters)
     semanticPairsIvfFrom(
       Similarity.ivfProbeClusters(emb, cents, nassign)
         .select(col("cluster"), col("probe_id").as("vec_id"), col("p_emb").as("embedding")),
@@ -813,7 +822,9 @@ object Dedup {
     * stays the ANN row's job. */
   private def x1SemanticProd(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val pairs = semanticPairsIvf(emb, 0.45)
+    // nlist pinned to the swept 32 (not auto-√n) so the row measures the
+    // same plan at every fixture SF
+    val pairs = semanticPairsIvf(emb, 0.45, nlist = 32)
     val stats = pairs.agg(
       count(lit(1)).as("n_found"),
       countDistinct(col("vec_a"), col("vec_b")).as("n_distinct"),
@@ -1038,12 +1049,31 @@ object Dedup {
     * pair as soon as the running distance exceeds the bound, O(maxDist
     * × min-length) instead of O(len²) per pair — returning -1 above
     * the bound, so the filter and the emitted distance come from one
-    * evaluation. */
+    * evaluation.
+    *
+    * `namePrefixSalt` > 0 appends the lowercased first-N-chars of the
+    * name to the blocking key — the FINER key a growing corpus needs:
+    * a fixed key cardinality means per-block pair count grows O(n²/
+    * blocks) with the corpus (measured 100× within-block growth at the
+    * 10× sf1 probe), while each prefix character multiplies the block
+    * count by the effective first-character alphabet, holding per-block
+    * density flat when the salt length grows ~log(n). The TRADE is
+    * recall at the block boundary: a true match whose edit sits inside
+    * the first N characters lands in different blocks and is never
+    * verified — acceptable for entity names (edits cluster in
+    * suffixes/middles), and 0 (off) remains the exact-blocking
+    * default. */
   def fuzzyMatch(items: DataFrame, blockCols: Seq[String],
-      idCol: String, nameCol: String, maxDist: Int): DataFrame = {
-    val a = items.selectExpr(blockCols :+ s"$idCol as key_a" :+ s"$nameCol as name_a": _*)
-    val b = items.selectExpr(blockCols :+ s"$idCol as key_b" :+ s"$nameCol as name_b": _*)
-    a.join(b, blockCols)
+      idCol: String, nameCol: String, maxDist: Int,
+      namePrefixSalt: Int = 0): DataFrame = {
+    val salted =
+      if (namePrefixSalt > 0)
+        items.withColumn("_blk", lower(substring(col(nameCol), 1, namePrefixSalt)))
+      else items
+    val keys = blockCols ++ (if (namePrefixSalt > 0) Seq("_blk") else Nil)
+    val a = salted.selectExpr(keys :+ s"$idCol as key_a" :+ s"$nameCol as name_a": _*)
+    val b = salted.selectExpr(keys :+ s"$idCol as key_b" :+ s"$nameCol as name_b": _*)
+    a.join(b, keys)
       .filter(col("key_a") < col("key_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
       .filter(col("dist") =!= -1)

@@ -166,13 +166,74 @@ object ScaleProbe {
           .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("tot_words"))
           .write.format("noop").mode("overwrite").save())
 
+      // semantic-dedup co-location fraction with AUTO nlist (~√n): the
+      // fraction of all-pairs space that lands in a shared IVF cluster
+      // must FALL as the corpus grows (≈ nassign²/√n), not stay flat —
+      // the claim behind semanticPairsIvf's default sizing.
+      val autoNl = Similarity.autoNlist(nVecs, floor = 32)
+      val autoCents = Similarity.kmeansCentroids(emb, autoNl, iters = 1)
+      val assigned = Similarity.ivfProbeClusters(emb, autoCents, 3)
+        .select(col("cluster"), col("probe_id").as("vec_id"))
+      val (semCand, semSec) = timed(
+        assigned.select(col("cluster"), col("vec_id").as("vec_a"))
+          .join(assigned.select(col("cluster"), col("vec_id").as("vec_b")), Seq("cluster"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b")).distinct().count())
+      val allPairs = nVecs.toDouble * (nVecs - 1) / 2
+
       val pairSpace = nVecs.toDouble * 10 // probes × corpus
       println(f"""{"scale":$m,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
         f""""mh_cand":$mhCand,"mh_pairs":$mhPairs,"mh_cand_per_doc":${mhCand.toDouble / nDocs}%.4f,"mh_sec":$mhSec%.2f,""" +
         f""""cg_cand":$cgCand,"cg_pairs":$cgPairs,"cg_cand_per_doc":${cgCand.toDouble / nDocs}%.4f,"cg_sec":$cgSec%.2f,""" +
         f""""ann_lsh_cand":$lshCand,"ann_lsh_frac":${lshCand / pairSpace}%.4f,"ann_lsh_sec":$lshSec%.2f,""" +
         f""""ann_ivf_cand":$ivfCand,"ann_ivf_frac":${ivfCand / pairSpace}%.4f,"ann_ivf_sec":$ivfSec%.2f,""" +
+        f""""sem_auto_nlist":$autoNl,"sem_auto_cand":$semCand,"sem_auto_frac":${semCand / allPairs}%.4f,"sem_auto_sec":$semSec%.2f,""" +
         f""""pipeline_sec":$pipeSec%.2f}""")
+    }
+    spark.stop()
+  }
+}
+
+/** Dev probe for [[Dedup.fuzzyMatch]]'s blocking-key density (VERDICT r5
+  * item 6): for each fixture dir passed (default sf0.1 and the
+  * amplified out/sf1), measures within-block candidate-pair volume on
+  * the `part` table for the coarse (brand, size) key and for prefix
+  * salts 1..3 — one JSON line per (dir, salt). The claim to verify:
+  * a FIXED key's per-block pairs grow ~O(n²/blocks) with the corpus,
+  * while growing the salt by ~log₁₈(growth) holds per-block density
+  * flat (each prefix char multiplies block count by the effective
+  * first-character alphabet). Matches per salt are also printed so the
+  * recall trade is visible, not assumed.
+  *
+  * `runMain graft.operators.FuzzyBlockProbe [dir ...]` */
+object FuzzyBlockProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/root/repo/out/sf1")
+    val spark = graft.core.GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (dir <- dirs) {
+      val part = Tables.load(spark, dir, "part")
+      val n = part.count()
+      for (salt <- 0 to 3) {
+        val blk =
+          if (salt == 0) part.select(col("p_brand"), col("p_size"))
+          else part.select(col("p_brand"), col("p_size"),
+            lower(substring(col("p_name"), 1, salt)).as("_blk"))
+        val keys = blk.columns.map(col).toIndexedSeq
+        val stats = blk.groupBy(keys: _*).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * (col("c") - 1)).as("pairs2"),
+            count(lit(1)).as("blocks"),
+            max(col("c")).as("max_block"))
+          .head
+        val (pairs, blocks, maxBlock) =
+          (stats.getLong(0) / 2, stats.getLong(1), stats.getLong(2))
+        val matches = Dedup.fuzzyMatch(part, Seq("p_brand", "p_size"),
+          "p_partkey", "p_name", 5, namePrefixSalt = salt).count()
+        println(f"""{"dir":"$dir","n_parts":$n,"salt":$salt,"blocks":$blocks,""" +
+          f""""cand_pairs":$pairs,"pairs_per_block":${pairs.toDouble / blocks}%.1f,""" +
+          f""""max_block":$maxBlock,"matches":$matches}""")
+      }
     }
     spark.stop()
   }

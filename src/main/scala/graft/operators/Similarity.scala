@@ -162,8 +162,20 @@ object Similarity {
       }
   }
 
+  /** nlist ~ √n, floored: the standard IVF sizing rule — per-list size
+    * and list count both grow as √n, so the candidate fraction of a
+    * cluster-pruned pass (~nassign²/nlist for multi-assignment, or
+    * nprobe/nlist for probe routing) FALLS as the corpus grows instead
+    * of relying on a hand-retuned constant. Costs one count() action on
+    * the corpus when a caller requests auto sizing (nlist ≤ 0). */
+  def autoNlist(n: Long, floor: Int = 16): Int =
+    math.max(floor, math.round(math.sqrt(n.toDouble)).toInt)
+
+  private[operators] def resolveNlist(emb: DataFrame, nlist: Int, floor: Int): Int =
+    if (nlist > 0) nlist else autoNlist(emb.count(), floor)
+
   def ivfAssign(emb: DataFrame, nlist: Int): DataFrame =
-    ivfAssignWith(emb, centroids(emb, nlist))
+    ivfAssignWith(emb, centroids(emb, resolveNlist(emb, nlist, 16)))
 
   /** Lloyd-refined centroids: `iters` rounds of assign → per-cluster
     * mean. Each round is one map-only assignment pass plus a keyed
@@ -247,14 +259,17 @@ object Similarity {
 
   /** Approximate top-k via IVF: probes search their nprobe lists only.
     * `kmeansIters` > 0 Lloyd-refines the sampled centroids first —
-    * better-balanced lists and higher recall for the same nprobe. */
+    * better-balanced lists and higher recall for the same nprobe.
+    * `nlist` ≤ 0 auto-sizes to √n (see [[autoNlist]]). */
   def ivfTopK(emb: DataFrame, probes: DataFrame,
-      nlist: Int, nprobe: Int, k: Int, kmeansIters: Int = 0): DataFrame =
+      nlist: Int, nprobe: Int, k: Int, kmeansIters: Int = 0): DataFrame = {
+    val nl = resolveNlist(emb, nlist, 16)
     ivfTopKWith(emb, probes,
       // one collect + one shared broadcastable array
-      if (kmeansIters > 0) kmeansCentroids(emb, nlist, kmeansIters)
-      else centroids(emb, nlist),
+      if (kmeansIters > 0) kmeansCentroids(emb, nl, kmeansIters)
+      else centroids(emb, nl),
       nprobe, k)
+  }
 
   /** Same, against an already-built centroid array — callers that also
     * need the candidate set (x2_ann_ivf's bound row) pass one shared

@@ -229,4 +229,27 @@ class DedupSpec extends SparkSpec {
       .toDF("p_partkey", "p_brand", "p_size", "p_name")
     assert(Dedup.fuzzyMatch(empty, Seq("p_brand", "p_size"), "p_partkey", "p_name", 5).count() == 0)
   }
+
+  test("fuzzyMatch name-prefix salt: finer blocks, explicit recall trade at the prefix boundary") {
+    import spark.implicits._
+    val items = Seq(
+      (1L, "B1", 5, "widget alpha"),
+      (2L, "B1", 5, "widget alphq"), // dist 1 vs #1, same first char
+      (3L, "B1", 5, "xidget alpha"), // dist 1 vs #1 — but the edit is IN the prefix
+      (4L, "B1", 5, "zzz unrelated entirely")
+    ).toDF("p_partkey", "p_brand", "p_size", "p_name")
+    def pairs(salt: Int) =
+      Dedup.fuzzyMatch(items, Seq("p_brand", "p_size"), "p_partkey", "p_name", 5,
+          namePrefixSalt = salt)
+        .select("key_a", "key_b").as[(Long, Long)].collect().sorted.toSeq
+    // coarse key: all three near-names pair up
+    assert(pairs(0) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // salt 1: (1,2) survive (shared 'w' prefix); pairs with #3 are the
+    // documented recall trade — the edit sits inside the blocking prefix
+    assert(pairs(1) == Seq((1L, 2L)))
+    // schema/columns identical with and without the salt (no _blk leak)
+    assert(Dedup.fuzzyMatch(items, Seq("p_brand", "p_size"), "p_partkey", "p_name", 5,
+        namePrefixSalt = 2).columns.toSeq ==
+      Seq("p_brand", "p_size", "key_a", "key_b", "name_a", "name_b", "dist"))
+  }
 }
