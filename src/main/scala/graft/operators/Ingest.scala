@@ -213,9 +213,76 @@ object Ingest {
       |FROM p
       |ORDER BY doc_id""".stripMargin
 
+  /** The %q oracle extended beyond \t/\n/\r (VERDICT r5 item 7): Go
+    * names FOUR more control escapes (\a \b \v \f), renders the rest of
+    * 0x00-0x1f as `\xNN`, and passes printable non-ASCII through
+    * literally — all DuckDB-expressible. Spaces are rewritten per
+    * doc_id%8 residue identically in both engines: 1→BEL(\a), 2→BS(\b),
+    * 3→VT(\v), 4→FF(\f), 5→0x01(\x01), 6→ESC(\x1b), 7→é (U+00E9,
+    * 2-byte UTF-8, printable → literal), 0→unchanged. The full JSON
+    * envelope is compared byte-for-byte, so this also pins byte_count
+    * and hex over multi-byte UTF-8. Remaining golden-only residue:
+    * `\uNNNN`/`\UNNNNNNNN` for unprintable runes and invalid-UTF-8
+    * `\xNN` (DuckDB VARCHAR cannot hold invalid UTF-8 to inject). */
+  private def q12Controls(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val text =
+      when($"doc_id" % 8 === 1, translate($"text", " ", "\u0007"))
+        .when($"doc_id" % 8 === 2, translate($"text", " ", "\u0008"))
+        .when($"doc_id" % 8 === 3, translate($"text", " ", "\u000b"))
+        .when($"doc_id" % 8 === 4, translate($"text", " ", "\u000c"))
+        .when($"doc_id" % 8 === 5, translate($"text", " ", "\u0001"))
+        .when($"doc_id" % 8 === 6, translate($"text", " ", "\u001b"))
+        .when($"doc_id" % 8 === 7, translate($"text", " ", "\u00e9"))
+        .otherwise($"text")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        timestamp_seconds($"doc_id" * 60).as("ts"),
+        text.cast(BinaryType).as("payload"),
+        format_string("10.0.%d.%d", $"doc_id" % 256, $"doc_id" % 100).as("client_ip"))
+      .select($"doc_id", toJson(logEntry($"ts", $"payload", $"client_ip")).as("log_json"))
+      .orderBy($"doc_id")
+  }
+
+  private val q12ControlsSql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 8
+      |      WHEN 1 THEN replace(text, ' ', chr(7))
+      |      WHEN 2 THEN replace(text, ' ', chr(8))
+      |      WHEN 3 THEN replace(text, ' ', chr(11))
+      |      WHEN 4 THEN replace(text, ' ', chr(12))
+      |      WHEN 5 THEN replace(text, ' ', chr(1))
+      |      WHEN 6 THEN replace(text, ' ', chr(27))
+      |      WHEN 7 THEN replace(text, ' ', chr(233))
+      |      ELSE text END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  '{"timestamp":"' || strftime(make_timestamp(doc_id * 60 * 1000000), '%Y-%m-%dT%H:%M:%SZ') ||
+      |  '","level":"' || CASE WHEN octet_length(encode(text)) = 0 THEN 'WARN' ELSE 'INFO' END ||
+      |  '","message":"received ' || CAST(octet_length(encode(text)) AS VARCHAR) ||
+      |  ' bytes","client_ip":"10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      |  CAST(doc_id % 100 AS VARCHAR) || '"' ||
+      |  CASE WHEN octet_length(encode(text)) > 0
+      |       THEN ',"byte_count":' || CAST(octet_length(encode(text)) AS VARCHAR) ||
+      |            ',"binary_data_hex":"' || lower(hex(encode(text))) ||
+      |            '","binary_data_string":"' ||
+      |            replace(replace(
+      |              '"' || replace(replace(replace(replace(replace(replace(replace(
+      |                replace(replace(replace(replace(
+      |                text, '\', '\\'), '"', '\"'),
+      |                chr(9), '\t'), chr(10), '\n'), chr(13), '\r'),
+      |                chr(7), '\a'), chr(8), '\b'), chr(11), '\v'), chr(12), '\f'),
+      |                chr(1), '\x01'), chr(27), '\x1b') || '"',
+      |              '\', '\\'), '"', '\"') || '"'
+      |       ELSE '' END || '}' AS log_json
+      |FROM p
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("q12_ingest_hex", q12Hex, Some(q12HexSql)),
     Declared("q12_ingest_logentry", q12Json, Some(q12JsonSql)),
+    Declared("q12_ingest_controls", q12Controls, Some(q12ControlsSql)),
     Declared("q12_ingest_envelope", q12Envelope, Some(q12EnvelopeSql)),
     Declared("q12_ingest_fields", q12Fields, Some(q12FieldsSql)))
 }
