@@ -949,8 +949,60 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
 
+  /** The sorted-gram-run formulation of exact substring dedup — the
+    * distributed shape of Lee et al.'s suffix-array pass (sort the
+    * corpus's grams; equal grams form RUNS; duplicates fall out of the
+    * runs), and the scale fix for the posting JOIN above:
+    *
+    *  - postings carry a 64-bit gram HASH, not the 24-char gram string
+    *    — same result up to hash collisions (~2⁻⁶⁴ per gram pair, the
+    *    [[shingleAndSign]] precedent), at a third of the bytes;
+    *  - ONE groupBy shuffle builds each gram's sorted posting run;
+    *    the join formulation exchanges the posting table AND sorts
+    *    both join sides;
+    *  - pairs are emitted inside the run's reduce task, never
+    *    re-shuffled as join output — only the final distinct moves
+    *    them.
+    *
+    * `maxRun` is the run-length cap that replaces the df-cap caveat of
+    * [[substringDupPairs]]: a ubiquitous gram (boilerplate, stop
+    * phrase) no longer explodes into d(d-1)/2 pairs — an oversized run
+    * emits d-1 STAR edges from its smallest doc_id instead, which
+    * preserves exactly what downstream clustering needs (the run's
+    * docs stay one connected component with the same minimum, so
+    * [[dedupClusters]]/keep-best labels are unchanged) while bounding
+    * every run's output at O(d). The default (no cap) emits all pairs
+    * — byte-identical to [[substringDupPairs]] and checked against the
+    * same DuckDB oracle. */
+  def substringDupPairsRuns(docs: DataFrame, k: Int = 24,
+      maxRun: Int = Int.MaxValue): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.Hashing.stringHash
+    val posts = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        charGramSet(t, k).iterator.map(g => (stringHash(g), id))
+      }.toDF("gh", "doc_id")
+    posts.groupBy(col("gh"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids0 =>
+        val ids = ids0.toArray
+        if (ids.length <= maxRun)
+          ids.indices.iterator.flatMap(i =>
+            (i + 1 until ids.length).iterator.map(j => (ids(i), ids(j))))
+        else ids.iterator.drop(1).map(d => (ids(0), d))
+      }.toDF("doc_a", "doc_b").distinct()
+  }
+
+  /** Declared with the RUNS formulation (uncapped = exact): the same
+    * DuckDB full-gram join oracle validates it pair-for-pair, and the
+    * bench row now times the production-shaped single-shuffle plan
+    * (SubstringShuffleProbe measured the shuffle-byte cut vs the join
+    * formulation on the 10× fixture — see BENCHNOTES). */
   private def x1Substring(spark: SparkSession, dir: String): DataFrame =
-    substringDupPairs(Tables.load(spark, dir, "documents"), 24)
+    substringDupPairsRuns(Tables.load(spark, dir, "documents"), 24)
       .orderBy(col("doc_a"), col("doc_b"))
 
   private val x1SubstringSql =

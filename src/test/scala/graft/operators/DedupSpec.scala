@@ -230,6 +230,39 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.fuzzyMatch(empty, Seq("p_brand", "p_size"), "p_partkey", "p_name", 5).count() == 0)
   }
 
+  test("substringDupPairsRuns: exact mode equals the join formulation, maxRun caps runs to star edges") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again"
+    val other = "completely different shared passage of enough length here"
+    val docs = Seq(
+      (1L, s"alpha $shared one"), (2L, s"beta $shared two"),
+      (3L, s"gamma $shared three"), (4L, s"delta $shared four"),
+      (5L, s"epsilon $shared five"),
+      (6L, s"first $other x"), (7L, s"second $other y"),
+      (8L, "no overlap with anything whatsoever in this document text")
+    ).toDF("doc_id", "text")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().sorted.toSeq
+    val viaJoin = sorted(Dedup.substringDupPairs(docs, 24))
+    val viaRuns = sorted(Dedup.substringDupPairsRuns(docs, 24))
+    assert(viaRuns == viaJoin, "uncapped runs must be pair-identical to the join")
+    // the 5-doc clique is present uncapped
+    assert(viaJoin.count { case (a, b) => a <= 5 && b <= 5 } == 10)
+    // maxRun = 3: every oversized run emits star edges from its min doc.
+    // The cap is PER RUN — smaller (boundary-gram) runs still emit their
+    // full pairs — so the contract is: a SUBSET of the exact pairs,
+    // strictly smaller on the big clique, with connectivity and the
+    // component minimum preserved (what dedupClusters/keep-best consume).
+    val capped = sorted(Dedup.substringDupPairsRuns(docs, 24, maxRun = 3))
+    assert(capped.toSet.subsetOf(viaJoin.toSet), "capping must not invent pairs")
+    val cappedClique = capped.filter { case (a, b) => a <= 5 && b <= 5 }
+    assert(cappedClique.size < 10, "the 5-doc run must not emit all C(5,2) pairs")
+    assert(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).forall(cappedClique.contains),
+      "the star from the run minimum must keep the component connected with min 1")
+    assert(capped.contains((6L, 7L)))
+    assert(!capped.exists { case (a, b) => a == 8L || b == 8L })
+  }
+
   test("fuzzyMatch name-prefix salt: finer blocks, explicit recall trade at the prefix boundary") {
     import spark.implicits._
     val items = Seq(
