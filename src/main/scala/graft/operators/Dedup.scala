@@ -725,19 +725,28 @@ object Dedup {
 
   /** Same, from an already-built (cluster, vec_id, embedding) assignment
     * — callers that also need the raw candidate set (the declared bound
-    * row) share ONE Lloyd refinement + assignment instead of two. */
+    * row) share ONE Lloyd refinement + assignment instead of two.
+    *
+    * Norms are computed ONCE per assignment row (a map-only pass) and
+    * the per-pair verify is a single primitive-array dot against
+    * `threshold·‖a‖·‖b‖` — the naive per-pair cosine recomputes both
+    * norms for every candidate (≈ 2× the flops at ~190 candidates per
+    * vector) and boxes through Seq[Float]. cos ≥ t ⇔ dot ≥ t·na·nb for
+    * positive norms (zero vectors have no cosine and never pair). */
   private[operators] def semanticPairsIvfFrom(
       assigned: DataFrame, threshold: Double): DataFrame = {
-    val cos = udf { (x: Seq[Float], y: Seq[Float]) =>
-      val a = Kernels.widen(x.toArray); val b = Kernels.widen(y.toArray)
-      Kernels.dotd(a, b) /
-        (math.sqrt(Kernels.dotd(a, a)) * math.sqrt(Kernels.dotd(b, b)))
+    val norm = udf { (x: Array[Float]) =>
+      val a = Kernels.widen(x); math.sqrt(Kernels.dotd(a, a))
     }
-    assigned.select(col("cluster"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      .join(assigned.select(col("cluster"), col("vec_id").as("vec_b"), col("embedding").as("eb")),
+    val dot = udf { (x: Array[Float], y: Array[Float]) =>
+      Kernels.dotd(Kernels.widen(x), Kernels.widen(y))
+    }
+    val an = assigned.withColumn("nrm", norm(col("embedding")))
+    an.select(col("cluster"), col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+      .join(an.select(col("cluster"), col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")),
         Seq("cluster"))
       .filter(col("vec_a") < col("vec_b"))
-      .filter(cos(col("ea"), col("eb")) >= threshold)
+      .filter(dot(col("ea"), col("eb")) >= lit(threshold) * col("na") * col("nb"))
       .select(col("vec_a"), col("vec_b"))
       .distinct()
   }
@@ -996,12 +1005,19 @@ object Dedup {
       }.toDF("doc_a", "doc_b").distinct()
   }
 
-  /** Declared with the RUNS formulation (uncapped = exact): the same
-    * DuckDB full-gram join oracle validates it pair-for-pair, and the
-    * bench row now times the production-shaped single-shuffle plan
-    * (SubstringShuffleProbe measured the shuffle-byte cut vs the join
-    * formulation on the 10× fixture — see BENCHNOTES). */
   private def x1Substring(spark: SparkSession, dir: String): DataFrame =
+    substringDupPairs(Tables.load(spark, dir, "documents"), 24)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The RUNS formulation declared against the SAME full-gram join
+    * oracle (pair-for-pair): at fixture scale the join row above is
+    * actually faster (Spark broadcasts the posting table it
+    * misestimates at ~MB), so both stay declared — the join as the
+    * oracle-of-record baseline, this row as the plan that survives
+    * when postings stop fitting in one node's memory (one groupBy
+    * exchange, no broadcast, maxRun-cappable; SubstringShuffleProbe +
+    * BENCHNOTES carry the measured story). */
+  private def x1SubstringRuns(spark: SparkSession, dir: String): DataFrame =
     substringDupPairsRuns(Tables.load(spark, dir, "documents"), 24)
       .orderBy(col("doc_a"), col("doc_b"))
 
@@ -1162,6 +1178,7 @@ object Dedup {
     Declared("x1_semantic_dedup_ann", x1SemanticAnn, Some(x1SemanticAnnSql)),
     Declared("x1_semantic_dedup_prod", x1SemanticProd, Some(x1SemanticProdSql)),
     Declared("x1_substring_dup", x1Substring, Some(x1SubstringSql)),
+    Declared("x1_substring_dup_runs", x1SubstringRuns, Some(x1SubstringSql)),
     Declared("x1_substring_dup_winnow", x1SubstringWinnow, Some(x1SubstringWinnowSql)),
     Declared("x1_substring_winnow_prod", x1SubstringWinnowProd, Some(x1SubstringWinnowProdSql)))
 }
