@@ -992,17 +992,47 @@ object Dedup {
       .flatMap { case (id, t) =>
         charGramSet(t, k).iterator.map(g => (stringHash(g), id))
       }.toDF("gh", "doc_id")
-    posts.groupBy(col("gh"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(col("ids")).as[Seq[Long]]
-      .flatMap { ids0 =>
-        val ids = ids0.toArray
-        if (ids.length <= maxRun)
+    if (maxRun == Int.MaxValue) {
+      // exact mode: the run list buffer is O(run length), which is fine
+      // wherever the output itself (run²/2 pairs) is fine — exact mode
+      // has already committed to that output volume.
+      posts.groupBy(col("gh"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(col("ids")).as[Seq[Long]]
+        .flatMap { ids0 =>
+          val ids = ids0.toArray
           ids.indices.iterator.flatMap(i =>
             (i + 1 until ids.length).iterator.map(j => (ids(i), ids(j))))
-        else ids.iterator.drop(1).map(d => (ids(0), d))
-      }.toDF("doc_a", "doc_b").distinct()
+        }.toDF("doc_a", "doc_b").distinct()
+    } else {
+      // capped mode must also bound the AGGREGATION BUFFER, not just the
+      // output: collect_set on a truly ubiquitous gram (every doc shares
+      // a boilerplate line) would materialize the whole run in one
+      // buffer before any cap could apply. So runs are sized first with
+      // a plain min/count aggregate (constant-size buffer at any df),
+      // and only ≤ maxRun runs go through the list aggregation; oversized
+      // runs emit their star edges with a second bufferless join —
+      // (run_min, doc) for every other posting of the gram.
+      val stats = posts.groupBy(col("gh"))
+        .agg(min(col("doc_id")).as("m"), countDistinct(col("doc_id")).as("c"))
+        .filter(col("c") >= 2)
+      val small = posts
+        .join(stats.filter(col("c") <= maxRun).select(col("gh")), Seq("gh"), "left_semi")
+        .groupBy(col("gh"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .select(col("ids")).as[Seq[Long]]
+        .flatMap { ids0 =>
+          val ids = ids0.toArray
+          ids.indices.iterator.flatMap(i =>
+            (i + 1 until ids.length).iterator.map(j => (ids(i), ids(j))))
+        }.toDF("doc_a", "doc_b")
+      val large = posts
+        .join(stats.filter(col("c") > maxRun).select(col("gh"), col("m")), Seq("gh"))
+        .filter(col("doc_id") =!= col("m"))
+        .select(col("m").as("doc_a"), col("doc_id").as("doc_b"))
+      small.union(large).distinct()
+    }
   }
 
   private def x1Substring(spark: SparkSession, dir: String): DataFrame =

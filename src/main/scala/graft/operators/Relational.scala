@@ -1131,6 +1131,125 @@ object Relational {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  // --------------------------------------------------------------- Q17
+  /** Small-quantity revenue (TPC-H Q17 shape, fixture columns): lineitems
+    * of a brand/size part slice whose quantity sits below 20 % of that
+    * PART's average quantity — the correlated-scalar-per-group shape.
+    * Spark-first decorrelation is explicit: the per-part average is one
+    * partial-aggregated groupBy over the lineitem slice of qualifying
+    * parts, broadcast back onto the join (at 100 TB the agg output is
+    * |parts in the slice| rows — broadcastable by construction), so the
+    * fact table is scanned ONCE and never self-joined row-per-row. The
+    * DuckDB oracle states the same query with the textbook correlated
+    * subquery — two decorrelation strategies, one hash-matched answer. */
+  private def q17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = t(spark, dir, "part")
+      .filter($"p_brand" === "Brand#23" && $"p_size" <= 15)
+      .select($"p_partkey")
+    val li = t(spark, dir, "lineitem")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+    val perPart = li.groupBy($"l_partkey".as("avg_partkey"))
+      .agg(davg($"l_quantity").as("avg_qty"))
+    li.join(broadcast(perPart), $"l_partkey" === $"avg_partkey")
+      .filter($"l_quantity" < lit(0.2) * $"avg_qty")
+      .agg((dsum($"l_extendedprice") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  private val q17Sql =
+    s"""SELECT ${sqlSum("l_extendedprice")} / 7.0 AS avg_yearly, COUNT(*) AS n
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE p_brand = 'Brand#23' AND p_size <= 15
+       |  AND l_quantity < (SELECT 0.2 * ${sqlAvg("l2.l_quantity")}
+       |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  // --------------------------------------------------------------- Q20
+  /** Qualifying shippers (TPC-H Q20 shape, fixture columns): suppliers
+    * that shipped > 50 units of some 'b…'-named part inside a one-year
+    * window — the NESTED SEMI-JOIN CHAIN shape (part slice → aggregated
+    * lineitem HAVING → supplier IN). Each stage shrinks before the next
+    * joins: the part filter prunes the lineitem scan via a broadcast
+    * semi-join, the (suppkey, partkey) aggregation reduces to qualifying
+    * groups, and supplier probes that set with another semi-join — no
+    * stage ever materializes a fact-sized intermediate. */
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bParts = t(spark, dir, "part")
+      .filter($"p_name".startsWith("b")).select($"p_partkey")
+    val qualSupp = t(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= "1995-01-01" && $"l_shipdate" < "1996-01-01")
+      .join(broadcast(bParts), $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_suppkey", $"l_partkey")
+      .agg(dsum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 50)
+      .select($"l_suppkey")
+    t(spark, dir, "supplier")
+      .join(qualSupp, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .join(broadcast(t(spark, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .select($"s_name", $"n_name")
+      .orderBy($"s_name")
+  }
+
+  private val q20Sql =
+    s"""SELECT s_name, n_name
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |WHERE s_suppkey IN (
+       |  SELECT l_suppkey FROM lineitem
+       |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'b%')
+       |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-01-01'
+       |  GROUP BY l_suppkey, l_partkey HAVING ${sqlSum("l_quantity")} > 50)
+       |ORDER BY s_name""".stripMargin
+
+  // --------------------------------------------------------------- Q21
+  /** Suppliers who alone returned (TPC-H Q21 shape, fixture columns:
+    * l_returnflag = 'R' stands in for receipt > commit): count, per
+    * supplier, the 'F'-status order lineitems where THIS supplier
+    * returned while (EXISTS) another supplier shared the order and
+    * (NOT EXISTS) no other supplier also returned. The two correlated
+    * EXISTS become one semi- and one anti- self-join of lineitem on
+    * l_orderkey with the ≠-supplier condition riding the hash join —
+    * never a cartesian; the fact table is read once per side and both
+    * sides shuffle on the same join key, so the three lineitem frames
+    * share one exchange layout. */
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = t(spark, dir, "lineitem")
+    val l1 = li.filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_suppkey")
+    val others = li.select($"l_orderkey".as("o2_orderkey"), $"l_suppkey".as("o2_suppkey"))
+    val othersR = li.filter($"l_returnflag" === "R")
+      .select($"l_orderkey".as("o3_orderkey"), $"l_suppkey".as("o3_suppkey"))
+    val fOrders = t(spark, dir, "orders")
+      .filter($"o_orderstatus" === "F").select($"o_orderkey")
+    l1
+      .join(fOrders, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .join(others,
+        $"l_orderkey" === $"o2_orderkey" && $"l_suppkey" =!= $"o2_suppkey", "left_semi")
+      .join(othersR,
+        $"l_orderkey" === $"o3_orderkey" && $"l_suppkey" =!= $"o3_suppkey", "left_anti")
+      .join(t(spark, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+  }
+
+  private val q21Sql =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
   // ------------------------------------------------- Q6 grouping sets
   /** Explicit GROUPING SETS — the two one-dimensional marginals in a
     * single pass (not expressible as ROLLUP; a CUBE would also pay for
@@ -1200,7 +1319,10 @@ object Relational {
     Declared("q14_correlated_subquery", q14, Some(q14Sql)),
     Declared("q15_top_supplier", q15, Some(q15Sql)),
     Declared("q16_parts_supplier", q16, Some(q16Sql)),
+    Declared("q17_small_quantity", q17, Some(q17Sql)),
     Declared("q18_large_volume", q18, Some(q18Sql)),
+    Declared("q20_qualifying_shippers", q20, Some(q20Sql)),
+    Declared("q21_lone_returner", q21, Some(q21Sql)),
     Declared("q19_disjunctive_join", q19, Some(q19Sql)),
     Declared("q22_dormant_customers", q22, Some(q22Sql)),
     Declared("q6_grouping_sets", q6GroupingSets, Some(q6GroupingSetsSql)))

@@ -162,14 +162,25 @@ object Similarity {
       }
   }
 
-  /** nlist ~ √n, floored: the standard IVF sizing rule — per-list size
-    * and list count both grow as √n, so the candidate fraction of a
-    * cluster-pruned pass (~nassign²/nlist for multi-assignment, or
-    * nprobe/nlist for probe routing) FALLS as the corpus grows instead
-    * of relying on a hand-retuned constant. Costs one count() action on
-    * the corpus when a caller requests auto sizing (nlist ≤ 0). */
-  def autoNlist(n: Long, floor: Int = 16): Int =
-    math.max(floor, math.round(math.sqrt(n.toDouble)).toInt)
+  /** nlist ~ √n, floored and CAPPED: the standard IVF sizing rule —
+    * per-list size and list count both grow as √n, so the candidate
+    * fraction of a cluster-pruned pass (~nassign²/nlist for
+    * multi-assignment, or nprobe/nlist for probe routing) FALLS as the
+    * corpus grows instead of relying on a hand-retuned constant. Costs
+    * one count() action on the corpus when a caller requests auto
+    * sizing (nlist ≤ 0).
+    *
+    * The cap keeps the centroid state driver-safe: every IVF path
+    * collects and broadcasts nlist × dim doubles (the bounded-collect
+    * contract of [[kmeansCentroids]]), and uncapped √n at 10^10
+    * vectors × dim 1024 would be an 800 GB "bounded" collect. 4096
+    * lists × dim 1024 is 32 MB — broadcastable — while the saturated
+    * candidate fraction nassign²/4096 ≈ 0.2 % still collapses the
+    * quadratic; beyond that scale, sharding the corpus (xc_shard) and
+    * running IVF per shard is the standard next tier. */
+  def autoNlist(n: Long, floor: Int = 16, cap: Int = 4096): Int =
+    math.min(cap.toLong, math.max(floor.toLong,
+      math.round(math.sqrt(n.toDouble)))).toInt
 
   private[operators] def resolveNlist(emb: DataFrame, nlist: Int, floor: Int): Int =
     if (nlist > 0) nlist else autoNlist(emb.count(), floor)
