@@ -75,6 +75,40 @@ object Maintenance {
     fs.listStatus(part).count(_.getPath.getName.endsWith(".json"))
   }
 
+  /** Rewrite one parquet directory (a closed partition of any sink —
+    * a `batch_id=N` data partition, a static table) CLUSTERED on the
+    * Morton z-order of columns (x, y) in `targetFiles` files — the
+    * lakehouse `OPTIMIZE … ZORDER BY` maintenance pass, composed from
+    * [[graft.operators.Layout.layoutByZorder]] (one repartitionByRange
+    * + in-partition sort; every output file gets a small bounding BOX
+    * over both keyed columns so point/range predicates on EITHER prune
+    * files) and the same two-rename crash-safe swap as
+    * [[compactJsonPartition]] (backup restored on the next invocation
+    * if a crash strands it). Returns the resulting file count, or -1
+    * if the directory does not exist. Run only on CLOSED partitions —
+    * the swap window transiently hides the path from concurrent
+    * readers. */
+  def optimizeZorder(spark: SparkSession, dir: String, x: String, y: String,
+      targetFiles: Int = 1): Int = {
+    val part = new Path(dir)
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val name = part.getName
+    val bak = new Path(part.getParent, s".old-$name")
+    if (fs.exists(bak)) {
+      if (!fs.exists(part)) fs.rename(bak, part)
+      else fs.delete(bak, true)
+    }
+    if (!fs.exists(part)) return -1
+    val tmp = new Path(part.getParent, s".zorder-$name")
+    fs.delete(tmp, true)
+    graft.operators.Layout.layoutByZorder(spark.read.parquet(dir), x, y, targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(part, bak), s"swap failed: $part -> $bak")
+    require(fs.rename(tmp, part), s"swap failed: $tmp -> $part (backup at $bak)")
+    fs.delete(bak, true)
+    fs.listStatus(part).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Marker a crashed [[compactBatchStore]] leaves behind; its presence
     * means the store is mid-swap (some source partitions deleted, the
     * compacted partition not yet installed) and MUST NOT be read until

@@ -44,6 +44,24 @@ class PlanSpec extends SparkSpec {
     assert(!p18.contains("CartesianProduct"), p18)
   }
 
+  test("q17/q20/q21: decorrelated aggregate broadcasts; semi chains and exists/not-exists stay hash joins") {
+    val p17 = plan("q17_small_quantity")
+    // the per-part average attaches via broadcast, and the per-part
+    // aggregate is two-phase — never a row-per-row self-join
+    assert(p17.contains("BroadcastHashJoin"), p17)
+    assert(p17.contains("partial_"), p17)
+    assert(!p17.contains("CartesianProduct") && !p17.contains("BroadcastNestedLoop"), p17)
+    val p20 = plan("q20_qualifying_shippers")
+    assert(p20.contains("LeftSemi"), p20)
+    assert(!p20.contains("CartesianProduct") && !p20.contains("BroadcastNestedLoop"), p20)
+    val p21 = plan("q21_lone_returner")
+    // EXISTS → semi, NOT EXISTS → anti, both keyed on l_orderkey with
+    // the ≠-supplier condition riding the hash join
+    assert(p21.contains("LeftSemi"), p21)
+    assert(p21.contains("LeftAnti"), p21)
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoop"), p21)
+  }
+
   test("q19: single-side implications of the OR join predicate reach both scans") {
     val p = plan("q19_disjunctive_join")
     // the brand/size disjunction is pushed into the part scan and the

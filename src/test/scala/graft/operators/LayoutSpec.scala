@@ -46,4 +46,36 @@ class LayoutSpec extends SparkSpec {
     assert(sxz < 32, s"z-ordered x-spread $sxz")
     assert(syz < 32, s"z-ordered y-spread $syz")
   }
+
+  test("optimizeZorder maintenance pass: in-place rewrite, same rows, crash backup recovered") {
+    import graft.streaming.Maintenance
+    val root = java.nio.file.Files.createTempDirectory("zopt").toString
+    val dir = s"$root/batch_id=0"
+    val grid = for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong)
+    grid.toDF("x", "y").repartition(8).write.parquet(dir)
+
+    val nFiles = Maintenance.optimizeZorder(spark, dir, "x", "y", targetFiles = 4)
+    assert(nFiles == 4)
+    val laid = spark.read.parquet(dir)
+    assert(laid.count() == 1024)
+    // per-FILE bounding boxes tight on both dims after the rewrite
+    val spreads = laid.withColumn("_f", input_file_name())
+      .groupBy("_f")
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .collect()
+    assert(spreads.length == 4)
+    assert(spreads.map(_.getLong(1)).max < 32, "x must not span the full range per file")
+    assert(spreads.map(_.getLong(2)).max < 32, "y must not span the full range per file")
+    // missing dir → -1, no side effects
+    assert(Maintenance.optimizeZorder(spark, s"$root/batch_id=9", "x", "y") == -1)
+    // crash recovery: a stranded backup with the live dir gone is restored
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"$root/.old-batch_id=0"))
+    val n2 = Maintenance.optimizeZorder(spark, dir, "x", "y", targetFiles = 2)
+    assert(n2 == 2 && spark.read.parquet(dir).count() == 1024,
+      "stranded backup must be restored, then re-optimized")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
