@@ -1250,6 +1250,164 @@ object Relational {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name""".stripMargin
 
+  // --------------------------------------------------------------- Q23
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    * join with the filter ON THE JOIN (not WHERE — a WHERE would turn
+    * the outer join inner and drop zero-order customers, the classic
+    * Q13 trap), then a two-level aggregation: orders per customer, then
+    * customers per order-count — a histogram whose second aggregate is
+    * tiny (distinct counts), so only the first shuffle touches data. */
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").filter($"o_orderpriority" =!= "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+    perCust.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  private val q23Sql =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) cc
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // --------------------------------------------------------------- Q24
+  /** Bilateral shipping volume (TPC-H Q7 shape): revenue between two
+    * named nations per direction per ship-year. The shape exercise is
+    * the SAME dimension joined TWICE under different roles (supplier's
+    * nation, customer's nation) with a disjunction over the pair — both
+    * nation sides broadcast, the pair filter prunes before the
+    * aggregation, and the year bucketing rides the scan. */
+  private def q24(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n1 = t(spark, dir, "nation").select($"n_nationkey".as("n1_key"), $"n_name".as("supp_nation"))
+    val n2 = t(spark, dir, "nation").select($"n_nationkey".as("n2_key"), $"n_name".as("cust_nation"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(t(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"s_nationkey" === $"n1_key")
+      .join(broadcast(n2), $"c_nationkey" === $"n2_key")
+      .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+        ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .select($"supp_nation", $"cust_nation",
+        year($"l_shipdate").as("yr"),
+        ($"l_extendedprice" * (lit(1) - $"l_discount")).as("volume"))
+      .groupBy($"supp_nation", $"cust_nation", $"yr")
+      .agg(dsum($"volume").as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"yr")
+  }
+
+  private val q24Sql =
+    s"""SELECT supp_nation, cust_nation, yr, ${sqlSum("volume")} AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr,
+       |    l_extendedprice * (1 - l_discount) AS volume
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) v
+       |GROUP BY supp_nation, cust_nation, yr
+       |ORDER BY supp_nation, cust_nation, yr""".stripMargin
+
+  // --------------------------------------------------------------- Q25
+  /** National market share (TPC-H Q8 shape): NATION_3 suppliers' slice
+    * of ASIA customers' PROMO-part order volume per year — the
+    * conditional-aggregate-over-a-7-table-join shape. The numerator is
+    * a CASE inside the same decimal sum as the denominator (one pass,
+    * no self-join), and every dimension (part slice, both nation roles,
+    * region) broadcasts; only lineitem/orders/customer shuffle. */
+  private def q25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n1 = t(spark, dir, "nation").select($"n_nationkey".as("n1_key"), $"n_name".as("supp_nation"))
+    val n2 = t(spark, dir, "nation").select($"n_nationkey".as("n2_key"), $"n_regionkey".as("n2_region"))
+    val asia = t(spark, dir, "region").filter($"r_name" === "ASIA").select($"r_regionkey")
+    val promoParts = t(spark, dir, "part").filter($"p_type" === "PROMO").select($"p_partkey")
+    t(spark, dir, "lineitem")
+      .join(broadcast(promoParts), $"l_partkey" === $"p_partkey", "left_semi")
+      .join(t(spark, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(t(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n2), $"c_nationkey" === $"n2_key")
+      .join(broadcast(asia), $"n2_region" === $"r_regionkey", "left_semi")
+      .join(broadcast(n1), $"s_nationkey" === $"n1_key")
+      .select(year($"o_orderdate").as("yr"),
+        ($"l_extendedprice" * (lit(1) - $"l_discount")).as("volume"),
+        $"supp_nation")
+      .groupBy($"yr")
+      .agg((dsum(when($"supp_nation" === "NATION_3", $"volume").otherwise(0.0)) /
+        dsum($"volume")).as("mkt_share"))
+      .orderBy($"yr")
+  }
+
+  private val q25Sql =
+    s"""SELECT yr,
+       |  ${sqlSum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END")} /
+       |  ${sqlSum("volume")} AS mkt_share
+       |FROM (
+       |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+       |    l_extendedprice * (1 - l_discount) AS volume, n1.n_name AS supp_nation
+       |  FROM part JOIN lineitem ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  JOIN region ON n2.n_regionkey = r_regionkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  WHERE r_name = 'ASIA' AND p_type = 'PROMO') v
+       |GROUP BY yr
+       |ORDER BY yr""".stripMargin
+
+  // --------------------------------------------------------------- Q26
+  /** Product-type profit (TPC-H Q9 shape; `p_retailprice · 0.6` stands
+    * in for ps_supplycost — the fixture has no partsupp): per supplier
+    * nation per order-year profit on a part-name slice. The name filter
+    * prunes part before anything joins (broadcast semi), the profit
+    * expression is computed once per row, and the two-key aggregate is
+    * partial before its shuffle. */
+  private def q26(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val redParts = t(spark, dir, "part")
+      .filter($"p_name".contains("red"))
+      .select($"p_partkey", $"p_retailprice")
+    t(spark, dir, "lineitem")
+      .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
+      .join(t(spark, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t(spark, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), year($"o_orderdate").as("yr"),
+        ($"l_extendedprice" * (lit(1) - $"l_discount") -
+          $"p_retailprice" * lit(0.6) * $"l_quantity").as("amount"))
+      .groupBy($"nation", $"yr")
+      .agg(dsum($"amount").as("sum_profit"))
+      .orderBy($"nation", $"yr".desc)
+  }
+
+  private val q26Sql =
+    s"""SELECT nation, yr, ${sqlSum("amount")} AS sum_profit
+       |FROM (
+       |  SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+       |    l_extendedprice * (1 - l_discount) - p_retailprice * 0.6 * l_quantity AS amount
+       |  FROM part JOIN lineitem ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE p_name LIKE '%red%') v
+       |GROUP BY nation, yr
+       |ORDER BY nation, yr DESC""".stripMargin
+
   // ------------------------------------------------- Q6 grouping sets
   /** Explicit GROUPING SETS — the two one-dimensional marginals in a
     * single pass (not expressible as ROLLUP; a CUBE would also pay for
@@ -1323,6 +1481,10 @@ object Relational {
     Declared("q18_large_volume", q18, Some(q18Sql)),
     Declared("q20_qualifying_shippers", q20, Some(q20Sql)),
     Declared("q21_lone_returner", q21, Some(q21Sql)),
+    Declared("q23_custdist", q23, Some(q23Sql)),
+    Declared("q24_volume_shipping", q24, Some(q24Sql)),
+    Declared("q25_market_share", q25, Some(q25Sql)),
+    Declared("q26_product_profit", q26, Some(q26Sql)),
     Declared("q19_disjunctive_join", q19, Some(q19Sql)),
     Declared("q22_dormant_customers", q22, Some(q22Sql)),
     Declared("q6_grouping_sets", q6GroupingSets, Some(q6GroupingSetsSql)))

@@ -62,6 +62,21 @@ class PlanSpec extends SparkSpec {
     assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoop"), p21)
   }
 
+  test("q23-q26: outer join survives the join-side filter; dimensions broadcast; no products") {
+    val p23 = plan("q23_custdist")
+    // the o_orderpriority filter lives ON the join, so the plan keeps a
+    // real outer join (a WHERE would have let Catalyst rewrite it inner
+    // and silently drop zero-order customers)
+    assert(p23.contains("LeftOuter"), p23)
+    assert(!p23.contains("CartesianProduct"), p23)
+    for (n <- Seq("q24_volume_shipping", "q25_market_share", "q26_product_profit")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n: $p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$n: $p")
+    }
+  }
+
   test("q19: single-side implications of the OR join predicate reach both scans") {
     val p = plan("q19_disjunctive_join")
     // the brand/size disjunction is pushed into the part scan and the
