@@ -1295,8 +1295,8 @@ object Relational {
       .join(t(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
       .join(broadcast(n1), $"s_nationkey" === $"n1_key")
       .join(broadcast(n2), $"c_nationkey" === $"n2_key")
-      .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
-        ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .filter(($"supp_nation" === "NATION_12" && $"cust_nation" === "NATION_13") ||
+        ($"supp_nation" === "NATION_13" && $"cust_nation" === "NATION_12"))
       .select($"supp_nation", $"cust_nation",
         year($"l_shipdate").as("yr"),
         ($"l_extendedprice" * (lit(1) - $"l_discount")).as("volume"))
@@ -1317,8 +1317,8 @@ object Relational {
        |  JOIN customer ON o_custkey = c_custkey
        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-       |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-       |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) v
+       |  WHERE (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_13')
+       |     OR (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_12')) v
        |GROUP BY supp_nation, cust_nation, yr
        |ORDER BY supp_nation, cust_nation, yr""".stripMargin
 
