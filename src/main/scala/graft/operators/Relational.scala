@@ -1408,6 +1408,96 @@ object Relational {
        |GROUP BY nation, yr
        |ORDER BY nation, yr DESC""".stripMargin
 
+  // --------------------------------------------------------------- Q27
+  /** Batch sessionization (gaps-and-islands): a session is a maximal
+    * run of a user's events with ≤ 30 min between neighbors — the
+    * windowed state machine every clickstream pipeline runs, expressed
+    * as lag → boundary flag → running sum of boundaries → session id,
+    * then per-session aggregates. Both window passes share ONE
+    * partitioning (user_id ordered by ts, event_id — the id breaks
+    * timestamp ties deterministically), so the whole query is a single
+    * shuffle on user_id followed by map-side arithmetic; the batch
+    * analog of the streaming `s2_session_window`. */
+  private def q27(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .withColumn("_prev", lag($"ts", 1).over(w))
+      .withColumn("_new",
+        when($"_prev".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"_prev") > 1800, 1L).otherwise(0L))
+      .withColumn("sess_id", sum($"_new").over(run))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("start_ts"), max($"ts").as("end_ts"),
+        dsum($"value").as("total_value"))
+      .orderBy($"user_id", $"sess_id")
+  }
+
+  private val q27Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN LAG(ts) OVER w IS NULL
+       |           OR epoch(date_trunc('second', ts)) - epoch(date_trunc('second', LAG(ts) OVER w)) > 1800
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS sess_id
+       |  FROM e)
+       |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
+       |  MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       |  ${sqlSum("value")} AS total_value
+       |FROM s GROUP BY user_id, sess_id
+       |ORDER BY user_id, sess_id""".stripMargin
+
+  // --------------------------------------------------------------- Q28
+  /** Ordered conversion funnel: per user, the first view, the first
+    * click STRICTLY AFTER that view, and the first purchase strictly
+    * after that click — the sequential-pattern shape (each stage's
+    * minimum is conditioned on the previous stage's time, so it cannot
+    * be one flat groupBy). Three keyed aggregations, each over a
+    * pre-filtered event slice joined to the previous stage's (small)
+    * per-user frame; left joins keep partial funnels as nulls. */
+  private def q28(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, dir, "events")
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val clicks = ev.filter($"event_type" === "click")
+      .join(views, Seq("user_id"))
+      .filter($"ts" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter($"ts" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    views
+      .join(clicks, Seq("user_id"), "left_outer")
+      .join(purchases, Seq("user_id"), "left_outer")
+      .select($"user_id", $"t_view", $"t_click", $"t_purchase")
+      .orderBy($"user_id")
+  }
+
+  private val q28Sql =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(ts) AS t_click FROM events e JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND ts > t_view GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(ts) AS t_purchase FROM events e JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts > t_click GROUP BY e.user_id)
+      |SELECT user_id, t_view, t_click, t_purchase
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------- Q6 grouping sets
   /** Explicit GROUPING SETS — the two one-dimensional marginals in a
     * single pass (not expressible as ROLLUP; a CUBE would also pay for
@@ -1482,6 +1572,8 @@ object Relational {
     Declared("q20_qualifying_shippers", q20, Some(q20Sql)),
     Declared("q21_lone_returner", q21, Some(q21Sql)),
     Declared("q23_custdist", q23, Some(q23Sql)),
+    Declared("q27_sessionize", q27, Some(q27Sql)),
+    Declared("q28_funnel", q28, Some(q28Sql)),
     Declared("q24_volume_shipping", q24, Some(q24Sql)),
     Declared("q25_market_share", q25, Some(q25Sql)),
     Declared("q26_product_profit", q26, Some(q26Sql)),
