@@ -44,6 +44,12 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     assert(graft.streaming.EventStreams.rankTopK(
       graft.streaming.EventStreams.windowTypeCounts(noEv), 3).count() == 0)
+    // round-6: gram-run pair mining, both modes, on empty input
+    assert(Dedup.substringDupPairsRuns(noDocs).count() == 0)
+    assert(Dedup.substringDupPairsRuns(noDocs, maxRun = 2).count() == 0)
+    assert(Dedup.fuzzyMatch(
+      Seq.empty[(Long, String, Int, String)].toDF("k", "b", "s", "n"),
+      Seq("b", "s"), "k", "n", 3, namePrefixSalt = 2).count() == 0)
   }
 
   test("embedding block grid handles n=1 and n < block floor") {
