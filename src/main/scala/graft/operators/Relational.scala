@@ -1210,9 +1210,10 @@ object Relational {
     * (NOT EXISTS) no other supplier also returned. The two correlated
     * EXISTS become one semi- and one anti- self-join of lineitem on
     * l_orderkey with the ≠-supplier condition riding the hash join —
-    * never a cartesian; the fact table is read once per side and both
-    * sides shuffle on the same join key, so the three lineitem frames
-    * share one exchange layout. */
+    * never a cartesian. At fixture scale every side broadcasts; at
+    * scale all three lineitem frames shuffle on the same key
+    * (l_orderkey), and the two R-filtered frames are canonically
+    * identical so their exchange is computed once and reused. */
   private def q21(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = t(spark, dir, "lineitem")
