@@ -551,7 +551,16 @@ object Dedup {
     * (`df.checkpoint()`) instead: rounds then survive executor loss —
     * the right trade for a multi-hour 100 TB run on preemptible
     * hardware, at the price of a write to the checkpoint filesystem
-    * per round.
+    * per round. SIDE EFFECT: reliable checkpointing requires
+    * `sparkContext.setCheckpointDir`, which is SESSION-GLOBAL — for
+    * the duration of the loop, concurrent jobs in the same session
+    * that call `df.checkpoint()` will write under this operator's
+    * per-run subdirectory (`checkpointDir/dedup-clusters-<uuid>`).
+    * The previous checkpoint dir is restored and the per-run
+    * subdirectory (every round's snapshot) deleted once the loop
+    * finishes — converged or thrown — after re-snapshotting the final
+    * labels locally so the returned DataFrame does not dangle on
+    * deleted files.
     *
     * `maxRounds` bounds the loop: pointer jumping converges in
     * ⌈log₂(diameter)⌉ + small-constant rounds, so the default 64
@@ -563,7 +572,21 @@ object Dedup {
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
       maxRounds: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
     val sp = docs.sparkSession
-    checkpointDir.foreach(sp.sparkContext.setCheckpointDir)
+    val sc = sp.sparkContext
+    // per-run subdir so cleanup after convergence cannot delete another
+    // job's snapshots; the previous dir is restored on exit (see scaladoc
+    // — setCheckpointDir is session-global for the loop's duration)
+    val prevCkDir = sc.getCheckpointDir
+    val runCkDir = checkpointDir.map { base =>
+      val d = s"$base/dedup-clusters-${java.util.UUID.randomUUID()}"
+      sc.setCheckpointDir(d)
+      d
+    }
+    def restoreAndClean(): Unit = runCkDir.foreach { d =>
+      prevCkDir.foreach(sc.setCheckpointDir)
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+    }
     def snap(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // symmetrize by exploding each pair into both orientations — ONE
@@ -583,6 +606,7 @@ object Dedup {
     while (changed > 0) {
       if (rounds >= maxRounds) {
         edges.unpersist()
+        restoreAndClean()
         throw new IllegalStateException(
           s"dedupClusters failed to converge after $maxRounds rounds " +
             s"($changed labels still changing): pointer jumping needs only " +
@@ -615,6 +639,10 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    // converged labels still reference the LAST round's reliable files —
+    // pull them into executor-local blocks before the run dir is deleted
+    if (runCkDir.isDefined) labels = labels.localCheckpoint()
+    restoreAndClean()
     labels
   }
 
@@ -746,7 +774,11 @@ object Dedup {
       .join(an.select(col("cluster"), col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")),
         Seq("cluster"))
       .filter(col("vec_a") < col("vec_b"))
-      .filter(dot(col("ea"), col("eb")) >= lit(threshold) * col("na") * col("nb"))
+      // the norm guard keeps the documented zero-vector semantics: the
+      // factored predicate alone degenerates to 0 ≥ 0 = true when either
+      // norm is zero (whereas the cosine it replaces is NaN, never ≥ t)
+      .filter(col("na") > 0 && col("nb") > 0 &&
+        dot(col("ea"), col("eb")) >= lit(threshold) * col("na") * col("nb"))
       .select(col("vec_a"), col("vec_b"))
       .distinct()
   }

@@ -157,7 +157,14 @@ object Maintenance {
       val plan = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
       val target = new Path(root, plan.head)
-      plan.tail.foreach(n => fs.delete(new Path(root, n), true))
+      // the target's own name appears among the sources (the pre-compaction
+      // `batch_id=upTo` partition is one of them); when the crash landed
+      // AFTER the tmp->target rename, that name now denotes the INSTALLED
+      // compacted partition and tmp is gone — deleting it here would lose
+      // every compacted key, so the target name is never deleted by the
+      // recovery loop (the tmp-exists path below deletes the target itself
+      // before renaming, which covers the pre-rename crash points)
+      plan.tail.filterNot(_ == plan.head).foreach(n => fs.delete(new Path(root, n), true))
       if (fs.exists(tmp)) {
         fs.delete(target, true)
         require(fs.rename(tmp, target), s"compaction recovery swap failed: $tmp -> $target")

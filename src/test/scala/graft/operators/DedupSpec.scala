@@ -138,6 +138,23 @@ class DedupSpec extends SparkSpec {
     assert(got.forall { case (a, b) => (a % dim) == (if (b == 999L) 0L else b % dim) }, got)
   }
 
+  test("semanticPairsIvf: zero vectors never pair (no cosine exists for them)") {
+    import spark.implicits._
+    // two zero vectors co-located with two genuine near-dups: the
+    // norm-factored predicate dot >= t*na*nb degenerates to 0 >= 0 for a
+    // zero norm, so without the norm guard the zero vectors would pair
+    // with every co-clustered vector AND each other
+    val dim = 4
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.01f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.02f)),
+      (2L, Array.fill(dim)(0.0f)),
+      (3L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+    val got = Dedup.semanticPairsIvf(emb, 0.9, nlist = 1, nassign = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)), s"zero vectors paired: $got")
+  }
+
   test("dedupClusters: a 128-node path collapses in O(log n) rounds (pointer jumping)") {
     import spark.implicits._
     // worst-case diameter: a single path 0-1-2-...-127. Plain min-label

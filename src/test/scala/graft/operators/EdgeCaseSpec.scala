@@ -190,6 +190,11 @@ class EdgeCaseSpec extends SparkSpec {
     assert(local == reliable)
     assert(local == Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L,
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 8L))
+    // per-round snapshots are cleaned up after convergence — a multi-hour
+    // run must not accrete one labels copy per round in reliable storage
+    val leftover = new java.io.File(ckDir).listFiles()
+    assert(leftover == null || leftover.isEmpty,
+      s"round checkpoints not cleaned: ${leftover.map(_.getName).toSeq}")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
   }
 

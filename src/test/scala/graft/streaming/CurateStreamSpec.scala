@@ -241,6 +241,44 @@ class CurateStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("crashed compaction AFTER the swap rename: recovery keeps the installed partition") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("curatecomplate").toString
+    val keysDir = s"$root/out/_keys"; val dataDir = s"$root/out/data"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    CurateStream.processBatch(Seq(doc(1, bigText(1))).toDF(cols: _*), 0, keysDir, dataDir, 30, 0.5)
+    CurateStream.processBatch(Seq(doc(2, bigText(2))).toDF(cols: _*), 1, keysDir, dataDir, 30, 0.5)
+    CurateStream.processBatch(Seq(doc(3, bigText(3))).toDF(cols: _*), 2, keysDir, dataDir, 30, 0.5)
+
+    // simulate the LATEST crash point: sources deleted, tmp already
+    // renamed onto the target (batch_id=1 now IS the compacted
+    // partition, tmp gone), only the marker delete never ran. The
+    // plan's source list includes the target's own name — recovery
+    // must not delete the partition it just installed.
+    val compacted = spark.read
+      .parquet(s"$keysDir/batch_id=0", s"$keysDir/batch_id=1").collect()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$keysDir/batch_id=0"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$keysDir/batch_id=1"))
+    spark.createDataFrame(spark.sparkContext.parallelize(compacted.toIndexedSeq),
+        spark.read.parquet(s"$keysDir/batch_id=2").schema)
+      .repartition(1).write.parquet(s"$keysDir/batch_id=1")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$keysDir/${Maintenance.CompactMarker}"),
+      "batch_id=1\nbatch_id=0\nbatch_id=1".getBytes("UTF-8"))
+
+    Maintenance.compactBatchStore(spark, keysDir, upTo = 1)
+    assert(!new java.io.File(s"$keysDir/${Maintenance.CompactMarker}").exists())
+    assert(spark.read.parquet(keysDir).count() == 3,
+      "post-rename recovery deleted the installed compacted partition")
+    // the compacted keys still suppress dups — nothing was lost
+    val b3 = Seq(doc(4, bigText(1)), doc(5, bigText(5))).toDF(cols: _*)
+    CurateStream.processBatch(b3, 3, keysDir, dataDir, 30, 0.5)
+    assert(spark.read.parquet(dataDir).select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 5L))
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("non-partitioned key-store layout fails the batch instead of silently skipping dedup") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("curatelayout").toString
