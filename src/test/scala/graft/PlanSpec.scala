@@ -77,6 +77,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q24: nation joins sit BELOW the fact joins (prune-before-join)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // supplier⋈nation and customer⋈nation must happen before their rows
+    // meet lineitem/orders — the pre-r7 shape joined full lineitem
+    // through supplier/orders/customer and discarded ~92 % at a
+    // top-level pair filter (r6 verdict "What's wrong" #1)
+    val lp = SparkEntry.queries("q24_volume_shipping")(spark, dir)
+      .queryExecution.optimizedPlan
+    val joins = lp.collect { case j: Join => j }
+    def refs(j: Join) = j.condition.toSeq.flatMap(_.references.map(_.name)).toSet
+    val custJoin = joins.find(j => refs(j).contains("c_custkey"))
+      .getOrElse(fail(s"no customer join in\n$lp"))
+    val orderJoin = joins.find(j => refs(j).contains("o_orderkey"))
+      .getOrElse(fail(s"no orders join in\n$lp"))
+    for (fact <- Seq(custJoin, orderJoin)) {
+      assert(fact.exists {
+        case j: Join => refs(j).contains("s_nationkey")
+        case _ => false
+      }, s"supplier-nation join not below the fact join:\n$lp")
+    }
+    assert(custJoin.exists {
+      case j: Join => refs(j).contains("c_nationkey")
+      case _ => false
+    }, s"customer-nation join not below the customer join:\n$lp")
+  }
+
   test("q19: single-side implications of the OR join predicate reach both scans") {
     val p = plan("q19_disjunctive_join")
     // the brand/size disjunction is pushed into the part scan and the
