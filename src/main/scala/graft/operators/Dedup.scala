@@ -556,11 +556,26 @@ object Dedup {
     * the duration of the loop, concurrent jobs in the same session
     * that call `df.checkpoint()` will write under this operator's
     * per-run subdirectory (`checkpointDir/dedup-clusters-<uuid>`).
-    * The previous checkpoint dir is restored and the per-run
-    * subdirectory (every round's snapshot) deleted once the loop
-    * finishes — converged or thrown — after re-snapshotting the final
-    * labels locally so the returned DataFrame does not dangle on
-    * deleted files.
+    * On exit — converged OR thrown, any exception (a Spark job
+    * failure mid-round included, the likely case on the preemptible
+    * clusters this mode targets) — the session checkpoint dir is
+    * restored: to the previously-set dir, or to the caller's BASE
+    * `checkpointDir` when none was set (Spark has no unset API, and
+    * pointing later `df.checkpoint()` calls at the caller's base beats
+    * leaving them on this run's private subdir).
+    *
+    * Cleanup of the per-run subdirectory differs by exit path. On
+    * FAILURE the whole subdir is deleted — partial round state is
+    * worthless. On SUCCESS, prior rounds' snapshots are pruned but the
+    * FINAL round's reliable snapshot is kept, because the returned
+    * DataFrame reads from it: re-snapshotting locally and deleting it
+    * (the round-7 behavior) would convert the result to unreplicated
+    * executor-local blocks with truncated lineage — losing one
+    * executor between return and the caller's materialization would
+    * make the result unrecoverable, exactly the failure reliable mode
+    * exists to survive. The surviving subdir holds ONE labels copy
+    * (~16 B/doc); the caller owns deleting it once the result is
+    * written out.
     *
     * `maxRounds` bounds the loop: pointer jumping converges in
     * ⌈log₂(diameter)⌉ + small-constant rounds, so the default 64
@@ -582,10 +597,26 @@ object Dedup {
       sc.setCheckpointDir(d)
       d
     }
-    def restoreAndClean(): Unit = runCkDir.foreach { d =>
-      prevCkDir.foreach(sc.setCheckpointDir)
+    def restoreDir(): Unit = checkpointDir.foreach { base =>
+      sc.setCheckpointDir(prevCkDir.getOrElse(base))
+    }
+    def deleteRunDir(): Unit = runCkDir.foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d)
       p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+    }
+    // success-path pruning: drop every round snapshot EXCEPT the
+    // highest-numbered rdd-N — the final labels read from it (layout:
+    // <runDir>/<spark-uuid>/rdd-N, N monotone per checkpoint() call)
+    def pruneToFinalSnapshot(): Unit = runCkDir.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(sc.hadoopConfiguration)
+      val snaps = fs.globStatus(new org.apache.hadoop.fs.Path(d, "*/rdd-*"))
+      if (snaps != null && snaps.length > 1) {
+        val byId = snaps.map(s =>
+          s.getPath.getName.stripPrefix("rdd-").toInt -> s.getPath)
+        val keep = byId.map(_._1).max
+        byId.filter(_._1 != keep).foreach { case (_, path) => fs.delete(path, true) }
+      }
     }
     def snap(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
@@ -603,46 +634,57 @@ object Dedup {
       .withColumn("cluster_id", col("doc_id")))
     var changed = 1L
     var rounds = 0
-    while (changed > 0) {
-      if (rounds >= maxRounds) {
-        edges.unpersist()
-        restoreAndClean()
-        throw new IllegalStateException(
-          s"dedupClusters failed to converge after $maxRounds rounds " +
-            s"($changed labels still changing): pointer jumping needs only " +
-            "~log2(graph diameter) rounds, so this indicates corrupt or " +
-            "oscillating label state, not a large graph — inspect the pair " +
-            "input (self-loops? non-doc_id labels?) before raising maxRounds")
+    try {
+      while (changed > 0) {
+        if (rounds >= maxRounds) {
+          throw new IllegalStateException(
+            s"dedupClusters failed to converge after $maxRounds rounds " +
+              s"($changed labels still changing): pointer jumping needs only " +
+              "~log2(graph diameter) rounds, so this indicates corrupt or " +
+              "oscillating label state, not a large graph — inspect the pair " +
+              "input (self-loops? non-doc_id labels?) before raising maxRounds")
+        }
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("src"), col("cluster_id")), Seq("src"))
+          .groupBy(col("dst").as("doc_id"))
+          .agg(min(col("cluster_id")).as("nbr_min"))
+        val prop = labels.select(col("doc_id"), col("cluster_id").as("_old"))
+          .join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("_old"),
+            least(col("_old"), coalesce(col("nbr_min"), col("_old"))).as("_mid"))
+          // referenced on BOTH sides of the jump self-join below — persist
+          // for the round or the propagation join+agg runs twice per round
+          .persist()
+        // pointer jump: follow _mid to ITS representative's label. Labels
+        // are always real doc_ids of the same component, so the self-join
+        // is total and only ever lowers the label.
+        val next = snap(prop
+          .join(prop.select(col("doc_id").as("_rep"), col("_mid").as("_rep_label")),
+            col("_mid") === col("_rep"))
+          .select(col("doc_id"), col("_rep_label").as("cluster_id"),
+            (col("_rep_label") =!= col("_old")).as("_chg"))) // eager: prop is consumed here, release it next
+        prop.unpersist()
+        changed = next.filter(col("_chg")).count()
+        labels = next.drop("_chg")
+        rounds += 1
       }
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("src"), col("cluster_id")), Seq("src"))
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-      val prop = labels.select(col("doc_id"), col("cluster_id").as("_old"))
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("_old"),
-          least(col("_old"), coalesce(col("nbr_min"), col("_old"))).as("_mid"))
-        // referenced on BOTH sides of the jump self-join below — persist
-        // for the round or the propagation join+agg runs twice per round
-        .persist()
-      // pointer jump: follow _mid to ITS representative's label. Labels
-      // are always real doc_ids of the same component, so the self-join
-      // is total and only ever lowers the label.
-      val next = snap(prop
-        .join(prop.select(col("doc_id").as("_rep"), col("_mid").as("_rep_label")),
-          col("_mid") === col("_rep"))
-        .select(col("doc_id"), col("_rep_label").as("cluster_id"),
-          (col("_rep_label") =!= col("_old")).as("_chg"))) // eager: prop is consumed here, release it next
-      prop.unpersist()
-      changed = next.filter(col("_chg")).count()
-      labels = next.drop("_chg")
-      rounds += 1
+    } catch {
+      // ANY failure — the maxRounds throw above, or a Spark job failure
+      // mid-round (the expected case on preemptible executors): release
+      // the edges, restore the session checkpoint dir, delete the whole
+      // per-run subdir (partial round state is worthless), re-throw
+      case e: Throwable =>
+        edges.unpersist()
+        restoreDir()
+        deleteRunDir()
+        throw e
     }
     edges.unpersist()
-    // converged labels still reference the LAST round's reliable files —
-    // pull them into executor-local blocks before the run dir is deleted
-    if (runCkDir.isDefined) labels = labels.localCheckpoint()
-    restoreAndClean()
+    restoreDir()
+    // keep the final round's reliable snapshot — the returned DataFrame
+    // reads from it (see scaladoc: localCheckpoint-then-delete would trade
+    // away exactly the executor-loss tolerance reliable mode buys)
+    pruneToFinalSnapshot()
     labels
   }
 
