@@ -41,7 +41,20 @@ import org.apache.spark.sql.SparkSession
   *    (r7's q6_unpivot read median 11.57 s vs min 1.33 s because two
   *    of three passes ran throttled); dropped pass indices are
   *    reported as `dropped_passes`, and the detail file keeps every
-  *    raw per-pass sample so nothing is lost to the exclusion. */
+  *    raw per-pass sample so nothing is lost to the exclusion.
+  *
+  * Round-9 fixes (VERDICT r8 item 3, ADVICE r8):
+  *  - `"mins"`: per-query MIN across all passes, the throttle-robust
+  *    headline for round-over-round comparison — the r8 gate kept the
+  *    one pass whose interior was most contended (two calib points at
+  *    pass boundaries cannot see mid-pass throttle bursts), so the
+  *    gated median alone overstated several queries 2-4x;
+  *  - a failed query records NaN→null and lands in `"failed"`, never
+  *    time-to-failure as a timing sample (a fast-failing calib would
+  *    shrink the gate floor until every healthy pass was dropped);
+  *  - `median` averages the two middles on even-sized sample sets (the
+  *    gate makes those common; upper-middle was an upward bias);
+  *  - the artifact dir is created before writing. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,12 +65,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // a failed run is NaN, never time-to-failure: a fast failure would
+    // otherwise pose as a fast sample (and a fast-failing calib run would
+    // shrink bestCalib until every healthy pass got dropped as throttled)
+    val failedQueries = scala.collection.mutable.LinkedHashSet.empty[String]
     def runNoop(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failedQueries += name
+          Double.NaN
+      }
     }
     val calibFn = SparkEntry.queries("q1_pricing_summary")
 
@@ -75,47 +98,80 @@ object Bench {
         val sec = runNoop(name, fn, sfDir)
         perPass(p)(name) = sec
         sec
-      }.sum
+      }.filterNot(_.isNaN).sum
       val c1 = runNoop("calib", calibFn, sfDir)
       calib += ((c0, c1))
       total
     }
+    // even-sized inputs average the two middles: the throttle gate makes
+    // even sample sets common (3 passes, 1 dropped) and the upper-middle
+    // element would then systematically report the max of the two
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
-      s(s.size / 2)
+      if (s.isEmpty) Double.NaN
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    def fmt(d: Double): String = if (d.isNaN) "null" else f"$d%.3f"
     // Throttle gate: a pass whose mean calib exceeds 1.5x the best pass's
     // mean calib was contended; exclude it from medians (keep >= 1 pass).
-    val calibMeans = calib.map { case (a, b) => (a + b) / 2 }.toIndexedSeq
-    val bestCalib = calibMeans.min
-    val goodIdx = (0 until n).filter(p => calibMeans(p) <= 1.5 * bestCalib)
+    // Failed calib samples are excluded from the gate, not used as timings;
+    // a pass with no finite calib cannot be gated and is kept.
+    val calibMeans = calib.map { case (a, b) =>
+      val ok = Seq(a, b).filterNot(_.isNaN)
+      if (ok.isEmpty) Double.NaN else ok.sum / ok.size
+    }.toIndexedSeq
+    val finiteCalib = calibMeans.filterNot(_.isNaN)
+    val goodIdx =
+      if (finiteCalib.isEmpty) (0 until n)
+      else {
+        val bestCalib = finiteCalib.min
+        (0 until n).filter(p => calibMeans(p).isNaN || calibMeans(p) <= 1.5 * bestCalib)
+      }
     val droppedIdx = (0 until n).filterNot(goodIdx.contains)
-    val med = names.map { case (name, _) =>
-      name -> median(goodIdx.map(p => perPass(p)(name)))
+    // median over the gate-surviving finite samples (falling back to all
+    // finite samples if the gate dropped every successful run of a query);
+    // min over ALL finite samples — the throttle-robust headline statistic
+    // (the gate picks whole passes, but contention is bursty WITHIN passes,
+    // so the cross-pass min is what round-over-round comparison should use)
+    val stats = names.map { case (name, _) =>
+      val all = (0 until n).map(p => perPass(p)(name)).filterNot(_.isNaN)
+      val gated = goodIdx.map(p => perPass(p)(name)).filterNot(_.isNaN)
+      val samples = if (gated.nonEmpty) gated else all
+      (name, median(samples), if (all.isEmpty) Double.NaN else all.min)
     }
-    val qs = med.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val med = stats.map { case (name, m, _) => name -> m }
+    val qs = med.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val minsJson = stats.map { case (name, _, mn) => "\"" + name + "\":" + fmt(mn) }
       .mkString("{", ",", "}")
     val spread = names.map { case (name, _) =>
-      val xs = (0 until n).map(p => perPass(p)(name))
-      "\"" + name + "\":[" + f"${xs.min}%.3f" + "," + f"${xs.max}%.3f" + "]"
+      val xs = (0 until n).map(p => perPass(p)(name)).filterNot(_.isNaN)
+      "\"" + name + "\":[" +
+        (if (xs.isEmpty) "null,null" else fmt(xs.min) + "," + fmt(xs.max)) + "]"
     }.mkString("{", ",", "}")
     val passesJson = names.map { case (name, _) =>
       "\"" + name + "\":" +
-        (0 until n).map(p => f"${perPass(p)(name)}%.3f").mkString("[", ",", "]")
+        (0 until n).map(p => fmt(perPass(p)(name))).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = med.map(_._2).sum
-    val runs = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val total = med.map(_._2).filterNot(_.isNaN).sum
+    val runs = passTotals.map(fmt).mkString("[", ",", "]")
     val calibJson = calib
-      .map { case (a, b) => f"[$a%.3f,$b%.3f]" }.mkString("[", ",", "]")
+      .map { case (a, b) => "[" + fmt(a) + "," + fmt(b) + "]" }.mkString("[", ",", "]")
     val droppedJson = droppedIdx.mkString("[", ",", "]")
+    val failedJson = failedQueries.toSeq.filterNot(Set("calib", "warmup"))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val outDir = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "/root/repo"))
+    // create the out dir up front: discovering it's missing AFTER all
+    // measurements completed would lose both artifacts and the stdout
+    java.nio.file.Files.createDirectories(outDir)
     def writeLine(file: String, line: String): Unit =
       java.nio.file.Files.write(outDir.resolve(file), (line + "\n").getBytes("UTF-8"))
     val detail =
       f"""{"metric":"detail","sf":"$sfDir","n":$n,"spread":$spread,"passes":$passesJson}"""
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n,"runs":$runs,"calib":$calibJson,"dropped_passes":$droppedJson}"""
+      f"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"mins":$minsJson,"sf":"$sfDir","n":$n,"runs":$runs,"calib":$calibJson,"dropped_passes":$droppedJson,"failed":$failedJson}"""
     // Both lines are FILES first (the medians line is ~3.7 KB for 117
     // queries; the driver's stdout tail keeps ~2.9 KB, so stdout alone
     // can never carry it whole); stdout prints detail first, compact

@@ -566,16 +566,25 @@ object Dedup {
     *
     * Cleanup of the per-run subdirectory differs by exit path. On
     * FAILURE the whole subdir is deleted — partial round state is
-    * worthless. On SUCCESS, prior rounds' snapshots are pruned but the
-    * FINAL round's reliable snapshot is kept, because the returned
-    * DataFrame reads from it: re-snapshotting locally and deleting it
-    * (the round-7 behavior) would convert the result to unreplicated
-    * executor-local blocks with truncated lineage — losing one
-    * executor between return and the caller's materialization would
-    * make the result unrecoverable, exactly the failure reliable mode
-    * exists to survive. The surviving subdir holds ONE labels copy
-    * (~16 B/doc); the caller owns deleting it once the result is
-    * written out.
+    * worthless. On SUCCESS the FINAL round's reliable snapshot is kept,
+    * because the returned DataFrame reads from it: re-snapshotting
+    * locally and deleting it (the round-7 behavior) would convert the
+    * result to unreplicated executor-local blocks with truncated
+    * lineage — losing one executor between return and the caller's
+    * materialization would make the result unrecoverable, exactly the
+    * failure reliable mode exists to survive. Prior rounds' snapshots
+    * are pruned INCREMENTALLY, each round deleting the previous round's
+    * snapshot by its EXACT resolved path (the checkpointed RDD's
+    * `getCheckpointFile`, found by walking the returned frame's RDD
+    * lineage) the moment the new checkpoint has materialized — so a
+    * multi-hour run holds at most two labels copies in reliable storage
+    * instead of one per round, and the prune can never delete a
+    * concurrent job's snapshot (or the final result) the way a
+    * keep-highest-`rdd-N` glob could: an unresolvable path means
+    * "leak it", never "guess". The surviving subdir holds ONE labels
+    * copy (~16 B/doc); the caller owns deleting it once the result is
+    * written out — use [[dedupClustersManaged]] to get the directory
+    * handle and a `cleanup()` that does exactly that.
     *
     * `maxRounds` bounds the loop: pointer jumping converges in
     * ⌈log₂(diameter)⌉ + small-constant rounds, so the default 64
@@ -585,7 +594,27 @@ object Dedup {
     * a cluster forever.
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
+      maxRounds: Int = 64, checkpointDir: Option[String] = None): DataFrame =
+    dedupClustersManaged(docs, pairs, maxRounds, checkpointDir).labels
+
+  /** Converged labels plus the handle the reliable-mode cleanup
+    * contract needs: on success the final round's snapshot survives
+    * under `snapshotDir` and the returned `labels` read from it (see
+    * [[dedupClusters]]). Call `cleanup()` once the labels have been
+    * materialized (written out or collected) to delete it — deleting
+    * earlier dangles the DataFrame on missing files. `snapshotDir` is
+    * `None` in local-checkpoint mode, where `cleanup()` is a no-op. */
+  final case class ClusterLabels(labels: DataFrame, snapshotDir: Option[String]) {
+    def cleanup(): Unit = snapshotDir.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(labels.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
+
+  /** [[dedupClusters]] with the surviving-snapshot handle exposed. */
+  def dedupClustersManaged(docs: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 64, checkpointDir: Option[String] = None): ClusterLabels = {
     val sp = docs.sparkSession
     val sc = sp.sparkContext
     // per-run subdir so cleanup after convergence cannot delete another
@@ -600,26 +629,42 @@ object Dedup {
     def restoreDir(): Unit = checkpointDir.foreach { base =>
       sc.setCheckpointDir(prevCkDir.getOrElse(base))
     }
-    def deleteRunDir(): Unit = runCkDir.foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
+    def deletePath(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
     }
-    // success-path pruning: drop every round snapshot EXCEPT the
-    // highest-numbered rdd-N — the final labels read from it (layout:
-    // <runDir>/<spark-uuid>/rdd-N, N monotone per checkpoint() call)
-    def pruneToFinalSnapshot(): Unit = runCkDir.foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(sc.hadoopConfiguration)
-      val snaps = fs.globStatus(new org.apache.hadoop.fs.Path(d, "*/rdd-*"))
-      if (snaps != null && snaps.length > 1) {
-        val byId = snaps.map(s =>
-          s.getPath.getName.stripPrefix("rdd-").toInt -> s.getPath)
-        val keep = byId.map(_._1).max
-        byId.filter(_._1 != keep).foreach { case (_, path) => fs.delete(path, true) }
-      }
+    def deleteRunDir(): Unit = runCkDir.foreach(deletePath)
+    // exact reliable-snapshot path of a just-checkpointed frame: the
+    // checkpointed RDD's getCheckpointFile, found by walking the RDD
+    // lineage (checkpoint(eager=true) has already swapped the deps to
+    // the CheckpointRDD by the time this runs). Resolving the EXACT
+    // path — not globbing for the highest rdd-N, which a concurrent
+    // df.checkpoint() in this session can outbid because
+    // setCheckpointDir is session-global — is what makes the pruning
+    // below safe: an unresolvable path means "don't delete".
+    def checkpointFileOf(df: DataFrame): Option[String] = {
+      def walk(r: org.apache.spark.rdd.RDD[_]): Option[String] =
+        r.getCheckpointFile.orElse(
+          r.dependencies.iterator.map(d => walk(d.rdd))
+            .collectFirst { case Some(p) => p })
+      try walk(df.rdd) catch { case scala.util.control.NonFatal(_) => None }
     }
+    var liveSnapPath: Option[String] = None
     def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) {
+        val out = df.checkpoint()
+        val newPath = checkpointFileOf(out)
+        // the previous round's snapshot is unreferenced once the new
+        // checkpoint has materialized (checkpoint truncates lineage):
+        // delete it now, so the loop holds at most TWO labels copies in
+        // reliable storage instead of one per round
+        (liveSnapPath, newPath) match {
+          case (Some(old), Some(nw)) if old != nw => deletePath(old)
+          case _ => () // unresolved: leak a snapshot rather than risk live data
+        }
+        liveSnapPath = newPath.orElse(liveSnapPath)
+        out
+      } else df.localCheckpoint()
     // symmetrize by exploding each pair into both orientations — ONE
     // evaluation of the (possibly expensive) pair-mining plan; the
     // union-of-two-selects form would compute `pairs` twice when the
@@ -634,6 +679,10 @@ object Dedup {
       .withColumn("cluster_id", col("doc_id")))
     var changed = 1L
     var rounds = 0
+    // the round's persisted propagation frame, tracked so the failure
+    // path can release it — an exception inside snap()/count() after
+    // prop.persist() would otherwise leak the cache for the session
+    var curProp: Option[DataFrame] = None
     try {
       while (changed > 0) {
         if (rounds >= maxRounds) {
@@ -655,6 +704,7 @@ object Dedup {
           // referenced on BOTH sides of the jump self-join below — persist
           // for the round or the propagation join+agg runs twice per round
           .persist()
+        curProp = Some(prop)
         // pointer jump: follow _mid to ITS representative's label. Labels
         // are always real doc_ids of the same component, so the self-join
         // is total and only ever lowers the label.
@@ -664,6 +714,7 @@ object Dedup {
           .select(col("doc_id"), col("_rep_label").as("cluster_id"),
             (col("_rep_label") =!= col("_old")).as("_chg"))) // eager: prop is consumed here, release it next
         prop.unpersist()
+        curProp = None
         changed = next.filter(col("_chg")).count()
         labels = next.drop("_chg")
         rounds += 1
@@ -674,6 +725,10 @@ object Dedup {
       // the edges, restore the session checkpoint dir, delete the whole
       // per-run subdir (partial round state is worthless), re-throw
       case e: Throwable =>
+        curProp.foreach { p =>
+          try p.unpersist(false)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
         edges.unpersist()
         restoreDir()
         deleteRunDir()
@@ -681,11 +736,10 @@ object Dedup {
     }
     edges.unpersist()
     restoreDir()
-    // keep the final round's reliable snapshot — the returned DataFrame
-    // reads from it (see scaladoc: localCheckpoint-then-delete would trade
-    // away exactly the executor-loss tolerance reliable mode buys)
-    pruneToFinalSnapshot()
-    labels
+    // the final round's reliable snapshot survives (incremental pruning
+    // already deleted every prior round's) — the returned DataFrame
+    // reads from it; ClusterLabels.cleanup() is the caller's handle
+    ClusterLabels(labels, runCkDir)
   }
 
   /** Declared form: components of the word-5-gram minhash near-dup

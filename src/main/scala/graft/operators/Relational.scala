@@ -1545,6 +1545,91 @@ object Relational {
        |ORDER BY gp, gs, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- all
+  // --------------------------------------------------------------- Q29
+  /** Returned-item revenue top-20 (TPC-H Q10 shape): which customers
+    * returned goods in a quarter, ranked by lost revenue. The shape
+    * exercise is a 4-table join whose GROUP BY carries the WIDE
+    * customer attributes through the aggregate, capped by a global
+    * top-k. Join order prunes before joining: orders shrinks to one
+    * quarter (~1/26 of the date range) BEFORE touching lineitem, and
+    * lineitem keeps only returned lines before either join; nation is
+    * broadcast onto the post-aggregate top rows, not the fact table.
+    * The final ORDER BY + LIMIT pins TakeOrderedAndProject — no global
+    * sort of the aggregate, a driver-sized top-20 per partition merge
+    * (revenue ties broken by c_custkey so the cut is deterministic). */
+  private def q29(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val quarter = t(spark, dir, "orders")
+      .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1996-04-01")
+      .select($"o_orderkey", $"o_custkey")
+    val returned = t(spark, dir, "lineitem")
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey",
+        ($"l_extendedprice" * (lit(1) - $"l_discount")).as("volume"))
+    val perCust = returned
+      .join(quarter, $"l_orderkey" === $"o_orderkey")
+      .join(t(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey")
+      .agg(dsum($"volume").as("revenue"))
+    perCust
+      .join(broadcast(t(spark, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"revenue", $"c_acctbal", $"n_name")
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  private val q29Sql =
+    s"""SELECT c_custkey, c_name, ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  c_acctbal, n_name
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1996-04-01'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- Q30
+  /** Late-line priority counts (TPC-H Q12 shape, adapted to this
+    * schema: no l_shipmode/l_receiptdate here, so "late" is shipped
+    * more than 60 days after the order date and the category is
+    * l_linestatus). The shape exercise is conditional aggregation —
+    * CASE-bucketed counts inside one pass over a joined year window —
+    * plus a join predicate BETWEEN columns of the two tables
+    * (l_shipdate vs o_orderdate + 60 days), which no single-side
+    * pushdown can satisfy: the date-window filter prunes lineitem at
+    * the scan, the lateness residual runs post-join, and the output is
+    * two rows. COUNT(CASE …) not SUM(CASE …) so both engines emit
+    * BIGINT without a cast. */
+  private def q30(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hi = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    t(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= "1997-01-01" && $"l_shipdate" < "1998-01-01")
+      .select($"l_orderkey", $"l_linestatus", $"l_shipdate")
+      .join(t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" >= $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+      .groupBy($"l_linestatus")
+      .agg(
+        count(when(hi, 1)).as("high_line_count"),
+        count(when(!hi, 1)).as("low_line_count"))
+      .orderBy($"l_linestatus")
+  }
+
+  private val q30Sql =
+    """SELECT l_linestatus,
+      |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+      |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("q1_pricing_summary", q1, Some(q1Sql)),
     Declared("q2_join_agg", q2, Some(q2Sql)),
@@ -1595,5 +1680,7 @@ object Relational {
     Declared("q26_product_profit", q26, Some(q26Sql)),
     Declared("q19_disjunctive_join", q19, Some(q19Sql)),
     Declared("q22_dormant_customers", q22, Some(q22Sql)),
-    Declared("q6_grouping_sets", q6GroupingSets, Some(q6GroupingSetsSql)))
+    Declared("q6_grouping_sets", q6GroupingSets, Some(q6GroupingSetsSql)),
+    Declared("q29_returned_items", q29, Some(q29Sql)),
+    Declared("q30_late_lines", q30, Some(q30Sql)))
 }

@@ -190,11 +190,67 @@ class EdgeCaseSpec extends SparkSpec {
     assert(local == reliable)
     assert(local == Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L,
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 8L))
-    // per-round snapshots are cleaned up after convergence — a multi-hour
-    // run must not accrete one labels copy per round in reliable storage
-    val leftover = new java.io.File(ckDir).listFiles()
-    assert(leftover == null || leftover.isEmpty,
-      s"round checkpoints not cleaned: ${leftover.map(_.getName).toSeq}")
+    // success-path contract: prior rounds' snapshots are pruned
+    // incrementally but the FINAL round's survives (the returned frame
+    // reads from it — deleting it would dangle the result on missing
+    // files). So: exactly one dedup-clusters-* run dir, holding exactly
+    // one rdd-* snapshot; everything else (the empty session-uuid dir
+    // setCheckpointDir creates on restore) must contain no files.
+    val leftover = Option(new java.io.File(ckDir).listFiles()).map(_.toSeq).getOrElse(Seq())
+    val runDirs = leftover.filter(_.getName.startsWith("dedup-clusters-"))
+    assert(runDirs.size == 1,
+      s"expected exactly one surviving run dir: ${leftover.map(_.getName)}")
+    def filesUnder(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Seq()).flatMap(filesUnder)
+      else Seq(f)
+    val snaps = Option(runDirs.head.listFiles()).map(_.toSeq).getOrElse(Seq())
+      .flatMap(uuid => Option(uuid.listFiles()).map(_.toSeq).getOrElse(Seq()))
+      .filter(_.getName.startsWith("rdd-"))
+    assert(snaps.size == 1,
+      s"expected exactly one surviving rdd-* snapshot: ${snaps.map(_.getName)}")
+    leftover.filterNot(runDirs.contains).foreach { d =>
+      assert(filesUnder(d).isEmpty, s"unexpected files under ${d.getName}")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
+  }
+
+  test("dedupClusters: reliable-mode failure deletes the run dir and restores the checkpoint dir") {
+    import spark.implicits._
+    val ckDir = java.nio.file.Files.createTempDirectory("cc-ck-fail").toString
+    // same path graph as the loud-failure spec, budget below log2(diameter):
+    // the maxRounds throw exercises the catch path with checkpointDir set
+    val n = 512
+    val docs = (0 until n).map(_.toLong).toDF("doc_id")
+    val pairs = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupClusters(docs, pairs, maxRounds = 2, checkpointDir = Some(ckDir))
+    }
+    assert(e.getMessage.contains("failed to converge"))
+    // partial round state is worthless: the per-run subdir must be GONE
+    val leftover = Option(new java.io.File(ckDir).listFiles()).map(_.toSeq).getOrElse(Seq())
+    assert(!leftover.exists(_.getName.startsWith("dedup-clusters-")),
+      s"run dir not deleted on failure: ${leftover.map(_.getName)}")
+    // and the session checkpoint dir must no longer point at the run dir
+    val restored = spark.sparkContext.getCheckpointDir
+    assert(restored.forall(!_.contains("dedup-clusters-")),
+      s"session checkpoint dir left on the failed run's subdir: $restored")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
+  }
+
+  test("dedupClustersManaged: cleanup() deletes the surviving snapshot after materialization") {
+    import spark.implicits._
+    val ckDir = java.nio.file.Files.createTempDirectory("cc-ck-managed").toString
+    val docs = (0L to 5L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val res = Dedup.dedupClustersManaged(docs, pairs, checkpointDir = Some(ckDir))
+    assert(res.snapshotDir.isDefined, "reliable mode must expose the run dir")
+    assert(new java.io.File(res.snapshotDir.get).exists())
+    // materialize BEFORE cleanup — that is the documented contract
+    val got = res.labels.orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+    res.cleanup()
+    assert(!new java.io.File(res.snapshotDir.get).exists(),
+      "cleanup() must delete the surviving snapshot dir")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
   }
 

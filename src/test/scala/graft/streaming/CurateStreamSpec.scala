@@ -318,4 +318,83 @@ class CurateStreamSpec extends SparkSpec {
       spark.read.parquet(s"$dataDir/batch_id=1").count() == 0)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("near-dup chain across drops: stream and batch policies legitimately diverge on the tail doc") {
+    // Pins CurateStream's documented incremental-policy semantics as
+    // behavior: a similarity CHAIN A~B, B~C with A !~ C (all word-wise —
+    // B appends 6 words to A, C appends 6 more to B, so shingle Jaccards
+    // are 36/42 = 0.857, 42/48 = 0.875, 36/48 = 0.75 around the 0.8
+    // threshold) split as drops {A,B} then {C}. The STREAM drops B
+    // against survivor A, stores only SURVIVOR bands, so C — similar
+    // only to the dropped middle doc — survives: {A, C}. The BATCH
+    // policy drops any doc with ANY smaller-id near-dup among the
+    // filtered docs (B via A, C via B), keeping {A}. The divergence on
+    // the chain tail is a semantic property of incremental curation,
+    // not a bug — this spec fails if either side's policy drifts.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("curatechain").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aWords = Seq.tabulate(40)(i => s"a$i")
+    val bWords = aWords ++ Seq.tabulate(6)(i => s"b$i")
+    val cWords = bWords ++ Seq.tabulate(6)(i => s"c$i")
+    val (ta, tb, tc) = (aWords.mkString(" "), bWords.mkString(" "), cWords.mkString(" "))
+
+    // guard the arithmetic against the shingle implementation itself:
+    // the exact near-dup graph at 0.8 must be exactly the chain edges
+    val union = Seq(doc(1, ta), doc(2, tb), doc(3, tc)).toDF(cols: _*)
+    val exactPairs = graft.operators.Dedup.neardupMinhash(union)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exactPairs == Set((1L, 2L), (2L, 3L)),
+      s"fixture not a chain at J>=0.8: $exactPairs")
+
+    Seq(doc(1, ta), doc(2, tb)).toDF(cols: _*).write.parquet(s"$inDir/drop1.parquet")
+    CurateStream.runOnce(spark, s"$inDir/*", outDir, ck, nearDupJaccard = Some(0.8))
+    Seq(doc(3, tc)).toDF(cols: _*).write.parquet(s"$inDir/drop2.parquet")
+    CurateStream.runOnce(spark, s"$inDir/*", outDir, ck, nearDupJaccard = Some(0.8))
+
+    val streamIds = spark.read.parquet(s"$outDir/data")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamIds == Seq(1L, 3L),
+      s"stream policy must keep the chain tail (similar only to the DROPPED middle doc): $streamIds")
+    // batch policy over the same union: drop any doc with a smaller-id
+    // near-dup among the filtered docs — B (via A) and C (via B)
+    val batchIds = (Set(1L, 2L, 3L) -- exactPairs.map(_._2)).toSeq.sorted
+    assert(batchIds == Seq(1L), s"batch policy must keep only the chain head: $batchIds")
+    assert(streamIds != batchIds, "the two policies must diverge on this fixture")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("compactEvery auto-compacts the key store in-stream and dedup still suppresses afterwards") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("curatecompact").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    val keysDir = s"$outDir/_keys"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def keyPartitions() = new java.io.File(keysDir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+
+    Seq(doc(1, longText(1)), doc(2, longText(2))).toDF(cols: _*)
+      .write.parquet(s"$inDir/drop1.parquet")
+    CurateStream.runOnce(spark, s"$inDir/*", outDir, ck, compactEvery = 2)
+    Seq(doc(3, longText(3))).toDF(cols: _*).write.parquet(s"$inDir/drop2.parquet")
+    CurateStream.runOnce(spark, s"$inDir/*", outDir, ck, compactEvery = 2)
+    assert(keyPartitions() == Seq("batch_id=0", "batch_id=1"),
+      "no compaction may run before the schedule fires")
+
+    // batch 2 fires the schedule (2 % 2 == 0): batch_id<=1 partitions
+    // collapse into batch_id=1 BEFORE the batch's own work; doc 4
+    // re-posts doc 1's text and must be suppressed BY THE COMPACTED store
+    Seq(doc(4, longText(1)), doc(5, longText(5))).toDF(cols: _*)
+      .write.parquet(s"$inDir/drop3.parquet")
+    CurateStream.runOnce(spark, s"$inDir/*", outDir, ck, compactEvery = 2)
+    assert(keyPartitions() == Seq("batch_id=1", "batch_id=2"),
+      s"expected pre-batch partitions collapsed into batch_id=1: ${keyPartitions()}")
+    val ids = spark.read.parquet(s"$outDir/data")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 5L),
+      s"cross-batch dedup must still hold against the compacted store: $ids")
+    assert(spark.read.parquet(keysDir).count() == 4)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
