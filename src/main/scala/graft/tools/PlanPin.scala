@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Plan-drift regression pin (VERDICT r6-r8 stretch item).
+  *
+  * The physical-plan properties this library argues from (broadcast
+  * vs shuffle joins, TakeOrderedAndProject, partial aggregation,
+  * exchange counts) are pinned as OPERATOR-TREE SKELETONS in
+  * `PLANPINS.txt` at the repo root: per plan line, only the indent
+  * and the operator name survive — expression ids, column lists,
+  * paths, and stats are stripped, so the committed hash moves exactly
+  * when the plan SHAPE moves (a join strategy flips, an exchange
+  * appears, a top-k degenerates to a global sort) and never from
+  * expression-id churn between JVMs.
+  *
+  * Skeletons are taken from the INITIAL physical plan (no execution;
+  * `AdaptiveSparkPlan` not yet finalized) on the sf0.001 fixture:
+  * deterministic, seconds to build for all pinned queries, and
+  * sufficient for drift DETECTION — the authoritative post-AQE plans
+  * at sf0.01 live in PLANS.md via [[PlanDump]], which shares this
+  * query list. `PlanPinSpec` recomputes the skeletons and fails on
+  * any mismatch; regenerate with `sbt "runMain graft.tools.PlanPinWrite"`
+  * after an INTENTIONAL plan change (and re-run PlanDump so PLANS.md
+  * tells the same story).
+  */
+object PlanPin {
+  /** The headline queries whose plans are documented and pinned —
+    * execution-free to construct (loop/stream rows like
+    * x1_dedup_clusters / xs_curate_stream are excluded by design:
+    * their returned frame's plan is a post-materialization scan). */
+  val names: Seq[String] = Seq(
+    "q1_pricing_summary", "q2_join_agg", "q3_multi_join",
+    "q5_range_join", "q8_global_topk", "q13_asof_join", "x1_neardup_minhash",
+    "x1_embedding_neardup", "x1_simhash_pairs", "x2_ann_lsh",
+    "xm_media_neighbors", "xc_sample", "xc_pipeline_full",
+    "xc_bloom_decontaminate", "xt_heavy_hitters", "xt_ngram_topk",
+    "s4_stream_static_join", "q6_unpivot", "q11_gap_fill", "xc_upsample",
+    "q16_parts_supplier", "q18_large_volume", "q6_grouping_sets", "xc_shard",
+    "s5_trending_topk", "xl_zorder_key", "q19_disjunctive_join",
+    "q22_dormant_customers", "x1_fuzzy_match", "x2_outlier_score",
+    "x1_substring_dup", "xm_media_neardup", "xc_keep_best",
+    "x1_semantic_dedup_prod", "x1_substring_winnow_prod",
+    "x2_ann_ivf_prod", "q12_ingest_controls", "x1_substring_dup_runs",
+    "q17_small_quantity", "q20_qualifying_shippers", "q21_lone_returner",
+    "q23_custdist", "q24_volume_shipping", "q25_market_share",
+    "q26_product_profit", "q27_sessionize", "q28_funnel",
+    "q29_returned_items", "q30_late_lines", "xc_substring_keep_best")
+
+  val pinFile = "PLANPINS.txt"
+  val sfDir = "/root/testdata/sf0.001"
+
+  /** Indent + operator name per plan line, nothing else. */
+  def skeleton(df: DataFrame): String =
+    df.queryExecution.executedPlan.treeString.linesIterator.map { l =>
+      val i = l.indexWhere(_.isLetter)
+      if (i < 0) l
+      else l.substring(0, i) + l.substring(i).takeWhile(c => c.isLetterOrDigit || c == '.')
+    }.mkString("\n").trim
+
+  def currentSkeletons(spark: SparkSession): Seq[(String, String)] =
+    names.map(n => n -> skeleton(graft.SparkEntry.queries(n)(spark, sfDir)))
+
+  def render(sk: Seq[(String, String)]): String =
+    sk.map { case (n, s) => s"== $n\n$s" }.mkString("", "\n\n", "\n")
+
+  def parse(text: String): Seq[(String, String)] =
+    text.split("(?m)^== ").toSeq.filter(_.trim.nonEmpty).map { block =>
+      val lines = block.linesIterator.toSeq
+      lines.head.trim -> lines.tail.mkString("\n").trim
+    }
+}
+
+/** Regenerate PLANPINS.txt after an intentional plan change. */
+object PlanPinWrite {
+  def main(a: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.builder("local[8]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(PlanPin.pinFile),
+      PlanPin.render(PlanPin.currentSkeletons(spark)))
+    println(s"WROTE ${PlanPin.pinFile}")
+    spark.stop()
+  }
+}
