@@ -1630,6 +1630,104 @@ object Relational {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  // --------------------------------------------------------------- Q31
+  /** Forecast revenue change (TPC-H Q6 shape): the canonical
+    * scan-dominated aggregate — one table, three conjunctive
+    * predicates, one decimal sum, one output row. The entire query is
+    * a single parquet scan with ALL THREE predicates pushed to the
+    * reader (`PushedFilters` carries the shipdate range, the discount
+    * band, and the quantity bound) and a two-phase aggregate over the
+    * survivors; at 100 TB this is the pattern whose cost is I/O and
+    * nothing else — no exchange carries more than one row per task. */
+  private def q31(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= "1997-01-01" && $"l_shipdate" < "1998-01-01" &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"))
+  }
+
+  private val q31Sql =
+    s"""SELECT ${sqlSum("l_extendedprice * l_discount")} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  // --------------------------------------------------------------- Q32
+  /** Promotion effect (TPC-H Q14 shape): the fraction of a month's
+    * revenue from promo parts — a conditional NUMERATOR and the full
+    * DENOMINATOR accumulated in the SAME single-pass aggregate (two
+    * sums, one scan, one broadcast join), then one scalar division.
+    * The month filter prunes lineitem at the scan; part broadcasts.
+    * Both engines compute (100 * promo) / total in the same
+    * left-associated IEEE order over the same DECIMAL(28,10)-exact
+    * sums, so the double result is bit-identical. */
+  private def q32(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vol = $"l_extendedprice" * (lit(1) - $"l_discount")
+    t(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= "1997-09-01" && $"l_shipdate" < "1997-10-01")
+      .join(broadcast(t(spark, dir, "part")), $"l_partkey" === $"p_partkey")
+      .agg((lit(100.0) * dsum(when($"p_type" === "PROMO", vol).otherwise(0.0)) /
+        dsum(vol)).as("promo_revenue"))
+  }
+
+  private val q32Sql =
+    s"""SELECT 100.0 * ${sqlSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+       |  / ${sqlSum("l_extendedprice * (1 - l_discount)")} AS promo_revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+       |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
+
+  // --------------------------------------------------------------- Q33
+  /** Local supplier volume (TPC-H Q5 shape): revenue where the
+    * customer and the supplier sit in the SAME nation of one region.
+    * The shape exercise is a CYCLE in the join graph — lineitem joins
+    * orders→customer on one side and supplier on the other, and
+    * `c_nationkey = s_nationkey` closes the loop, a predicate neither
+    * chain can evaluate alone. Plan discipline: region filter →
+    * nation slice (broadcast) joins its OWNER dims first, so supplier
+    * and customer shrink to one region's five nations before any fact
+    * join; the year window prunes orders at the scan; the
+    * nation-equality residual rides the supplier join. */
+  private def q33(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nations = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region").filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val cust = t(spark, dir, "customer").join(broadcast(nations),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_nationkey")
+    val supp = t(spark, dir, "supplier").join(broadcast(nations),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_nationkey", $"n_name")
+    t(spark, dir, "orders")
+      .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(t(spark, dir, "lineitem"), $"l_orderkey" === $"o_orderkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+      .groupBy($"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  private val q33Sql =
+    s"""SELECT n_name, ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("q1_pricing_summary", q1, Some(q1Sql)),
     Declared("q2_join_agg", q2, Some(q2Sql)),
@@ -1682,5 +1780,8 @@ object Relational {
     Declared("q22_dormant_customers", q22, Some(q22Sql)),
     Declared("q6_grouping_sets", q6GroupingSets, Some(q6GroupingSetsSql)),
     Declared("q29_returned_items", q29, Some(q29Sql)),
-    Declared("q30_late_lines", q30, Some(q30Sql)))
+    Declared("q30_late_lines", q30, Some(q30Sql)),
+    Declared("q31_revenue_delta", q31, Some(q31Sql)),
+    Declared("q32_promo_effect", q32, Some(q32Sql)),
+    Declared("q33_local_suppliers", q33, Some(q33Sql)))
 }
