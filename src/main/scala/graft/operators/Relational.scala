@@ -1728,6 +1728,40 @@ object Relational {
        |GROUP BY n_name
        |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // --------------------------------------------------------------- Q34
+  /** Priority waiting (TPC-H Q4 shape): orders in one quarter that had
+    * at least one late-shipped line, counted by priority. The shape
+    * exercise is an EXISTS whose correlated predicate CROSSES tables —
+    * `l_shipdate ≥ o_orderdate + 45 days` cannot be evaluated on either
+    * scan alone, so it rides the LEFT SEMI hash join as a residual
+    * (q4_semi_join's semi is a bare key match; this is the correlated
+    * form). The quarter window prunes orders at the scan; the semi join
+    * short-circuits per order — at 100 TB each order probes until its
+    * first late line, never materializing the multiplicity. */
+  private def q34(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .filter($"o_orderdate" >= "1997-07-01" && $"o_orderdate" < "1997-10-01")
+      .join(t(spark, dir, "lineitem").select($"l_orderkey", $"l_shipdate"),
+        $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" + expr("INTERVAL 45 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q34Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      |  AND o_orderdate < TIMESTAMP '1997-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate >= o_orderdate + INTERVAL 45 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("q1_pricing_summary", q1, Some(q1Sql)),
     Declared("q2_join_agg", q2, Some(q2Sql)),
@@ -1783,5 +1817,6 @@ object Relational {
     Declared("q30_late_lines", q30, Some(q30Sql)),
     Declared("q31_revenue_delta", q31, Some(q31Sql)),
     Declared("q32_promo_effect", q32, Some(q32Sql)),
-    Declared("q33_local_suppliers", q33, Some(q33Sql)))
+    Declared("q33_local_suppliers", q33, Some(q33Sql)),
+    Declared("q34_priority_waiting", q34, Some(q34Sql)))
 }

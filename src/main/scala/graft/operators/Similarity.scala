@@ -250,6 +250,23 @@ object Similarity {
     emb.withColumn("cluster", assignUdf(col("embedding")))
   }
 
+  /** K-means cluster assignment over the embedding column — the
+    * embedding-space bucketing step LLM curation pipelines run before
+    * per-cluster work (SemDeDup, arXiv:2303.09540, clusters FIRST and
+    * dedups within clusters; topic balancing samples per cluster).
+    * Deterministic end to end, so a SQL oracle can replay it exactly:
+    * init is the first `k` vectors by vec_id ([[centroids]]), each Lloyd
+    * round is one broadcast map-only assignment + a decimal-exact
+    * per-dimension mean ([[kmeansCentroids]] — full vectors never
+    * shuffle, sums are order-independent), ties go to the lowest
+    * centroid id, empty clusters keep their previous centroid. The
+    * driver state is k × dim doubles per round — the same bounded
+    * collect as every IVF path; at 100 TB the corpus-side work is
+    * `iters`+1 map passes plus one k×dim-row shuffle per round. */
+  def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    ivfAssignWith(emb, kmeansCentroids(emb, k, iters))
+      .select(col("vec_id"), col("cluster"))
+
   /** nprobe nearest clusters per probe (same centroid set). */
   private[operators] def ivfProbeClusters(probes: DataFrame,
       cents: Array[(Long, Array[Double], Double)], nprobe: Int): DataFrame = {
@@ -520,10 +537,66 @@ object Similarity {
       |WHERE rnk <= 5
       |ORDER BY label, rnk""".stripMargin
 
+  private def x2Kmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssign(Tables.load(spark, dir, "embeddings"), 8, 2)
+      .orderBy(col("vec_id"))
+
+  /** The oracle unrolls both Lloyd rounds: each round re-derives the
+    * assignment with the identical cosine (double widen + sequential
+    * dot, lowest-cid tiebreak) and the identical decimal-exact
+    * per-dimension mean the kernel computes; empty clusters COALESCE to
+    * the previous round's centroid exactly as the kernel keeps them. */
+  private val x2KmeansSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c0 AS (
+      |  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      |a0 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(e.v, c.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN c0 c) t WHERE rn = 1),
+      |s0 AS (
+      |  SELECT cid, pos, CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(val) AS c
+      |  FROM (SELECT a0.cid, generate_subscripts(e.v, 1) - 1 AS pos, unnest(e.v) AS val
+      |        FROM e JOIN a0 USING (vec_id)) d
+      |  GROUP BY cid, pos),
+      |c1 AS (
+      |  SELECT c0.cid, COALESCE(l.cv, c0.cv) AS cv
+      |  FROM c0 LEFT JOIN (SELECT cid, list(c ORDER BY pos) AS cv FROM s0 GROUP BY cid) l
+      |    USING (cid)),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(e.v, c.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |        c.cid) AS rn
+      |    FROM e CROSS JOIN c1 c) t WHERE rn = 1),
+      |s1 AS (
+      |  SELECT cid, pos, CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(val) AS c
+      |  FROM (SELECT a1.cid, generate_subscripts(e.v, 1) - 1 AS pos, unnest(e.v) AS val
+      |        FROM e JOIN a1 USING (vec_id)) d
+      |  GROUP BY cid, pos),
+      |c2 AS (
+      |  SELECT c1.cid, COALESCE(l.cv, c1.cv) AS cv
+      |  FROM c1 LEFT JOIN (SELECT cid, list(c ORDER BY pos) AS cv FROM s1 GROUP BY cid) l
+      |    USING (cid))
+      |SELECT vec_id, cluster FROM (
+      |  SELECT e.vec_id, c.cid AS cluster, row_number() OVER (PARTITION BY e.vec_id
+      |    ORDER BY list_dot_product(e.v, c.cv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+      |      c.cid) AS rn
+      |  FROM e CROSS JOIN c2 c) t
+      |WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("x2_cosine_topk", x2Brute, Some(x2BruteSql)),
     Declared("x2_ann_lsh", x2Ann, Some(annBoundSql)),
     Declared("x2_ann_ivf", x2Ivf, Some(annBoundSql)),
     Declared("x2_ann_ivf_prod", x2IvfProd, Some(x2IvfProdSql)),
-    Declared("x2_outlier_score", x2Outliers, Some(x2OutliersSql)))
+    Declared("x2_outlier_score", x2Outliers, Some(x2OutliersSql)),
+    Declared("x2_kmeans", x2Kmeans, Some(x2KmeansSql)))
 }

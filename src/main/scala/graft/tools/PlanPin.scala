@@ -46,7 +46,8 @@ object PlanPin {
     "q23_custdist", "q24_volume_shipping", "q25_market_share",
     "q26_product_profit", "q27_sessionize", "q28_funnel",
     "q29_returned_items", "q30_late_lines", "xc_substring_keep_best",
-    "q31_revenue_delta", "q32_promo_effect", "q33_local_suppliers")
+    "q31_revenue_delta", "q32_promo_effect", "q33_local_suppliers",
+    "q34_priority_waiting")
 
   val pinFile = "PLANPINS.txt"
   val sfDir = "/root/testdata/sf0.001"

@@ -103,4 +103,35 @@ class SimilaritySpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     assert(Similarity.labelOutliers(empty).count() == 0)
   }
+
+  test("kmeans: Lloyd refinement recovers planted clusters from bad seeds") {
+    import spark.implicits._
+    // two tight, well-separated bundles; BOTH seeds (first 2 by vec_id)
+    // land in bundle A, so only the Lloyd rounds can pull a centroid
+    // over to bundle B — iters=0 cannot separate them, iters=2 must
+    def v(x: Float, y: Float, jit: Float) =
+      Array.fill(8)(0f).updated(0, x + jit).updated(1, y + jit)
+    val rows =
+      (0L until 10L).map(i => (i, v(1f, 0f, 0.001f * i))) ++
+        (10L until 20L).map(i => (i, v(0f, 1f, 0.001f * i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val seeded = Similarity.kmeansAssign(emb, 2, 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(seeded.values.toSet.size < 2 ||
+      (0L until 10L).map(seeded).toSet.size > 1,
+      "seed-only assignment already separates — fixture no longer exercises Lloyd")
+    val refined = Similarity.kmeansAssign(emb, 2, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val a = (0L until 10L).map(refined).toSet
+    val b = (10L until 20L).map(refined).toSet
+    assert(a.size == 1 && b.size == 1 && a != b,
+      s"bundles not separated: a=$a b=$b")
+    // deterministic: a second run reproduces assignments exactly
+    val again = Similarity.kmeansAssign(emb, 2, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == refined)
+    // empty corpus degrades like the centroid sample: no rows, no throw
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.kmeansAssign(empty, 2, 2).count() == 0)
+  }
 }
