@@ -1762,6 +1762,41 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------- Q35
+  /** Skew-salted dimension enrichment: events join a 5-row per-type
+    * weight table on `event_type` — a key where EACH value carries ~20 %
+    * of the fact table, the textbook straggler join at 100 TB (one task
+    * pinned with 20 TB while 999 executors idle). The Spark side goes
+    * through [[graft.core.Skew.saltedJoin]]: the fact side spreads each
+    * hot key across 8 deterministic sub-keys (xxhash64 of key +
+    * event_id), the dimension side replicates 8× via explode, and the
+    * join runs on (key, salt) — 8 even tasks per hot key, bounded 8×
+    * blowup of a 5-row table. The oracle states the PLAIN join: the row
+    * pins that salting is pure plan surgery — semantics (including the
+    * decimal-exact weighted sum) survive bit-for-bit. */
+  private def q35(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, dir, "events")
+    val dim = ev.select($"event_type".as("et")).distinct()
+      .withColumn("weight", length($"et").cast(DoubleType))
+    graft.core.Skew.saltedJoin(ev, dim, "event_type", "et",
+        salts = 8, disambigCol = "event_id")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value" * $"weight").as("weighted"))
+      .orderBy($"event_type")
+  }
+
+  private val q35Sql =
+    s"""WITH dim AS (
+       |  SELECT DISTINCT event_type AS et,
+       |    CAST(length(event_type) AS DOUBLE) AS weight
+       |  FROM events)
+       |SELECT event_type, COUNT(*) AS n,
+       |  ${sqlSum("value * weight")} AS weighted
+       |FROM events JOIN dim ON event_type = et
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("q1_pricing_summary", q1, Some(q1Sql)),
     Declared("q2_join_agg", q2, Some(q2Sql)),
@@ -1818,5 +1853,6 @@ object Relational {
     Declared("q31_revenue_delta", q31, Some(q31Sql)),
     Declared("q32_promo_effect", q32, Some(q32Sql)),
     Declared("q33_local_suppliers", q33, Some(q33Sql)),
-    Declared("q34_priority_waiting", q34, Some(q34Sql)))
+    Declared("q34_priority_waiting", q34, Some(q34Sql)),
+    Declared("q35_skew_join", q35, Some(q35Sql)))
 }
