@@ -1797,6 +1797,112 @@ object Relational {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- Q36
+  /** Min-cost supplier (TPC-H Q2 shape, fixture columns: lineitem is the
+    * part↔supplier supply relation, min l_extendedprice per pair is the
+    * "cost"): for each part in a size slice, the region's suppliers whose
+    * cost EQUALS the part's regional minimum — the correlated-MIN-equality
+    * shape. Spark-first decorrelation: the supply aggregate is built once
+    * (part slice and region-qualified suppliers both broadcast into the
+    * single fact scan), the per-part MIN is a second tiny aggregate over
+    * it, and the equality rides a hash join on (partkey, cost). At 100 TB
+    * the fact table is scanned once; both aggregates are proportional to
+    * |slice parts| × |region suppliers| — dim-sized by construction. The
+    * static plan prints the `supply` subtree twice (min branch + probe
+    * branch) but AQE exchange reuse collapses them at runtime — the final
+    * adaptive plan carries ReusedExchange nodes, so the scan + shuffle
+    * execute once (verified on the executed plan). The DuckDB oracle
+    * states the textbook correlated subquery. The final
+    * top-100 is TakeOrderedAndProject on a key made total by s_name's
+    * uniqueness — no full sort materializes. */
+  private def q36(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asiaSupp = t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation"), $"s_nationkey" === $"n_nationkey")
+      .join(t(spark, dir, "region").filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val prt = t(spark, dir, "part")
+      .filter($"p_size" === 15).select($"p_partkey", $"p_type")
+    val supply = t(spark, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
+      .join(broadcast(prt), $"l_partkey" === $"p_partkey")
+      .join(broadcast(asiaSupp.select($"s_suppkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"p_partkey", $"p_type", $"l_suppkey")
+      .agg(min($"l_extendedprice").as("cost"))
+    val minCost = supply.groupBy($"p_partkey".as("mk"))
+      .agg(min($"cost").as("min_cost"))
+    supply
+      .join(minCost, $"p_partkey" === $"mk" && $"cost" === $"min_cost")
+      .join(broadcast(asiaSupp), $"l_suppkey" === $"s_suppkey")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_type", $"cost")
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(100)
+  }
+
+  private val q36Sql =
+    """WITH supply AS (
+      |  SELECT p_partkey, p_type, l_suppkey, MIN(l_extendedprice) AS cost
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |    JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |    JOIN region ON n_regionkey = r_regionkey
+      |  WHERE p_size = 15 AND r_name = 'ASIA'
+      |  GROUP BY p_partkey, p_type, l_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, cost
+      |FROM supply JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |WHERE cost = (SELECT MIN(s2.cost) FROM supply s2
+      |              WHERE s2.p_partkey = supply.p_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------- Q37
+  /** Important stock (TPC-H Q11 shape, fixture columns): per-part
+    * discounted value over one region's suppliers, keeping parts whose
+    * value exceeds a GLOBAL scalar threshold — the group-HAVING-vs-
+    * global-aggregate shape. The threshold is 1.5× the average per-part
+    * value (TPC-H's fixed fraction breaks under scale-up: more parts →
+    * smaller shares → empty result; the average is scale-invariant).
+    * Spark-first: the per-part aggregate is built once, the 1-row scalar
+    * is a broadcast joined as a `>` theta condition (q22's pattern). The
+    * static plan prints the per-part aggregate twice, but AQE exchange
+    * reuse deduplicates it at runtime (ReusedExchange verified on the
+    * executed plan) — the fact scan and the heavy shuffle happen exactly
+    * once and the HAVING costs |parts| comparisons. Both sides' sums and the average
+    * go through DECIMAL(28,10) so the threshold compare is bit-identical
+    * across engines. */
+  private def q37(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asiaKeys = t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation"), $"s_nationkey" === $"n_nationkey")
+      .join(t(spark, dir, "region").filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey")
+    val perPart = t(spark, dir, "lineitem")
+      .join(broadcast(asiaKeys), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey")
+      .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("value"))
+    val threshold = perPart.agg((davg($"value") * 1.5).as("thr"))
+    perPart.join(broadcast(threshold), $"value" > $"thr")
+      .select($"l_partkey", $"value")
+      .orderBy($"value".desc, $"l_partkey")
+  }
+
+  private val q37Sql =
+    s"""WITH perpart AS (
+       |  SELECT l_partkey,
+       |    ${sqlSum("l_extendedprice * (1 - l_discount)")} AS value
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |    JOIN nation ON s_nationkey = n_nationkey
+       |    JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'ASIA'
+       |  GROUP BY l_partkey)
+       |SELECT l_partkey, value FROM perpart
+       |WHERE value > (SELECT ${sqlAvg("value")} * 1.5 FROM perpart)
+       |ORDER BY value DESC, l_partkey""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("q1_pricing_summary", q1, Some(q1Sql)),
     Declared("q2_join_agg", q2, Some(q2Sql)),
@@ -1854,5 +1960,7 @@ object Relational {
     Declared("q32_promo_effect", q32, Some(q32Sql)),
     Declared("q33_local_suppliers", q33, Some(q33Sql)),
     Declared("q34_priority_waiting", q34, Some(q34Sql)),
-    Declared("q35_skew_join", q35, Some(q35Sql)))
+    Declared("q35_skew_join", q35, Some(q35Sql)),
+    Declared("q36_min_cost_supplier", q36, Some(q36Sql)),
+    Declared("q37_important_stock", q37, Some(q37Sql)))
 }
