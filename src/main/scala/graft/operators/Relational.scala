@@ -1903,6 +1903,42 @@ object Relational {
        |WHERE value > (SELECT ${sqlAvg("value")} * 1.5 FROM perpart)
        |ORDER BY value DESC, l_partkey""".stripMargin
 
+  // --------------------------------------------------------------- Q38
+  /** Bucketed co-located fact⋈fact join: both sides are first persisted
+    * bucket-sorted on the join key ([[graft.core.Bucketing]]), then the
+    * join reads bucket-for-bucket with NO Exchange on either side — the
+    * physical layout that amortizes the shuffle of a repeated 100 TB
+    * fact⋈fact join into a one-time write. `hint("merge")` forces the
+    * sort-merge strategy so the plan demonstrates bucket co-location
+    * rather than falling back to broadcast at test scale (at real
+    * fact⋈fact scale broadcast would not apply); BucketingSpec pins the
+    * no-Exchange claim, the plan pin freezes the skeleton, and the
+    * DuckDB oracle states the PLAIN join — bucketing is pure layout,
+    * semantics are untouched. The only remaining exchange is the final
+    * 5-group aggregate, which is partial-aggregated map-side. */
+  private def q38(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.core.Bucketing.writeBucketed(
+      t(spark, dir, "lineitem").select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+      "q38_b_lineitem", "l_orderkey", 16)
+    graft.core.Bucketing.writeBucketed(
+      t(spark, dir, "orders").select($"o_orderkey", $"o_orderpriority"),
+      "q38_b_orders", "o_orderkey", 16)
+    spark.table("q38_b_lineitem").hint("merge")
+      .join(spark.table("q38_b_orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q38Sql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+       |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("q1_pricing_summary", q1, Some(q1Sql)),
     Declared("q2_join_agg", q2, Some(q2Sql)),
@@ -1962,5 +1998,6 @@ object Relational {
     Declared("q34_priority_waiting", q34, Some(q34Sql)),
     Declared("q35_skew_join", q35, Some(q35Sql)),
     Declared("q36_min_cost_supplier", q36, Some(q36Sql)),
-    Declared("q37_important_stock", q37, Some(q37Sql)))
+    Declared("q37_important_stock", q37, Some(q37Sql)),
+    Declared("q38_bucketed_join", q38, Some(q38Sql)))
 }
