@@ -16,19 +16,48 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw =
+      if (name == "events") loadEvents(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNtz(raw)
+  }
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects outright;
-    * read it as raw nanos (legacy flag) and convert with integer division
-    * (a double division would lose precision above 2^53 — epoch nanos are
-    * ~1.7e18). Truncation to micros matches DuckDB's ns→µs handling.
+  /** Driver-side fixture regeneration has flipped timestamp columns
+    * between TIMESTAMP (instant) and TIMESTAMP_NTZ across rounds (round
+    * 9 moved orders.o_orderdate / lineitem.l_shipdate / events.ts to
+    * NTZ). All consumers and the declared schemas above use
+    * [[TimestampType]]; the session runs in UTC so NTZ wall values and
+    * instants coincide and DuckDB oracle parity is unaffected. Casting
+    * here makes the loaded types canonical whatever the current fixture
+    * generation says.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(TimestampType)))
+  }
+
+  /** events.ts has drifted across fixture generations: originally parquet
+    * TIMESTAMP(NANOS) (which Spark 4 rejects outright without the legacy
+    * nanosAsLong flag), later regenerated as timestamp[us] without a
+    * timezone. Branch on the dtype actually loaded: LongType means
+    * nanosAsLong kicked in — integer-divide to micros (a double division
+    * would lose precision above 2^53; epoch nanos are ~1.7e18; truncation
+    * matches DuckDB's ns→µs handling). Timestamp columns (NTZ or not)
+    * fall through to [[normalizeNtz]].
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw
+    }
   }
 
   val region: StructType = StructType(Seq(
