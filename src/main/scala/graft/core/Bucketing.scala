@@ -33,6 +33,68 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Idempotent [[writeBucketed]]: build the bucketed table at most once
+    * per distinct source dataset, amortizing the one-time layout write
+    * across every subsequent join — the actual economics of bucketing at
+    * 100 TB (a per-query fact rewrite would cost more than the shuffle
+    * it removes).
+    *
+    * `fingerprint` identifies the source dataset (fixture dir + source
+    * file stats); it is hashed into the table name so datasets at
+    * different scale factors coexist, and three tiers avoid the rewrite:
+    *   1. table already in the session catalog → reuse as-is;
+    *   2. warehouse dir survives from an earlier JVM with a matching
+    *      `_graft_fingerprint` marker → re-register the existing files
+    *      via CREATE TABLE ... CLUSTERED BY ... LOCATION (metadata-only);
+    *   3. otherwise build with [[writeBucketed]] and drop the marker.
+    *
+    * Returns the resolved table name.
+    */
+  def ensureBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      fingerprint: String): String = {
+    val spark = df.sparkSession
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$fingerprint|$key|$buckets".getBytes("UTF-8"))
+      .map("%02x".format(_)).take(4).mkString
+    val full = s"${table}_$suffix"
+    if (spark.catalog.tableExists(full)) return full
+
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), full)
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(warehouse, "_graft_fingerprint")
+    val expected = s"$fingerprint|$key|$buckets|${df.schema.toDDL}"
+
+    val markerMatches = fs.exists(marker) && {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes(), "UTF-8") == expected
+      finally in.close()
+    }
+    if (!markerMatches) {
+      // build under a scratch name (saveAsTable only writes bucketed
+      // layouts as managed tables), then move the files into place —
+      // the registered table below is EXTERNAL, so a later catalog drop
+      // (or a fresh JVM) never destroys the amortized layout
+      if (fs.exists(warehouse)) fs.delete(warehouse, true)
+      val scratch = s"${full}__build"
+      writeBucketed(df, scratch, key, buckets)
+      val scratchPath = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), scratch)
+      if (!fs.rename(scratchPath, warehouse))
+        throw new IllegalStateException(s"rename $scratchPath -> $warehouse failed")
+      try spark.sql(s"DROP TABLE IF EXISTS `$scratch`")
+      catch { case _: Exception => () } // dir already moved; metadata-only cleanup
+      val out = fs.create(marker, true)
+      try out.write(expected.getBytes("UTF-8")) finally out.close()
+    }
+    spark.sql(
+      s"""CREATE TABLE `$full` (${df.schema.toDDL})
+         |USING parquet
+         |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS
+         |LOCATION '${warehouse.toString}'""".stripMargin)
+    full
+  }
+
   /** Join two bucketed tables on their bucket key — planned without a
     * shuffle when bucketing lines up. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,

@@ -34,4 +34,34 @@ class BucketingSpec extends SparkSpec {
       assert(p2.contains("Exchange"), p2)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("ensureBucketed builds once and reuses — no per-invocation rewrite") {
+    val orders = Tables.load(spark, sf("sf0.001"), "orders")
+    val name = Bucketing.ensureBucketed(orders, "eb_orders", "o_orderkey", 4, "fp-A")
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name)
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataMtimes: Map[String, Long] =
+      fs.listStatus(warehouse).filter(_.getPath.getName.startsWith("part-"))
+        .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    val first = dataMtimes
+    assert(first.nonEmpty)
+
+    // tier 1: same session → catalog hit, files untouched
+    val again = Bucketing.ensureBucketed(orders, "eb_orders", "o_orderkey", 4, "fp-A")
+    assert(again == name)
+    assert(dataMtimes == first, "catalog-hit path must not rewrite data")
+
+    // tier 2: catalog forgot the table (fresh-JVM analog) → fingerprint
+    // marker re-registers the existing files metadata-only
+    spark.sql(s"DROP TABLE `$name`") // in-memory catalog drop; external-style re-register follows
+    val reReg = Bucketing.ensureBucketed(orders, "eb_orders", "o_orderkey", 4, "fp-A")
+    assert(reReg == name)
+    assert(dataMtimes == first, "marker-match path must not rewrite data")
+    assert(spark.table(name).count() == orders.count())
+
+    // a different fingerprint is a different dataset → separate table
+    val other = Bucketing.ensureBucketed(orders, "eb_orders", "o_orderkey", 4, "fp-B")
+    assert(other != name)
+  }
 }
