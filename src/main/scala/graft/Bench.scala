@@ -54,7 +54,19 @@ import org.apache.spark.sql.SparkSession
   *    shrink the gate floor until every healthy pass was dropped);
   *  - `median` averages the two middles on even-sized sample sets (the
   *    gate makes those common; upper-middle was an upward bias);
-  *  - the artifact dir is created before writing. */
+  *  - the artifact dir is created before writing.
+  *
+  * Round-10 fix (VERDICT r9 item 9): the PUBLISHED statistic
+  * (`"value"` + `"queries"`) is now the per-query MIN across all
+  * passes, not the gated median — the r9 gate kept a pass whose
+  * interior was contended and published a 96.9 s median for a row
+  * whose min was 12.1 s. For a deterministic workload the cross-pass
+  * min is the best estimator of uncontended cost (the standard
+  * benchmarking statistic); a real regression moves the min, host
+  * drift only moves the upper samples. The gated medians remain in
+  * `"medians"` (and `"mins"` is kept equal to `"queries"` for one
+  * round of tooling continuity); the detail file still carries every
+  * raw sample. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,10 +152,13 @@ object Bench {
       val samples = if (gated.nonEmpty) gated else all
       (name, median(samples), if (all.isEmpty) Double.NaN else all.min)
     }
-    val med = stats.map { case (name, m, _) => name -> m }
-    val qs = med.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // published statistic = per-query min (see round-10 scaladoc note);
+    // gated medians ride along as "medians"
+    val mins = stats.map { case (name, _, mn) => name -> mn }
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val minsJson = stats.map { case (name, _, mn) => "\"" + name + "\":" + fmt(mn) }
+    val minsJson = qs
+    val mediansJson = stats.map { case (name, m, _) => "\"" + name + "\":" + fmt(m) }
       .mkString("{", ",", "}")
     val spread = names.map { case (name, _) =>
       val xs = (0 until n).map(p => perPass(p)(name)).filterNot(_.isNaN)
@@ -154,7 +169,7 @@ object Bench {
       "\"" + name + "\":" +
         (0 until n).map(p => fmt(perPass(p)(name))).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = med.map(_._2).filterNot(_.isNaN).sum
+    val total = mins.map(_._2).filterNot(_.isNaN).sum
     val runs = passTotals.map(fmt).mkString("[", ",", "]")
     val calibJson = calib
       .map { case (a, b) => "[" + fmt(a) + "," + fmt(b) + "]" }.mkString("[", ",", "]")
@@ -171,7 +186,7 @@ object Bench {
     val detail =
       f"""{"metric":"detail","sf":"$sfDir","n":$n,"spread":$spread,"passes":$passesJson}"""
     val compact =
-      f"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"mins":$minsJson,"sf":"$sfDir","n":$n,"runs":$runs,"calib":$calibJson,"dropped_passes":$droppedJson,"failed":$failedJson}"""
+      f"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"mins":$minsJson,"medians":$mediansJson,"sf":"$sfDir","n":$n,"runs":$runs,"calib":$calibJson,"dropped_passes":$droppedJson,"failed":$failedJson}"""
     // Both lines are FILES first (the medians line is ~3.7 KB for 117
     // queries; the driver's stdout tail keeps ~2.9 KB, so stdout alone
     // can never carry it whole); stdout prints detail first, compact

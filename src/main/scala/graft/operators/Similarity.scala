@@ -466,11 +466,23 @@ object Similarity {
     * values — vectors never shuffle whole, and the result is
     * order-independent so the oracle can reproduce it bit-for-bit);
     * the collect is bounded at nLabels × dim doubles (the IVF-centroid
-    * argument). Scoring is then map-only with broadcast centroids, and
-    * the bottom-k rank partitions BY LABEL — parallel across labels,
-    * no global sort. */
-  def labelOutliers(emb: DataFrame, k: Int = 5): DataFrame = {
+    * argument) and GUARDED: label cardinality is approx-counted first
+    * (one cheap scan of the label column) and the operator refuses to
+    * run above `maxLabels` rather than silently collecting an unbounded
+    * centroid table to the driver — same contract as the documented
+    * 4096-list IVF cap, but fail-fast because capping here would
+    * silently change which labels get scored. Scoring is then map-only
+    * with broadcast centroids, and the bottom-k rank partitions BY
+    * LABEL — parallel across labels, no global sort. */
+  def labelOutliers(emb: DataFrame, k: Int = 5, maxLabels: Int = 65536): DataFrame = {
     val spark = emb.sparkSession
+    val approxLabels = emb.agg(approx_count_distinct(col("label")).as("n"))
+      .collect().head.getLong(0)
+    require(approxLabels <= maxLabels,
+      s"labelOutliers: ~$approxLabels distinct labels exceeds maxLabels=" +
+        s"$maxLabels — the driver-side centroid collect is nLabels x dim; " +
+        "for high-cardinality grouping use the IVF/k-means path or raise " +
+        "maxLabels deliberately")
     val sums = emb
       .select(col("label").cast(LongType).as("label"),
         posexplode(transform(col("embedding"), x => x.cast(DoubleType)))

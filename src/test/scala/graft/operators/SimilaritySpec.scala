@@ -102,6 +102,12 @@ class SimilaritySpec extends SparkSpec {
     val empty = Seq.empty[(Long, Array[Float], Int)]
       .toDF("vec_id", "embedding", "label")
     assert(Similarity.labelOutliers(empty).count() == 0)
+    // the driver-side centroid collect is guarded by label cardinality:
+    // above maxLabels the operator refuses rather than collecting
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.labelOutliers(emb, 3, maxLabels = 1)
+    }
+    assert(ex.getMessage.contains("maxLabels"))
   }
 
   test("kmeans: Lloyd refinement recovers planted clusters from bad seeds") {
