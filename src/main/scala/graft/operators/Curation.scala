@@ -990,7 +990,139 @@ object Curation {
         s"(strpos('0123456789abcdef', substr(_h, ${i + 1}, 1)) - 1) * $pv"
       }.mkString("(", " + ", ")"))
 
+  // --------------------------------------- Gopher-style quality rules
+  /** Rule-based document filtering after Gopher (Rae et al. 2021,
+    * arXiv:2112.11446 §A.1.1) — the standard pre-training heuristic
+    * gate: word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio ('#' and '...'), fraction of alphabetic words, and a
+    * required minimum of distinct English stop words. Every rule is a
+    * map-only integer/double expression over the normalized token
+    * array — zero shuffles, fully codegen — and each flag is emitted
+    * separately (plus the conjunction `keep`) so downstream audits can
+    * see WHICH rule rejected a document, not just that one did.
+    *
+    * Bounds are the paper's except min words 10 (vs 50): the fixture's
+    * synthetic docs run 7-100 words, and a gate that rejects the whole
+    * corpus exercises nothing. Arithmetic is +,*,/ over exact integers
+    * in one fixed order (no exp/log), so Spark and DuckDB agree
+    * bit-for-bit, same contract as [[TextAnalysis.qualityScored]].
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val norm = trim(lower(regexp_replace(col("text"), "\\s+", " ")))
+    val w = split(norm, " ")
+    val nWords = size(w)
+    val nWordsD = nWords.cast(DoubleType)
+    val meanWlen = length(regexp_replace(norm, " ", "")).cast(DoubleType) / nWordsD
+    val ellipses = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))).cast(DoubleType) / 3.0
+    val hashes = (length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))).cast(DoubleType)
+    val symbolRatio = (ellipses + hashes) / nWordsD
+    val alphaFrac = size(filter(w, t => t.rlike("[a-z]"))).cast(DoubleType) / nWordsD
+    val stopHits = size(array_intersect(array_distinct(w),
+      array(GopherStops.map(lit): _*)))
+    val okWords = nWords.between(10, 100000)
+    val okMean = meanWlen.between(3.0, 10.0)
+    val okSymbols = symbolRatio < 0.1
+    val okAlpha = alphaFrac > 0.8
+    val okStops = stopHits >= 2
+    docs.select(col("doc_id"),
+      nWords.as("n_words"), meanWlen.as("mean_wlen"),
+      symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      okWords.as("ok_words"), okMean.as("ok_mean_len"),
+      okSymbols.as("ok_symbols"), okAlpha.as("ok_alpha"),
+      okStops.as("ok_stops"),
+      (okWords && okMean && okSymbols && okAlpha && okStops).as("keep"))
+  }
+
+  /** Gopher's required stop words (loc. cit.): two distinct hits keep. */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def xcGopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  private val xcGopherRulesSql = {
+    val stops = GopherStops.map(s => s"'$s'").mkString(", ")
+    // 0.5e0-style literals force DOUBLE in DuckDB (bare 0.5 is DECIMAL,
+    // whose arithmetic would diverge from Spark's doubles)
+    s"""WITH n AS (
+       |  SELECT doc_id, text,
+       |    trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, text, norm,
+       |    string_split(norm, ' ') AS w,
+       |    CAST(len(string_split(norm, ' ')) AS INTEGER) AS n_words
+       |  FROM n),
+       |m AS (
+       |  SELECT doc_id,
+       |    n_words,
+       |    length(replace(norm, ' ', '')) / CAST(n_words AS DOUBLE) AS mean_wlen,
+       |    ((length(text) - length(replace(text, '...', ''))) / 3.0e0
+       |      + (length(text) - length(replace(text, '#', ''))))
+       |      / CAST(n_words AS DOUBLE) AS symbol_ratio,
+       |    len(list_filter(w, t -> regexp_matches(t, '[a-z]')))
+       |      / CAST(n_words AS DOUBLE) AS alpha_frac,
+       |    CAST(len(list_intersect(list_distinct(w), [$stops])) AS INTEGER) AS stop_hits
+       |  FROM d)
+       |SELECT doc_id, n_words, mean_wlen, symbol_ratio, alpha_frac, stop_hits,
+       |  n_words BETWEEN 10 AND 100000 AS ok_words,
+       |  mean_wlen BETWEEN 3.0e0 AND 10.0e0 AS ok_mean_len,
+       |  symbol_ratio < 0.1e0 AS ok_symbols,
+       |  alpha_frac > 0.8e0 AS ok_alpha,
+       |  stop_hits >= 2 AS ok_stops,
+       |  (n_words BETWEEN 10 AND 100000) AND (mean_wlen BETWEEN 3.0e0 AND 10.0e0)
+       |    AND (symbol_ratio < 0.1e0) AND (alpha_frac > 0.8e0)
+       |    AND (stop_hits >= 2) AS keep
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------ stratified sampling
+  /** Deterministic per-stratum k-sample: within every (lang, source)
+    * stratum keep the k docs with the lowest salted-md5 priority — the
+    * distributed equivalent of a per-stratum reservoir sample with a
+    * reproducible priority function (same md5-portability argument as
+    * [[shardAssign]]). One shuffle on the stratum key; the rank window
+    * is PER STRATUM, so the sort is parallel across strata with k-bounded
+    * output per group — no global sort, no driver-side state, and a new
+    * stratum appearing at 100 TB changes nothing (keys are data-derived,
+    * not enumerated).
+    */
+  def stratifiedSample(docs: DataFrame, k: Int): DataFrame = {
+    val h = md5(concat(lit("strat:"), col("doc_id").cast(StringType)).cast(BinaryType))
+    docs.select(col("doc_id"), col("lang"), col("source"), h.as("_h"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"), col("source"))
+          .orderBy(col("_h"), col("doc_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("lang"), col("source"), col("rnk"))
+  }
+
+  private def xcStratified(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.load(spark, dir, "documents"), 5)
+      .orderBy(col("lang"), col("source"), col("rnk"))
+
+  private val xcStratifiedSql =
+    """WITH h AS (
+      |  SELECT doc_id, lang, source,
+      |    md5('strat:' || CAST(doc_id AS VARCHAR)) AS _h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY lang, source ORDER BY _h, doc_id) AS INTEGER) AS rnk
+      |  FROM h)
+      |SELECT doc_id, lang, source, rnk
+      |FROM r WHERE rnk <= 5
+      |ORDER BY lang, source, rnk""".stripMargin
+
   val all: Seq[Declared] = Seq(
+    Declared("xc_gopher_rules", xcGopherRules, Some(xcGopherRulesSql)),
+    Declared("xc_stratified", xcStratified, Some(xcStratifiedSql)),
     Declared("xc_pipeline_full", xcPipelineFull, Some(xcPipelineFullSql)),
     Declared("xc_split", xcSplit, Some(xcSplitSql)),
     Declared("xc_contamination", xcContamination, Some(xcContaminationSql)),

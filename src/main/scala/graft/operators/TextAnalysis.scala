@@ -502,7 +502,87 @@ object TextAnalysis {
     """SELECT COUNT(*) AS n, TRUE AS q50_within_bound, TRUE AS q90_within_bound
       |FROM events""".stripMargin
 
+  // -------------------------------------------------------------- BM25
+  /** BM25 top-k retrieval (Robertson–Spärck Jones, k1 = 1.2, b = 0.75)
+    * for a fixed query over `documents` — the relevance-scoring shape a
+    * curation pipeline uses to mine task-relevant training data.
+    *
+    * Scale posture: per-term tf and document length are MAP-ONLY column
+    * expressions over the token array (no explode, no per-term shuffle);
+    * the corpus statistics the formula needs (N, avgdl, per-term df) are
+    * ONE aggregation pass producing a single row, broadcast back via a
+    * 1-row cross join (the q22/q37 scalar-attach pattern); the final
+    * top-k plans as TakeOrderedAndProject. Total cost: two corpus scans
+    * and a k-row result — no shuffle grows with the corpus.
+    *
+    * Bit-exactness: idf uses the RATIONAL form (N - df + 0.5)/(df + 0.5)
+    * — the classic RSJ idf without the log (log's last-ulp varies by
+    * libm, which is the one operation this repo's cross-engine contract
+    * bans; the rational form is +,*,/ only). avgdl routes through the
+    * decimal-exact [[Num.dsum]]. Every division is written in the same
+    * order in both engines, so scores hash bit-for-bit.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val w = tokens(col("text"))
+    def tf(t: String): Column = size(filter(w, x => x === lit(t)))
+    val perDoc = docs.select(
+      col("doc_id") +: size(w).as("dl") +:
+        terms.map(t => tf(t).as(s"tf_$t")): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n"),
+      (Num.dsum(col("dl")) / count(lit(1))).as("avgdl") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val score = terms.map { t =>
+      val idf = (col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))
+      idf * ((col(s"tf_$t") * lit(2.2)) /
+        (col(s"tf_$t") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+    }.reduce(_ + _)
+    scored
+      .select(col("doc_id") +: col("dl") +:
+        terms.map(t => col(s"tf_$t")) :+ score.as("bm25"): _*)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  private val Bm25Terms = Seq("join", "window", "stream")
+
+  private def xtBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(Tables.load(spark, dir, "documents"), Bm25Terms, 10)
+
+  private val xtBm25Sql = {
+    val tfCols = Bm25Terms.map(t =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS INTEGER) AS tf_$t").mkString(",\n    ")
+    val dfCols = Bm25Terms.map(t =>
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n    ")
+    val scoreTerms = Bm25Terms.map(t =>
+      s"""((n - df_$t + 0.5e0) / (df_$t + 0.5e0))
+         |    * ((tf_$t * 2.2e0) / (tf_$t + 1.2e0 * (0.25e0 + 0.75e0 * (dl / avgdl))))"""
+        .stripMargin).mkString("\n  + ")
+    val tfNames = Bm25Terms.map(t => s"tf_$t").mkString(", ")
+    // 2.2e0-style literals force DOUBLE in DuckDB (bare 2.2 is DECIMAL)
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS INTEGER) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id,
+       |          string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+       |        FROM documents)),
+       |s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    ${Num.sqlSum("dl")} / COUNT(*) AS avgdl,
+       |    $dfCols
+       |  FROM d)
+       |SELECT doc_id, dl, $tfNames,
+       |  $scoreTerms AS bm25
+       |FROM d CROSS JOIN s
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT 10""".stripMargin
+  }
+
   val all: Seq[Declared] = Seq(
+    Declared("xt_bm25", xtBm25, Some(xtBm25Sql)),
     Declared("x3_token_freq", x3TokenFreq, Some(x3TokenFreqSql)),
     Declared("x4_approx_distinct", x4Approx, Some(x4ApproxSql)),
     Declared("x4_approx_quantile", x4Quantile, Some(x4QuantileSql)),

@@ -339,4 +339,45 @@ class CurationSpec extends SparkSpec {
     assert(trainFracByShard.values.forall(f => f > 0.6 && f < 0.95),
       s"split/shard correlation: $trainFracByShard")
   }
+
+  test("gopherRules: each rule fires on its own violation") {
+    import spark.implicits._
+    val good = (("the quick brown fox jumps over the lazy dog and " * 3) +
+      "that have with continued effort onward").trim
+    val docs = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "too short to count"),                  // < 10 words
+      (3L, good + " ##### ##### ##### ##### ####"),// symbol-heavy
+      (4L, "zz qq ww rr tt yy uu ii oo pp aa ss dd ff gg") // no stop words
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"), out(1L).toString)
+    assert(!out(2L).getAs[Boolean]("ok_words") && !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("ok_symbols") && !out(3L).getAs[Boolean]("keep"))
+    assert(!out(4L).getAs[Boolean]("ok_stops") && !out(4L).getAs[Boolean]("keep"))
+    // flags other than the violated one stay green for doc 4 (words/alpha)
+    assert(out(4L).getAs[Boolean]("ok_words") && out(4L).getAs[Boolean]("ok_alpha"))
+  }
+
+  test("stratifiedSample: k-bounded per stratum, deterministic, keeps small strata whole") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i =>
+      (i, s"text $i", if (i % 3 == 0) "en" else "de", s"src${i % 2}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val small = Seq((900L, "only one", "zz", "tiny")).toDF("doc_id", "text", "lang", "source")
+    val s1 = Curation.stratifiedSample(docs.union(small), 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    // every stratum contributes at most k, ranks dense from 1
+    s1.groupBy(t => (t._2, t._3)).foreach { case (st, rs) =>
+      assert(rs.length <= 5, s"stratum $st oversampled")
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length), s"stratum $st ranks")
+    }
+    // a stratum smaller than k survives whole
+    assert(s1.count(_._2 == "zz") == 1)
+    // deterministic on rerun
+    val s2 = Curation.stratifiedSample(docs.union(small), 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(s1.sortBy(_._1).toSeq == s2.sortBy(_._1).toSeq)
+  }
 }

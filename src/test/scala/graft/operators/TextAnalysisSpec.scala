@@ -116,4 +116,30 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("bm25TopK: tf raises score, length normalizes, absent terms score 0") {
+    import spark.implicits._
+    val filler = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"join join join $filler"),          // high tf, short
+      (2L, s"join $filler"),                    // low tf, same length-ish
+      (3L, s"join join join $filler $filler $filler $filler"), // high tf, long
+      (4L, filler)                              // no query terms
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, Seq("join"), 10).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("bm25")).toMap
+    // more occurrences beat fewer at comparable length
+    assert(out(1L) > out(2L), out.toString)
+    // same tf but longer doc scores lower (b-length normalization)
+    assert(out(1L) > out(3L), out.toString)
+    // a doc with zero query-term hits scores exactly 0
+    assert(out(4L) == 0.0, out.toString)
+    // k caps the result and ordering is score-desc
+    val top2 = TextAnalysis.bm25TopK(docs, Seq("join"), 2).collect()
+    assert(top2.length == 2 && top2.head.getLong(0) == 1L)
+    // the final plan is a TakeOrderedAndProject (top-k, not global sort)
+    val plan = TextAnalysis.bm25TopK(docs, Seq("join"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
