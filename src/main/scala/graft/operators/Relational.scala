@@ -1947,6 +1947,56 @@ object Relational {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------- Q39
+  /** Shipping-priority order ranking (TPC-H Q3 shape): segment-filtered
+    * customers drive a date-SPLIT fact join — orders placed before the
+    * cutoff whose lines ship after it — aggregated per order, top-10 by
+    * revenue. Both date predicates push to their fact scans (the
+    * canonical "prune before joining" Q3 read), the aggregate carries
+    * the order's attributes through the group-by, and the cap plans as
+    * TakeOrderedAndProject. The customer slice joins UNHINTED: at
+    * fixture scale Catalyst broadcasts it, at 100 TB a 1/5-of-customers
+    * slice is not broadcastable and the same plan degrades gracefully
+    * to a shuffle join — the right default for a slice whose size
+    * tracks the dimension. Completes explicit TPC-H shape coverage
+    * (Q3 was the one canonical shape q3_multi_join's revenue-per-nation
+    * variant did not exercise). */
+  private def q39(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cut = "1998-07-01"
+    val building = t(spark, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val openOrders = t(spark, dir, "orders")
+      .filter($"o_orderdate" < cut)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val lateLines = t(spark, dir, "lineitem")
+      .filter($"l_shipdate" > cut)
+      .select($"l_orderkey",
+        ($"l_extendedprice" * (lit(1) - $"l_discount")).as("volume"))
+    lateLines
+      .join(openOrders, $"l_orderkey" === $"o_orderkey")
+      .join(building, $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(dsum($"volume").as("revenue"))
+      .select($"o_orderkey", $"revenue", $"o_orderdate", $"o_orderpriority")
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  private val q39Sql =
+    s"""SELECT o_orderkey, ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  o_orderdate, o_orderpriority
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-07-01'
+       |  AND l_shipdate > TIMESTAMP '1998-07-01'
+       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderkey
+       |LIMIT 10""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("q1_pricing_summary", q1, Some(q1Sql)),
     Declared("q2_join_agg", q2, Some(q2Sql)),
@@ -2007,5 +2057,6 @@ object Relational {
     Declared("q35_skew_join", q35, Some(q35Sql)),
     Declared("q36_min_cost_supplier", q36, Some(q36Sql)),
     Declared("q37_important_stock", q37, Some(q37Sql)),
-    Declared("q38_bucketed_join", q38, Some(q38Sql)))
+    Declared("q38_bucketed_join", q38, Some(q38Sql)),
+    Declared("q39_shipping_priority", q39, Some(q39Sql)))
 }

@@ -546,6 +546,64 @@ object TextAnalysis {
       .limit(k)
   }
 
+  // -------------------------------------------- corpus-frequency score
+  /** Corpus word-frequency fluency proxy: a document's mean corpus
+    * relative frequency over its tokens — the model-free stand-in for
+    * the perplexity filters (CCNet-style) pre-training pipelines run
+    * where a language model is available. Common-word documents score
+    * high, rare-garbage documents score low.
+    *
+    * Scale posture — this operator's statistic is CORPUS-DERIVED, a
+    * different shape from the map-only scorers: per-(doc, term) counts
+    * first (one combiner-friendly shuffle on a key that dedups repeats
+    * map-side), the vocabulary table derives from those partials
+    * (vocabulary-sized, NO second corpus scan), the weight-back join
+    * shuffles on the term key (a broadcast would assume a bounded
+    * vocabulary — false at 100 TB), and the grand total attaches as a
+    * 1-row broadcast. Everything is integer-exact until one final
+    * fixed-order double division, so Spark and DuckDB hash-match
+    * bit-for-bit.
+    */
+  def wordFreqScore(docs: DataFrame): DataFrame = {
+    val perDocTerm = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("n"))
+    val vocab = perDocTerm.groupBy(col("t")).agg(sum(col("n")).as("tf"))
+    val total = vocab.agg(sum(col("tf")).as("total"))
+    perDocTerm.join(vocab, Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast(IntegerType).as("n_tokens"),
+        sum(col("n") * col("tf")).as("sum_tf"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("sum_tf"),
+        (col("sum_tf").cast(DoubleType) / col("n_tokens") / col("total"))
+          .as("freq_score"))
+  }
+
+  private def xtWordFreq(spark: SparkSession, dir: String): DataFrame =
+    wordFreqScore(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  private val xtWordFreqSql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS t
+      |  FROM documents),
+      |pdt AS (
+      |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n
+      |  FROM tok GROUP BY doc_id, t),
+      |ct AS (SELECT t, CAST(sum(n) AS BIGINT) AS tf FROM pdt GROUP BY t),
+      |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM ct),
+      |per AS (
+      |  SELECT doc_id,
+      |    CAST(sum(n) AS INTEGER) AS n_tokens,
+      |    CAST(sum(n * tf) AS BIGINT) AS sum_tf
+      |  FROM pdt JOIN ct USING (t) GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, sum_tf,
+      |  CAST(sum_tf AS DOUBLE) / n_tokens / total AS freq_score
+      |FROM per CROSS JOIN tot
+      |ORDER BY doc_id""".stripMargin
+
   private val Bm25Terms = Seq("join", "window", "stream")
 
   private def xtBm25(spark: SparkSession, dir: String): DataFrame =
@@ -583,6 +641,7 @@ object TextAnalysis {
 
   val all: Seq[Declared] = Seq(
     Declared("xt_bm25", xtBm25, Some(xtBm25Sql)),
+    Declared("xt_word_freq_score", xtWordFreq, Some(xtWordFreqSql)),
     Declared("x3_token_freq", x3TokenFreq, Some(x3TokenFreqSql)),
     Declared("x4_approx_distinct", x4Approx, Some(x4ApproxSql)),
     Declared("x4_approx_quantile", x4Quantile, Some(x4QuantileSql)),

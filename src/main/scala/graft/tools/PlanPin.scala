@@ -49,7 +49,8 @@ object PlanPin {
     "q31_revenue_delta", "q32_promo_effect", "q33_local_suppliers",
     "q34_priority_waiting", "q35_skew_join", "q36_min_cost_supplier",
     "q37_important_stock", "q38_bucketed_join",
-    "xt_bm25", "xc_gopher_rules", "xc_stratified")
+    "xt_bm25", "xc_gopher_rules", "xc_stratified",
+    "q39_shipping_priority", "xt_word_freq_score")
 
   val pinFile = "PLANPINS.txt"
   val sfDir = "/root/testdata/sf0.001"

@@ -117,6 +117,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("wordFreqScore: common-word docs outscore rare-word docs, exact on a hand corpus") {
+    import spark.implicits._
+    // corpus: "aa" appears 4x, "bb" 2x, "zz" 1x, "qq" 1x => total 8
+    val docs = Seq(
+      (1L, "aa aa bb"),   // (2*4 + 1*2)/3/8 = 10/24
+      (2L, "aa aa"),      // (2*4)/2/8      = 8/16
+      (3L, "zz qq bb")    // (1+1+2)/3/8    = 4/24
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.wordFreqScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3, 10L, 10.0 / 3 / 8)), out.toString)
+    assert(out(2L) == ((2, 8L, 8.0 / 2 / 8)), out.toString)
+    assert(out(3L) == ((3, 4L, 4.0 / 3 / 8)), out.toString)
+    assert(out(2L)._3 > out(1L)._3 && out(1L)._3 > out(3L)._3)
+  }
+
   test("bm25TopK: tf raises score, length normalizes, absent terms score 0") {
     import spark.implicits._
     val filler = "alpha beta gamma delta epsilon zeta eta theta"
