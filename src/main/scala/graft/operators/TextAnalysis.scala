@@ -556,19 +556,30 @@ object TextAnalysis {
     * Scale posture — this operator's statistic is CORPUS-DERIVED, a
     * different shape from the map-only scorers: per-(doc, term) counts
     * first (one combiner-friendly shuffle on a key that dedups repeats
-    * map-side), the vocabulary table derives from those partials
-    * (vocabulary-sized, NO second corpus scan), the weight-back join
-    * shuffles on the term key (a broadcast would assume a bounded
-    * vocabulary — false at 100 TB), and the grand total attaches as a
-    * 1-row broadcast. Everything is integer-exact until one final
-    * fixed-order double division, so Spark and DuckDB hash-match
-    * bit-for-bit.
+    * map-side), the vocabulary table derived from those partials, the
+    * weight-back join shuffled on the term key (a broadcast would
+    * assume a bounded vocabulary — false at 100 TB), and the grand
+    * total attached as a 1-row broadcast. Everything is integer-exact
+    * until one final fixed-order double division, so Spark and DuckDB
+    * hash-match bit-for-bit.
+    *
+    * The per-(doc, term) frame is consumed by THREE branches (join
+    * left, vocabulary, grand total). Lazily declared, Spark
+    * re-evaluates the chain per branch — three corpus scans.
+    * `materialize = true` localCheckpoints the partials so the corpus
+    * is read ONCE, which is the production posture (a real pipeline
+    * writes the partials as a table); measured at sf0.1 the lazy form
+    * wins (1.0-1.5 s vs 2.2 s — re-scanning 5000 docs is cheaper than
+    * eager materialization), which is why the declared query keeps
+    * `materialize = false` and the crossover is documented rather than
+    * hard-coded.
     */
-  def wordFreqScore(docs: DataFrame): DataFrame = {
-    val perDocTerm = docs
+  def wordFreqScore(docs: DataFrame, materialize: Boolean = false): DataFrame = {
+    val partials = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).as("n"))
+    val perDocTerm = if (materialize) partials.localCheckpoint() else partials
     val vocab = perDocTerm.groupBy(col("t")).agg(sum(col("n")).as("tf"))
     val total = vocab.agg(sum(col("tf")).as("total"))
     perDocTerm.join(vocab, Seq("t"))

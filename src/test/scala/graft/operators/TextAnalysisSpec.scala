@@ -131,6 +131,10 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((2, 8L, 8.0 / 2 / 8)), out.toString)
     assert(out(3L) == ((3, 4L, 4.0 / 3 / 8)), out.toString)
     assert(out(2L)._3 > out(1L)._3 && out(1L)._3 > out(3L)._3)
+    // the materialized (single-corpus-scan) form is result-identical
+    val mat = TextAnalysis.wordFreqScore(docs, materialize = true).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(mat == out)
   }
 
   test("bm25TopK: tf raises score, length normalizes, absent terms score 0") {
