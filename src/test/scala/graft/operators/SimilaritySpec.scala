@@ -110,6 +110,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("maxLabels"))
   }
 
+  test("pqCodes: dense in-range codes, deterministic, error shrinks with Lloyd rounds") {
+    import spark.implicits._
+    // two tight clusters per subspace half so codewords have structure
+    def v(seed: Int) = Array.tabulate(8)(i =>
+      (if (seed % 2 == 0) 1f else -1f) * (1f + 0.01f * ((seed + i) % 5)))
+    val emb = (0L until 40L).map(i => (i, v(i.toInt))).toDF("vec_id", "embedding")
+    val out = Similarity.pqCodes(emb, m = 2, k = 4, iters = 1).collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      assert((1 to 2).forall(s => r.getInt(s) >= 0 && r.getInt(s) < 4), r.toString)
+      assert(r.getDouble(3) >= 0.0)
+    }
+    // deterministic replay
+    val again = Similarity.pqCodes(emb, m = 2, k = 4, iters = 1).collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+    // Lloyd refinement cannot increase total reconstruction error on
+    // this well-separated corpus
+    import org.apache.spark.sql.functions.{col, sum}
+    def totalErr(iters: Int) = Similarity.pqCodes(emb, 2, 4, iters)
+      .agg(sum(col("err"))).collect().head.getDouble(0)
+    assert(totalErr(1) <= totalErr(0) + 1e-9, s"${totalErr(0)} -> ${totalErr(1)}")
+  }
+
   test("kmeans: Lloyd refinement recovers planted clusters from bad seeds") {
     import spark.implicits._
     // two tight, well-separated bundles; BOTH seeds (first 2 by vec_id)
