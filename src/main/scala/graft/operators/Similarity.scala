@@ -630,12 +630,23 @@ object Similarity {
     * comment is the record of that known, measured difference.
     */
   def pqCodes(emb: DataFrame, m: Int = 4, k: Int = 16, iters: Int = 1): DataFrame = {
+    pqTrain(emb, m, k, iters) match {
+      case None => // empty corpus: empty result with the declared schema
+        emb.select(col("vec_id") +:
+          (0 until m).map(s => lit(0).as(s"code_$s")) :+
+          lit(0.0).as("err"): _*).limit(0)
+      case Some((sub, books)) => pqEncode(emb, sub, books)
+    }
+  }
+
+  /** Train the m per-subspace codebooks (see [[pqCodes]]); None on an
+    * empty corpus. Returned shape: (subspace dim, books(s)(c) = codeword
+    * vector). */
+  private[operators] def pqTrain(emb: DataFrame, m: Int, k: Int,
+      iters: Int): Option[(Int, Array[Array[Array[Double]]])] = {
     val spark = emb.sparkSession
     val first = emb.select(size(col("embedding")).as("d")).limit(1).collect()
-    if (first.isEmpty) // empty corpus: empty result with the declared schema
-      return emb.select(col("vec_id") +:
-        (0 until m).map(s => lit(0).as(s"code_$s")) :+
-        lit(0.0).as("err"): _*).limit(0)
+    if (first.isEmpty) return None
     val dim = first.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
@@ -686,11 +697,17 @@ object Similarity {
       next
     }
 
-    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+    Some((sub, Array.tabulate(m) { s =>
       (0 until iters).foldLeft(seeds(s))((cb, _) => lloyd(s, cb))
-    }
+    }))
+  }
 
-    // one map-only encoding pass: all m codebooks in a single broadcast
+  /** Encode every vector against trained codebooks — one map-only pass,
+    * all m codebooks in a single broadcast. */
+  private[operators] def pqEncode(emb: DataFrame, sub: Int,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = emb.sparkSession
+    val m = books.length
     val bcAll = spark.sparkContext.broadcast(books)
     val encodeUdf = udf { (v: Seq[Float]) =>
       val bs = bcAll.value
@@ -728,13 +745,71 @@ object Similarity {
     pqCodes(Tables.load(spark, dir, "embeddings"), 4, 16, 1)
       .orderBy(col("vec_id"))
 
-  /** Oracle: replay the per-subspace seed → assign → decimal-mean →
-    * re-assign pipeline as generated CTEs (the x2_kmeans replay idiom,
-    * once per subspace, L2 instead of cosine, dense codeword ids). */
-  private val x2PqCodesSql = {
-    val (m, k, sub) = (4, 16, 16)
-    def d2(v: String, c: String) =
-      s"(list_dot_product($v, $v) - 2.0e0 * list_dot_product($v, $c) + list_dot_product($c, $c))"
+  /** PQ-ADC top-k search (the query-time half of [[pqCodes]]): each
+    * probe precomputes an m × k distance LOOK-UP TABLE to every
+    * codeword (driver-side — probes are query-sized — and broadcast),
+    * and every corpus vector's approximate distance is m table lookups
+    * summed over its CODES: the full vectors are never touched at query
+    * time, which is why a PQ index serves queries from RAM at a scale
+    * where raw vectors cannot. One map-only pass over the codes frame,
+    * one probe-partitioned rank window for the top-k (at production
+    * scale the IVF list pruning of [[ivfTopK]] composes in front so the
+    * window sees candidates, not the corpus). */
+  def pqSearch(emb: DataFrame, probes: DataFrame, m: Int = 4, k: Int = 16,
+      iters: Int = 1, topK: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    val (sub, books) = pqTrain(emb, m, k, iters).getOrElse(
+      throw new IllegalArgumentException("pqSearch: empty corpus"))
+    val codes = pqEncode(emb, sub, books)
+    val probeRows = probes.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).collect()
+    val lut: Map[Long, Array[Array[Double]]] = probeRows.map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      r.getLong(0) -> Array.tabulate(m) { s =>
+        Array.tabulate(k) { c =>
+          val cv = books(s)(c)
+          var xx = 0.0; var xc = 0.0; var cc = 0.0
+          var i = 0
+          while (i < sub) {
+            val x = v(s * sub + i)
+            xx += x * x; xc += x * cv(i); cc += cv(i) * cv(i); i += 1
+          }
+          (xx - 2.0 * xc) + cc
+        }
+      }
+    }.toMap
+    val bc = spark.sparkContext.broadcast(lut)
+    val adistUdf = udf { (probe: Long, cs: Seq[Int]) =>
+      val t = bc.value(probe)
+      var d = 0.0; var s = 0
+      while (s < cs.length) { d += t(s)(cs(s)); s += 1 }
+      d
+    }
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    codes
+      .withColumn("codes", array((0 until m).map(s => col(s"code_$s")): _*))
+      .crossJoin(broadcast(probes.select(col("vec_id").as("probe_id"))))
+      .withColumn("adist", adistUdf(col("probe_id"), col("codes")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("probe_id"), col("vec_id"), col("rnk"), col("adist"))
+  }
+
+  private def x2PqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    pqSearch(emb, emb.filter(col("vec_id") < 10), 4, 16, 1, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Shared oracle prefix: per-subspace seed → assign → decimal-mean →
+    * re-assign CTEs (the x2_kmeans replay idiom, once per subspace, L2
+    * instead of cosine, dense codeword ids). Produces CTEs `e`,
+    * `e$s`/`c${s}_0`/`a${s}_0`/`s$s`/`c${s}_1`/`f$s` for each subspace. */
+  private def pqD2(v: String, c: String) =
+    s"(list_dot_product($v, $v) - 2.0e0 * list_dot_product($v, $c) + list_dot_product($c, $c))"
+
+  private def pqCommonSql(m: Int, k: Int, sub: Int): String = {
     val blocks = (0 until m).map { s =>
       val (lo, hi) = (s * sub + 1, (s + 1) * sub)
       s"""e$s AS (
@@ -745,7 +820,7 @@ object Similarity {
          |a${s}_0 AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${d2("e.vs", "c.cv")} ASC, c.cid) AS rn
+         |      ORDER BY ${pqD2("e.vs", "c.cv")} ASC, c.cid) AS rn
          |    FROM e$s e CROSS JOIN c${s}_0 c) t WHERE rn = 1),
          |s$s AS (
          |  SELECT cid, pos, CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(val) AS c
@@ -758,24 +833,63 @@ object Similarity {
          |    (SELECT cid, list(c ORDER BY pos) AS cv FROM s$s GROUP BY cid) l USING (cid)),
          |f$s AS (
          |  SELECT vec_id, cid AS code_$s, d2 AS err_$s FROM (
-         |    SELECT e.vec_id, c.cid, ${d2("e.vs", "c.cv")} AS d2,
+         |    SELECT e.vec_id, c.cid, ${pqD2("e.vs", "c.cv")} AS d2,
          |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${d2("e.vs", "c.cv")} ASC, c.cid) AS rn
+         |        ORDER BY ${pqD2("e.vs", "c.cv")} ASC, c.cid) AS rn
          |    FROM e$s e CROSS JOIN c${s}_1 c) t WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$blocks""".stripMargin
+  }
+
+  private val x2PqCodesSql = {
+    val (m, k, sub) = (4, 16, 16)
     val codeCols = (0 until m).map(s => s"CAST(code_$s AS INTEGER) AS code_$s").mkString(", ")
     val errSum = (0 until m).map(s => s"err_$s").mkString(" + ")
     val joins = (1 until m).map(s => s"JOIN f$s USING (vec_id)").mkString(" ")
-    s"""WITH e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |$blocks
+    s"""WITH ${pqCommonSql(m, k, sub)}
        |SELECT vec_id, $codeCols, $errSum AS err
        |FROM f0 $joins
        |ORDER BY vec_id""".stripMargin
   }
 
+  private val x2PqSearchSql = {
+    val (m, k, sub) = (4, 16, 16)
+    val luts = (0 until m).map { s =>
+      val (lo, hi) = (s * sub + 1, (s + 1) * sub)
+      s"""lut$s AS (
+         |  SELECT p.probe_id, c.cid, ${pqD2(s"p.v[$lo:$hi]", "c.cv")} AS d
+         |  FROM p CROSS JOIN c${s}_1 c)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until m).map(s => s"JOIN f$s USING (vec_id)").mkString(" ")
+    val lutJoins = (0 until m).map { s =>
+      val pj = if (s == 0) "" else s" AND l$s.probe_id = l0.probe_id"
+      s"JOIN lut$s l$s ON l$s.cid = codes.code_$s$pj"
+    }.mkString("\n  ")
+    val dSum = (0 until m).map(s => s"l$s.d").mkString(" + ")
+    s"""WITH ${pqCommonSql(m, k, sub)},
+       |codes AS (
+       |  SELECT vec_id, ${(0 until m).map(s => s"code_$s").mkString(", ")}
+       |  FROM f0 $codeJoins),
+       |p AS (SELECT vec_id AS probe_id, v FROM e WHERE vec_id < 10),
+       |$luts,
+       |r AS (
+       |  SELECT l0.probe_id, codes.vec_id, $dSum AS adist
+       |  FROM codes
+       |  $lutJoins)
+       |SELECT probe_id, vec_id, rnk, adist FROM (
+       |  SELECT probe_id, vec_id, adist,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY probe_id ORDER BY adist, vec_id) AS INTEGER) AS rnk
+       |  FROM r) t
+       |WHERE rnk <= 5
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
+
   val all: Seq[Declared] = Seq(
     Declared("x2_pq_codes", x2PqCodes, Some(x2PqCodesSql)),
+    Declared("x2_pq_search", x2PqSearch, Some(x2PqSearchSql)),
     Declared("x2_cosine_topk", x2Brute, Some(x2BruteSql)),
     Declared("x2_ann_lsh", x2Ann, Some(annBoundSql)),
     Declared("x2_ann_ivf", x2Ivf, Some(annBoundSql)),

@@ -50,7 +50,8 @@ object PlanPin {
     "q34_priority_waiting", "q35_skew_join", "q36_min_cost_supplier",
     "q37_important_stock", "q38_bucketed_join",
     "xt_bm25", "xc_gopher_rules", "xc_stratified",
-    "q39_shipping_priority", "xt_word_freq_score", "x2_pq_codes")
+    "q39_shipping_priority", "xt_word_freq_score", "x2_pq_codes",
+    "x2_pq_search")
 
   val pinFile = "PLANPINS.txt"
   val sfDir = "/root/testdata/sf0.001"

@@ -133,6 +133,30 @@ class SimilaritySpec extends SparkSpec {
     assert(totalErr(1) <= totalErr(0) + 1e-9, s"${totalErr(0)} -> ${totalErr(1)}")
   }
 
+  test("pqSearch: ADC retrieval stays within the probe's cluster") {
+    import spark.implicits._
+    // two well-separated clusters: codes must separate them, so every
+    // probe's top-k is entirely same-cluster
+    def v(cluster: Int, j: Int) = Array.tabulate(8)(i =>
+      (if (cluster == 0) 1f else -1f) * (1f + 0.01f * ((j + i) % 5)))
+    val emb = ((0L until 20L).map(i => (i, v(0, i.toInt))) ++
+      (20L until 40L).map(i => (i, v(1, i.toInt)))).toDF("vec_id", "embedding")
+    import org.apache.spark.sql.functions.col
+    val probes = emb.filter(col("vec_id") === 3L || col("vec_id") === 25L)
+    val out = Similarity.pqSearch(emb, probes, m = 2, k = 4, iters = 1, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.length == 10)
+    // per-probe: 5 dense ranks, adist non-decreasing, same-cluster hits
+    out.groupBy(_._1).foreach { case (probe, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to 5), s"probe $probe ranks")
+      assert(sorted.map(_._4).sliding(2).forall(p => p.head <= p.last + 1e-12))
+      val cluster = if (probe < 20) (0L until 20L) else (20L until 40L)
+      assert(sorted.forall(r => cluster.contains(r._2)),
+        s"probe $probe escaped its cluster: $sorted")
+    }
+  }
+
   test("kmeans: Lloyd refinement recovers planted clusters from bad seeds") {
     import spark.implicits._
     // two tight, well-separated bundles; BOTH seeds (first 2 by vec_id)
