@@ -466,6 +466,50 @@ object TextAnalysis {
     """SELECT COUNT(DISTINCT user_id) AS exact_cnt, TRUE AS within_bound
       |FROM events""".stripMargin
 
+  // ------------------------------------------------- HLL sketch union
+  /** X4c — MERGEABLE distinct counting via Spark 4's native
+    * DataSketches HLL (`hll_sketch_agg` / `hll_union_agg` /
+    * `hll_sketch_estimate`, Apache DataSketches under the hood):
+    * per-language token sketches are built independently and then
+    * UNIONED WITHOUT RESCANNING the corpus. Mergeability is the whole
+    * reason sketches matter at 100 TB — per-shard/per-day sketches
+    * union in milliseconds where an exact global distinct re-shuffles
+    * everything — and it is exactly what `approx_count_distinct`'s
+    * opaque HLL++ buffer does not expose as a value. Family contract
+    * (never trust the sketch): the union estimate is checked against
+    * the exact global distinct (≤ 5 % at lgK = 12) and against the
+    * subadditivity bound (union ≤ sum of per-language exacts), both
+    * engine-computed; the oracle states the exact values and TRUE. */
+  private def x4HllUnion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.load(spark, dir, "documents")
+      .select($"lang", explode(tokens($"text")).as("t"))
+    val perLang = tok.groupBy($"lang")
+      .agg(expr("hll_sketch_agg(t, 12)").as("sk"),
+        countDistinct($"t").as("exact_lang"))
+    val unioned = perLang.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est_union"),
+      sum($"exact_lang").as("sum_lang_exact"),
+      count(lit(1)).as("n_langs"))
+    val exact = tok.agg(countDistinct($"t").as("exact_union"))
+    unioned.crossJoin(exact)
+      .select($"n_langs", $"exact_union",
+        (abs($"est_union" - $"exact_union") / $"exact_union" <= 0.05)
+          .as("union_within_bound"),
+        ($"est_union" <= $"sum_lang_exact").as("union_le_sum"))
+  }
+
+  private val x4HllUnionSql =
+    """WITH tok AS (
+      |  SELECT lang,
+      |    unnest(string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS t
+      |  FROM documents)
+      |SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(COUNT(DISTINCT t) AS BIGINT) AS exact_union,
+      |  TRUE AS union_within_bound,
+      |  TRUE AS union_le_sum
+      |FROM tok""".stripMargin
+
   // ---------------------------------------------------- approx quantile
   /** X4b — sketch quantiles with their real guarantee checked: Spark's
     * `approx_percentile` (Greenwald-Khanna style) bounds RANK error, not
@@ -655,6 +699,7 @@ object TextAnalysis {
     Declared("xt_word_freq_score", xtWordFreq, Some(xtWordFreqSql)),
     Declared("x3_token_freq", x3TokenFreq, Some(x3TokenFreqSql)),
     Declared("x4_approx_distinct", x4Approx, Some(x4ApproxSql)),
+    Declared("x4_hll_union", x4HllUnion, Some(x4HllUnionSql)),
     Declared("x4_approx_quantile", x4Quantile, Some(x4QuantileSql)),
     Declared("xt_token_stats", xtTokens, Some(xtTokensSql)),
     Declared("xt_quality", xtQuality, Some(xtQualitySql)),

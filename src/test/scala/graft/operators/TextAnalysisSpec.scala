@@ -137,6 +137,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(mat == out)
   }
 
+  test("hll sketches built on disjoint halves union to the global estimate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // 2000 distinct values split into two disjoint halves: union of the
+    // two sketches must estimate the full 2000 within HLL lgK=12 error,
+    // without ever scanning the combined data — the mergeability that
+    // makes per-shard sketches work at scale
+    val halves = (0 until 2000).map(i => (if (i < 1000) "a" else "b", s"v$i"))
+      .toDF("part", "t")
+    val perPart = halves.groupBy($"part").agg(expr("hll_sketch_agg(t, 12)").as("sk"))
+    val est = perPart.agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))"))
+      .collect().head.getLong(0)
+    assert(math.abs(est - 2000) <= 100, s"union estimate $est")
+  }
+
   test("bm25TopK: tf raises score, length normalizes, absent terms score 0") {
     import spark.implicits._
     val filler = "alpha beta gamma delta epsilon zeta eta theta"
