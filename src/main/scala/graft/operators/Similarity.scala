@@ -641,7 +641,19 @@ object Similarity {
 
   /** Train the m per-subspace codebooks (see [[pqCodes]]); None on an
     * empty corpus. Returned shape: (subspace dim, books(s)(c) = codeword
-    * vector). */
+    * vector).
+    *
+    * Training runs on the first [[PqTrainCap]] vectors by vec_id — the
+    * standard PQ practice (FAISS trains codebooks on a subsample and
+    * encodes everything): codebook quality needs a representative
+    * sample, not the corpus, so Lloyd cost stays CONSTANT as the corpus
+    * grows while encoding stays the one map-only pass. Deterministic
+    * (first-n-by-id plans as TakeOrderedAndProject) and mirrored
+    * verbatim in the DuckDB oracle; at the sf0.01 correctness point the
+    * cap exceeds the corpus, so the oracle also certifies the uncapped
+    * semantics. */
+  private[operators] val PqTrainCap = 2048
+
   private[operators] def pqTrain(emb: DataFrame, m: Int, k: Int,
       iters: Int): Option[(Int, Array[Array[Array[Double]]])] = {
     val spark = emb.sparkSession
@@ -650,11 +662,13 @@ object Similarity {
     val dim = first.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
+    val train = emb.orderBy(col("vec_id")).limit(PqTrainCap)
+      .select(col("vec_id"), col("embedding"))
 
     def subvec(s: Int) = slice(col("embedding"), s * sub + 1, sub)
     // seed codebook: first k vectors by vec_id, dense codeword ids 0..k-1
     def seeds(s: Int): Array[Array[Double]] =
-      emb.orderBy(col("vec_id")).limit(k).select(subvec(s)).collect()
+      train.orderBy(col("vec_id")).limit(k).select(subvec(s)).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
     def l2ArgminUdf(cb: Array[Array[Double]]) = {
@@ -680,7 +694,7 @@ object Similarity {
     }
 
     def lloyd(s: Int, cb: Array[Array[Double]]): Array[Array[Double]] = {
-      val assigned = emb.select(subvec(s).as("vs"),
+      val assigned = train.select(subvec(s).as("vs"),
         l2ArgminUdf(cb)(subvec(s)).as("code"))
       val rows = assigned
         .select(col("code"), posexplode(col("vs")).as(Seq("pos", "v")))
@@ -814,18 +828,20 @@ object Similarity {
       val (lo, hi) = (s * sub + 1, (s + 1) * sub)
       s"""e$s AS (
          |  SELECT vec_id, v[$lo:$hi] AS vs FROM e),
+         |t$s AS (
+         |  SELECT vec_id, vs FROM e$s ORDER BY vec_id LIMIT $PqTrainCap),
          |c${s}_0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vs AS cv
-         |  FROM (SELECT vec_id, vs FROM e$s ORDER BY vec_id LIMIT $k)),
+         |  FROM (SELECT vec_id, vs FROM t$s ORDER BY vec_id LIMIT $k)),
          |a${s}_0 AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${pqD2("e.vs", "c.cv")} ASC, c.cid) AS rn
-         |    FROM e$s e CROSS JOIN c${s}_0 c) t WHERE rn = 1),
+         |    FROM t$s e CROSS JOIN c${s}_0 c) t WHERE rn = 1),
          |s$s AS (
          |  SELECT cid, pos, CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(val) AS c
          |  FROM (SELECT a.cid, generate_subscripts(e.vs, 1) - 1 AS pos, unnest(e.vs) AS val
-         |        FROM e$s e JOIN a${s}_0 a USING (vec_id)) d
+         |        FROM t$s e JOIN a${s}_0 a USING (vec_id)) d
          |  GROUP BY cid, pos),
          |c${s}_1 AS (
          |  SELECT c0.cid, COALESCE(l.cv, c0.cv) AS cv
