@@ -60,6 +60,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(out(0).getLong(1) == 1L && out(0).getDouble(2) == 1.0)
   }
 
+  test("S6 streaming windowed distinct-user sketch equals batch on replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // 1 window, 3 distinct users for click (one repeated) + 1 for view
+    val rows = Seq(
+      Ev(1, t(0), 1, "click", 1.0, "{}"),
+      Ev(2, t(2), 2, "click", 1.0, "{}"),
+      Ev(3, t(4), 1, "click", 1.0, "{}"),
+      Ev(4, t(6), 3, "click", 1.0, "{}"),
+      Ev(5, t(7), 9, "view", 1.0, "{}"))
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val q = EventStreams.windowDistinctUsers(mem.toDF())
+      .writeStream.format("memory").queryName("s6par").outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("s6par").orderBy("event_type", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val batch = EventStreams.windowDistinctUsers(rows.toDF())
+      .orderBy("event_type", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.toSeq == batch.toSeq)
+    // at this cardinality HLL++ is exact: 3 click users, 1 view user
+    assert(batch.map(_._3).toSeq == Seq(3L, 1L), batch.mkString(", "))
+  }
+
   test("S3 streaming dedup collapses cross-batch duplicates") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
