@@ -279,10 +279,19 @@ object EventStreams {
       .select(col("event_type"),
         unix_timestamp(col("window.start")).as("bucket"), col("approx_users"))
 
+  /** Batch verification row. The exact distinct is computed TWO-LEVEL
+    * (pre-distinct on (type, window, user), then count) rather than as
+    * `countDistinct` beside the sketch: a mixed exact+approx distinct
+    * aggregate plans an Expand that duplicates every input row, ~1.8x
+    * slower at sf0.1 and strictly worse at scale; the two-level shape
+    * is one shuffle chain with map-side partials, and the sketch over
+    * the pre-distincted users estimates the same set. */
   private def s6(spark: SparkSession, dir: String): DataFrame =
     ev(spark, dir)
-      .groupBy(col("event_type"), window(col("ts"), "10 minutes"))
-      .agg(countDistinct(col("user_id")).as("exact_users"),
+      .groupBy(col("event_type"), window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("event_type"), col("window"))
+      .agg(count(lit(1)).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("approx"))
       .select(col("event_type"),
         unix_timestamp(col("window.start")).as("bucket"),
