@@ -42,9 +42,13 @@ class FixtureSchemaSpec extends SparkSpec {
   }
 
   test("events.ts loads as TIMESTAMP regardless of fixture generation") {
-    val df = Tables.load(spark, sf("sf0.001"), "events")
-    assert(df.schema("ts").dataType == TimestampType,
-      s"events.ts loaded as ${df.schema("ts").dataType}")
+    // all three fixture dirs: the driver regenerates them together, but
+    // a partial regeneration would otherwise surface only at bench time
+    for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val df = Tables.load(spark, sf(dir), "events")
+      assert(df.schema("ts").dataType == TimestampType,
+        s"$dir/events.ts loaded as ${df.schema("ts").dataType}")
+    }
   }
 
   test("every declared query analyzes against the live fixtures") {

@@ -254,6 +254,33 @@ class EdgeCaseSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckDir))
   }
 
+  test("round-10 operators survive empty and degenerate inputs") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noStrat = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    assert(Curation.gopherRules(noDocs).count() == 0)
+    assert(Curation.stratifiedSample(noStrat, 5).count() == 0)
+    assert(TextAnalysis.bm25TopK(noDocs, Seq("x"), 5).count() == 0)
+    assert(TextAnalysis.wordFreqScore(noDocs).count() == 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.pqCodes(noVecs).count() == 0)
+    // whitespace-only / empty-string text: flags computed, no div-by-zero
+    val weird = Seq((1L, ""), (2L, "   "), (3L, "é中")).toDF("doc_id", "text")
+    assert(Curation.gopherRules(weird).count() == 3)
+    assert(TextAnalysis.wordFreqScore(weird).count() == 3)
+    // bm25 with a term absent from the whole corpus: all scores zero
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val scores = TextAnalysis.bm25TopK(docs, Seq("zz"), 5).collect()
+    assert(scores.length == 2 && scores.forall(_.getAs[Double]("bm25") == 0.0))
+    // pq with fewer vectors than codewords: codes stay in range
+    val tiny = Seq((1L, Array.fill(8)(1f)), (2L, Array.fill(8)(2f)))
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.pqCodes(tiny, m = 2, k = 4, iters = 1).collect()
+    assert(codes.length == 2)
+    assert(codes.forall(r => (1 to 2).forall(s => r.getInt(s) >= 0 && r.getInt(s) < 4)))
+  }
+
   test("asof join with no matching earlier rows yields empty (not nulls)") {
     import spark.implicits._
     import java.sql.Timestamp
