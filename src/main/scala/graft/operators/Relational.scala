@@ -1016,14 +1016,22 @@ object Relational {
     import spark.implicits._
     val badSupp = t(spark, dir, "supplier")
       .filter($"s_acctbal" < 0).select($"s_suppkey")
-    val li = t(spark, dir, "lineitem")
-      .select($"l_partkey", $"l_suppkey")
+    // pre-distinct the (part, supplier) pairs BEFORE the join: a part is
+    // supplied by the same supplier across many lines, so the join input
+    // shrinks from all lineitem to the distinct pair set (map-side
+    // combine does the dedup work); the final count is then two-level
+    // (group × supplier, then count) — no mixed-distinct Expand, no
+    // re-dedup of what the pair set already guarantees
+    val pairs = t(spark, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey").distinct()
       .join(broadcast(badSupp), $"l_suppkey" === $"s_suppkey", "left_anti")
     t(spark, dir, "part")
       .filter($"p_brand" =!= "Brand#13" && $"p_type" =!= "PROMO")
-      .join(li, $"p_partkey" === $"l_partkey")
+      .join(pairs, $"p_partkey" === $"l_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size", $"l_suppkey")
+      .agg(count(lit(1)).as("_c"))
       .groupBy($"p_brand", $"p_type", $"p_size")
-      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .agg(count(lit(1)).as("supplier_cnt"))
       .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
   }
 
