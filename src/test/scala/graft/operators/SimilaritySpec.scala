@@ -157,6 +157,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("TopKMinAgg: bounded top-k equals the row_number window formulation, ties included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // adversarial: duplicated keys (ties broken by id), groups smaller
+    // than k, values arriving in descending order, many partitions so
+    // merge() runs for real
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 2000L).map { i =>
+      (i % 7, rnd.nextInt(20).toDouble, i) // (grp, key with many ties, id)
+    } ++ Seq((99L, 1.0, 100001L), (99L, 1.0, 100000L)) // 2-row group, tied keys
+    val df = rows.toDF("grp", "key", "id").repartition(16)
+    val k = 5
+    val agg = udaf(new graft.functions.TopKMinAgg(k))
+    val viaAgg = df.groupBy($"grp")
+      .agg(agg($"key", $"id").as("top"))
+      .select($"grp", $"top.key".as("ds"),
+        posexplode($"top.id").as(Seq("pos", "id")))
+      .select($"grp", $"id", ($"pos" + 1).as("rnk"),
+        element_at($"ds", $"pos" + 1).as("key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val w = Window.partitionBy($"grp").orderBy($"key", $"id")
+    val viaWindow = df.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k).select($"grp", $"id", $"rnk", $"key")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("pqSearch plan: bounded partial aggregation, no per-probe rank window") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val plan = Similarity.pqSearch(emb, emb.filter(col("vec_id") < 10))
+      .queryExecution.executedPlan.treeString
+    // the r10 verdict's scale gap: a row_number window over codes×probes
+    // shuffles ~the corpus to each of a handful of probe reducers; the
+    // bounded Aggregator must keep the plan window-free with a partial
+    // (map-side) aggregation so the exchange carries ≤ parts×probes×k
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_topkminagg"), plan)
+  }
+
   test("kmeans: Lloyd refinement recovers planted clusters from bad seeds") {
     import spark.implicits._
     // two tight, well-separated bundles; BOTH seeds (first 2 by vec_id)
