@@ -66,8 +66,49 @@ import org.apache.spark.sql.SparkSession
   * drift only moves the upper samples. The gated medians remain in
   * `"medians"` (and `"mins"` is kept equal to `"queries"` for one
   * round of tooling continuity); the detail file still carries every
-  * raw sample. */
+  * raw sample.
+  *
+  * Round-11 fix (VERDICT r9 stretch, carried through r10 item 4): the
+  * calibration probe now ALSO runs MID-PASS, every [[Bench.CalibEvery]]
+  * queries, so a throttle burst INSIDE a pass is detected instead of
+  * only at pass boundaries (BENCH_r10's pass 1 ran 441 s vs 172 s
+  * healthy with clean boundary calibs — the gate kept it and the
+  * medians absorbed the contention). Queries are gated per SEGMENT
+  * (the span between consecutive calib points): a segment whose
+  * bounding-calib mean exceeds 1.5x the best segment mean anywhere in
+  * the run is contended, and only that segment's samples leave the
+  * median — the rest of the pass still counts. The compact line
+  * carries `"calib_seg"` (every calib point, per pass) and
+  * `"dropped_segments"` ([pass, segment] pairs); `"calib"` keeps the
+  * r8-shape [first, last] per pass and `"dropped_passes"` now means
+  * "every segment dropped" so round-over-round tooling keeps parsing. */
 object Bench {
+  /** Mid-pass calibration cadence: one fixed-work probe every this many
+    * queries (~7 points per 138-query pass; ~9 s/pass overhead at the
+    * sf0.1 calib cost of ~1.3 s — 6% of a healthy pass). */
+  val CalibEvery = 20
+
+  /** Pure segment gate (unit-tested in `BenchGateSpec`): given each
+    * pass's calib points (nSegs + 1 per pass, NaN = calib failed),
+    * returns whether segment s of pass p may enter the medians. A
+    * segment is contended when the mean of its two bounding calibs
+    * exceeds 1.5x the best segment mean anywhere in the run; a segment
+    * with no finite bounding calib cannot be gated and is kept. */
+  private[graft] def segmentGate(calibSeg: Array[Array[Double]]): Array[Array[Boolean]] = {
+    val n = calibSeg.length
+    val nSegs = if (n == 0) 0 else calibSeg(0).length - 1
+    def segMean(p: Int, s: Int): Double = {
+      val ok = Seq(calibSeg(p)(s), calibSeg(p)(s + 1)).filterNot(_.isNaN)
+      if (ok.isEmpty) Double.NaN else ok.sum / ok.size
+    }
+    val segMeans = Array.tabulate(n, nSegs)(segMean)
+    val finite = segMeans.flatten.filterNot(_.isNaN)
+    Array.tabulate(n, nSegs) { (p, s) =>
+      finite.isEmpty || segMeans(p)(s).isNaN ||
+        segMeans(p)(s) <= 1.5 * finite.min
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -101,18 +142,23 @@ object Bench {
     runNoop("warmup", calibFn, "/root/testdata/sf0.001")
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val nSegs = (names.size + CalibEvery - 1) / CalibEvery
     // perPass(p)(name) = that query's time in pass p (insertion-ordered)
     val perPass = Array.fill(n)(scala.collection.mutable.LinkedHashMap.empty[String, Double])
-    val calib = scala.collection.mutable.ListBuffer.empty[(Double, Double)]
+    // calibSeg(p) = the S+1 calib points of pass p (before query 0, after
+    // every CalibEvery-th query, after the last); query index i sits in
+    // segment i / CalibEvery, bounded by points s and s+1
+    val calibSeg = Array.fill(n)(Array.fill(nSegs + 1)(Double.NaN))
     val passTotals = (0 until n).map { p =>
-      val c0 = runNoop("calib", calibFn, sfDir)
-      val total = names.map { case (name, fn) =>
+      calibSeg(p)(0) = runNoop("calib", calibFn, sfDir)
+      val total = names.zipWithIndex.map { case ((name, fn), i) =>
         val sec = runNoop(name, fn, sfDir)
         perPass(p)(name) = sec
+        if ((i + 1) % CalibEvery == 0 && i + 1 < names.size)
+          calibSeg(p)((i + 1) / CalibEvery) = runNoop("calib", calibFn, sfDir)
         sec
       }.filterNot(_.isNaN).sum
-      val c1 = runNoop("calib", calibFn, sfDir)
-      calib += ((c0, c1))
+      calibSeg(p)(nSegs) = runNoop("calib", calibFn, sfDir)
       total
     }
     // even-sized inputs average the two middles: the throttle gate makes
@@ -125,30 +171,27 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     def fmt(d: Double): String = if (d.isNaN) "null" else f"$d%.3f"
-    // Throttle gate: a pass whose mean calib exceeds 1.5x the best pass's
-    // mean calib was contended; exclude it from medians (keep >= 1 pass).
-    // Failed calib samples are excluded from the gate, not used as timings;
-    // a pass with no finite calib cannot be gated and is kept.
-    val calibMeans = calib.map { case (a, b) =>
-      val ok = Seq(a, b).filterNot(_.isNaN)
-      if (ok.isEmpty) Double.NaN else ok.sum / ok.size
-    }.toIndexedSeq
-    val finiteCalib = calibMeans.filterNot(_.isNaN)
-    val goodIdx =
-      if (finiteCalib.isEmpty) (0 until n)
-      else {
-        val bestCalib = finiteCalib.min
-        (0 until n).filter(p => calibMeans(p).isNaN || calibMeans(p) <= 1.5 * bestCalib)
-      }
-    val droppedIdx = (0 until n).filterNot(goodIdx.contains)
+    // Segment throttle gate: a segment whose bounding-calib mean exceeds
+    // 1.5x the best segment mean anywhere in the run was contended;
+    // exclude its samples from the medians. Failed calib samples are
+    // excluded from the gate, not used as timings; a segment with no
+    // finite bounding calib cannot be gated and is kept.
+    val segGood = segmentGate(calibSeg)
+    val droppedSegs = for {
+      p <- 0 until n; s <- 0 until nSegs if !segGood(p)(s)
+    } yield (p, s)
+    // pass-level continuity: "dropped" now means every segment dropped
+    val droppedIdx = (0 until n).filter(p => (0 until nSegs).forall(s => !segGood(p)(s)))
+    val segOfQuery = names.indices.map(_ / CalibEvery)
     // median over the gate-surviving finite samples (falling back to all
     // finite samples if the gate dropped every successful run of a query);
     // min over ALL finite samples — the throttle-robust headline statistic
-    // (the gate picks whole passes, but contention is bursty WITHIN passes,
-    // so the cross-pass min is what round-over-round comparison should use)
-    val stats = names.map { case (name, _) =>
+    // (contention can be burstier than even a segment, so the cross-pass
+    // min is what round-over-round comparison should use)
+    val stats = names.zipWithIndex.map { case ((name, _), i) =>
       val all = (0 until n).map(p => perPass(p)(name)).filterNot(_.isNaN)
-      val gated = goodIdx.map(p => perPass(p)(name)).filterNot(_.isNaN)
+      val gated = (0 until n).filter(p => segGood(p)(segOfQuery(i)))
+        .map(p => perPass(p)(name)).filterNot(_.isNaN)
       val samples = if (gated.nonEmpty) gated else all
       (name, median(samples), if (all.isEmpty) Double.NaN else all.min)
     }
@@ -171,8 +214,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = mins.map(_._2).filterNot(_.isNaN).sum
     val runs = passTotals.map(fmt).mkString("[", ",", "]")
-    val calibJson = calib
-      .map { case (a, b) => "[" + fmt(a) + "," + fmt(b) + "]" }.mkString("[", ",", "]")
+    val calibJson = (0 until n)
+      .map(p => "[" + fmt(calibSeg(p)(0)) + "," + fmt(calibSeg(p)(nSegs)) + "]")
+      .mkString("[", ",", "]")
+    val calibSegJson = (0 until n)
+      .map(p => calibSeg(p).map(fmt).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val droppedSegsJson = droppedSegs
+      .map { case (p, s) => s"[$p,$s]" }.mkString("[", ",", "]")
     val droppedJson = droppedIdx.mkString("[", ",", "]")
     val failedJson = failedQueries.toSeq.filterNot(Set("calib", "warmup"))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -186,7 +235,7 @@ object Bench {
     val detail =
       f"""{"metric":"detail","sf":"$sfDir","n":$n,"spread":$spread,"passes":$passesJson}"""
     val compact =
-      f"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"mins":$minsJson,"medians":$mediansJson,"sf":"$sfDir","n":$n,"runs":$runs,"calib":$calibJson,"dropped_passes":$droppedJson,"failed":$failedJson}"""
+      f"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"mins":$minsJson,"medians":$mediansJson,"sf":"$sfDir","n":$n,"runs":$runs,"calib":$calibJson,"calib_seg":$calibSegJson,"dropped_passes":$droppedJson,"dropped_segments":$droppedSegsJson,"failed":$failedJson}"""
     // Both lines are FILES first (the medians line is ~3.7 KB for 117
     // queries; the driver's stdout tail keeps ~2.9 KB, so stdout alone
     // can never carry it whole); stdout prints detail first, compact
