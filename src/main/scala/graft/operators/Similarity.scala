@@ -726,9 +726,11 @@ object Similarity {
   }
 
   /** Encode every vector against trained codebooks — one map-only pass,
-    * all m codebooks in a single broadcast. */
+    * all m codebooks in a single broadcast. `keep` carries extra input
+    * columns (e.g. an IVF cluster id) through the encode so composing
+    * operators never need a corpus-wide join to re-attach them. */
   private[operators] def pqEncode(emb: DataFrame, sub: Int,
-      books: Array[Array[Array[Double]]]): DataFrame = {
+      books: Array[Array[Array[Double]]], keep: Seq[String] = Nil): DataFrame = {
     val spark = emb.sparkSession
     val m = books.length
     val bcAll = spark.sparkContext.broadcast(books)
@@ -759,7 +761,7 @@ object Similarity {
     }
     emb
       .withColumn("_pq", encodeUdf(col("embedding")))
-      .select(col("vec_id") +:
+      .select((col("vec_id") +: keep.map(col)) ++
         (0 until m).map(s => col("_pq._1").getItem(s).as(s"code_$s")) :+
         col("_pq._2").as("err"): _*)
   }
@@ -786,10 +788,25 @@ object Similarity {
     * is row-for-row the same. */
   def pqSearch(emb: DataFrame, probes: DataFrame, m: Int = 4, k: Int = 16,
       iters: Int = 1, topK: Int = 5): DataFrame = {
-    val spark = emb.sparkSession
     val (sub, books) = pqTrain(emb, m, k, iters).getOrElse(
       throw new IllegalArgumentException("pqSearch: empty corpus"))
     val codes = pqEncode(emb, sub, books)
+      .withColumn("codes", array((0 until m).map(s => col(s"code_$s")): _*))
+      .crossJoin(broadcast(probes.select(col("vec_id").as("probe_id"))))
+    adcRank(codes, probes, books, sub, topK)
+  }
+
+  /** Shared ADC query-time tail: per-probe m × k distance LUTs built
+    * driver-side (probes are query-sized) and broadcast, approximate
+    * distance = m table lookups per candidate row, then the BOUNDED
+    * top-k ([[graft.functions.TopKMinAgg]]). Input `cand` carries
+    * (probe_id, vec_id, codes); everything downstream is map-only plus
+    * a partitions × probes × topK exchange. */
+  private def adcRank(cand: DataFrame, probes: DataFrame,
+      books: Array[Array[Array[Double]]], sub: Int, topK: Int): DataFrame = {
+    val spark = cand.sparkSession
+    val m = books.length
+    val k = books.head.length
     val probeRows = probes.select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).collect()
     val lut: Map[Long, Array[Array[Double]]] = probeRows.map { r =>
@@ -815,9 +832,7 @@ object Similarity {
       d
     }
     val topkAgg = udaf(new graft.functions.TopKMinAgg(topK))
-    codes
-      .withColumn("codes", array((0 until m).map(s => col(s"code_$s")): _*))
-      .crossJoin(broadcast(probes.select(col("vec_id").as("probe_id"))))
+    cand
       .withColumn("adist", adistUdf(col("probe_id"), col("codes")))
       .groupBy(col("probe_id"))
       .agg(topkAgg(col("adist"), col("vec_id")).as("top"))
@@ -828,9 +843,48 @@ object Similarity {
         element_at(col("ds"), col("pos") + 1).as("adist"))
   }
 
+  /** IVF-PQ search (Jégou et al.'s IVFADC, the FAISS production shape):
+    * IVF list pruning composes IN FRONT of PQ-ADC scoring, so the ADC
+    * pass — and the bounded top-k behind it — sees only the vectors in
+    * each probe's `nprobe` nearest lists (~nprobe/nlist of the corpus),
+    * never the full codes frame. This declared row is the composition
+    * the r10 verdict asked to pin: [[pqSearch]] remains the prune-free
+    * ADC baseline (its own rank stage now bounded), and this is the
+    * production path where BOTH the candidate set and the rank state
+    * are sublinear.
+    *
+    * Dataflow: one map-only pass assigns cluster + codes together
+    * (cluster rides through [[pqEncode]]'s `keep` — no corpus-wide
+    * re-join), probe routing is a probe-sized broadcast joined on
+    * cluster id, ADC + bounded top-k as in [[pqSearch]]. Deterministic
+    * end to end (sampled centroids = first nlist by vec_id, cosine
+    * routing with lowest-cid ties, L2 ADC with lowest-vec_id ties), so
+    * the DuckDB oracle replays it EXACTLY — unlike the recall-bound
+    * ANN rows, every (probe, neighbor, rank, adist) tuple is
+    * value-checked. */
+  def ivfPqSearch(emb: DataFrame, probes: DataFrame, nlist: Int = 16,
+      nprobe: Int = 4, m: Int = 4, k: Int = 16, iters: Int = 1,
+      topK: Int = 5): DataFrame = {
+    val (sub, books) = pqTrain(emb, m, k, iters).getOrElse(
+      throw new IllegalArgumentException("ivfPqSearch: empty corpus"))
+    val cents = centroids(emb, nlist)
+    val codes = pqEncode(ivfAssignWith(emb, cents), sub, books,
+        keep = Seq("cluster"))
+      .withColumn("codes", array((0 until m).map(s => col(s"code_$s")): _*))
+    val pc = ivfProbeClusters(probes, cents, nprobe)
+      .select(col("probe_id"), col("cluster"))
+    adcRank(codes.join(broadcast(pc), Seq("cluster")), probes, books, sub, topK)
+  }
+
   private def x2PqSearch(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     pqSearch(emb, emb.filter(col("vec_id") < 10), 4, 16, 1, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  private def x2IvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    ivfPqSearch(emb, emb.filter(col("vec_id") < 10), 16, 4, 4, 16, 1, 5)
       .orderBy(col("probe_id"), col("rnk"))
   }
 
@@ -921,9 +975,67 @@ object Similarity {
        |ORDER BY probe_id, rnk""".stripMargin
   }
 
+  /** Exact IVFPQ replay: the [[x2PqSearchSql]] ADC idiom with three new
+    * CTEs in front — `ic` (sampled centroids = first nlist by vec_id),
+    * `asg` (cosine argmax assignment, lowest-cid ties — the
+    * [[x2KmeansSql]] idiom), `plists` (top-nprobe lists per probe,
+    * same ordering) — and the ADC scoring joined through the candidate
+    * set instead of the full cross product. */
+  private val x2IvfPqSearchSql = {
+    val (m, k, sub) = (4, 16, 16)
+    val (nlist, nprobe) = (16, 4)
+    def cos(v: String, c: String) =
+      s"""(list_dot_product($v, $c) /
+         |      (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c))))""".stripMargin
+    val luts = (0 until m).map { s =>
+      val (lo, hi) = (s * sub + 1, (s + 1) * sub)
+      s"""lut$s AS (
+         |  SELECT p.probe_id, c.cid, ${pqD2(s"p.v[$lo:$hi]", "c.cv")} AS d
+         |  FROM p CROSS JOIN c${s}_1 c)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until m).map(s => s"JOIN f$s USING (vec_id)").mkString(" ")
+    val lutJoins = (0 until m).map { s =>
+      s"JOIN lut$s l$s ON l$s.cid = codes.code_$s AND l$s.probe_id = cand.probe_id"
+    }.mkString("\n  ")
+    val dSum = (0 until m).map(s => s"l$s.d").mkString(" + ")
+    s"""WITH ${pqCommonSql(m, k, sub)},
+       |codes AS (
+       |  SELECT vec_id, ${(0 until m).map(s => s"code_$s").mkString(", ")}
+       |  FROM f0 $codeJoins),
+       |ic AS (
+       |  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT $nlist),
+       |asg AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN ic c) t WHERE rn = 1),
+       |p AS (SELECT vec_id AS probe_id, v FROM e WHERE vec_id < 10),
+       |plists AS (
+       |  SELECT probe_id, cluster FROM (
+       |    SELECT p.probe_id, c.cid AS cluster, row_number() OVER (
+       |      PARTITION BY p.probe_id
+       |      ORDER BY ${cos("p.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM p CROSS JOIN ic c) t WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT pl.probe_id, a.vec_id FROM plists pl JOIN asg a USING (cluster)),
+       |$luts,
+       |r AS (
+       |  SELECT cand.probe_id, cand.vec_id, $dSum AS adist
+       |  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
+       |  $lutJoins)
+       |SELECT probe_id, vec_id, rnk, adist FROM (
+       |  SELECT probe_id, vec_id, adist,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY probe_id ORDER BY adist, vec_id) AS INTEGER) AS rnk
+       |  FROM r) t
+       |WHERE rnk <= 5
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
+
   val all: Seq[Declared] = Seq(
     Declared("x2_pq_codes", x2PqCodes, Some(x2PqCodesSql)),
     Declared("x2_pq_search", x2PqSearch, Some(x2PqSearchSql)),
+    Declared("x2_ivfpq_search", x2IvfPqSearch, Some(x2IvfPqSearchSql)),
     Declared("x2_cosine_topk", x2Brute, Some(x2BruteSql)),
     Declared("x2_ann_lsh", x2Ann, Some(annBoundSql)),
     Declared("x2_ann_ivf", x2Ivf, Some(annBoundSql)),

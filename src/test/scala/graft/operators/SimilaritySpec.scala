@@ -199,6 +199,45 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("partial_topkminagg"), plan)
   }
 
+  test("ivfPqSearch: pruned ADC retrieval stays in-cluster and prunes for real") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two well-separated bundles (same fixture as the pqSearch test):
+    // IVF routing must keep each probe inside its own bundle's lists
+    def v(cluster: Int, j: Int) = Array.tabulate(8)(i =>
+      (if (cluster == 0) 1f else -1f) * (1f + 0.01f * ((j + i) % 5)))
+    val emb = ((0L until 20L).map(i => (i, v(0, i.toInt))) ++
+      (20L until 40L).map(i => (i, v(1, i.toInt)))).toDF("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") === 3L || col("vec_id") === 25L)
+    val out = Similarity.ivfPqSearch(emb, probes, nlist = 8, nprobe = 2,
+        m = 2, k = 4, iters = 1, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.length == 10)
+    out.groupBy(_._1).foreach { case (probe, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to 5), s"probe $probe ranks")
+      assert(sorted.map(_._4).sliding(2).forall(p => p.head <= p.last + 1e-12))
+      val cluster = if (probe < 20) (0L until 20L) else (20L until 40L)
+      assert(sorted.forall(r => cluster.contains(r._2)),
+        s"probe $probe escaped its bundle: $sorted")
+    }
+    // pruning is real: the candidate pool each probe's ADC pass scans is
+    // the probed lists only — strictly smaller than the corpus
+    val cents = Similarity.centroids(emb, 8)
+    val assigned = Similarity.ivfAssignWith(emb, cents)
+      .select(col("vec_id"), col("cluster"))
+    val pool = Similarity.ivfProbeClusters(probes, cents, 2)
+      .select(col("probe_id"), col("cluster"))
+      .join(assigned, Seq("cluster")).count()
+    assert(pool < 2 * 40, s"candidate pool $pool of ${2 * 40} probe-corpus pairs")
+    // plan shape: bounded agg (no window), candidates via broadcast join
+    val plan = Similarity.ivfPqSearch(emb, probes, 8, 2, 2, 4, 1, 5)
+      .queryExecution.executedPlan.treeString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_topkminagg"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("kmeans: Lloyd refinement recovers planted clusters from bad seeds") {
     import spark.implicits._
     // two tight, well-separated bundles; BOTH seeds (first 2 by vec_id)
