@@ -51,14 +51,19 @@ object PlanPin {
     "q37_important_stock", "q38_bucketed_join",
     "xt_bm25", "xc_gopher_rules", "xc_stratified",
     "q39_shipping_priority", "xt_word_freq_score", "x2_pq_codes",
-    "x2_pq_search")
+    "x2_pq_search", "x2_ivfpq_search")
 
   val pinFile = "PLANPINS.txt"
   val sfDir = "/root/testdata/sf0.001"
 
   /** Indent + operator name per plan line, nothing else. */
   def skeleton(df: DataFrame): String =
-    df.queryExecution.executedPlan.treeString.linesIterator.map { l =>
+    skeletonOf(df.queryExecution.executedPlan)
+
+  /** Same strip for an already-materialized plan (e.g. a streaming
+    * micro-batch's `lastExecution.executedPlan` — [[StreamPlanPin]]). */
+  def skeletonOf(plan: org.apache.spark.sql.execution.SparkPlan): String =
+    plan.treeString.linesIterator.map { l =>
       val i = l.indexWhere(_.isLetter)
       if (i < 0) l
       else l.substring(0, i) + l.substring(i).takeWhile(c => c.isLetterOrDigit || c == '.')

@@ -1,0 +1,105 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Dedup
+import graft.streaming.EventStreams
+
+/** Streaming-plan drift pin (VERDICT r10 item 5): [[PlanPin]] covers
+  * the batch skeletons, but the S-family queries EXECUTE as micro-batch
+  * `IncrementalExecution` plans — state-store operators, watermark
+  * filters, and the per-trigger join strategy only exist there, so a
+  * broadcast→shuffle flip inside a trigger or a state-store format
+  * drift was invisible to the batch pins and would have surfaced only
+  * as a bench mystery.
+  *
+  * Each pinned entry starts the REAL streaming transform on a
+  * MemoryStream with a deterministic three-row batch, runs one trigger
+  * to completion, and skeletonizes `lastExecution.executedPlan` — the
+  * plan that actually runs per micro-batch (`StateStoreRestore`/
+  * `StateStoreSave`, `SessionWindowStateStore…`, broadcast exchanges
+  * and all). Plus the per-batch core of the xs_curate_stream pipeline
+  * (its in-batch minhash band self-join), pinned as the batch plan the
+  * `foreachBatch` body builds every trigger.
+  *
+  * Committed to `STREAMPINS.txt`; `StreamPlanPinSpec` recomputes and
+  * fails on drift. Regenerate after an INTENTIONAL change with
+  * `sbt "runMain graft.tools.StreamPinWrite"`.
+  */
+object StreamPlanPin {
+  val pinFile = "STREAMPINS.txt"
+  val sfDir = "/root/testdata/sf0.001"
+
+  final case class PinEv(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  private def t(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  private val rows = Seq(
+    PinEv(1, t(0), 1, "click", 1.0, "{}"),
+    PinEv(2, t(3), 2, "view", 2.0, "{}"),
+    PinEv(3, t(12), 1, "click", 4.0, "{}"))
+
+  /** Run one micro-batch of `transform` over a MemoryStream and return
+    * the executed IncrementalExecution plan's skeleton. */
+  private def microBatchSkeleton(spark: SparkSession,
+      transform: DataFrame => DataFrame, outputMode: String): String = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[PinEv]
+    mem.addData(rows: _*)
+    val q = transform(mem.toDF()).writeStream.format("noop")
+      .outputMode(outputMode).start()
+    try q.processAllAvailable() finally q.stop()
+    PlanPin.skeletonOf(q.asInstanceOf[StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan)
+  }
+
+  /** The xs_curate_stream per-batch near-dup core: the shape built by
+    * `CurateStream.processBatch` every trigger — shingle → fused
+    * minhash signature → banded LSH self-join. Batch frame, so the
+    * skeleton comes from the ordinary physical plan. */
+  private def curateBatchNearDup(spark: SparkSession): String = {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "wholly different content with its own words here"))
+      .toDF("doc_id", "text")
+    val shingled = Dedup.shingleAndSign(docs, Dedup.wordShingleHashes)
+    PlanPin.skeletonOf(
+      Dedup.lshCandidates(shingled).queryExecution.executedPlan)
+  }
+
+  def currentSkeletons(spark: SparkSession): Seq[(String, String)] = Seq(
+    "s1_tumbling_window_microbatch" ->
+      microBatchSkeleton(spark, EventStreams.tumbling, "complete"),
+    "s4_stream_static_join_microbatch" ->
+      microBatchSkeleton(spark,
+        ev => EventStreams.enrichAgg(ev,
+          Tables.load(spark, sfDir, "customer")), "complete"),
+    "s6_distinct_users_microbatch" ->
+      microBatchSkeleton(spark, EventStreams.windowDistinctUsers, "complete"),
+    "s3_dedup_microbatch" ->
+      microBatchSkeleton(spark, EventStreams.dedupStream, "append"),
+    "xs_curate_batch_neardup" -> curateBatchNearDup(spark))
+}
+
+/** Regenerate STREAMPINS.txt after an intentional streaming-plan change. */
+object StreamPinWrite {
+  def main(a: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.builder("local[8]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(StreamPlanPin.pinFile),
+      PlanPin.render(StreamPlanPin.currentSkeletons(spark)))
+    println(s"WROTE ${StreamPlanPin.pinFile}")
+    spark.stop()
+  }
+}
