@@ -48,6 +48,15 @@ object Bucketing {
     *      via CREATE TABLE ... CLUSTERED BY ... LOCATION (metadata-only);
     *   3. otherwise build with [[writeBucketed]] and drop the marker.
     *
+    * SINGLE-WRITER ASSUMPTION (ADVICE r10): the delete → build → rename
+    * → marker-write sequence takes no lock, so two JVMs racing to build
+    * the same fingerprint can delete the directory the other just
+    * registered. That is the deployment contract of this helper — one
+    * driver owns a warehouse dir (the bench/driver topology here); a
+    * multi-writer deployment must serialize externally (a real
+    * metastore's table lock, or a per-table advisory lock) before
+    * calling this.
+    *
     * Returns the resolved table name.
     */
   def ensureBucketed(df: DataFrame, table: String, key: String, buckets: Int,

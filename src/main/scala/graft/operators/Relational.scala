@@ -1930,9 +1930,25 @@ object Relational {
     // distinct source file and reused by every later invocation (bench
     // re-runs, repeated sessions) — the layout write is amortized, the
     // timed work is the Exchange-free join itself
+    // fail fast on a missing fixture (a directory or absent file would
+    // silently fingerprint as 0:0 and reuse a stale layout), and fold a
+    // content signal: the CRC of the parquet footer tail — the footer
+    // carries row-group statistics, so a regeneration that happens to
+    // preserve length+mtime still flips the fingerprint (ADVICE r10)
     def fp(name: String): String = {
       val f = new java.io.File(s"$dir/$name.parquet")
-      s"$dir/$name:${f.length}:${f.lastModified}"
+      require(f.isFile, s"q38: fixture file not found: ${f.getPath}")
+      val raf = new java.io.RandomAccessFile(f, "r")
+      val tailCrc = try {
+        val n = math.min(4096L, raf.length).toInt
+        raf.seek(raf.length - n)
+        val buf = new Array[Byte](n)
+        raf.readFully(buf)
+        val c = new java.util.zip.CRC32()
+        c.update(buf)
+        c.getValue
+      } finally raf.close()
+      s"$dir/$name:${f.length}:${f.lastModified}:$tailCrc"
     }
     val bLineitem = graft.core.Bucketing.ensureBucketed(
       t(spark, dir, "lineitem").select($"l_orderkey", $"l_extendedprice", $"l_discount"),

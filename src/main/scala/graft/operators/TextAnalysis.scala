@@ -478,8 +478,13 @@ object TextAnalysis {
     * opaque HLL++ buffer does not expose as a value. Family contract
     * (never trust the sketch): the union estimate is checked against
     * the exact global distinct (≤ 5 % at lgK = 12) and against the
-    * subadditivity bound (union ≤ sum of per-language exacts), both
-    * engine-computed; the oracle states the exact values and TRUE. */
+    * subadditivity bound — union ≤ sum of per-language exacts WITH the
+    * sketch's 5 % error headroom, because an HLL ESTIMATE may
+    * overestimate: with the exact bound a fixture drifting toward a
+    * single language (sum ≈ exact union) would let a legitimate small
+    * overestimate flip the flag against the oracle's hard-coded TRUE
+    * (ADVICE r10). Both engine-computed; the oracle states the exact
+    * values and TRUE. */
   private def x4HllUnion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tok = Tables.load(spark, dir, "documents")
@@ -496,7 +501,7 @@ object TextAnalysis {
       .select($"n_langs", $"exact_union",
         (abs($"est_union" - $"exact_union") / $"exact_union" <= 0.05)
           .as("union_within_bound"),
-        ($"est_union" <= $"sum_lang_exact").as("union_le_sum"))
+        ($"est_union" <= $"sum_lang_exact" * 1.05).as("union_le_sum"))
   }
 
   private val x4HllUnionSql =

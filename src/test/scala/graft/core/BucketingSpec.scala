@@ -64,4 +64,43 @@ class BucketingSpec extends SparkSpec {
     val other = Bucketing.ensureBucketed(orders, "eb_orders", "o_orderkey", 4, "fp-B")
     assert(other != name)
   }
+
+  test("tier-2 re-registered tables still join without an Exchange (ADVICE r10)") {
+    import org.apache.spark.sql.functions.col
+    val orders = Tables.load(spark, sf("sf0.001"), "orders")
+    val lineitem = Tables.load(spark, sf("sf0.001"), "lineitem")
+    val tO = Bucketing.ensureBucketed(orders.select(col("o_orderkey"),
+      col("o_orderpriority")), "eb2_orders", "o_orderkey", 4, "fp-X")
+    val tL = Bucketing.ensureBucketed(lineitem.select(col("l_orderkey"),
+      col("l_extendedprice")), "eb2_lineitem", "l_orderkey", 4, "fp-X")
+    def mtimes(t: String): Map[String, Long] = {
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.getPath.getName.startsWith("part-"))
+        .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    }
+    val (mO, mL) = (mtimes(tO), mtimes(tL))
+    // the catalog forgets (fresh-JVM analog: the in-memory catalog
+    // starts empty while the warehouse dirs survive) ...
+    spark.sql(s"DROP TABLE `$tO`")
+    spark.sql(s"DROP TABLE `$tL`")
+    // ... and the marker path re-registers BOTH sides metadata-only
+    assert(Bucketing.ensureBucketed(orders.select(col("o_orderkey"),
+      col("o_orderpriority")), "eb2_orders", "o_orderkey", 4, "fp-X") == tO)
+    assert(Bucketing.ensureBucketed(lineitem.select(col("l_orderkey"),
+      col("l_extendedprice")), "eb2_lineitem", "l_orderkey", 4, "fp-X") == tL)
+    assert(mtimes(tO) == mO && mtimes(tL) == mL,
+      "re-registration must not rewrite data files")
+    // the q38 economics claim: the re-registered layout still carries
+    // its bucketing metadata, so the join plans Exchange-free
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.bucketedJoin(spark, tL, tO, "l_orderkey", "o_orderkey")
+      assert(joined.count() == lineitem.count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

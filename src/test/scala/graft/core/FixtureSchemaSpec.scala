@@ -20,6 +20,16 @@ import graft.{SparkEntry, SparkSpec}
   * Streaming-only entries that cannot analyze in a batch context are
   * expected to still build their DataFrame lazily; any entry that
   * throws on analysis is reported with its name.
+  *
+  * NOT analysis-only for every entry (ADVICE r10): a handful of
+  * queries execute real work at DataFrame-CONSTRUCTION time — q38 runs
+  * `ensureBucketed` (writes/reuses the bucketed layout), the x2_pq_*
+  * rows train codebooks, labelOutliers runs its bounded centroid
+  * fetch, and the loop/stream rows (x1_dedup_clusters, xs_*)
+  * materialize intermediate state. The tripwire keeps them anyway:
+  * construction failing on drifted fixtures is exactly the signal this
+  * spec exists to catch, and the cost (a few seconds at sf0.001) is
+  * the price of covering the full contract surface.
   */
 class FixtureSchemaSpec extends SparkSpec {
 
