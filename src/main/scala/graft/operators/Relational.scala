@@ -1930,16 +1930,16 @@ object Relational {
     // distinct source file and reused by every later invocation (bench
     // re-runs, repeated sessions) — the layout write is amortized, the
     // timed work is the Exchange-free join itself
-    // fail fast on a missing fixture (a directory or absent file would
-    // silently fingerprint as 0:0 and reuse a stale layout), and fold a
-    // content signal: the CRC of the parquet footer tail — the footer
-    // carries row-group statistics, so a regeneration that happens to
-    // preserve length+mtime still flips the fingerprint (ADVICE r10)
-    def fp(name: String): String = {
-      val f = new java.io.File(s"$dir/$name.parquet")
-      require(f.isFile, s"q38: fixture file not found: ${f.getPath}")
+    // fail fast on a missing fixture (an absent path would silently
+    // fingerprint as 0:0 and reuse a stale layout), and fold a content
+    // signal: the CRC of the parquet footer tail — the footer carries
+    // row-group statistics, so a regeneration that happens to preserve
+    // length+mtime still flips the fingerprint (ADVICE r10). Handles
+    // both fixture shapes: the driver's single-file tables and
+    // directory-shaped ones (the sf1 amplification's part files).
+    def tailCrc(f: java.io.File): Long = {
       val raf = new java.io.RandomAccessFile(f, "r")
-      val tailCrc = try {
+      try {
         val n = math.min(4096L, raf.length).toInt
         raf.seek(raf.length - n)
         val buf = new Array[Byte](n)
@@ -1948,7 +1948,20 @@ object Relational {
         c.update(buf)
         c.getValue
       } finally raf.close()
-      s"$dir/$name:${f.length}:${f.lastModified}:$tailCrc"
+    }
+    def fp(name: String): String = {
+      val f = new java.io.File(s"$dir/$name.parquet")
+      require(f.exists, s"q38: fixture not found: ${f.getPath}")
+      if (f.isFile) s"$dir/$name:${f.length}:${f.lastModified}:${tailCrc(f)}"
+      else {
+        val parts = f.listFiles()
+          .filter(p => p.isFile && p.getName.startsWith("part-")).sortBy(_.getName)
+        require(parts.nonEmpty, s"q38: no part files under ${f.getPath}")
+        val c = new java.util.zip.CRC32()
+        parts.foreach(p =>
+          c.update(s"${p.getName}:${p.length}:${p.lastModified}".getBytes("UTF-8")))
+        s"$dir/$name:dir:${parts.length}:${c.getValue}:${tailCrc(parts.last)}"
+      }
     }
     val bLineitem = graft.core.Bucketing.ensureBucketed(
       t(spark, dir, "lineitem").select($"l_orderkey", $"l_extendedprice", $"l_discount"),
