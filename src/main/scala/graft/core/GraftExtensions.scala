@@ -39,5 +39,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> children.length.toString, "docroot" -> ""))
         graft.operators.Layout.zvalue16Expr(children(0), children(1))
       }))
+    // hilbert16(x, y): the Hilbert clustering key as a SQL function —
+    // backed by the codegen'd HilbertExpr kernel (the rotation loop
+    // can't be a flat built-in-node tree; see graft.functions.Hilbert).
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert16"),
+      new ExpressionInfo(classOf[graft.functions.HilbertExpr].getName, "hilbert16"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "hilbert16", "expectedNum" -> "2",
+              "actualNum" -> children.length.toString, "docroot" -> ""))
+        graft.functions.Hilbert.hvalue16Expr(children(0), children(1))
+      }))
   }
 }

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Persisted IVF-PQ index: the build-once / query-many split a
+  * production ANN service runs. [[Similarity.ivfPqSearch]] is the
+  * composed dataflow, but it re-trains codebooks and re-encodes the
+  * corpus on EVERY call — fine for a declared row, wrong for the 100 TB
+  * regime where the encode pass is the expensive one-time scan (FAISS
+  * practice: train on a sample, encode once, serve queries against the
+  * stored codes). This store writes the three artifacts as parquet —
+  *
+  *   - `centroids`  (cid, centroid double[], norm): nlist rows
+  *   - `codebooks`  (subspace, code, vec double[]): m × k rows
+  *   - `codes`      (vec_id, cluster, code_0..code_{m-1}): corpus-sized,
+  *                  the 100 TB table — dim floats → m bytes per vector
+  *   - `meta`       (nlist, m, k, sub, dim): 1 row
+  *
+  * and [[searchIvfPq]] serves queries with NO training and NO
+  * full-vector read: centroids/codebooks/meta are bounded loads (the
+  * same nlist × dim / m × k × sub driver-state bound every IVF path
+  * argues from), and the codes table is the only corpus-sized scan.
+  * Search results are bit-identical to the in-memory composition
+  * ([[IndexStoreSpec]] asserts row equality vs [[Similarity.ivfPqSearch]];
+  * the `x2_ivfpq_persisted` declared row hash-matches the SAME DuckDB
+  * oracle as `x2_ivfpq_search`).
+  *
+  * Writes are plain overwrite-mode parquet: per-table `_SUCCESS`
+  * markers gate partial dirs ([[load]] requires them), and the whole
+  * index is rebuilt atomically-enough for the single-writer batch jobs
+  * that build indexes — concurrent builders of the SAME dir are out of
+  * contract (the q38 Bucketing caveat, documented not locked).
+  */
+object IndexStore {
+
+  /** Train (sample-bounded), assign, encode, persist. One corpus scan
+    * for the count-free path (nlist/m/k fixed), plus the bounded
+    * training collects of [[Similarity.pqTrain]]/[[Similarity.centroids]]. */
+  def buildIvfPq(emb: DataFrame, dir: String, nlist: Int = 16, m: Int = 4,
+      k: Int = 16, iters: Int = 1): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (sub, books) = Similarity.pqTrain(emb, m, k, iters).getOrElse(
+      throw new IllegalArgumentException("buildIvfPq: empty corpus"))
+    val cents = Similarity.centroids(emb, nlist)
+    cents.toSeq.map { case (cid, cv, cn) => (cid, cv.toSeq, cn) }
+      .toDF("cid", "centroid", "norm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    books.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (cv, c) => (s, c, cv.toSeq) }
+    }.toSeq.toDF("subspace", "code", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    Similarity.pqEncode(Similarity.ivfAssignWith(emb, cents), sub, books,
+        keep = Seq("cluster"))
+      .drop("err") // reconstruction error is a training diagnostic, not index state
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    Seq((nlist, m, k, sub, books.head.head.length * m))
+      .toDF("nlist", "m", "k", "sub", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def requireTable(spark: SparkSession, dir: String, t: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$t/_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"IndexStore: $dir/$t missing or partially written (no _SUCCESS) — rebuild the index")
+    s"$dir/$t"
+  }
+
+  /** Bounded index state reloaded from disk: (meta, centroids, books). */
+  private[operators] def load(spark: SparkSession, dir: String)
+      : (Int, Int, Int, Int, Array[(Long, Array[Double], Double)], Array[Array[Array[Double]]]) = {
+    import spark.implicits._
+    val meta = spark.read.parquet(requireTable(spark, dir, "meta"))
+      .select("nlist", "m", "k", "sub").as[(Int, Int, Int, Int)].head()
+    val (nlist, m, k, sub) = meta
+    val cents = spark.read.parquet(requireTable(spark, dir, "centroids"))
+      .select("cid", "centroid", "norm").as[(Long, Array[Double], Double)]
+      .collect().sortBy(_._1)
+    require(cents.length == nlist, s"IndexStore: ${cents.length} centroids, meta says $nlist")
+    val bookRows = spark.read.parquet(requireTable(spark, dir, "codebooks"))
+      .select("subspace", "code", "vec").as[(Int, Int, Array[Double])].collect()
+    require(bookRows.length == m * k, s"IndexStore: ${bookRows.length} codewords, meta says ${m * k}")
+    val books = Array.ofDim[Array[Double]](m, k)
+    bookRows.foreach { case (s, c, v) => books(s)(c) = v }
+    (nlist, m, k, sub, cents, books.map(_.toArray))
+  }
+
+  /** Query the persisted index: probe routing against the reloaded
+    * centroids (probe-sized broadcast), candidate join on cluster id
+    * against the stored codes (the only corpus-sized scan — m ints per
+    * row, no embedding column), ADC + bounded top-k exactly as the
+    * in-memory path. */
+  def searchIvfPq(spark: SparkSession, dir: String, probes: DataFrame,
+      nprobe: Int = 4, topK: Int = 5): DataFrame = {
+    val (_, m, _, sub, cents, books) = load(spark, dir)
+    val codes = spark.read.parquet(requireTable(spark, dir, "codes"))
+      .withColumn("codes", array((0 until m).map(s => col(s"code_$s").cast(IntegerType)): _*))
+    val pc = Similarity.ivfProbeClusters(probes, cents, nprobe)
+      .select(col("probe_id"), col("cluster"))
+    Similarity.adcRank(codes.join(broadcast(pc), Seq("cluster")),
+      probes, books, sub, topK)
+  }
+
+  // ----------------------------------------------------------- declared
+  /** Build-once/query-many as a driver-checked row: builds the index
+    * into a fingerprint-keyed warehouse dir (re-used across passes, the
+    * q38 amortization discipline — the BUILD is the one-time 100 TB
+    * scan, so benching it per-pass would measure the wrong thing), then
+    * serves the same 10 probes as `x2_ivfpq_search` from the stored
+    * codes. Same oracle: the round-trip must be invisible. */
+  private[operators] def x2IvfPqPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val ixDir = indexDirFor(spark, dir)
+    searchIvfPq(spark, ixDir, emb.filter(col("vec_id") < 10), 4, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Warehouse location keyed on the fixture's content fingerprint
+    * (size + mtime of the source parquet, directory-aware like q38's);
+    * builds on first use, reuses afterwards. */
+  private def indexDirFor(spark: SparkSession, dir: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(src), s"IndexStore: fixture $src missing")
+    val st = fs.getFileStatus(src)
+    val fp =
+      if (st.isDirectory) {
+        val parts = fs.listStatus(src).filter(_.isFile).sortBy(_.getPath.getName)
+        s"${parts.map(_.getLen).sum}:${parts.map(_.getModificationTime).max}:${parts.length}"
+      } else s"${st.getLen}:${st.getModificationTime}"
+    val ixDir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${fp.hashCode.toHexString}"
+    val marker = new org.apache.hadoop.fs.Path(s"$ixDir/_graft_fingerprint")
+    val ok = fs.exists(marker) && {
+      val in = fs.open(marker)
+      val read = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      read == fp
+    }
+    if (!ok) {
+      val emb = graft.core.Tables.load(spark, dir, "embeddings")
+      buildIvfPq(emb, ixDir, 16, 4, 16, 1)
+      val out = fs.create(marker, true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+    }
+    ixDir
+  }
+
+  val all: Seq[Declared] = Seq(
+    Declared("x2_ivfpq_persisted", x2IvfPqPersisted, Some(Similarity.x2IvfPqSearchSql)))
+}

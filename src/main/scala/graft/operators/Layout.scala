@@ -91,6 +91,61 @@ object Layout {
        |LIMIT 1000""".stripMargin
   }
 
+  /** Re-layout `df` clustered on the Hilbert index of (x, y) — same
+    * one-shuffle pass as [[layoutByZorder]] with the tighter-locality
+    * key ([[graft.functions.Hilbert]]): consecutive curve positions
+    * are always grid neighbors, so equal key ranges cut tighter
+    * bounding boxes than Z-order's quadrant-seam jumps
+    * (`LayoutSpec` measures the box areas side by side). */
+  def layoutByHilbert(df: DataFrame, x: String, y: String, files: Int): DataFrame = {
+    val withH = df.withColumn("_h", graft.functions.Hilbert.hvalue16(col(x), col(y)))
+    withH.repartitionByRange(files, col("_h"))
+      .sortWithinPartitions(col("_h"))
+      .drop("_h")
+  }
+
+  // ----------------------------------------------------------- declared
+  /** Hilbert indices of the same key pairs as [[xlZorder]] — the
+    * alternative clustering key, computed by the codegen'd
+    * [[graft.functions.HilbertExpr]] kernel. The DuckDB oracle replays
+    * the 16-round rotation loop as a generated 17-CTE chain (one CTE
+    * per curve order, each rewriting (x, y, d) from the previous — the
+    * same unrolled-iteration oracle idiom as x2_pq_codes), so the
+    * engine's custom expression is value-checked bit-for-bit, not
+    * rows-only. */
+  private def xlHilbert(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        graft.functions.Hilbert.hvalue16(col("l_partkey"), col("l_suppkey")).as("hval"))
+      .orderBy(col("hval"), col("l_orderkey"), col("l_linenumber"))
+      .limit(1000)
+  }
+
+  private val xlHilbertSql = {
+    val ctes = Seq(
+      "c16 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+        "CAST(l_partkey AS BIGINT) & 65535 AS x, CAST(l_suppkey AS BIGINT) & 65535 AS y, " +
+        "CAST(0 AS BIGINT) AS d FROM lineitem)") ++
+      (15 to 0 by -1).map { i =>
+        val s = 1L << i
+        val rx = s"((x >> $i) & 1)"
+        val ry = s"((y >> $i) & 1)"
+        // (3·rx) XOR ry without an engine-specific xor function
+        val quad = s"CASE WHEN $rx = 0 AND $ry = 0 THEN 0 WHEN $rx = 0 THEN 1 " +
+          s"WHEN $ry = 0 THEN 3 ELSE 2 END"
+        val newx = s"CASE WHEN $ry = 1 THEN x WHEN $rx = 1 THEN ${s - 1} - y ELSE y END"
+        val newy = s"CASE WHEN $ry = 1 THEN y WHEN $rx = 1 THEN ${s - 1} - x ELSE x END"
+        s"c$i AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+          s"$newx AS x, $newy AS y, d + ${s * s} * ($quad) AS d FROM c${i + 1})"
+      }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, d AS hval FROM c0
+       |ORDER BY hval, l_orderkey, l_linenumber
+       |LIMIT 1000""".stripMargin
+  }
+
   val all: Seq[Declared] = Seq(
-    Declared("xl_zorder_key", xlZorder, Some(xlZorderSql)))
+    Declared("xl_zorder_key", xlZorder, Some(xlZorderSql)),
+    Declared("xl_hilbert_key", xlHilbert, Some(xlHilbertSql)))
 }

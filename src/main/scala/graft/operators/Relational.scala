@@ -1016,14 +1016,18 @@ object Relational {
     import spark.implicits._
     val badSupp = t(spark, dir, "supplier")
       .filter($"s_acctbal" < 0).select($"s_suppkey")
-    // pre-distinct the (part, supplier) pairs BEFORE the join: a part is
-    // supplied by the same supplier across many lines, so the join input
-    // shrinks from all lineitem to the distinct pair set (map-side
-    // combine does the dedup work); the final count is then two-level
-    // (group × supplier, then count) — no mixed-distinct Expand, no
-    // re-dedup of what the pair set already guarantees
+    // two-level count (group × supplier partial-agg, then count) instead
+    // of countDistinct: same dedup work, no input-duplicating Expand.
+    // NO pre-distinct of the (part, supplier) pairs, though: this
+    // fixture's pairs are near-unique (measured 600k lines → 591k
+    // distinct pairs at sf0.1, a 1.5 % shrink), so a dedicated distinct
+    // costs a full extra shuffle to save nothing — the r10 "pre-distinct"
+    // rewrite's warm-JVM win did not replicate in driver-shaped runs
+    // (2.09 → 2.20 s cold-min). On a pair-repeating distribution (real
+    // TPC-H partsupp fan-out) the pre-distinct IS the right first move;
+    // measure the shrink before paying the shuffle.
     val pairs = t(spark, dir, "lineitem")
-      .select($"l_partkey", $"l_suppkey").distinct()
+      .select($"l_partkey", $"l_suppkey")
       .join(broadcast(badSupp), $"l_suppkey" === $"s_suppkey", "left_anti")
     t(spark, dir, "part")
       .filter($"p_brand" =!= "Brand#13" && $"p_type" =!= "PROMO")

@@ -802,7 +802,7 @@ object Similarity {
     * top-k ([[graft.functions.TopKMinAgg]]). Input `cand` carries
     * (probe_id, vec_id, codes); everything downstream is map-only plus
     * a partitions × probes × topK exchange. */
-  private def adcRank(cand: DataFrame, probes: DataFrame,
+  private[operators] def adcRank(cand: DataFrame, probes: DataFrame,
       books: Array[Array[Array[Double]]], sub: Int, topK: Int): DataFrame = {
     val spark = cand.sparkSession
     val m = books.length
@@ -981,7 +981,7 @@ object Similarity {
     * [[x2KmeansSql]] idiom), `plists` (top-nprobe lists per probe,
     * same ordering) — and the ADC scoring joined through the candidate
     * set instead of the full cross product. */
-  private val x2IvfPqSearchSql = {
+  private[operators] val x2IvfPqSearchSql = {
     val (m, k, sub) = (4, 16, 16)
     val (nlist, nprobe) = (16, 4)
     def cos(v: String, c: String) =

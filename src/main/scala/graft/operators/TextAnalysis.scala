@@ -515,6 +515,145 @@ object TextAnalysis {
       |  TRUE AS union_le_sum
       |FROM tok""".stripMargin
 
+  // ------------------------------------------------- KMV set operations
+  /** X4d — cross-shard set-overlap estimation via KMV (k-minimum-values)
+    * sketches ([[graft.functions.KmvAgg]]): per-language 5-word-shingle
+    * sketches support not just distinct counting (HLL's territory) but
+    * set OPERATIONS — K(A∪B) = k smallest of two merged sketches, and
+    * Jaccard(A,B) ≈ |K(A∪B) ∩ K(A) ∩ K(B)| / |K(A∪B)| (Beyer et al.
+    * SIGMOD 2007). That is the contamination/overlap question a corpus
+    * pipeline asks ACROSS shards ("how much does shard A's content
+    * overlap shard B's?") answered from k·nShards retained hashes,
+    * where the exact answer re-shuffles every shingle.
+    *
+    * Scale posture: shingle + hash is map-only, and the PRODUCTION
+    * sketch pass needs NO pre-distinct — [[graft.functions.KmvAgg]]
+    * dedups inside the buffer, so the aggregate runs under
+    * ObjectHashAggregate with map-side partials and the exchange
+    * carries ≤ partitions × nLangs × k longs off the raw shingle
+    * stream. THIS declared row also computes the exact verification
+    * side, which requires the distinct (lang, shingle) set anyway — so
+    * the sketch rides that same distinct (its internal dedup a no-op)
+    * and the exact count falls out of the same aggregation; pairwise
+    * exact intersections come from per-shingle lang sets (one keyed
+    * aggregation, ≤ C(nLangs,2) emitted pairs per shingle — no corpus
+    * self-join). The pair stage is nLangs² sketch rows.
+    * Hash = first 48 bits of md5 (bit-identical across engines),
+    * so the DuckDB oracle replays the sketch EXACTLY — estimates
+    * hash-match as values, and the bound flags (distinct within 10 % ≈
+    * 3.2σ at k=1024; Jaccard within ±0.02 ≈ 5σ) are computed, not
+    * hard-coded. Estimator: m if m < k (a short buffer IS the exact
+    * hash set), else (k−1)·2⁴⁸ / h₍ₖ₎. */
+  private def x4KmvJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 1024
+    // (k-1)·2^48 < 2^58: exactly representable as a double, so the
+    // estimate division is bit-identical in any IEEE engine
+    val scaleNum = (k - 1).toDouble * 281474976710656.0
+    val sh = Tables.load(spark, dir, "documents")
+      .select($"lang", explode(Dedup.shingles($"text")).as("s"))
+    val d = sh.distinct()
+    // ONE per-lang aggregation carries both the sketch and the exact
+    // distinct (the verify side): the input is already the distinct
+    // (lang, shingle) set, so count(*) IS the exact cardinality and the
+    // sketch's internal dedup is a no-op — 2 corpus passes for the
+    // per-lang state (the self-paired subtree) instead of 4
+    val kmv = udaf(new graft.functions.KmvAgg(k))
+    val perLang = d
+      .withColumn("h", conv(substring(md5($"s".cast(BinaryType)), 1, 12), 16, 10)
+        .cast(LongType))
+      .groupBy($"lang").agg(kmv($"h").as("sk"), count(lit(1)).as("exact_d"))
+    // exact pairwise intersections WITHOUT a corpus self-join: group the
+    // distinct (lang, shingle) rows by shingle into per-shingle lang
+    // sets (bounded at nLangs), then emit each set's ≤ C(nLangs, 2)
+    // ordered pairs — one keyed aggregation instead of re-shuffling both
+    // join sides and amplifying through the match (measured 8.9 s → the
+    // join was the row's dominant cost at sf1)
+    val inter = d.groupBy($"s").agg(collect_set($"lang").as("ls"))
+      .select(explode($"ls").as("lang_a"), $"ls")
+      .select($"lang_a", explode($"ls").as("lang_b"))
+      .filter($"lang_a" < $"lang_b")
+      .groupBy($"lang_a", $"lang_b").agg(count(lit(1)).as("exact_inter"))
+    def est(sk: Column): Column =
+      when(size(sk) < k, size(sk).cast(DoubleType))
+        .otherwise(lit(scaleNum) / element_at(sk, k).cast(DoubleType))
+    val skA = perLang.select($"lang".as("lang_a"), $"sk".as("ska"),
+      $"exact_d".as("exact_a"))
+    val skB = perLang.select($"lang".as("lang_b"), $"sk".as("skb"),
+      $"exact_d".as("exact_b"))
+    skA.join(skB, $"lang_a" < $"lang_b")
+      .join(inter, Seq("lang_a", "lang_b"), "left")
+      .na.fill(0L, Seq("exact_inter"))
+      .withColumn("ku", slice(array_sort(array_union($"ska", $"skb")), 1, k))
+      .select($"lang_a", $"lang_b", $"exact_a", $"exact_b", $"exact_inter",
+        est($"ska").as("est_a"), est($"skb").as("est_b"),
+        est($"ku").as("est_union"),
+        (size(array_intersect(array_intersect($"ku", $"ska"), $"skb"))
+          .cast(DoubleType) / size($"ku")).as("est_jaccard"),
+        ($"exact_inter".cast(DoubleType) /
+          ($"exact_a" + $"exact_b" - $"exact_inter")).as("exact_jaccard"))
+      .withColumn("d_within_bound",
+        abs($"est_a" - $"exact_a") / $"exact_a" <= 0.1 &&
+          abs($"est_b" - $"exact_b") / $"exact_b" <= 0.1)
+      .withColumn("j_within_bound",
+        abs($"est_jaccard" - $"exact_jaccard") <= 0.02)
+      .orderBy($"lang_a", $"lang_b")
+  }
+
+  /** Replays the sketch exactly: same 48-bit md5 hash, same k smallest
+    * distinct values per language (rank window), same estimator
+    * arithmetic — the estimates are VALUES both engines must agree on,
+    * not bound-gated approximations. */
+  private val x4KmvJaccardSql = {
+    val k = 1024
+    val scaleNum = (k - 1).toLong * 281474976710656L
+    val hexval = (0 until 12).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5(s), ${i + 1}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}"
+    }.mkString(" + ")
+    s"""WITH sh0 AS (
+       |  SELECT lang, CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+       |    ELSE list_distinct([array_to_string(w[i+1:i+5], ' ') for i in range(len(w)-4)]) END sh
+       |  FROM (SELECT lang,
+       |          string_split(trim(lower(regexp_replace(text,'\\s+',' ','g'))), ' ') w
+       |        FROM documents)),
+       |e AS (SELECT lang, unnest(sh) AS s FROM sh0),
+       |d AS (SELECT DISTINCT lang, s FROM e),
+       |hd AS (SELECT DISTINCT lang, CAST($hexval AS BIGINT) AS h FROM d),
+       |rk AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM hd),
+       |sk AS (SELECT lang, list(h ORDER BY h) AS sk, CAST(COUNT(*) AS BIGINT) AS m
+       |       FROM rk WHERE rn <= $k GROUP BY lang),
+       |ex AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS exact_d FROM d GROUP BY lang),
+       |inter AS (SELECT a.lang AS lang_a, b.lang AS lang_b, CAST(COUNT(*) AS BIGINT) AS exact_inter
+       |          FROM d a JOIN d b ON a.s = b.s AND a.lang < b.lang GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.lang AS lang_a, b.lang AS lang_b, a.sk AS ska, b.sk AS skb,
+       |    a.m AS ma, b.m AS mb, ea.exact_d AS exact_a, eb.exact_d AS exact_b,
+       |    COALESCE(i.exact_inter, 0) AS exact_inter
+       |  FROM sk a JOIN sk b ON a.lang < b.lang
+       |  JOIN ex ea ON ea.lang = a.lang JOIN ex eb ON eb.lang = b.lang
+       |  LEFT JOIN inter i ON i.lang_a = a.lang AND i.lang_b = b.lang),
+       |u AS (
+       |  SELECT *, list_sort(list_distinct(list_concat(ska, skb)))[1:$k] AS ku
+       |  FROM pairs),
+       |est AS (
+       |  SELECT lang_a, lang_b, exact_a, exact_b, exact_inter,
+       |    CASE WHEN ma < $k THEN CAST(ma AS DOUBLE)
+       |         ELSE $scaleNum.0 / ska[$k] END AS est_a,
+       |    CASE WHEN mb < $k THEN CAST(mb AS DOUBLE)
+       |         ELSE $scaleNum.0 / skb[$k] END AS est_b,
+       |    CASE WHEN len(ku) < $k THEN CAST(len(ku) AS DOUBLE)
+       |         ELSE $scaleNum.0 / ku[$k] END AS est_union,
+       |    CAST(len(list_intersect(list_intersect(ku, ska), skb)) AS DOUBLE) / len(ku) AS est_jaccard,
+       |    CAST(exact_inter AS DOUBLE) / (exact_a + exact_b - exact_inter) AS exact_jaccard
+       |  FROM u)
+       |SELECT lang_a, lang_b, exact_a, exact_b, exact_inter, est_a, est_b, est_union,
+       |  est_jaccard, exact_jaccard,
+       |  (abs(est_a - exact_a) / exact_a <= 0.1 AND abs(est_b - exact_b) / exact_b <= 0.1)
+       |    AS d_within_bound,
+       |  (abs(est_jaccard - exact_jaccard) <= 0.02) AS j_within_bound
+       |FROM est ORDER BY lang_a, lang_b""".stripMargin
+  }
+
   // ---------------------------------------------------- approx quantile
   /** X4b — sketch quantiles with their real guarantee checked: Spark's
     * `approx_percentile` (Greenwald-Khanna style) bounds RANK error, not
@@ -705,6 +844,7 @@ object TextAnalysis {
     Declared("x3_token_freq", x3TokenFreq, Some(x3TokenFreqSql)),
     Declared("x4_approx_distinct", x4Approx, Some(x4ApproxSql)),
     Declared("x4_hll_union", x4HllUnion, Some(x4HllUnionSql)),
+    Declared("x4_kmv_jaccard", x4KmvJaccard, Some(x4KmvJaccardSql)),
     Declared("x4_approx_quantile", x4Quantile, Some(x4QuantileSql)),
     Declared("xt_token_stats", xtTokens, Some(xtTokensSql)),
     Declared("xt_quality", xtQuality, Some(xtQualitySql)),

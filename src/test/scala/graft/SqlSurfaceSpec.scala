@@ -62,6 +62,13 @@ class SqlSurfaceSpec extends SparkSpec {
     val plan = spark.sql("SELECT zorder16(13, 7) AS z")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    // hilbert16: SQL form equals the kernel, and stays a native
+    // expression (codegen'd HilbertExpr, no UDF dispatch)
+    val hSql = spark.sql("SELECT hilbert16(65535, 65535) AS h").as[Long].head()
+    assert(hSql == graft.functions.Hilbert.d16(65535L, 65535L))
+    val hPlan = spark.sql("SELECT hilbert16(13, 7) AS h")
+      .queryExecution.executedPlan.toString
+    assert(!hPlan.contains("BatchEvalPython") && !hPlan.contains("ScalaUDF"), hPlan)
   }
 
   test("wrong arity raises a clean analysis error, not IndexOutOfBounds") {

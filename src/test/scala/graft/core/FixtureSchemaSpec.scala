@@ -24,7 +24,8 @@ import graft.{SparkEntry, SparkSpec}
   * NOT analysis-only for every entry (ADVICE r10): a handful of
   * queries execute real work at DataFrame-CONSTRUCTION time — q38 runs
   * `ensureBucketed` (writes/reuses the bucketed layout), the x2_pq_*
-  * rows train codebooks, labelOutliers runs its bounded centroid
+  * rows train codebooks, x2_ivfpq_persisted builds/reuses its
+  * fingerprint-keyed index dir, labelOutliers runs its bounded centroid
   * fetch, and the loop/stream rows (x1_dedup_clusters, xs_*)
   * materialize intermediate state. The tripwire keeps them anyway:
   * construction failing on drifted fixtures is exactly the signal this

@@ -47,6 +47,49 @@ class LayoutSpec extends SparkSpec {
     assert(syz < 32, s"z-ordered y-spread $syz")
   }
 
+  test("hilbert d16: known vectors, bijective on a subgrid, neighbors adjacent") {
+    import graft.functions.Hilbert.d16
+    // first two curve orders + the three 16-bit corners
+    val vectors = Seq(
+      (0L, 0L, 0L), (0L, 1L, 3L), (1L, 1L, 2L), (1L, 0L, 1L),
+      (2L, 0L, 14L), (3L, 0L, 15L), (3L, 1L, 12L), (2L, 1L, 13L),
+      (65535L, 0L, 4294967295L), (0L, 65535L, 1431655765L),
+      (65535L, 65535L, 2863311530L))
+    for ((x, y, d) <- vectors) assert(d16(x, y) == d, s"d16($x,$y)")
+    // the order-16 curve restricted to the 64×64 corner is exactly the
+    // order-6 curve: dense 0..4095, and CONSECUTIVE indices are grid
+    // NEIGHBORS (|Δx|+|Δy| = 1) — the locality property Z-order lacks
+    val inv = new Array[(Long, Long)](4096)
+    for (x <- 0L until 64L; y <- 0L until 64L) {
+      val d = d16(x, y)
+      assert(d >= 0 && d < 4096, s"($x,$y) -> $d escapes the subgrid")
+      inv(d.toInt) = (x, y)
+    }
+    for (i <- 0 until 4095) {
+      val (x1, y1) = inv(i); val (x2, y2) = inv(i + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at $i")
+    }
+  }
+
+  test("hilbert layout boxes are at least as tight as z-order's") {
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+    def meanBoxArea(laid: org.apache.spark.sql.DataFrame): Double = {
+      val boxes = laid.withColumn("_f", spark_partition_id())
+        .groupBy("_f")
+        .agg(((max($"x") - min($"x") + 1) * (max($"y") - min($"y") + 1)).as("area"))
+        .collect().map(_.getLong(1))
+      boxes.sum.toDouble / boxes.length
+    }
+    val zArea = meanBoxArea(Layout.layoutByZorder(df, "x", "y", 16))
+    val hArea = meanBoxArea(Layout.layoutByHilbert(df, "x", "y", 16))
+    // 4096 cells / 16 files = 256 cells per file; a perfect box is 256.
+    // Hilbert's unbroken curve keeps every file a contiguous run —
+    // boxes stay near-minimal; Z-order's seam jumps can only widen them.
+    assert(hArea <= zArea + 1e-9, s"hilbert $hArea vs zorder $zArea")
+    assert(hArea <= 512.0, s"hilbert mean box area $hArea")
+  }
+
   test("optimizeZorder maintenance pass: in-place rewrite, same rows, crash backup recovered") {
     import graft.streaming.Maintenance
     val root = java.nio.file.Files.createTempDirectory("zopt").toString

@@ -177,4 +177,21 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("x4_kmv_jaccard: all lang pairs, bounds hold, exact side consistent") {
+    val out = graft.SparkEntry.queries("x4_kmv_jaccard")(spark, sf("sf0.001"))
+      .collect()
+    assert(out.length == 10, s"expected C(5,2)=10 lang pairs, got ${out.length}")
+    for (r <- out) {
+      assert(r.getAs[Boolean]("d_within_bound"), r.toString)
+      assert(r.getAs[Boolean]("j_within_bound"), r.toString)
+      val (ea, eb, ei) = (r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b"),
+        r.getAs[Long]("exact_inter"))
+      assert(ei >= 0 && ei <= math.min(ea, eb), r.toString)
+      val ej = r.getAs[Double]("exact_jaccard")
+      assert(math.abs(ej - ei.toDouble / (ea + eb - ei)) < 1e-12)
+      // estimates are positive and a short-buffer sketch is exact
+      assert(r.getAs[Double]("est_a") > 0 && r.getAs[Double]("est_union") > 0)
+    }
+  }
 }
