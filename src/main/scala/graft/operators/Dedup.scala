@@ -79,6 +79,38 @@ object Dedup {
     */
   /** Word 5-gram shingle hashes of the normalized text (whole doc if
     * shorter). */
+  /** The STRING form of [[shingles]] as a primitive kernel — for
+    * consumers that need the shingle text itself (x4_kmv_jaccard hashes
+    * it with md5 for oracle parity) rather than the 64-bit
+    * [[wordShingleHashes]]. Same semantics as the Column expression
+    * (whitespace-collapse + lowercase + trim, <5 tokens → one
+    * whole-text shingle, per-doc distinct) — `DedupSpec` pins kernel ≡
+    * expression on the fixture. Exists because the higher-order-
+    * function expression tree (transform/sequence/array_distinct/
+    * concat_ws) does not codegen: measured 4-5.5 s for 250k shingles
+    * at sf0.1 vs ~0.3 s for this loop (the round-1 minhash lesson,
+    * again). */
+  private[graft] def wordShingleStrings(text: String): Array[String] = {
+    val s = text.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT).trim
+    val toks = s.split(" ")
+    if (toks.length < 5) Array(s)
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i <= toks.length - 5) {
+        val sb = new java.lang.StringBuilder(64)
+        var j = 0
+        while (j < 5) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      seen.toArray(new Array[String](seen.size()))
+    }
+  }
+
   private[graft] def wordShingleHashes(text: String): Array[Long] = {
     import graft.functions.Hashing._
     val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")

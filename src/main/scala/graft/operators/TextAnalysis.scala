@@ -550,26 +550,33 @@ object TextAnalysis {
     // (k-1)·2^48 < 2^58: exactly representable as a double, so the
     // estimate division is bit-identical in any IEEE engine
     val scaleNum = (k - 1).toDouble * 281474976710656.0
+    // shingle via the primitive kernel, not the Column expression: the
+    // higher-order-function tree is ~15× slower (Dedup.wordShingleStrings)
     val sh = Tables.load(spark, dir, "documents")
-      .select($"lang", explode(Dedup.shingles($"text")).as("s"))
-    val d = sh.distinct()
-    // ONE per-lang aggregation carries both the sketch and the exact
-    // distinct (the verify side): the input is already the distinct
-    // (lang, shingle) set, so count(*) IS the exact cardinality and the
-    // sketch's internal dedup is a no-op — 2 corpus passes for the
-    // per-lang state (the self-paired subtree) instead of 4
+      .select($"lang", $"text").as[(String, String)]
+      .flatMap { case (lang, t) =>
+        Dedup.wordShingleStrings(t).iterator.map(s => (lang, s)) }
+      .toDF("lang", "s")
+    // ONE corpus pass feeds everything: group the raw shingle stream by
+    // shingle into its lang set (collect_set dedups, and the map-side
+    // partial caps at nLangs entries per shingle per task — the combine
+    // is as good as a pre-distinct without a dedicated shuffle), then
+    // MATERIALIZE the per-shingle sets (the xt_word_freq_score partials
+    // pattern): three consumers (sketch, exact counts, pairwise
+    // intersections) would otherwise each re-run the expensive
+    // shingle-generation scan — measured 7.2 → ~2 s at sf0.1. At 100 TB
+    // this materialization is the persisted distinct-shingle table a
+    // curation pipeline keeps anyway.
+    val g = sh.groupBy($"s").agg(collect_set($"lang").as("ls")).localCheckpoint()
     val kmv = udaf(new graft.functions.KmvAgg(k))
-    val perLang = d
+    val perLang = g
       .withColumn("h", conv(substring(md5($"s".cast(BinaryType)), 1, 12), 16, 10)
         .cast(LongType))
+      .select($"h", explode($"ls").as("lang"))
       .groupBy($"lang").agg(kmv($"h").as("sk"), count(lit(1)).as("exact_d"))
-    // exact pairwise intersections WITHOUT a corpus self-join: group the
-    // distinct (lang, shingle) rows by shingle into per-shingle lang
-    // sets (bounded at nLangs), then emit each set's ≤ C(nLangs, 2)
-    // ordered pairs — one keyed aggregation instead of re-shuffling both
-    // join sides and amplifying through the match (measured 8.9 s → the
-    // join was the row's dominant cost at sf1)
-    val inter = d.groupBy($"s").agg(collect_set($"lang").as("ls"))
+    // exact pairwise intersections WITHOUT a corpus self-join: each
+    // shingle's lang set emits its ≤ C(nLangs, 2) ordered pairs
+    val inter = g
       .select(explode($"ls").as("lang_a"), $"ls")
       .select($"lang_a", explode($"ls").as("lang_b"))
       .filter($"lang_a" < $"lang_b")

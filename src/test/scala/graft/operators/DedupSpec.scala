@@ -9,6 +9,24 @@ class DedupSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("wordShingleStrings kernel equals the shingles Column expression") {
+    import spark.implicits._
+    // fixture docs (all langs) + adversarial edges: short, empty,
+    // whitespace-heavy, exactly-5-token, unicode
+    val fixture = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      .select($"text").as[String].collect().toSeq
+    val edges = Seq("", "   ", "one", "a b c d e", "a  b\tc\nd  e f",
+      "JOSÉ über naïve 北京 😀 one two more words here")
+    val df = (fixture ++ edges).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val viaExpr = df.select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .as[(Long, Seq[String])].collect().map { case (id, sh) => id -> sh.sorted.toList }.toMap
+    val viaKernel = df.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> Dedup.wordShingleStrings(t).sorted.toList }.toMap
+    assert(viaExpr.keySet == viaKernel.keySet)
+    for ((id, sh) <- viaExpr) assert(sh == viaKernel(id), s"doc $id")
+  }
+
   test("minhash-LSH finds a planted near-duplicate and skips unrelated docs") {
     // 1 edited token of 100 → 5 of 96 shingles change → J = 91/101 ≈ 0.90
     val base = (1 to 100).map(i => s"word-$i").mkString(" ")
