@@ -15,7 +15,9 @@ import org.apache.spark.sql.types.IntegerType
   *   - `centroids`  (cid, centroid double[], norm): nlist rows
   *   - `codebooks`  (subspace, code, vec double[]): m × k rows
   *   - `codes`      (vec_id, cluster, code_0..code_{m-1}): corpus-sized,
-  *                  the 100 TB table — dim floats → m bytes per vector
+  *                  the 100 TB table — dim floats → m bytes per vector,
+  *                  batch-partitioned (`batch_id=N/`) so [[appendIvfPq]]
+  *                  grows it without touching existing batches
   *   - `meta`       (nlist, m, k, sub, dim): 1 row
   *
   * and [[searchIvfPq]] serves queries with NO training and NO
@@ -55,10 +57,30 @@ object IndexStore {
     Similarity.pqEncode(Similarity.ivfAssignWith(emb, cents), sub, books,
         keep = Seq("cluster"))
       .drop("err") // reconstruction error is a training diagnostic, not index state
-      .write.mode("overwrite").parquet(s"$dir/codes")
+      .write.mode("overwrite").parquet(s"$dir/codes/batch_id=0")
     Seq((nlist, m, k, sub, books.head.head.length * m))
       .toDF("nlist", "m", "k", "sub", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Incremental maintenance — the FAISS `add()` shape: encode NEW
+    * vectors against the FROZEN centroids/codebooks (one bounded reload
+    * + one map-only pass over the batch, never the existing corpus) and
+    * land them as `codes/batch_id=<id>/`. Codebooks are deliberately
+    * not retrained (PQ practice: the sampled training distribution
+    * stands for the stream; re-training would silently re-mean every
+    * EXISTING code's semantics — rebuild via [[buildIvfPq]] when drift
+    * demands it). Re-appending a batch id OVERWRITES that directory:
+    * at-least-once upstream delivery lands exactly-once in the index —
+    * the CurateStream batch-store replay discipline. */
+  def appendIvfPq(emb: DataFrame, dir: String, batchId: Long): Unit = {
+    require(batchId > 0, s"appendIvfPq: batchId must be > 0 (0 is the build batch), got $batchId")
+    val spark = emb.sparkSession
+    val (_, _, _, sub, cents, books) = load(spark, dir)
+    Similarity.pqEncode(Similarity.ivfAssignWith(emb, cents), sub, books,
+        keep = Seq("cluster"))
+      .drop("err")
+      .write.mode("overwrite").parquet(s"$dir/codes/batch_id=$batchId")
   }
 
   private def requireTable(spark: SparkSession, dir: String, t: String): String = {
@@ -96,7 +118,19 @@ object IndexStore {
   def searchIvfPq(spark: SparkSession, dir: String, probes: DataFrame,
       nprobe: Int = 4, topK: Int = 5): DataFrame = {
     val (_, m, _, sub, cents, books) = load(spark, dir)
-    val codes = spark.read.parquet(requireTable(spark, dir, "codes"))
+    // codes/ is batch-partitioned (batch_id=N per build/append); every
+    // batch must carry its own commit marker — a torn append is refused
+    // as a whole rather than silently serving half a batch
+    val codesRoot = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(codesRoot), s"IndexStore: $codesRoot missing — build the index first")
+    val batches = fs.listStatus(codesRoot)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+    require(batches.nonEmpty, s"IndexStore: $codesRoot has no batches — build the index first")
+    for (b <- batches)
+      require(fs.exists(new org.apache.hadoop.fs.Path(b.getPath, "_SUCCESS")),
+        s"IndexStore: ${b.getPath} partially written (no _SUCCESS) — re-run the append for that batch")
+    val codes = spark.read.parquet(s"$dir/codes")
       .withColumn("codes", array((0 until m).map(s => col(s"code_$s").cast(IntegerType)): _*))
     val pc = Similarity.ivfProbeClusters(probes, cents, nprobe)
       .select(col("probe_id"), col("cluster"))
@@ -126,11 +160,14 @@ object IndexStore {
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(src), s"IndexStore: fixture $src missing")
     val st = fs.getFileStatus(src)
-    val fp =
+    // "v2" = the on-disk LAYOUT version (codes/ became batch-partitioned):
+    // bumping it invalidates markers written by an older layout, so a
+    // layout change rebuilds instead of serving a dir the reader can't parse
+    val fp = "v2:" + (
       if (st.isDirectory) {
         val parts = fs.listStatus(src).filter(_.isFile).sortBy(_.getPath.getName)
         s"${parts.map(_.getLen).sum}:${parts.map(_.getModificationTime).max}:${parts.length}"
-      } else s"${st.getLen}:${st.getModificationTime}"
+      } else s"${st.getLen}:${st.getModificationTime}")
     val ixDir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${fp.hashCode.toHexString}"
     val marker = new org.apache.hadoop.fs.Path(s"$ixDir/_graft_fingerprint")
     val ok = fs.exists(marker) && {

@@ -39,15 +39,47 @@ class IndexStoreSpec extends SparkSpec {
     assert(!plan.contains("embeddings.parquet"), plan)
   }
 
-  test("a partially-written index is refused, not silently served") {
+  test("a partially-written batch is refused, not silently served") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-ix3").toString
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
     IndexStore.buildIvfPq(emb, dir, 16, 4, 16, 1)
-    // simulate a crash that lost the codes commit marker
-    assert(new java.io.File(s"$dir/codes/_SUCCESS").delete())
+    // simulate a crash that lost the build batch's commit marker
+    assert(new java.io.File(s"$dir/codes/batch_id=0/_SUCCESS").delete())
     val e = intercept[IllegalArgumentException] {
       IndexStore.searchIvfPq(spark, dir, emb.filter(col("vec_id") < 3), 4, 5).collect()
     }
-    assert(e.getMessage.contains("codes"), e.getMessage)
+    assert(e.getMessage.contains("batch"), e.getMessage)
+  }
+
+  test("appendIvfPq: frozen-codebook encode, replay-idempotent, searchable") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-ix4").toString
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val n = emb.count()
+    val half = emb.filter(col("vec_id") < n / 2)
+    val rest = emb.filter(col("vec_id") >= n / 2)
+    IndexStore.buildIvfPq(half, dir, 16, 4, 16, 1)
+    IndexStore.appendIvfPq(rest, dir, batchId = 1)
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == n, "append grew the codes table to the full corpus")
+    // frozen codebooks: batch-1 codes equal a fresh encode with the
+    // HALF-trained books (training never reran on the appended data)
+    val (_, _, _, sub, cents, books) = IndexStore.load(spark, dir)
+    val expect = Similarity.pqEncode(Similarity.ivfAssignWith(rest, cents), sub, books,
+        keep = Seq("cluster")).drop("err")
+      .orderBy(col("vec_id")).collect().toSeq
+    val got = codes.filter(col("batch_id") === 1)
+      .select(expect.head.schema.fieldNames.map(col).toSeq: _*)
+      .orderBy(col("vec_id")).collect().toSeq
+    assert(got == expect)
+    // at-least-once upstream delivery: re-appending the same batch id
+    // overwrites, never duplicates
+    IndexStore.appendIvfPq(rest, dir, batchId = 1)
+    assert(spark.read.parquet(s"$dir/codes").count() == n)
+    // an appended vector is found by search: probe with a batch-1 vector,
+    // its own vec_id must surface (its codes are its own nearest LUT)
+    val probeId = n - 1
+    val hits = IndexStore.searchIvfPq(spark, dir, emb.filter(col("vec_id") === probeId), 4, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(probeId), s"probe $probeId not found among $hits")
   }
 }
