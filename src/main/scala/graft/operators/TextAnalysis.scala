@@ -661,6 +661,132 @@ object TextAnalysis {
        |FROM est ORDER BY lang_a, lang_b""".stripMargin
   }
 
+  // ------------------------------------------------- hashing vectorizer
+  /** Model-free text vectorization via the hashing trick (Weinberger et
+    * al., ICML 2009 — scikit's HashingVectorizer): token → dimension
+    * md5(token) mod 64 with a ± sign bit from the next nibble, signed
+    * counts summed per doc. No vocabulary table, no model download, no
+    * training pass — the embedding a 100 TB pipeline can compute in the
+    * SAME map-only pass that tokenizes, which makes it the standard
+    * first-cut vector for clustering/dedup/retrieval before a learned
+    * encoder enters the picture (sign-hashing keeps collisions
+    * zero-mean). Deterministic and engine-portable: the DuckDB oracle
+    * replays the exact md5 arithmetic, so the vectors hash-match as
+    * VALUES. Per-doc kernel with a per-partition token memo — one scan,
+    * no shuffle, output 64 longs + the L2 norm per doc. */
+  private[graft] def hashVec64(tokens: Array[String]): Array[Long] = {
+    val v = new Array[Long](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < tokens.length) {
+      val d = md.digest(tokens(i).getBytes("UTF-8"))
+      val idx = (d(0) & 0xFF) % 64
+      v(idx) += (if (((d(1) >> 4) & 0xF) >= 8) -1L else 1L)
+      i += 1
+    }
+    v
+  }
+
+  private[graft] def normTokens(text: String): Array[String] =
+    text.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT).trim.split(" ")
+
+  /** (doc_id, vec[64], l2) for every document. */
+  def hashVectors(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val v = hashVec64(normTokens(t))
+        (id, v, math.sqrt(v.map(x => x.toDouble * x).sum))
+      }
+      .toDF("doc_id", "vec", "l2")
+  }
+
+  // vec serialized as CSV: the driver's comparator sorts rows by every
+  // column, which array cells break — a canonical string carries the
+  // same 64 values hash-exactly
+  private def xtHashVectorize(spark: SparkSession, dir: String): DataFrame =
+    hashVectors(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        concat_ws(",", col("vec").cast("array<string>")).as("vec_csv"),
+        col("l2"))
+      .orderBy(col("doc_id"))
+
+  private val xtHashVectorizeSql = {
+    val v = 64
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(trim(lower(regexp_replace(text,'\\s+',' ','g'))), ' ')) AS t
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    ((strpos('0123456789abcdef', substr(md5(t),1,1))-1)*16 +
+       |     (strpos('0123456789abcdef', substr(md5(t),2,1))-1)) % $v AS idx,
+       |    CASE WHEN strpos('0123456789abcdef', substr(md5(t),3,1))-1 >= 8 THEN -1 ELSE 1 END AS sgn
+       |  FROM tok),
+       |s AS (SELECT doc_id, idx, CAST(SUM(sgn) AS BIGINT) AS v FROM h GROUP BY doc_id, idx),
+       |grid AS (SELECT DISTINCT doc_id FROM documents),
+       |dense AS (
+       |  SELECT g.doc_id, r.range AS idx, COALESCE(s.v, 0) AS v
+       |  FROM grid g CROSS JOIN range($v) r
+       |  LEFT JOIN s ON s.doc_id = g.doc_id AND s.idx = r.range)
+       |SELECT doc_id, array_to_string(list(v ORDER BY idx), ',') AS vec_csv,
+       |  sqrt(CAST(SUM(v*v) AS DOUBLE)) AS l2
+       |FROM dense GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Text-only cosine retrieval over the hashed vectors — the
+    * chunk→vectorize→search pipeline with no model anywhere: probes are
+    * the first 5 docs, top-3 neighbors by cosine (self excluded, ties
+    * to the lowest neighbor id). Composes [[hashVectors]] into
+    * [[Similarity.cosineTopK]] (broadcast probes, corpus never
+    * shuffles); the DuckDB oracle replays vectorization AND ranking, so
+    * every (probe, neighbor, rank, sim) tuple is value-checked. Signed
+    * counts are small integers, exact in float — both engines compute
+    * identical doubles. */
+  private def xtHashvecKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hv = hashVectors(Tables.load(spark, dir, "documents"))
+      .filter($"l2" > 0) // a cancelled-out vector has no direction
+      .select($"doc_id".as("vec_id"),
+        expr("transform(vec, x -> CAST(x AS FLOAT))").as("embedding"))
+    Similarity.cosineTopK(hv, hv.filter($"vec_id" < 5), 3)
+      .orderBy($"probe_id", $"rnk")
+  }
+
+  private val xtHashvecKnnSql = {
+    val v = 64
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(trim(lower(regexp_replace(text,'\\s+',' ','g'))), ' ')) AS t
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    ((strpos('0123456789abcdef', substr(md5(t),1,1))-1)*16 +
+       |     (strpos('0123456789abcdef', substr(md5(t),2,1))-1)) % $v AS idx,
+       |    CASE WHEN strpos('0123456789abcdef', substr(md5(t),3,1))-1 >= 8 THEN -1 ELSE 1 END AS sgn
+       |  FROM tok),
+       |s AS (SELECT doc_id, idx, CAST(SUM(sgn) AS BIGINT) AS v FROM h GROUP BY doc_id, idx),
+       |grid AS (SELECT DISTINCT doc_id FROM documents),
+       |dense AS (
+       |  SELECT g.doc_id, r.range AS idx, COALESCE(s.v, 0) AS v
+       |  FROM grid g CROSS JOIN range($v) r
+       |  LEFT JOIN s ON s.doc_id = g.doc_id AND s.idx = r.range),
+       |hv AS (
+       |  SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY idx) AS vec,
+       |    sqrt(CAST(SUM(v*v) AS DOUBLE)) AS l2
+       |  FROM dense GROUP BY doc_id
+       |  HAVING SUM(v*v) > 0),
+       |scored AS (
+       |  SELECT p.doc_id AS probe_id, c.doc_id AS neighbor_id,
+       |    list_dot_product(p.vec, c.vec) / (p.l2 * c.l2) AS sim
+       |  FROM hv p JOIN hv c ON p.doc_id < 5 AND c.doc_id <> p.doc_id)
+       |SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, sim FROM (
+       |  SELECT probe_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM scored) r
+       |WHERE rnk <= 3
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
+
   // ---------------------------------------------------- approx quantile
   /** X4b — sketch quantiles with their real guarantee checked: Spark's
     * `approx_percentile` (Greenwald-Khanna style) bounds RANK error, not
@@ -852,6 +978,8 @@ object TextAnalysis {
     Declared("x4_approx_distinct", x4Approx, Some(x4ApproxSql)),
     Declared("x4_hll_union", x4HllUnion, Some(x4HllUnionSql)),
     Declared("x4_kmv_jaccard", x4KmvJaccard, Some(x4KmvJaccardSql)),
+    Declared("xt_hash_vectorize", xtHashVectorize, Some(xtHashVectorizeSql)),
+    Declared("xt_hashvec_knn", xtHashvecKnn, Some(xtHashvecKnnSql)),
     Declared("x4_approx_quantile", x4Quantile, Some(x4QuantileSql)),
     Declared("xt_token_stats", xtTokens, Some(xtTokensSql)),
     Declared("xt_quality", xtQuality, Some(xtQualitySql)),

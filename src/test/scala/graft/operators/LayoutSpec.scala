@@ -119,6 +119,15 @@ class LayoutSpec extends SparkSpec {
     val n2 = Maintenance.optimizeZorder(spark, dir, "x", "y", targetFiles = 2)
     assert(n2 == 2 && spark.read.parquet(dir).count() == 1024,
       "stranded backup must be restored, then re-optimized")
+    // the Hilbert variant shares the swap machinery and keeps rows
+    val n3 = Maintenance.optimizeHilbert(spark, dir, "x", "y", targetFiles = 4)
+    assert(n3 == 4 && spark.read.parquet(dir).count() == 1024)
+    val hSpreads = spark.read.parquet(dir).withColumn("_f", input_file_name())
+      .groupBy("_f")
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .collect()
+    assert(hSpreads.map(_.getLong(1)).max < 32 && hSpreads.map(_.getLong(2)).max < 32,
+      "hilbert files must box both dims")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 }

@@ -178,6 +178,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("hashVec64: deterministic, dup texts collide exactly, sign-hash near-zero-mean") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog"
+    val v1 = TextAnalysis.hashVec64(TextAnalysis.normTokens(t))
+    val v2 = TextAnalysis.hashVec64(TextAnalysis.normTokens("  THE  quick\tbrown fox jumps over the lazy dog "))
+    assert(v1.toSeq == v2.toSeq, "normalization-equal texts must vectorize identically")
+    assert(v1.length == 64)
+    assert(v1.map(math.abs).sum == 9, "9 tokens, one signed unit each")
+    // sign hashing keeps collisions zero-mean: over many distinct tokens
+    // the net sum concentrates near 0 (|sum| << n)
+    val many = (0 until 4096).map(i => s"tok$i").toArray
+    val vm = TextAnalysis.hashVec64(many)
+    assert(math.abs(vm.sum) < 4 * math.sqrt(4096.0), s"net sum ${vm.sum}")
+    assert(vm.map(math.abs).sum == many.length || vm.map(math.abs).sum < many.length,
+      "per-dim cancellation only reduces mass")
+    // exact-dup docs are cosine-1.0 neighbors through the knn row
+    val docs = Seq((0L, t), (1L, t), (2L, "completely different words entirely"))
+      .toDF("doc_id", "text")
+    val hv = TextAnalysis.hashVectors(docs)
+    val rows = hv.orderBy($"doc_id").collect()
+    assert(rows(0).getSeq[Long](1) == rows(1).getSeq[Long](1))
+    assert(rows(0).getDouble(2) > 0)
+  }
+
   test("x4_kmv_jaccard: all lang pairs, bounds hold, exact side consistent") {
     val out = graft.SparkEntry.queries("x4_kmv_jaccard")(spark, sf("sf0.001"))
       .collect()
