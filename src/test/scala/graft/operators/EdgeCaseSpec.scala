@@ -281,6 +281,33 @@ class EdgeCaseSpec extends SparkSpec {
     assert(codes.forall(r => (1 to 2).forall(s => r.getInt(s) >= 0 && r.getInt(s) < 4)))
   }
 
+  test("round-11 operators survive empty and degenerate inputs") {
+    import spark.implicits._
+    // hashing vectorizer: empty / whitespace / unicode text — one token
+    // ("" after normalization), vector carries one signed unit
+    val weird = Seq((1L, ""), (2L, "   "), (3L, "é中 😀")).toDF("doc_id", "text")
+    val hv = TextAnalysis.hashVectors(weird).collect()
+    assert(hv.length == 3)
+    assert(hv.forall(_.getSeq[Long](1).length == 64))
+    // hilbert kernel: negative and >16-bit inputs mask, never throw
+    import graft.functions.Hilbert.d16
+    for (v <- Seq(-1L, Long.MinValue, Long.MaxValue, 65536L))
+      assert(d16(v, v) >= 0 && d16(v, v) < (1L << 32))
+    assert(d16(65536L, 0L) == d16(0L, 0L), "bit 16+ must mask away")
+    // KMV aggregator: empty input -> empty sketch; k=1 stays bounded
+    val agg1 = new graft.functions.KmvAgg(1)
+    assert(agg1.zero.isEmpty)
+    assert(agg1.merge(agg1.zero, agg1.zero).isEmpty)
+    assert(agg1.reduce(agg1.reduce(agg1.zero, 5L), 3L).toSeq == Seq(3L))
+    // IndexStore on an empty corpus refuses loudly at build
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ix-empty").toString
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.buildIvfPq(noVecs, dir)
+    }
+    assert(e.getMessage.contains("empty"), e.getMessage)
+  }
+
   test("asof join with no matching earlier rows yields empty (not nulls)") {
     import spark.implicits._
     import java.sql.Timestamp
