@@ -895,13 +895,14 @@ object Similarity {
   private def pqD2(v: String, c: String) =
     s"(list_dot_product($v, $v) - 2.0e0 * list_dot_product($v, $c) + list_dot_product($c, $c))"
 
-  private def pqCommonSql(m: Int, k: Int, sub: Int): String = {
+  private def pqCommonSql(m: Int, k: Int, sub: Int,
+      trainWhere: String = ""): String = {
     val blocks = (0 until m).map { s =>
       val (lo, hi) = (s * sub + 1, (s + 1) * sub)
       s"""e$s AS (
          |  SELECT vec_id, v[$lo:$hi] AS vs FROM e),
          |t$s AS (
-         |  SELECT vec_id, vs FROM e$s ORDER BY vec_id LIMIT $PqTrainCap),
+         |  SELECT vec_id, vs FROM e$s $trainWhere ORDER BY vec_id LIMIT $PqTrainCap),
          |c${s}_0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vs AS cv
          |  FROM (SELECT vec_id, vs FROM t$s ORDER BY vec_id LIMIT $k)),
@@ -981,7 +982,15 @@ object Similarity {
     * [[x2KmeansSql]] idiom), `plists` (top-nprobe lists per probe,
     * same ordering) — and the ADC scoring joined through the candidate
     * set instead of the full cross product. */
-  private[operators] val x2IvfPqSearchSql = {
+  private[operators] val x2IvfPqSearchSql = ivfPqSearchSqlWith()
+
+  /** [[x2IvfPqSearchSql]] parameterized on the TRAINING slice: `prefix`
+    * prepends extra CTEs and `trainWhere` filters the rows the
+    * codebooks/centroids are sampled from — the streaming-index oracle
+    * (`xs_index_stream`) trains on the FIRST drop only, exactly as the
+    * stream's batch-0 build does. Defaults reproduce the batch oracle. */
+  private[graft] def ivfPqSearchSqlWith(prefix: String = "",
+      trainWhere: String = ""): String = {
     val (m, k, sub) = (4, 16, 16)
     val (nlist, nprobe) = (16, 4)
     def cos(v: String, c: String) =
@@ -998,12 +1007,12 @@ object Similarity {
       s"JOIN lut$s l$s ON l$s.cid = codes.code_$s AND l$s.probe_id = cand.probe_id"
     }.mkString("\n  ")
     val dSum = (0 until m).map(s => s"l$s.d").mkString(" + ")
-    s"""WITH ${pqCommonSql(m, k, sub)},
+    s"""WITH $prefix${pqCommonSql(m, k, sub, trainWhere)},
        |codes AS (
        |  SELECT vec_id, ${(0 until m).map(s => s"code_$s").mkString(", ")}
        |  FROM f0 $codeJoins),
        |ic AS (
-       |  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT $nlist),
+       |  SELECT vec_id AS cid, v AS cv FROM e $trainWhere ORDER BY vec_id LIMIT $nlist),
        |asg AS (
        |  SELECT vec_id, cid AS cluster FROM (
        |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id

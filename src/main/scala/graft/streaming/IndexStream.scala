@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.Tables
+import graft.operators.{Declared, IndexStore}
+
+/** Streaming ANN-index maintenance: the incremental half of
+  * [[graft.operators.IndexStore]] driven by Structured Streaming — how
+  * a 100 TB embedding corpus keeps its retrieval index current as
+  * crawl/embedding drops land, without ever re-encoding history.
+  *
+  * Each micro-batch (file-source increments, checkpoint-tracked):
+  * batch 0 TRAINS (sample-bounded codebooks + sampled centroids) and
+  * encodes itself; every later batch encodes against the FROZEN
+  * codebooks in one map-only pass ([[IndexStore.appendIvfPq]]) and
+  * lands as its own `codes/batch_id=N/` partition. Queries
+  * ([[IndexStore.searchIvfPq]]) see every committed batch.
+  *
+  * Delivery is exactly-once under replay: append overwrites the
+  * batch's own partition (the CurateStream per-batch-directory
+  * discipline), and a batch-0 replay rebuilds the same deterministic
+  * artifacts (first-n-by-vec_id training) over the same input.
+  * Training on the first drop is the PQ sampling argument one step
+  * further — the first drop stands for the stream the way the
+  * 2048-vector cap stands for the corpus; when drift breaks that
+  * assumption, rebuild via [[IndexStore.buildIvfPq]] (the oracle pins
+  * the frozen-codebook semantics, so a retrain can never happen
+  * silently).
+  */
+object IndexStream {
+
+  /** One AvailableNow pass over `inDir` into the index at `ixDir`. */
+  def start(spark: SparkSession, inDir: String, ixDir: String,
+      checkpoint: String, nlist: Int = 16, m: Int = 4, k: Int = 16,
+      iters: Int = 1): StreamingQuery =
+    spark.readStream
+      .schema(Tables.embeddings)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId == 0L) IndexStore.buildIvfPq(batch, ixDir, nlist, m, k, iters)
+        else IndexStore.appendIvfPq(batch, ixDir, batchId)
+      }
+      .start()
+
+  def runOnce(spark: SparkSession, inDir: String, ixDir: String,
+      checkpoint: String): Unit =
+    start(spark, inDir, ixDir, checkpoint).awaitTermination()
+
+  // ----------------------------------------------------------- declared
+  /** Stream-vs-replay parity, driver-oracled: the embeddings fixture
+    * lands as three vec_id-ordered drops, one AvailableNow pass each
+    * (shared checkpoint — three real micro-batches: build, append,
+    * append), then the standard 10 probes query the accumulated index.
+    * The oracle replays IVFADC with the training CTEs restricted to
+    * the FIRST drop (`vec_id ≤ lo + (hi−lo)/3`), exactly the slice
+    * batch 0 trained on — so codebook freezing, per-batch encoding,
+    * and the search path are all value-checked end to end. */
+  private def xsIndexStream(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val rootPath = java.nio.file.Files.createTempDirectory("xs-index-stream")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(rootPath))
+        Files.walk(rootPath).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    }
+    val root = rootPath.toString
+    val inDir = s"$root/in"; val ixDir = s"$root/ix"
+    val r = emb.agg(min(col("vec_id")), max(col("vec_id"))).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * ((hi - lo) / 3)
+    val drops = Seq(
+      col("vec_id") <= cut1,
+      col("vec_id") > cut1 && col("vec_id") <= cut2,
+      col("vec_id") > cut2)
+    drops.zipWithIndex.foreach { case (cond, i) =>
+      emb.filter(cond).coalesce(2).write.parquet(s"$inDir/drop$i.parquet")
+      runOnce(spark, s"$inDir/*", ixDir, s"$root/ck")
+    }
+    IndexStore.searchIvfPq(spark, ixDir, emb.filter(col("vec_id") < 10), 4, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  private val xsIndexStreamSql =
+    graft.operators.Similarity.ivfPqSearchSqlWith(
+      prefix = "bounds AS (SELECT MIN(vec_id) AS blo, MAX(vec_id) AS bhi FROM embeddings),\n",
+      trainWhere = "WHERE vec_id <= (SELECT blo + (bhi - blo) // 3 FROM bounds)")
+
+  val all: Seq[Declared] = Seq(
+    Declared("xs_index_stream", xsIndexStream, Some(xsIndexStreamSql)))
+}
