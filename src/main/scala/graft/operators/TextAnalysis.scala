@@ -521,7 +521,8 @@ object TextAnalysis {
     * sketches support not just distinct counting (HLL's territory) but
     * set OPERATIONS — K(A∪B) = k smallest of two merged sketches, and
     * Jaccard(A,B) ≈ |K(A∪B) ∩ K(A) ∩ K(B)| / |K(A∪B)| (Beyer et al.
-    * SIGMOD 2007). That is the contamination/overlap question a corpus
+    * SIGMOD 2007), and asymmetric containment C(A ⊆ B) =
+    * |A∩B|/|A| follows from the same retained sample. That is the contamination/overlap question a corpus
     * pipeline asks ACROSS shards ("how much does shard A's content
     * overlap shard B's?") answered from k·nShards retained hashes,
     * where the exact answer re-shuffles every shingle.
@@ -604,6 +605,14 @@ object TextAnalysis {
           abs($"est_b" - $"exact_b") / $"exact_b" <= 0.1)
       .withColumn("j_within_bound",
         abs($"est_jaccard" - $"exact_jaccard") <= 0.02)
+      // containment C(A ⊆ B) = |A∩B| / |A| — the asymmetric "is shard A
+      // mostly inside shard B" question dedup planning asks; estimated
+      // intersection = jaccard_est × union_est, divided by each side's
+      // own distinct estimate
+      .withColumn("est_containment_a",
+        $"est_jaccard" * $"est_union" / $"est_a")
+      .withColumn("est_containment_b",
+        $"est_jaccard" * $"est_union" / $"est_b")
       .orderBy($"lang_a", $"lang_b")
   }
 
@@ -657,7 +666,9 @@ object TextAnalysis {
        |  est_jaccard, exact_jaccard,
        |  (abs(est_a - exact_a) / exact_a <= 0.1 AND abs(est_b - exact_b) / exact_b <= 0.1)
        |    AS d_within_bound,
-       |  (abs(est_jaccard - exact_jaccard) <= 0.02) AS j_within_bound
+       |  (abs(est_jaccard - exact_jaccard) <= 0.02) AS j_within_bound,
+       |  est_jaccard * est_union / est_a AS est_containment_a,
+       |  est_jaccard * est_union / est_b AS est_containment_b
        |FROM est ORDER BY lang_a, lang_b""".stripMargin
   }
 

@@ -216,6 +216,11 @@ class TextAnalysisSpec extends SparkSpec {
       assert(math.abs(ej - ei.toDouble / (ea + eb - ei)) < 1e-12)
       // estimates are positive and a short-buffer sketch is exact
       assert(r.getAs[Double]("est_a") > 0 && r.getAs[Double]("est_union") > 0)
+      // containment is a fraction (small estimator slack above 1 allowed)
+      for (c <- Seq("est_containment_a", "est_containment_b")) {
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.1, s"$c=$v in ${r.toString}")
+      }
     }
   }
 }
