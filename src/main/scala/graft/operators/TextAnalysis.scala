@@ -701,14 +701,39 @@ object TextAnalysis {
   private[graft] def normTokens(text: String): Array[String] =
     text.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT).trim.split(" ")
 
-  /** (doc_id, vec[64], l2) for every document. */
+  /** (doc_id, vec[64], l2) for every document. Runs as mapPartitions
+    * with a per-partition token → (dim, sign) memo: md5 is the
+    * per-token cost and real corpora repeat tokens heavily (Zipf), so
+    * the memo turns ~tokens-per-partition digests into
+    * ~distinct-tokens-per-partition (measured 4.4 → ~2 s for the
+    * index row at sf0.1). Same arithmetic as [[hashVec64]] — the memo
+    * only caches, never changes a value. */
   def hashVectors(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, t) =>
-        val v = hashVec64(normTokens(t))
-        (id, v, math.sqrt(v.map(x => x.toDouble * x).sum))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val memo = new java.util.HashMap[String, Int]() // (idx << 1) | neg
+        it.map { case (id, t) =>
+          val toks = normTokens(t)
+          val v = new Array[Long](64)
+          var i = 0
+          while (i < toks.length) {
+            val tok = toks(i)
+            var e = memo.getOrDefault(tok, -1)
+            if (e < 0) {
+              val d = md.digest(tok.getBytes("UTF-8"))
+              val idx = (d(0) & 0xFF) % 64
+              val neg = if (((d(1) >> 4) & 0xF) >= 8) 1 else 0
+              e = (idx << 1) | neg
+              memo.put(tok, e)
+            }
+            v(e >> 1) += (if ((e & 1) == 1) -1L else 1L)
+            i += 1
+          }
+          (id, v, math.sqrt(v.map(x => x.toDouble * x).sum))
+        }
       }
       .toDF("doc_id", "vec", "l2")
   }
@@ -796,6 +821,53 @@ object TextAnalysis {
        |  FROM scored) r
        |WHERE rnk <= 3
        |ORDER BY probe_id, rnk""".stripMargin
+  }
+
+  /** Text-only ANN end to end: documents → hashing-trick vectors →
+    * IVF-PQ retrieval — the chunk/vectorize/index/search pipeline with
+    * no learned model anywhere, the zero-dependency first tier of a
+    * retrieval stack. The 64-dim hashed vectors feed
+    * [[Similarity.ivfPqSearch]] unchanged (dim 64 = the m=4 × sub=16
+    * PQ geometry the X2 rows use), zero-norm vectors (sign-cancelled
+    * token sets) are excluded on both engines, and the oracle REPLAYS
+    * the whole composition — vectorization CTEs shadow the
+    * `embeddings` view in front of the exact IVFADC replay — so every
+    * (probe, neighbor, rank, adist) tuple is value-checked through
+    * the full text→vector→index→search path. */
+  private def xtHashvecIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hv = hashVectors(Tables.load(spark, dir, "documents"))
+      .filter($"l2" > 0)
+      .select($"doc_id".as("vec_id"),
+        expr("transform(vec, x -> CAST(x AS FLOAT))").as("embedding"))
+    Similarity.ivfPqSearch(hv, hv.filter($"vec_id" < 10), 16, 4, 4, 16, 1, 5)
+      .orderBy($"probe_id", $"rnk")
+  }
+
+  private val xtHashvecIndexSql = {
+    val v = 64
+    val hvCte =
+      s"""embeddings AS (
+         |  WITH tok AS (
+         |    SELECT doc_id, unnest(string_split(trim(lower(regexp_replace(text,'\\s+',' ','g'))), ' ')) AS t
+         |    FROM documents),
+         |  h AS (
+         |    SELECT doc_id,
+         |      ((strpos('0123456789abcdef', substr(md5(t),1,1))-1)*16 +
+         |       (strpos('0123456789abcdef', substr(md5(t),2,1))-1)) % $v AS idx,
+         |      CASE WHEN strpos('0123456789abcdef', substr(md5(t),3,1))-1 >= 8 THEN -1 ELSE 1 END AS sgn
+         |    FROM tok),
+         |  sums AS (SELECT doc_id, idx, CAST(SUM(sgn) AS BIGINT) AS v FROM h GROUP BY doc_id, idx),
+         |  grid AS (SELECT DISTINCT doc_id FROM documents),
+         |  dense AS (
+         |    SELECT g.doc_id, r.range AS idx, COALESCE(s.v, 0) AS v
+         |    FROM grid g CROSS JOIN range($v) r
+         |    LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.idx = r.range)
+         |  SELECT doc_id AS vec_id, list(CAST(v AS DOUBLE) ORDER BY idx) AS embedding
+         |  FROM dense GROUP BY doc_id
+         |  HAVING SUM(v*v) > 0),
+         |""".stripMargin
+    graft.operators.Similarity.ivfPqSearchSqlWith(prefix = hvCte)
   }
 
   // ---------------------------------------------------- approx quantile
@@ -991,6 +1063,7 @@ object TextAnalysis {
     Declared("x4_kmv_jaccard", x4KmvJaccard, Some(x4KmvJaccardSql)),
     Declared("xt_hash_vectorize", xtHashVectorize, Some(xtHashVectorizeSql)),
     Declared("xt_hashvec_knn", xtHashvecKnn, Some(xtHashvecKnnSql)),
+    Declared("xt_hashvec_index", xtHashvecIndex, Some(xtHashvecIndexSql)),
     Declared("x4_approx_quantile", x4Quantile, Some(x4QuantileSql)),
     Declared("xt_token_stats", xtTokens, Some(xtTokensSql)),
     Declared("xt_quality", xtQuality, Some(xtQualitySql)),
