@@ -39,6 +39,37 @@ class KmvAggSpec extends SparkSpec {
     }
   }
 
+  test("merge is associative, commutative, and order-independent (randomized)") {
+    // the mergeable-summary contract: any partitioning of the input,
+    // merged in any shape, yields the same sketch — what lets per-shard
+    // sketches combine without coordination
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 50) {
+      val k = 1 + rnd.nextInt(12)
+      val agg = new KmvAgg(k)
+      val n = 1 + rnd.nextInt(200)
+      val xs = Seq.fill(n)(rnd.nextInt(60).toLong) // duplicate-heavy
+      val expected = xs.distinct.sorted.take(k)
+      // random 3-way partition, two association orders + a swap
+      val marks = xs.map(_ => rnd.nextInt(3))
+      val parts = (0 until 3).map(p =>
+        xs.zip(marks).collect { case (x, m) if m == p => x }
+          .foldLeft(agg.zero)(agg.reduce))
+      val leftAssoc = agg.merge(agg.merge(parts(0), parts(1)), parts(2))
+      assert(leftAssoc.toSeq == expected, s"trial $trial k=$k leftAssoc")
+      val parts2 = (0 until 3).map(p =>
+        xs.zip(marks).collect { case (x, m) if m == p => x }
+          .foldLeft(agg.zero)(agg.reduce))
+      val rightAssoc = agg.merge(parts2(0), agg.merge(parts2(1), parts2(2)))
+      assert(rightAssoc.toSeq == expected, s"trial $trial k=$k rightAssoc")
+      val parts3 = (0 until 3).map(p =>
+        xs.zip(marks).collect { case (x, m) if m == p => x }
+          .foldLeft(agg.zero)(agg.reduce))
+      val swapped = agg.merge(parts3(2), agg.merge(parts3(0), parts3(1)))
+      assert(swapped.toSeq == expected, s"trial $trial k=$k swapped")
+    }
+  }
+
   test("KMV estimator is within 3 sigma on a known-cardinality universe") {
     val k = 256
     val agg = new KmvAgg(k)
