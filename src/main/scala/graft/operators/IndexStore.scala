@@ -63,6 +63,75 @@ object IndexStore {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Logical delete — the tombstone half of index maintenance (SemDeDup
+    * pipelines delete aggressively, and a 100 TB index cannot rewrite
+    * corpus-sized codes per delete). Deleted vec_ids land as
+    * `tombstones/batch_id=<id>/` (ids only, 8 bytes/row) under the same
+    * overwrite-by-batch discipline as [[appendIvfPq]], so at-least-once
+    * delivery of a delete batch lands exactly-once. [[searchIvfPq]]
+    * anti-joins the codes scan against every committed tombstone batch
+    * (an id-only join — AQE broadcasts it while deletes are small, and
+    * it stays a keyed shuffle, never a rewrite, when they are not);
+    * [[compactIvfPq]] makes the deletes physical and clears the
+    * tombstones. */
+  def deleteIvfPq(ids: DataFrame, dir: String, batchId: Long): Unit =
+    ids.select(col("vec_id").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/tombstones/batch_id=$batchId")
+
+  /** Physical maintenance — the missing half of [[appendIvfPq]]: a year
+    * of streaming appends is the small-files problem at exactly the
+    * scale the index exists for (one `codes/batch_id=N/` dir per
+    * micro-batch), and tombstones accumulate query-time anti-join work.
+    * Compaction rewrites every committed codes batch MINUS the
+    * tombstones into a single `batch_id=0` partitioned to
+    * ~`targetBytes` files (sized from the measured on-disk footprint,
+    * not a row count — no extra corpus scan), stages it next to the
+    * live table, then swaps: delete `codes/`, rename the staging dir
+    * in, drop the now-applied tombstones. The swap is not atomic; a
+    * crash between delete and rename leaves NO `codes/` dir and
+    * [[searchIvfPq]] refuses loudly ("build the index first") rather
+    * than serving half a table — same torn-write posture as the
+    * per-batch `_SUCCESS` gates, and single-writer by contract like
+    * every other mutation here. Search results are identical before
+    * and after ([[IndexStoreSpec]] proves row equality). */
+  def compactIvfPq(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    val codesRoot = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(codesRoot), s"IndexStore: $codesRoot missing — nothing to compact")
+    val bytes = fs.getContentSummary(codesRoot).getLength
+    val nParts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val live = tombstoneFilter(spark, dir,
+      spark.read.parquet(s"$dir/codes").drop("batch_id"))
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/codes__compact")
+    fs.delete(staging, true) // a dead prior compaction attempt
+    live.repartition(nParts)
+      .write.mode("overwrite").parquet(s"$staging/batch_id=0")
+    fs.delete(codesRoot, true)
+    require(fs.rename(staging, codesRoot),
+      s"IndexStore: rename $staging -> $codesRoot failed — index needs rebuild")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+  }
+
+  /** Anti-join `codes` against every committed tombstone batch (no-op
+    * when no tombstones exist). Every batch dir must carry `_SUCCESS` —
+    * a torn delete batch is refused like a torn append: serving it
+    * would silently resurrect half a delete. */
+  private def tombstoneFilter(spark: SparkSession, dir: String,
+      codes: DataFrame): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return codes
+    val batches = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+    if (batches.isEmpty) return codes
+    for (b <- batches)
+      require(fs.exists(new org.apache.hadoop.fs.Path(b.getPath, "_SUCCESS")),
+        s"IndexStore: ${b.getPath} partially written (no _SUCCESS) — re-run the delete for that batch")
+    codes.join(spark.read.parquet(s"$dir/tombstones").select("vec_id"),
+      Seq("vec_id"), "left_anti")
+  }
+
   /** Incremental maintenance — the FAISS `add()` shape: encode NEW
     * vectors against the FROZEN centroids/codebooks (one bounded reload
     * + one map-only pass over the batch, never the existing corpus) and
@@ -130,7 +199,7 @@ object IndexStore {
     for (b <- batches)
       require(fs.exists(new org.apache.hadoop.fs.Path(b.getPath, "_SUCCESS")),
         s"IndexStore: ${b.getPath} partially written (no _SUCCESS) — re-run the append for that batch")
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codes = tombstoneFilter(spark, dir, spark.read.parquet(s"$dir/codes"))
       .withColumn("codes", array((0 until m).map(s => col(s"code_$s").cast(IntegerType)): _*))
     val pc = Similarity.ivfProbeClusters(probes, cents, nprobe)
       .select(col("probe_id"), col("cluster"))
@@ -147,28 +216,51 @@ object IndexStore {
     * codes. Same oracle: the round-trip must be invisible. */
   private[operators] def x2IvfPqPersisted(spark: SparkSession, dir: String): DataFrame = {
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
-    val ixDir = indexDirFor(spark, dir)
+    val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb",
+      d => buildIvfPq(graft.core.Tables.load(spark, dir, "embeddings"), d, 16, 4, 16, 1))
     searchIvfPq(spark, ixDir, emb.filter(col("vec_id") < 10), 4, 5)
       .orderBy(col("probe_id"), col("rnk"))
   }
 
-  /** Warehouse location keyed on the fixture's content fingerprint
-    * (size + mtime of the source parquet, directory-aware like q38's);
-    * builds on first use, reuses afterwards. */
-  private def indexDirFor(spark: SparkSession, dir: String): String = {
-    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+  /** Warehouse location keyed on the SOURCE fixture's content
+    * fingerprint (size + mtime + part count, directory-aware like
+    * q38's); `build` runs on first use, later calls reuse the dir.
+    *
+    * The FULL fingerprint string (sanitized) is embedded in the dir
+    * name — a 32-bit hash would let a cross-fixture collision make the
+    * marker check fail both ways and rebuild on every pass (ADVICE
+    * r11). The marker still exists and still carries the fingerprint:
+    * the dir name proves which source the dir is FOR, the marker proves
+    * the build COMPLETED for exactly that source+layout (a crashed
+    * build leaves a dir with no marker → rebuilt, and a marker written
+    * by an older layout version mismatches → rebuilt). `tag` keys the
+    * index family (different vectorizations of different tables share
+    * the tmpdir).
+    *
+    * Single-writer, single-JVM by contract: the check-then-build
+    * marker protocol is not atomic across concurrent JVMs sharing
+    * `java.io.tmpdir` — exactly the q38 Bucketing caveat (two writers
+    * racing the same warehouse dir are out of contract; the loser's
+    * half-built dir is refused by the marker/`_SUCCESS` gates, never
+    * silently served). [[IndexStoreSpec]] pins the rebuild-on-mismatch
+    * behavior. */
+  private[graft] def ensureIndexFor(spark: SparkSession, srcPath: String,
+      tag: String, build: String => Unit): String = {
+    val src = new org.apache.hadoop.fs.Path(srcPath)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(src), s"IndexStore: fixture $src missing")
     val st = fs.getFileStatus(src)
-    // "v2" = the on-disk LAYOUT version (codes/ became batch-partitioned):
-    // bumping it invalidates markers written by an older layout, so a
-    // layout change rebuilds instead of serving a dir the reader can't parse
-    val fp = "v2:" + (
+    // "v3" = the on-disk LAYOUT version (v2 added batch-partitioned
+    // codes/, v3 added tombstones + compaction): bumping it invalidates
+    // markers written by an older layout, so a layout change rebuilds
+    // instead of serving a dir the reader can't parse
+    val fp = "v3:" + (
       if (st.isDirectory) {
         val parts = fs.listStatus(src).filter(_.isFile).sortBy(_.getPath.getName)
         s"${parts.map(_.getLen).sum}:${parts.map(_.getModificationTime).max}:${parts.length}"
       } else s"${st.getLen}:${st.getModificationTime}")
-    val ixDir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${fp.hashCode.toHexString}"
+    val ixDir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-$tag-" +
+      fp.replaceAll("[^A-Za-z0-9]", "-")
     val marker = new org.apache.hadoop.fs.Path(s"$ixDir/_graft_fingerprint")
     val ok = fs.exists(marker) && {
       val in = fs.open(marker)
@@ -176,8 +268,7 @@ object IndexStore {
       read == fp
     }
     if (!ok) {
-      val emb = graft.core.Tables.load(spark, dir, "embeddings")
-      buildIvfPq(emb, ixDir, 16, 4, 16, 1)
+      build(ixDir)
       val out = fs.create(marker, true)
       try out.write(fp.getBytes("UTF-8")) finally out.close()
     }

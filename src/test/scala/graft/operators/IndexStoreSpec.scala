@@ -82,4 +82,74 @@ class IndexStoreSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(hits.contains(probeId), s"probe $probeId not found among $hits")
   }
+
+  test("deleteIvfPq excludes tombstoned rows; compactIvfPq makes deletes physical with identical search results") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-ix5").toString
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val n = emb.count()
+    IndexStore.buildIvfPq(emb.filter(col("vec_id") < n / 2), dir, 16, 4, 16, 1)
+    IndexStore.appendIvfPq(emb.filter(col("vec_id") >= n / 2), dir, batchId = 1)
+    val probes = emb.filter(col("vec_id") < 5)
+    def search() = IndexStore.searchIvfPq(spark, dir, probes, 4, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+    // tombstone every rank-1 neighbor of the baseline, so the delete
+    // provably changes results (not just ids nobody retrieved)
+    val victims = search().filter(col("rnk") === 1)
+      .select("vec_id").distinct().as[Long].collect().toSeq
+    assert(victims.nonEmpty)
+    IndexStore.deleteIvfPq(victims.toDF("vec_id"), dir, batchId = 1)
+    val afterDelete = search().collect().toSeq
+    val got = afterDelete.map(_.getLong(1)).toSet // vec_id column
+    assert(victims.forall(v => !got.contains(v)),
+      s"tombstoned ids $victims still served: $got")
+    // replayed delete batch lands exactly-once (overwrite, not append)
+    IndexStore.deleteIvfPq(victims.toDF("vec_id"), dir, batchId = 1)
+    assert(search().collect().toSeq == afterDelete)
+    // compaction: one physical batch, tombstones gone, results identical
+    IndexStore.compactIvfPq(spark, dir)
+    assert(search().collect().toSeq == afterDelete,
+      "compaction changed search results")
+    val batches = new java.io.File(s"$dir/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).toSeq
+    assert(batches.map(_.getName) == Seq("batch_id=0"), batches.map(_.getName))
+    assert(!new java.io.File(s"$dir/tombstones").exists(), "tombstones not cleared")
+    assert(spark.read.parquet(s"$dir/codes").count() == n - victims.size)
+  }
+
+  test("a partially-written tombstone batch is refused, not silently half-applied") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-ix6").toString
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    IndexStore.buildIvfPq(emb, dir, 16, 4, 16, 1)
+    IndexStore.deleteIvfPq(Seq(1L, 2L).toDF("vec_id"), dir, batchId = 1)
+    assert(new java.io.File(s"$dir/tombstones/batch_id=1/_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.searchIvfPq(spark, dir, emb.filter(col("vec_id") < 3), 4, 5).collect()
+    }
+    assert(e.getMessage.contains("delete"), e.getMessage)
+  }
+
+  test("ensureIndexFor builds once, reuses on match, rebuilds on marker mismatch") {
+    // single-writer/single-JVM contract (the q38 Bucketing caveat): this
+    // pins the sequential behavior — build on first use, reuse while the
+    // marker matches the source fingerprint, rebuild when it doesn't
+    val srcFile = java.nio.file.Files.createTempFile("ix-src", ".parquet")
+    java.nio.file.Files.write(srcFile, Array.fill(64)(7.toByte))
+    var builds = 0
+    def ensure() = IndexStore.ensureIndexFor(spark, srcFile.toString, "spec",
+      d => { builds += 1; new java.io.File(d).mkdirs(); () })
+    val d1 = ensure()
+    assert(builds == 1)
+    assert(ensure() == d1 && builds == 1, "matching marker must be reused")
+    // a marker from a different source/layout version must NOT be served
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d1, "_graft_fingerprint"), "v0:stale")
+    // drop the checksum sidecar hadoop's LocalFileSystem wrote for the
+    // original marker — the nio overwrite above invalidated it
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(d1, "._graft_fingerprint.crc"))
+    assert(ensure() == d1 && builds == 2, "stale marker must trigger rebuild")
+    assert(ensure() == d1 && builds == 2)
+  }
 }
