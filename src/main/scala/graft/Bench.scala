@@ -81,7 +81,15 @@ import org.apache.spark.sql.SparkSession
   * carries `"calib_seg"` (every calib point, per pass) and
   * `"dropped_segments"` ([pass, segment] pairs); `"calib"` keeps the
   * r8-shape [first, last] per pass and `"dropped_passes"` now means
-  * "every segment dropped" so round-over-round tooling keeps parsing. */
+  * "every segment dropped" so round-over-round tooling keeps parsing.
+  *
+  * Round-12 rename (VERDICT r11 item 5, ADVICE r10 — the one-round
+  * continuity window is over): the headline statistic is now
+  * SELF-DESCRIBING as `"min_total"` + `"mins"` (per-query MIN across
+  * all passes, summed). `"value"` and `"queries"` remain because they
+  * are the DRIVER's parse contract (the builder prompt fixes those
+  * field names) — they are exact aliases of `"min_total"`/`"mins"`,
+  * never a different statistic; `"medians"` keeps the gated medians. */
 object Bench {
   /** Mid-pass calibration cadence: one fixed-work probe every this many
     * queries (~7 points per 138-query pass; ~9 s/pass overhead at the
@@ -234,8 +242,10 @@ object Bench {
       java.nio.file.Files.write(outDir.resolve(file), (line + "\n").getBytes("UTF-8"))
     val detail =
       f"""{"metric":"detail","sf":"$sfDir","n":$n,"spread":$spread,"passes":$passesJson}"""
+    // "value"/"queries" = driver parse contract; "min_total"/"mins" =
+    // the same numbers under self-describing names (r12 rename)
     val compact =
-      f"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"mins":$minsJson,"medians":$mediansJson,"sf":"$sfDir","n":$n,"runs":$runs,"calib":$calibJson,"calib_seg":$calibSegJson,"dropped_passes":$droppedJson,"dropped_segments":$droppedSegsJson,"failed":$failedJson}"""
+      f"""{"metric":"total","value":${fmt(total)},"unit":"sec","min_total":${fmt(total)},"queries":$qs,"mins":$minsJson,"medians":$mediansJson,"sf":"$sfDir","n":$n,"runs":$runs,"calib":$calibJson,"calib_seg":$calibSegJson,"dropped_passes":$droppedJson,"dropped_segments":$droppedSegsJson,"failed":$failedJson}"""
     // Both lines are FILES first (the medians line is ~3.7 KB for 117
     // queries; the driver's stdout tail keeps ~2.9 KB, so stdout alone
     // can never carry it whole); stdout prints detail first, compact

@@ -1,0 +1,28 @@
+package graft.core
+
+/** JVM-exit cleanup for scratch directories whose contents must outlive
+  * the call that created them (declared streaming rows return DataFrames
+  * that read the scratch tree LAZILY, so eager deletion would break the
+  * later evaluation). One shutdown hook total, registered on first use:
+  * per-invocation `sys.addShutdownHook` calls accumulate one hook thread
+  * per bench/verify pass (ADVICE r11) for the same exit-time work. */
+object TempReaper {
+  private val roots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  private lazy val hook: Unit = {
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      roots.forEach { root =>
+        if (Files.exists(root))
+          Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+    ()
+  }
+
+  /** Delete `root` recursively at JVM exit. */
+  def reapAtExit(root: java.nio.file.Path): Unit = { hook; roots.add(root); () }
+}

@@ -301,15 +301,9 @@ object CurateStream {
     val docs = Tables.load(spark, dir, "documents")
     val rootPath = java.nio.file.Files.createTempDirectory("xs-curate-stream")
     // the returned DataFrame reads lazily from outDir, so the scratch
-    // tree must outlive this call — reap it at JVM exit instead of
-    // accreting a corpus copy per invocation (Verify once + Bench 3×)
-    sys.addShutdownHook {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      if (Files.exists(rootPath))
-        Files.walk(rootPath).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-    }
+    // tree must outlive this call — reap it at JVM exit via the SHARED
+    // hook (one per JVM, not one hook thread per invocation; ADVICE r11)
+    graft.core.TempReaper.reapAtExit(rootPath)
     val root = rootPath.toString
     val inDir = s"$root/in"; val outDir = s"$root/out"
     val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head

@@ -64,13 +64,10 @@ object IndexStream {
   private def xsIndexStream(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val rootPath = java.nio.file.Files.createTempDirectory("xs-index-stream")
-    sys.addShutdownHook {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      if (Files.exists(rootPath))
-        Files.walk(rootPath).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-    }
+    // result DataFrame reads the index lazily AFTER this returns, so
+    // the scratch tree must outlive the call — reap at JVM exit via the
+    // SHARED hook (one per JVM, not one per invocation; ADVICE r11)
+    graft.core.TempReaper.reapAtExit(rootPath)
     val root = rootPath.toString
     val inDir = s"$root/in"; val ixDir = s"$root/ix"
     val r = emb.agg(min(col("vec_id")), max(col("vec_id"))).head

@@ -1,5 +1,7 @@
+package graft.tools
+
 /** Dev tool: stage-level timings for x4_kmv_jaccard's subtrees at sf0.1
-  * (`runMain KmvProbe`) — which of shingle-gen / group-by-shingle /
+  * (`runMain graft.tools.KmvProbe`) — which of shingle-gen / group-by-shingle /
   * sketch / pair stages dominates. */
 object KmvProbe {
   def main(a: Array[String]): Unit = {

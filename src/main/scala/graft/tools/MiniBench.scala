@@ -1,5 +1,7 @@
+package graft.tools
+
 /** Dev tool: time individual declared queries at sf0.1 into a noop sink
-  * (`runMain MiniBench q1_pricing_summary ...`); first query doubles as
+  * (`runMain graft.tools.MiniBench q1_pricing_summary ...`); first query doubles as
   * warm-up. */
 object MiniBench {
   def main(a: Array[String]): Unit = {

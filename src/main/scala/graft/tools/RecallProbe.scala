@@ -1,7 +1,9 @@
-/** Dev tool: sweep IVF k-means iterations × nprobe and print recall vs
-  * brute top-k per fixture SF (`runMain KmSweep`) — used to pick the
-  * x2_ann_ivf refinement config and its declared recall floor. */
-object KmSweep {
+package graft.tools
+
+/** Dev tool: measure ANN recall vs brute top-k on the fixture embeddings
+  * at each SF (`runMain graft.tools.RecallProbe`) — used to pick the declared recall
+  * bounds for x2_ann_lsh / x2_ann_ivf. */
+object RecallProbe {
   def main(a: Array[String]): Unit = {
     import org.apache.spark.sql.functions._
     val spark = graft.core.GraftSession.builder("local[16]", 16).getOrCreate()
@@ -11,14 +13,15 @@ object KmSweep {
       val emb = graft.core.Tables.load(spark, dir, "embeddings")
       val probes = emb.filter(col("vec_id") < 10)
       val brute = graft.operators.Similarity.cosineTopK(emb, probes, 5)
+      val lsh = graft.operators.Similarity.annTopK(emb, probes, 64, 5)
+      val ivf = graft.operators.Similarity.ivfTopK(emb, probes, nlist = 16, nprobe = 4, k = 5)
+      val ivfKm = graft.operators.Similarity.ivfTopK(
+        emb, probes, nlist = 16, nprobe = 4, k = 5, kmeansIters = 2)
       val nb = brute.count().toDouble
       def rec(df: org.apache.spark.sql.DataFrame): Double =
         df.join(brute.select(col("probe_id"), col("neighbor_id")),
           Seq("probe_id", "neighbor_id")).count() / nb
-      for (it <- Seq(1, 2, 3, 5); np <- Seq(4, 5, 6)) {
-        val r = rec(graft.operators.Similarity.ivfTopK(emb, probes, 16, np, 5, kmeansIters = it))
-        println(f"SWEEP $sfd iters=$it nprobe=$np recall=$r%.3f")
-      }
+      println(f"RECALL $sfd brute=$nb%.0f lsh=${rec(lsh)}%.3f ivf=${rec(ivf)}%.3f ivf_km=${rec(ivfKm)}%.3f")
     }
     spark.stop()
   }

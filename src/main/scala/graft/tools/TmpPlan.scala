@@ -1,4 +1,6 @@
-/** Dev tool: print the executed plan of one declared query (`runMain TmpPlan <name>`). */
+package graft.tools
+
+/** Dev tool: print the executed plan of one declared query (`runMain graft.tools.TmpPlan <name>`). */
 object TmpPlan {
   def main(a: Array[String]): Unit = {
     val spark = graft.core.GraftSession.builder("local[8]", 8).getOrCreate()

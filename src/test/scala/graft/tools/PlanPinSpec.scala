@@ -25,6 +25,6 @@ class PlanPinSpec extends SparkSpec {
       drifted.map { case (n, s) =>
         s"plan skeleton drifted for $n\n--- pinned:\n${pm(n)}\n--- current:\n$s"
       }.mkString("\n\n") +
-        "\n\nIf intentional: sbt \"runMain graft.tools.PlanPinWrite\" && sbt \"runMain PlanDump\"")
+        "\n\nIf intentional: sbt \"runMain graft.tools.PlanPinWrite\" && sbt \"runMain graft.tools.PlanDump\"")
   }
 }
