@@ -29,13 +29,13 @@ class KmvAggSpec extends SparkSpec {
     val xs = Seq.fill(500)(rnd.nextInt(120).toLong)
     val expected = xs.distinct.sorted.take(k)
     // reduce in stream order
-    val reduced = xs.foldLeft(agg.zero)(agg.reduce)
+    val reduced = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
     assert(reduced.toSeq == expected)
     // arbitrary split points merge to the same sketch (mergeability)
     for (cut <- Seq(1, 17, 250, 499)) {
       val (a, b) = xs.splitAt(cut)
       val m = agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
-      assert(m.toSeq == expected, s"cut=$cut")
+      assert(agg.finish(m).toSeq == expected, s"cut=$cut")
     }
   }
 
@@ -56,17 +56,17 @@ class KmvAggSpec extends SparkSpec {
         xs.zip(marks).collect { case (x, m) if m == p => x }
           .foldLeft(agg.zero)(agg.reduce))
       val leftAssoc = agg.merge(agg.merge(parts(0), parts(1)), parts(2))
-      assert(leftAssoc.toSeq == expected, s"trial $trial k=$k leftAssoc")
+      assert(agg.finish(leftAssoc).toSeq == expected, s"trial $trial k=$k leftAssoc")
       val parts2 = (0 until 3).map(p =>
         xs.zip(marks).collect { case (x, m) if m == p => x }
           .foldLeft(agg.zero)(agg.reduce))
       val rightAssoc = agg.merge(parts2(0), agg.merge(parts2(1), parts2(2)))
-      assert(rightAssoc.toSeq == expected, s"trial $trial k=$k rightAssoc")
+      assert(agg.finish(rightAssoc).toSeq == expected, s"trial $trial k=$k rightAssoc")
       val parts3 = (0 until 3).map(p =>
         xs.zip(marks).collect { case (x, m) if m == p => x }
           .foldLeft(agg.zero)(agg.reduce))
       val swapped = agg.merge(parts3(2), agg.merge(parts3(0), parts3(1)))
-      assert(swapped.toSeq == expected, s"trial $trial k=$k swapped")
+      assert(agg.finish(swapped).toSeq == expected, s"trial $trial k=$k swapped")
     }
   }
 
@@ -81,7 +81,7 @@ class KmvAggSpec extends SparkSpec {
       ((d(0) & 0xFFL) << 40) | ((d(1) & 0xFFL) << 32) | ((d(2) & 0xFFL) << 24) |
         ((d(3) & 0xFFL) << 16) | ((d(4) & 0xFFL) << 8) | (d(5) & 0xFFL)
     }
-    val sk = hs.foldLeft(agg.zero)(agg.reduce)
+    val sk = agg.finish(hs.foldLeft(agg.zero)(agg.reduce))
     assert(sk.length == k)
     val est = (k - 1).toDouble * 281474976710656.0 / sk(k - 1)
     val sigma = n / math.sqrt(k - 2)

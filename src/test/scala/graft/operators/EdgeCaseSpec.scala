@@ -296,9 +296,9 @@ class EdgeCaseSpec extends SparkSpec {
     assert(d16(65536L, 0L) == d16(0L, 0L), "bit 16+ must mask away")
     // KMV aggregator: empty input -> empty sketch; k=1 stays bounded
     val agg1 = new graft.functions.KmvAgg(1)
-    assert(agg1.zero.isEmpty)
-    assert(agg1.merge(agg1.zero, agg1.zero).isEmpty)
-    assert(agg1.reduce(agg1.reduce(agg1.zero, 5L), 3L).toSeq == Seq(3L))
+    assert(agg1.finish(agg1.zero).isEmpty)
+    assert(agg1.finish(agg1.merge(agg1.zero, agg1.zero)).isEmpty)
+    assert(agg1.finish(agg1.reduce(agg1.reduce(agg1.zero, 5L), 3L)).toSeq == Seq(3L))
     // IndexStore on an empty corpus refuses loudly at build
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val dir = java.nio.file.Files.createTempDirectory("ix-empty").toString
