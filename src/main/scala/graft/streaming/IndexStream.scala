@@ -28,7 +28,12 @@ import graft.operators.{Declared, IndexStore}
   * 2048-vector cap stands for the corpus; when drift breaks that
   * assumption, rebuild via [[IndexStore.buildIvfPq]] (the oracle pins
   * the frozen-codebook semantics, so a retrain can never happen
-  * silently).
+  * silently). "When drift demands it" has a number attached:
+  * [[graft.operators.IndexDriftSpec]] pins the per-batch mean
+  * reconstruction-error tripwire (a drifted drop encodes ~65× worse
+  * under frozen books at the fixture; ≥10× fires) and that a rebuild
+  * clears it (≥5× reduction) — the monitor rides the encode pass for
+  * free as `pqEncode`'s `err`.
   */
 object IndexStream {
 
