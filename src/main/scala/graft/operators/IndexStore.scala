@@ -275,6 +275,33 @@ object IndexStore {
     ixDir
   }
 
+  /** Delete + compaction as a driver-checked row: build, tombstone the
+    * deterministic slice `vec_id ≡ 3 (mod 7)`, COMPACT (deletes made
+    * physical, tombstones cleared), then serve the standard 10 probes
+    * from the compacted index. The DuckDB oracle replays IVFADC with
+    * the exclusion applied to the CANDIDATE set only — training,
+    * centroids, and probe routing still see the full corpus, exactly
+    * the delete semantics ([[deleteIvfPq]]: a removed vector stops
+    * being served; its historical contribution to frozen codebooks is
+    * not rewritten). The whole delete → compact → serve path is
+    * value-checked, not just spec-equality-checked; probes that are
+    * themselves deleted (vec_id 3) still query — a removed document
+    * may still be a query — and simply can't retrieve themselves. */
+  private[operators] def x2IvfPqDeleted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb-del", { d =>
+      buildIvfPq(emb, d, 16, 4, 16, 1)
+      deleteIvfPq(emb.filter(col("vec_id") % 7 === 3), d, batchId = 1)
+      compactIvfPq(spark, d)
+    })
+    searchIvfPq(spark, ixDir, emb.filter(col("vec_id") < 10), 4, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  private val x2IvfPqDeletedSql =
+    Similarity.ivfPqSearchSqlWith(serveWhere = "WHERE a.vec_id % 7 <> 3")
+
   val all: Seq[Declared] = Seq(
-    Declared("x2_ivfpq_persisted", x2IvfPqPersisted, Some(Similarity.x2IvfPqSearchSql)))
+    Declared("x2_ivfpq_persisted", x2IvfPqPersisted, Some(Similarity.x2IvfPqSearchSql)),
+    Declared("x2_ivfpq_deleted", x2IvfPqDeleted, Some(x2IvfPqDeletedSql)))
 }

@@ -988,9 +988,15 @@ object Similarity {
     * prepends extra CTEs and `trainWhere` filters the rows the
     * codebooks/centroids are sampled from — the streaming-index oracle
     * (`xs_index_stream`) trains on the FIRST drop only, exactly as the
-    * stream's batch-0 build does. Defaults reproduce the batch oracle. */
+    * stream's batch-0 build does. `serveWhere` filters the CANDIDATE
+    * set only (training and probe routing see the full corpus) — the
+    * tombstone-delete oracle (`x2_ivfpq_deleted`): a deleted vector
+    * stops being served without its historical contribution to
+    * centroids/codebooks being rewritten, exactly the
+    * [[IndexStore.deleteIvfPq]] semantics. Defaults reproduce the
+    * batch oracle. */
   private[graft] def ivfPqSearchSqlWith(prefix: String = "",
-      trainWhere: String = ""): String = {
+      trainWhere: String = "", serveWhere: String = ""): String = {
     val (m, k, sub) = (4, 16, 16)
     val (nlist, nprobe) = (16, 4)
     def cos(v: String, c: String) =
@@ -1026,7 +1032,7 @@ object Similarity {
        |      ORDER BY ${cos("p.v", "c.cv")} DESC, c.cid) AS rn
        |    FROM p CROSS JOIN ic c) t WHERE rn <= $nprobe),
        |cand AS (
-       |  SELECT pl.probe_id, a.vec_id FROM plists pl JOIN asg a USING (cluster)),
+       |  SELECT pl.probe_id, a.vec_id FROM plists pl JOIN asg a USING (cluster) $serveWhere),
        |$luts,
        |r AS (
        |  SELECT cand.probe_id, cand.vec_id, $dSum AS adist
