@@ -82,35 +82,123 @@ object IndexStore {
     * of streaming appends is the small-files problem at exactly the
     * scale the index exists for (one `codes/batch_id=N/` dir per
     * micro-batch), and tombstones accumulate query-time anti-join work.
-    * Compaction rewrites every committed codes batch MINUS the
-    * tombstones into a single `batch_id=0` partitioned to
+    * Compaction folds every committed codes batch with id ≤ `upTo`
+    * MINUS the tombstones into a single `batch_id=0` partitioned to
     * ~`targetBytes` files (sized from the measured on-disk footprint,
-    * not a row count — no extra corpus scan), stages it next to the
-    * live table, then swaps: delete `codes/`, rename the staging dir
-    * in, drop the now-applied tombstones. The swap is not atomic; a
-    * crash between delete and rename leaves NO `codes/` dir and
-    * [[searchIvfPq]] refuses loudly ("build the index first") rather
-    * than serving half a table — same torn-write posture as the
-    * per-batch `_SUCCESS` gates, and single-writer by contract like
-    * every other mutation here. Search results are identical before
-    * and after ([[IndexStoreSpec]] proves row equality). */
+    * not a row count — no extra corpus scan). Batches above `upTo` are
+    * untouched — the streaming caller passes the checkpoint-derived
+    * `upTo = batchId − 1` ([[graft.streaming.IndexStream]]): those
+    * batches are committed and can never replay, so folding them can
+    * never race a replayed append (the CurateStream /
+    * `Maintenance.compactBatchStore` replay contract).
+    *
+    * Crash posture — the staged-marker plan:
+    *  1. stage the folded+filtered codes to `codes__compact/batch_id=0`
+    *     (its own `_SUCCESS`);
+    *  2. write `_compacting` listing exactly the fold + tombstone
+    *     batch dirs to remove — from here until step 5,
+    *     [[searchIvfPq]] REFUSES the index (a half-deleted fold set
+    *     must never be silently served);
+    *  3. delete the listed dirs; 4. rename the staging batch in as the
+    *     new `batch_id=0`; 5. remove the marker.
+    * A crash before 2 leaves a dead staging dir (overwritten by the
+    * next attempt, index never degraded); a crash in 3-5 strands the
+    * marker, and the next [[compactIvfPq]] call FINISHES the
+    * interrupted plan from the marker before doing anything else
+    * (streaming replay re-runs the compaction batch, which is exactly
+    * that call). Tombstones are cleared only when every live batch is
+    * folded (always true for the streaming `upTo = batchId − 1` call,
+    * where batch `batchId` appends after); a partial fold keeps them
+    * so deleted ids in kept batches stay excluded. Single-writer by
+    * contract like every other mutation here ([[ensureIndexFor]]).
+    * Search results are identical before and after ([[IndexStoreSpec]]
+    * proves row equality, including across a simulated mid-plan
+    * crash). */
   def compactIvfPq(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L << 20): Unit = {
+      targetBytes: Long = 128L << 20, upTo: Long = Long.MaxValue): Unit = {
+    require(upTo >= 0, s"IndexStore: upTo must cover the build batch 0, got $upTo")
     val codesRoot = new org.apache.hadoop.fs.Path(s"$dir/codes")
     val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    resumeCompaction(spark, dir) // finish a stranded plan first
     require(fs.exists(codesRoot), s"IndexStore: $codesRoot missing — nothing to compact")
-    val bytes = fs.getContentSummary(codesRoot).getLength
+    def batchIds(root: org.apache.hadoop.fs.Path): Seq[Long] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+        .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+    val all = batchIds(codesRoot)
+    val fold = all.filter(_ <= upTo).sorted
+    if (fold.isEmpty) return
+    for (b <- fold)
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes/batch_id=$b/_SUCCESS")),
+        s"IndexStore: codes/batch_id=$b partially written (no _SUCCESS) — cannot fold a torn batch")
+    val foldAll = fold.size == all.size
+    val tombs = if (foldAll) batchIds(new org.apache.hadoop.fs.Path(s"$dir/tombstones")) else Seq.empty
+    // 1. stage: folded batches minus tombstones, sized from disk footprint
+    val bytes = fold.map(b =>
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(s"$dir/codes/batch_id=$b")).getLength).sum
     val nParts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val live = tombstoneFilter(spark, dir,
-      spark.read.parquet(s"$dir/codes").drop("batch_id"))
     val staging = new org.apache.hadoop.fs.Path(s"$dir/codes__compact")
-    fs.delete(staging, true) // a dead prior compaction attempt
+    fs.delete(staging, true) // a dead prior pre-marker attempt
+    val live = tombstoneFilter(spark, dir,
+      spark.read.parquet(s"$dir/codes")
+        .filter(col("batch_id").isin(fold: _*)).drop("batch_id"))
     live.repartition(nParts)
       .write.mode("overwrite").parquet(s"$staging/batch_id=0")
-    fs.delete(codesRoot, true)
-    require(fs.rename(staging, codesRoot),
-      s"IndexStore: rename $staging -> $codesRoot failed — index needs rebuild")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+    // 2. marker: the exact removal list (search refuses from here on)
+    writeMarker(fs, dir, fold, tombs)
+    finishCompaction(spark, dir, fold, tombs)
+  }
+
+  /** Steps 3-5 of the compaction plan (see [[compactIvfPq]]) —
+    * idempotent, so a stranded plan can re-run it verbatim. */
+  private def finishCompaction(spark: SparkSession, dir: String,
+      fold: Seq[Long], tombs: Seq[Long]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (b <- fold) fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes/batch_id=$b"), true)
+    for (b <- tombs) fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones/batch_id=$b"), true)
+    val tombRoot = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (fs.exists(tombRoot) &&
+        !fs.listStatus(tombRoot).exists(_.getPath.getName.startsWith("batch_id=")))
+      fs.delete(tombRoot, true) // drained: drop the root so "no tombstones" is visible
+    val stagedBatch = new org.apache.hadoop.fs.Path(s"$dir/codes__compact/batch_id=0")
+    require(fs.rename(stagedBatch, new org.apache.hadoop.fs.Path(s"$dir/codes/batch_id=0")),
+      s"IndexStore: rename $stagedBatch into codes/ failed")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes__compact"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$CompactingMarker"), true)
+  }
+
+  private[operators] val CompactingMarker = "_compacting"
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      fold: Seq[Long], tombs: Seq[Long]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/$CompactingMarker"), true)
+    try out.write(s"fold:${fold.mkString(",")}|tomb:${tombs.mkString(",")}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Finish an interrupted compaction if `_compacting` is stranded.
+    * The marker is written only AFTER the staging batch is complete
+    * (plan step 2), so resume = re-run the idempotent steps 3-5: the
+    * already-deleted dirs no-op, the staged batch renames in, the
+    * marker clears. If the rename already happened (staging gone, a
+    * crash between 4 and 5), only the marker is left to clear. */
+  private def resumeCompaction(spark: SparkSession, dir: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/$CompactingMarker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    def ids(part: String): Seq[Long] = {
+      val body = part.split(":", 2).lift(1).getOrElse("")
+      if (body.isEmpty) Seq.empty else body.split(",").toSeq.map(_.toLong)
+    }
+    val Array(foldPart, tombPart) = txt.split("\\|", 2)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes__compact/batch_id=0/_SUCCESS")))
+      finishCompaction(spark, dir, ids(foldPart), ids(tombPart))
+    else // crash between rename (4) and marker clear (5)
+      fs.delete(marker, true)
   }
 
   /** Anti-join `codes` against every committed tombstone batch (no-op
@@ -186,6 +274,10 @@ object IndexStore {
     * in-memory path. */
   def searchIvfPq(spark: SparkSession, dir: String, probes: DataFrame,
       nprobe: Int = 4, topK: Int = 5): DataFrame = {
+    val markerPath = new org.apache.hadoop.fs.Path(s"$dir/$CompactingMarker")
+    require(!markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(markerPath),
+      s"IndexStore: $dir has a stranded compaction ($CompactingMarker present) — " +
+        "a half-deleted fold set must never be served; re-run compactIvfPq to finish the plan")
     val (_, m, _, sub, cents, books) = load(spark, dir)
     // codes/ is batch-partitioned (batch_id=N per build/append); every
     // batch must carry its own commit marker — a torn append is refused

@@ -37,10 +37,24 @@ import graft.operators.{Declared, IndexStore}
   */
 object IndexStream {
 
-  /** One AvailableNow pass over `inDir` into the index at `ixDir`. */
+  /** One AvailableNow pass over `inDir` into the index at `ixDir`.
+    *
+    * `compactEvery` > 0 runs [[IndexStore.compactIvfPq]] every
+    * that-many batches, INSIDE the stream and BEFORE the batch's own
+    * append — the small-files control for a long-running stream (a
+    * year of appends is one `codes/batch_id=N/` dir per micro-batch at
+    * exactly the scale the index exists for), lifted verbatim from the
+    * [[CurateStream]] key-store discipline: `upTo = batchId − 1` is
+    * derived from the checkpoint itself, so only batches that are
+    * committed — and can therefore never replay — are folded, and the
+    * current batch's append lands after as its own directory. A
+    * compaction crash strands the `_compacting` marker, search refuses
+    * the index loudly, and the checkpoint replays this batch — whose
+    * compact call finishes the interrupted plan from the marker before
+    * appending (see [[IndexStore.compactIvfPq]]'s crash posture). */
   def start(spark: SparkSession, inDir: String, ixDir: String,
       checkpoint: String, nlist: Int = 16, m: Int = 4, k: Int = 16,
-      iters: Int = 1): StreamingQuery =
+      iters: Int = 1, compactEvery: Int = 0): StreamingQuery =
     spark.readStream
       .schema(Tables.embeddings)
       .parquet(inDir)
@@ -49,7 +63,11 @@ object IndexStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId == 0L) IndexStore.buildIvfPq(batch, ixDir, nlist, m, k, iters)
-        else IndexStore.appendIvfPq(batch, ixDir, batchId)
+        else {
+          if (compactEvery > 0 && batchId % compactEvery == 0)
+            IndexStore.compactIvfPq(spark, ixDir, upTo = batchId - 1)
+          IndexStore.appendIvfPq(batch, ixDir, batchId)
+        }
       }
       .start()
 

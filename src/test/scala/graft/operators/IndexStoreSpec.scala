@@ -130,6 +130,65 @@ class IndexStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("delete"), e.getMessage)
   }
 
+  test("a compaction crash mid-plan refuses search and the next compact call finishes the plan") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-ix7").toString
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val n = emb.count()
+    IndexStore.buildIvfPq(emb.filter(col("vec_id") < n / 2), dir, 16, 4, 16, 1)
+    IndexStore.appendIvfPq(emb.filter(col("vec_id") >= n / 2), dir, batchId = 1)
+    val probes = emb.filter(col("vec_id") < 5)
+    def search() = IndexStore.searchIvfPq(spark, dir, probes, 4, 5)
+      .orderBy(col("probe_id"), col("rnk")).collect().toSeq
+    val baseline = search()
+    // fabricate the state after plan step 2 + a PARTIAL step 3: staging
+    // complete, marker written, batch 0 already deleted, batch 1 not yet
+    spark.read.parquet(s"$dir/codes").drop("batch_id")
+      .write.parquet(s"$dir/codes__compact/batch_id=0")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_compacting"), "fold:0,1|tomb:")
+    def rmRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmRec)); f.delete(); ()
+    }
+    rmRec(new java.io.File(s"$dir/codes/batch_id=0"))
+    val e = intercept[IllegalArgumentException](search())
+    assert(e.getMessage.contains("stranded compaction"), e.getMessage)
+    // the next maintenance call finishes the interrupted plan first
+    IndexStore.compactIvfPq(spark, dir)
+    assert(search() == baseline, "resume changed search results")
+    assert(!new java.io.File(s"$dir/_compacting").exists())
+    assert(!new java.io.File(s"$dir/codes__compact").exists())
+    val batches = new java.io.File(s"$dir/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).toSeq
+    assert(batches == Seq("batch_id=0"), batches)
+  }
+
+  test("partial fold (upTo) leaves newer batches and tombstones in place") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-ix8").toString
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val n = emb.count()
+    val third = n / 3
+    IndexStore.buildIvfPq(emb.filter(col("vec_id") < third), dir, 16, 4, 16, 1)
+    IndexStore.appendIvfPq(
+      emb.filter(col("vec_id") >= third && col("vec_id") < 2 * third), dir, 1)
+    IndexStore.appendIvfPq(emb.filter(col("vec_id") >= 2 * third), dir, 2)
+    val probes = emb.filter(col("vec_id") < 5)
+    def search() = IndexStore.searchIvfPq(spark, dir, probes, 4, 5)
+      .orderBy(col("probe_id"), col("rnk")).collect().toSeq
+    // tombstone an id that lives in the KEPT batch 2
+    IndexStore.deleteIvfPq(Seq(n - 1).toDF("vec_id"), dir, batchId = 1)
+    val before = search()
+    IndexStore.compactIvfPq(spark, dir, upTo = 1) // fold {0,1}, keep 2
+    assert(search() == before, "partial fold changed search results")
+    val batches = new java.io.File(s"$dir/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(batches == Set("batch_id=0", "batch_id=2"), batches)
+    // tombstones must SURVIVE a partial fold: the deleted id is in batch
+    // 2, which was not rewritten — clearing them would resurrect it
+    assert(new java.io.File(s"$dir/tombstones").exists, "tombstones cleared on partial fold")
+    assert(spark.read.parquet(s"$dir/codes").count() == n, "kept batch was rewritten")
+  }
+
   test("ensureIndexFor builds once, reuses on match, rebuilds on marker mismatch") {
     // single-writer/single-JVM contract (the q38 Bucketing caveat): this
     // pins the sequential behavior — build on first use, reuse while the

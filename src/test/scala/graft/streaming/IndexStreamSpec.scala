@@ -38,4 +38,34 @@ class IndexStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/ix/codes")
       .select("batch_id").distinct().count() == 2)
   }
+
+  test("in-stream compaction (compactEvery) bounds batch count without changing results") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val n = emb.count()
+    val root = java.nio.file.Files.createTempDirectory("ixstream-c").toString
+    val third = n / 3
+    val drops = Seq(
+      col("vec_id") < third,
+      col("vec_id") >= third && col("vec_id") < 2 * third,
+      col("vec_id") >= 2 * third)
+    // plain stream (no compaction) as the parity reference
+    drops.zipWithIndex.foreach { case (cond, i) =>
+      emb.filter(cond).coalesce(1).write.parquet(s"$root/in/drop$i.parquet")
+      IndexStream.start(spark, s"$root/in/*", s"$root/ref", s"$root/ckRef")
+        .awaitTermination()
+      IndexStream.start(spark, s"$root/in/*", s"$root/ix", s"$root/ck",
+        compactEvery = 2).awaitTermination()
+    }
+    // batch 2 compacted {0,1} -> 0 before appending itself: two dirs left
+    val batches = new java.io.File(s"$root/ix/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(batches == Set("batch_id=0", "batch_id=2"), batches)
+    assert(spark.read.parquet(s"$root/ix/codes").count() == n)
+    val probes = emb.filter(col("vec_id") < 5)
+    val got = IndexStore.searchIvfPq(spark, s"$root/ix", probes, 4, 5)
+      .orderBy(col("probe_id"), col("rnk")).collect().toSeq
+    val want = IndexStore.searchIvfPq(spark, s"$root/ref", probes, 4, 5)
+      .orderBy(col("probe_id"), col("rnk")).collect().toSeq
+    assert(got.nonEmpty && got == want, "compaction changed streamed search results")
+  }
 }
