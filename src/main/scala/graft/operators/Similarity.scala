@@ -888,6 +888,73 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** IVF-PQ with exact re-ranking (FAISS `IndexRefineFlat`, the
+    * standard accuracy recovery for coarse PQ): the ADC stage returns a
+    * `shortK`-deep shortlist per probe (all the [[ivfPqSearch]]
+    * sublinearity arguments apply), then ONLY the shortlist's full
+    * vectors are fetched — the shortlist (probes × shortK ids) is
+    * broadcast against the corpus, so the fetch is one scan with a
+    * broadcast-hash semi-join, never a shuffle of the corpus — and
+    * exact L2 re-ranks the top `topK`. Quantization error stops
+    * affecting the final ORDER; it only affects which `shortK`
+    * candidates are considered. The re-rank input is probes × shortK
+    * rows (bounded), so its window is cheap by construction. Distances
+    * use the same `dot(p,p) − 2·dot(p,c) + dot(c,c)` association as
+    * the oracle's `list_dot_product` replay, so every (probe,
+    * neighbor, rank, dist) tuple hash-matches bit-for-bit. */
+  def ivfPqRefine(emb: DataFrame, probes: DataFrame, nlist: Int = 16,
+      nprobe: Int = 4, m: Int = 4, k: Int = 16, iters: Int = 1,
+      shortK: Int = 20, topK: Int = 5): DataFrame = {
+    val short = ivfPqSearch(emb, probes, nlist, nprobe, m, k, iters, shortK)
+      .select(col("probe_id"), col("vec_id"))
+    val corpusV = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("nv"))
+    val probeV = probes.select(col("vec_id").as("probe_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("pv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    corpusV.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(probeV), Seq("probe_id"))
+      .withColumn("dist",
+        dot(col("pv"), col("pv")) - lit(2.0) * dot(col("pv"), col("nv"))
+          + dot(col("nv"), col("nv")))
+      .withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= topK)
+      .select(col("probe_id"), col("vec_id"), col("rnk"), col("dist"))
+  }
+
+  private def x2IvfPqRefined(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    ivfPqRefine(emb, emb.filter(col("vec_id") < 10), 16, 4, 4, 16, 1, 20, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Oracle: the full IVFADC replay at `topK = shortK` as a derived
+    * table, full vectors joined back for the shortlist only, exact-L2
+    * re-rank — the `pqD2` association exactly. */
+  private val x2IvfPqRefinedSql = {
+    val (shortK, topK) = (20, 5)
+    s"""WITH ev AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |short AS (
+       |  SELECT probe_id, vec_id FROM (
+       |${ivfPqSearchSqlWith(topK = shortK).linesIterator.map("    " + _).mkString("\n")}
+       |  ) s),
+       |scored AS (
+       |  SELECT s.probe_id, s.vec_id,
+       |    ${pqD2("p.v", "c.v")} AS dist
+       |  FROM short s
+       |  JOIN ev c ON c.vec_id = s.vec_id
+       |  JOIN ev p ON p.vec_id = s.probe_id)
+       |SELECT probe_id, vec_id, rnk, dist FROM (
+       |  SELECT probe_id, vec_id, dist,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY probe_id ORDER BY dist, vec_id) AS INTEGER) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= $topK
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
+
   /** Shared oracle prefix: per-subspace seed → assign → decimal-mean →
     * re-assign CTEs (the x2_kmeans replay idiom, once per subspace, L2
     * instead of cosine, dense codeword ids). Produces CTEs `e`,
@@ -996,7 +1063,7 @@ object Similarity {
     * [[IndexStore.deleteIvfPq]] semantics. Defaults reproduce the
     * batch oracle. */
   private[graft] def ivfPqSearchSqlWith(prefix: String = "",
-      trainWhere: String = "", serveWhere: String = ""): String = {
+      trainWhere: String = "", serveWhere: String = "", topK: Int = 5): String = {
     val (m, k, sub) = (4, 16, 16)
     val (nlist, nprobe) = (16, 4)
     def cos(v: String, c: String) =
@@ -1043,7 +1110,7 @@ object Similarity {
        |    CAST(row_number() OVER (
        |      PARTITION BY probe_id ORDER BY adist, vec_id) AS INTEGER) AS rnk
        |  FROM r) t
-       |WHERE rnk <= 5
+       |WHERE rnk <= $topK
        |ORDER BY probe_id, rnk""".stripMargin
   }
 
@@ -1051,6 +1118,7 @@ object Similarity {
     Declared("x2_pq_codes", x2PqCodes, Some(x2PqCodesSql)),
     Declared("x2_pq_search", x2PqSearch, Some(x2PqSearchSql)),
     Declared("x2_ivfpq_search", x2IvfPqSearch, Some(x2IvfPqSearchSql)),
+    Declared("x2_ivfpq_refined", x2IvfPqRefined, Some(x2IvfPqRefinedSql)),
     Declared("x2_cosine_topk", x2Brute, Some(x2BruteSql)),
     Declared("x2_ann_lsh", x2Ann, Some(annBoundSql)),
     Declared("x2_ann_ivf", x2Ivf, Some(annBoundSql)),

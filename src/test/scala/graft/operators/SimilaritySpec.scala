@@ -238,6 +238,42 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("ivfPqRefine: exact re-rank raises recall vs the ADC-ordered top-k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.load(spark, sf("sf0.001"), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") < 10)
+    val corpus = emb.as[(Long, Array[Float])].collect()
+    val pv = corpus.filter(_._1 < 10)
+    val k = 5
+    // exact L2 ground truth (self included: a probe in the corpus is its
+    // own true 1-NN at distance 0)
+    val truth = pv.map { case (pid, p) =>
+      pid -> corpus.map { case (cid, c) =>
+        var d = 0.0; var i = 0
+        while (i < c.length) { val x = p(i).toDouble - c(i); d += x * x; i += 1 }
+        (d, cid)
+      }.sortBy(identity).take(k).map(_._2).toSet
+    }.toMap
+    def rec(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"probe_id", $"vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+      truth.keys.map(p => got.getOrElse(p, Set.empty).intersect(truth(p)).size.toDouble / k)
+        .sum / truth.size
+    }
+    val adc = rec(Similarity.ivfPqSearch(emb, probes, 16, 4, 4, 16, 1, k))
+    val refined = rec(Similarity.ivfPqRefine(emb, probes, 16, 4, 4, 16, 1, 20, k))
+    info(f"recall@$k vs exact L2: ADC order $adc%.2f, refined $refined%.2f")
+    // the refine contract: ordering error from quantization is gone, so
+    // recall can only be limited by the shortlist, never by ADC ranking
+    assert(refined >= adc, f"refine lowered recall: $refined%.2f < $adc%.2f")
+    // deterministic at this fixture: measured ADC 0.12 -> refined 0.28
+    // (2.3x) — the floor pins the improvement with margin; absolute
+    // recall stays shortlist-limited (shortK=20 over a crude m=4 ADC)
+    assert(refined >= 0.20, f"refined recall $refined%.2f below floor 0.20")
+  }
+
   test("kmeans: Lloyd refinement recovers planted clusters from bad seeds") {
     import spark.implicits._
     // two tight, well-separated bundles; BOTH seeds (first 2 by vec_id)
