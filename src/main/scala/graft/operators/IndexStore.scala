@@ -393,7 +393,25 @@ object IndexStore {
   private val x2IvfPqDeletedSql =
     Similarity.ivfPqSearchSqlWith(serveWhere = "WHERE a.vec_id % 7 <> 3")
 
+  /** The BETWEEN-compactions serving path: same deterministic delete
+    * slice as [[x2IvfPqDeleted]] but NOT compacted — queries anti-join
+    * the live tombstone batches at serve time, which is what a
+    * production index does for most of its life (compaction is
+    * periodic maintenance, not a prerequisite for correct deletes).
+    * Hash-matches the SAME oracle as the compacted row: logical and
+    * physical deletion must be indistinguishable to a reader. */
+  private[operators] def x2IvfPqTombstoned(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb-tomb", { d =>
+      buildIvfPq(emb, d, 16, 4, 16, 1)
+      deleteIvfPq(emb.filter(col("vec_id") % 7 === 3), d, batchId = 1)
+    })
+    searchIvfPq(spark, ixDir, emb.filter(col("vec_id") < 10), 4, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   val all: Seq[Declared] = Seq(
     Declared("x2_ivfpq_persisted", x2IvfPqPersisted, Some(Similarity.x2IvfPqSearchSql)),
-    Declared("x2_ivfpq_deleted", x2IvfPqDeleted, Some(x2IvfPqDeletedSql)))
+    Declared("x2_ivfpq_deleted", x2IvfPqDeleted, Some(x2IvfPqDeletedSql)),
+    Declared("x2_ivfpq_tombstoned", x2IvfPqTombstoned, Some(x2IvfPqDeletedSql)))
 }
