@@ -308,7 +308,7 @@ object IndexStore {
     * codes. Same oracle: the round-trip must be invisible. */
   private[operators] def x2IvfPqPersisted(spark: SparkSession, dir: String): DataFrame = {
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
-    val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb",
+    val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb-n16m4k16",
       d => buildIvfPq(graft.core.Tables.load(spark, dir, "embeddings"), d, 16, 4, 16, 1))
     searchIvfPq(spark, ixDir, emb.filter(col("vec_id") < 10), 4, 5)
       .orderBy(col("probe_id"), col("rnk"))
@@ -326,8 +326,10 @@ object IndexStore {
     * the build COMPLETED for exactly that source+layout (a crashed
     * build leaves a dir with no marker → rebuilt, and a marker written
     * by an older layout version mismatches → rebuilt). `tag` keys the
-    * index family (different vectorizations of different tables share
-    * the tmpdir).
+    * index family AND its build parameters (callers embed nlist/m/k —
+    * e.g. `emb-n16m4k16` — so a code-level config change can never
+    * serve an index built under the old config; the fingerprint only
+    * sees the source fixture).
     *
     * Single-writer, single-JVM by contract: the check-then-build
     * marker protocol is not atomic across concurrent JVMs sharing
@@ -381,7 +383,7 @@ object IndexStore {
     * may still be a query — and simply can't retrieve themselves. */
   private[operators] def x2IvfPqDeleted(spark: SparkSession, dir: String): DataFrame = {
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
-    val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb-del", { d =>
+    val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb-del-n16m4k16", { d =>
       buildIvfPq(emb, d, 16, 4, 16, 1)
       deleteIvfPq(emb.filter(col("vec_id") % 7 === 3), d, batchId = 1)
       compactIvfPq(spark, d)
@@ -402,7 +404,7 @@ object IndexStore {
     * physical deletion must be indistinguishable to a reader. */
   private[operators] def x2IvfPqTombstoned(spark: SparkSession, dir: String): DataFrame = {
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
-    val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb-tomb", { d =>
+    val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb-tomb-n16m4k16", { d =>
       buildIvfPq(emb, d, 16, 4, 16, 1)
       deleteIvfPq(emb.filter(col("vec_id") % 7 === 3), d, batchId = 1)
     })

@@ -32,7 +32,17 @@ object Similarity {
   private[operators] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Exact cosine top-k of each probe against the corpus (self excluded). */
+  /** Exact cosine top-k of each probe against the corpus (self excluded).
+    *
+    * Scale note on the rank window: this LOOKS like the corpus-shuffling
+    * window the r10 verdict flagged for pqSearch, but Spark 4's
+    * `InferWindowGroupLimit` rewrites `row_number() <= k` into a
+    * map-side `WindowGroupLimit` (verified in the executed plan), so
+    * each task emits only its local top-k per probe before the
+    * exchange — the shuffle carries ≤ partitions × probes × k rows,
+    * the same bound [[graft.functions.TopKMinAgg]] provides by hand
+    * where the rewrite can't apply (the ADC paths aggregate a computed
+    * column under a different shape). */
   def cosineTopK(emb: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val corpus = prep(emb, "neighbor_id", "nv", "nn")
     val p = prep(probes, "probe_id", "pv", "pn")

@@ -884,7 +884,7 @@ object TextAnalysis {
   private def xtHashvecPersisted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ixDir = IndexStore.ensureIndexFor(spark, s"$dir/documents.parquet",
-      "hashvec", d => IndexStore.buildIvfPq(hashVecEmb(spark, dir), d, 16, 4, 16, 1))
+      "hashvec-d64-n16m4k16", d => IndexStore.buildIvfPq(hashVecEmb(spark, dir), d, 16, 4, 16, 1))
     IndexStore.searchIvfPq(spark, ixDir,
         hashVecEmb(spark, dir).filter($"vec_id" < 10), 4, 5)
       .orderBy($"probe_id", $"rnk")
