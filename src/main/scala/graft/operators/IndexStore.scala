@@ -412,8 +412,29 @@ object IndexStore {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Refined retrieval SERVED FROM THE STORE — the production shape of
+    * `x2_ivfpq_refined`, closing the same composed-vs-serving gap the
+    * text tier closed with `xt_hashvec_persisted`: the shortK-deep ADC
+    * shortlist comes from [[searchIvfPq]] (no training, codes-only
+    * scan; shares the very index `x2_ivfpq_persisted` built), and only
+    * the shortlist's full vectors are fetched for the exact re-rank
+    * ([[Similarity.exactRerank]] — at 100 TB the full-vector table is
+    * the point-lookup store the refine tier reads, here the fixture
+    * itself via a broadcast semi-join). Same oracle as the composed
+    * row: the store must be invisible to the refined results too. */
+  private[operators] def x2IvfPqRefinedPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb-n16m4k16",
+      d => buildIvfPq(graft.core.Tables.load(spark, dir, "embeddings"), d, 16, 4, 16, 1))
+    Similarity.exactRerank(searchIvfPq(spark, ixDir, probes, 4, 20), emb, probes, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   val all: Seq[Declared] = Seq(
     Declared("x2_ivfpq_persisted", x2IvfPqPersisted, Some(Similarity.x2IvfPqSearchSql)),
     Declared("x2_ivfpq_deleted", x2IvfPqDeleted, Some(x2IvfPqDeletedSql)),
-    Declared("x2_ivfpq_tombstoned", x2IvfPqTombstoned, Some(x2IvfPqDeletedSql)))
+    Declared("x2_ivfpq_tombstoned", x2IvfPqTombstoned, Some(x2IvfPqDeletedSql)),
+    Declared("x2_ivfpq_refined_persisted", x2IvfPqRefinedPersisted,
+      Some(Similarity.x2IvfPqRefinedSql)))
 }

@@ -914,16 +914,23 @@ object Similarity {
     * neighbor, rank, dist) tuple hash-matches bit-for-bit. */
   def ivfPqRefine(emb: DataFrame, probes: DataFrame, nlist: Int = 16,
       nprobe: Int = 4, m: Int = 4, k: Int = 16, iters: Int = 1,
-      shortK: Int = 20, topK: Int = 5): DataFrame = {
-    val short = ivfPqSearch(emb, probes, nlist, nprobe, m, k, iters, shortK)
-      .select(col("probe_id"), col("vec_id"))
+      shortK: Int = 20, topK: Int = 5): DataFrame =
+    exactRerank(ivfPqSearch(emb, probes, nlist, nprobe, m, k, iters, shortK),
+      emb, probes, topK)
+
+  /** The exact re-rank tail shared by [[ivfPqRefine]] (composed) and
+    * `x2_ivfpq_refined_persisted` (shortlist from the stored index):
+    * `short` carries (probe_id, vec_id); only those vectors' embeddings
+    * are fetched via a broadcast semi-join, exact L2 re-ranks top-k. */
+  private[operators] def exactRerank(short: DataFrame, emb: DataFrame,
+      probes: DataFrame, topK: Int): DataFrame = {
     val corpusV = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("nv"))
     val probeV = probes.select(col("vec_id").as("probe_id"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("pv"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("dist"), col("vec_id"))
-    corpusV.join(broadcast(short), Seq("vec_id"))
+    corpusV.join(broadcast(short.select(col("probe_id"), col("vec_id"))), Seq("vec_id"))
       .join(broadcast(probeV), Seq("probe_id"))
       .withColumn("dist",
         dot(col("pv"), col("pv")) - lit(2.0) * dot(col("pv"), col("nv"))
@@ -942,7 +949,7 @@ object Similarity {
   /** Oracle: the full IVFADC replay at `topK = shortK` as a derived
     * table, full vectors joined back for the shortlist only, exact-L2
     * re-rank — the `pqD2` association exactly. */
-  private val x2IvfPqRefinedSql = {
+  private[operators] val x2IvfPqRefinedSql = {
     val (shortK, topK) = (20, 5)
     s"""WITH ev AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
