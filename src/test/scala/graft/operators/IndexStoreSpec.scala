@@ -189,6 +189,49 @@ class IndexStoreSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/codes").count() == n, "kept batch was rewritten")
   }
 
+  test("compaction property: random batches + random deletes + partial/full folds preserve search results") {
+    import spark.implicits._
+    // randomized-but-seeded: any batch partitioning of the corpus, any
+    // delete set, any fold boundary — compaction must be invisible to a
+    // reader. 3 trials (Spark jobs are the cost; the deterministic seed
+    // keeps failures reproducible).
+    val rnd = new scala.util.Random(20260814L)
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    for (trial <- 0 until 3) {
+      val dir = java.nio.file.Files.createTempDirectory(s"ivfpq-prop$trial").toString
+      // 2-4 batches at random cut points
+      val nBatches = 2 + rnd.nextInt(3)
+      val cuts = (Seq.fill(nBatches - 1)(rnd.between(1L, n)).sorted :+ n).distinct
+      IndexStore.buildIvfPq(emb.filter(col("vec_id") < cuts.head), dir, 16, 4, 16, 1)
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        if (hi > lo)
+          IndexStore.appendIvfPq(
+            emb.filter(col("vec_id") >= lo && col("vec_id") < hi), dir, i + 1)
+      }
+      // random delete set (~10% of ids) in 1-2 tombstone batches
+      val dels = (0L until n).filter(_ => rnd.nextDouble() < 0.1)
+      if (dels.nonEmpty) {
+        val (d1, d2) = dels.splitAt(dels.size / 2)
+        if (d1.nonEmpty) IndexStore.deleteIvfPq(d1.toDF("vec_id"), dir, 1)
+        if (d2.nonEmpty) IndexStore.deleteIvfPq(d2.toDF("vec_id"), dir, 2)
+      }
+      val probes = emb.filter(col("vec_id") < 5)
+      def search() = IndexStore.searchIvfPq(spark, dir, probes, 4, 5)
+        .orderBy(col("probe_id"), col("rnk")).collect().toSeq
+      val before = search()
+      assert(before.nonEmpty, s"trial $trial: empty baseline")
+      // partial fold at a random boundary, then a full fold
+      IndexStore.compactIvfPq(spark, dir, upTo = rnd.nextInt(nBatches).toLong)
+      assert(search() == before, s"trial $trial: partial fold changed results")
+      IndexStore.compactIvfPq(spark, dir)
+      assert(search() == before, s"trial $trial: full fold changed results")
+      assert(!new java.io.File(s"$dir/tombstones").exists,
+        s"trial $trial: tombstones not cleared by the full fold")
+    }
+  }
+
   test("ensureIndexFor builds once, reuses on match, rebuilds on marker mismatch") {
     // single-writer/single-JVM contract (the q38 Bucketing caveat): this
     // pins the sequential behavior — build on first use, reuse while the
