@@ -54,13 +54,35 @@ object IndexStore {
       cb.zipWithIndex.map { case (cv, c) => (s, c, cv.toSeq) }
     }.toSeq.toDF("subspace", "code", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    Similarity.pqEncode(Similarity.ivfAssignWith(emb, cents), sub, books,
-        keep = Seq("cluster"))
-      .drop("err") // reconstruction error is a training diagnostic, not index state
-      .write.mode("overwrite").parquet(s"$dir/codes/batch_id=0")
+    writeCodesWithStats(
+      Similarity.pqEncode(Similarity.ivfAssignWith(emb, cents), sub, books,
+        keep = Seq("cluster")), dir, batchId = 0)
     Seq((nlist, m, k, sub, books.head.head.length * m))
       .toDF("nlist", "m", "k", "sub", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Land one encoded batch as `codes/batch_id=N` (err column dropped —
+    * 8 bytes/row would double the m-bytes/row 100 TB table) AND its
+    * drift-monitor row as `stats/batch_id=N` (n, mean_err, max_err —
+    * 1 row). The encode output is batch-sized, so one persist lets both
+    * writes share the single encode pass; the stats row is what
+    * [[graft.operators.IndexDriftSpec]]'s reconstruction-error tripwire
+    * reads in production form — a drifted drop encodes ~65× worse than
+    * the training batch, and now the number is QUERYABLE index state
+    * (chart `stats/` over batch_id), not a spec-only measurement.
+    * Same overwrite-by-batch replay discipline as the codes. */
+  private def writeCodesWithStats(encoded: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    encoded.persist()
+    try {
+      encoded.drop("err").write.mode("overwrite").parquet(s"$dir/codes/batch_id=$batchId")
+      val r = encoded.agg(count(lit(1)), avg(col("err")), max(col("err"))).head
+      Seq((r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .toDF("n", "mean_err", "max_err")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats/batch_id=$batchId")
+    } finally { encoded.unpersist(); () }
   }
 
   /** Logical delete — the tombstone half of index maintenance (SemDeDup
@@ -113,7 +135,11 @@ object IndexStore {
     * contract like every other mutation here ([[ensureIndexFor]]).
     * Search results are identical before and after ([[IndexStoreSpec]]
     * proves row equality, including across a simulated mid-plan
-    * crash). */
+    * crash). `stats/` (the per-batch drift-monitor history,
+    * [[writeCodesWithStats]]) is deliberately NOT folded: it is a log
+    * of encode quality per original drop — 1 row per batch — and its
+    * value is the time series; compacting the serving table must not
+    * erase the monitoring history. */
   def compactIvfPq(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20, upTo: Long = Long.MaxValue): Unit = {
     require(upTo >= 0, s"IndexStore: upTo must cover the build batch 0, got $upTo")
@@ -234,10 +260,9 @@ object IndexStore {
     require(batchId > 0, s"appendIvfPq: batchId must be > 0 (0 is the build batch), got $batchId")
     val spark = emb.sparkSession
     val (_, _, _, sub, cents, books) = load(spark, dir)
-    Similarity.pqEncode(Similarity.ivfAssignWith(emb, cents), sub, books,
-        keep = Seq("cluster"))
-      .drop("err")
-      .write.mode("overwrite").parquet(s"$dir/codes/batch_id=$batchId")
+    writeCodesWithStats(
+      Similarity.pqEncode(Similarity.ivfAssignWith(emb, cents), sub, books,
+        keep = Seq("cluster")), dir, batchId)
   }
 
   private def requireTable(spark: SparkSession, dir: String, t: String): String = {

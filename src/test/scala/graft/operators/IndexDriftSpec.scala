@@ -88,6 +88,17 @@ class IndexDriftSpec extends SparkSpec {
     val rebuiltDir = java.nio.file.Files.createTempDirectory("drift-rebuilt").toString
     IndexStore.buildIvfPq(both, rebuiltDir, nlist, m, kcw, iters)
 
+    // the monitor is INDEX STATE, not just a spec measurement: every
+    // build/append lands a stats/batch_id=N row off the same encode
+    // pass, so the tripwire reads from the artifact a production
+    // pipeline would chart
+    val stats = spark.read.parquet(s"$frozenDir/stats")
+      .select($"batch_id", $"n", $"mean_err").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(stats.map(_._1).toSeq == Seq(0L, 1L) && stats.forall(_._2 > 0))
+    assert(stats(1)._3 >= 10 * stats(0)._3,
+      f"stats artifact missed the drift: batch1 ${stats(1)._3}%.3f vs batch0 ${stats(0)._3}%.3f")
+
     val corpus = both.as[(Long, Array[Float])].collect()
     val shiftProbes = corpus.filter(r => r._1 >= 100000L && r._1 < 100020L)
     val homeProbes = corpus.filter(_._1 < 20L)
