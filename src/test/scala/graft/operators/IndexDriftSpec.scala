@@ -19,10 +19,11 @@ import graft.core.Tables
   * mean err under frozen books, while a rebuild over the grown corpus
   * brings the drifted slice back into the home band (~13× better).
   * Top-k-overlap recall vs exact L2 is also measured, but is
-  * RESOLUTION-LIMITED here: the fixture's exact top-5 are
-  * near-equidistant, so even in-distribution ADC overlap tops out
-  * ~0.2-0.3 — it rides along as a reported number with monotonicity
-  * pinned, not as the tripwire. Self-retrieval (an indexed vector's
+  * RESOLUTION-LIMITED here: the fixture's near-dup embedding clusters
+  * make the "true" top-5 among ~equal candidates a float-association
+  * coin flip (see SimilaritySpec's tolerance-recall note), so even
+  * in-distribution ADC overlap tops out ~0.2-0.3 — it rides along as
+  * a reported number with monotonicity pinned, not as the tripwire. Self-retrieval (an indexed vector's
   * true 1-NN is itself, distance 0) stays exact through the full
   * persisted-index path and is pinned at ≥0.9 on BOTH slices — only a
   * catastrophic shift that collapses a whole batch onto one codeword

@@ -238,40 +238,47 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("ivfPqRefine: exact re-rank raises recall vs the ADC-ordered top-k") {
+  test("ivfPqRefine: exact re-rank converts shortlist depth into recall (tolerance metric)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // DISTANCE-TOLERANCE recall: a hit = retrieved vector within
+    // (1+1e-9) of the true 5th-NN distance. Set-overlap recall is
+    // ill-conditioned on this fixture: near-duplicate embedding
+    // clusters make the "true" top-5 among ~equal candidates a
+    // 1e-13-float-association coin flip, so two correct engines can
+    // disagree on half the set while retrieving equally-near vectors
+    // (measured: overlap recall said refined@50 < refined@20, which is
+    // impossible for a correct refine over nested shortlists — the
+    // metric, not the engine, was broken).
     val emb = graft.core.Tables.load(spark, sf("sf0.001"), "embeddings")
       .select(col("vec_id"), col("embedding"))
     val probes = emb.filter(col("vec_id") < 10)
-    val corpus = emb.as[(Long, Array[Float])].collect()
-    val pv = corpus.filter(_._1 < 10)
-    val k = 5
-    // exact L2 ground truth (self included: a probe in the corpus is its
-    // own true 1-NN at distance 0)
-    val truth = pv.map { case (pid, p) =>
-      pid -> corpus.map { case (cid, c) =>
-        var d = 0.0; var i = 0
-        while (i < c.length) { val x = p(i).toDouble - c(i); d += x * x; i += 1 }
-        (d, cid)
-      }.sortBy(identity).take(k).map(_._2).toSet
-    }.toMap
-    def rec(df: org.apache.spark.sql.DataFrame): Double = {
-      val got = df.select($"probe_id", $"vec_id").as[(Long, Long)].collect()
-        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
-      truth.keys.map(p => got.getOrElse(p, Set.empty).intersect(truth(p)).size.toDouble / k)
-        .sum / truth.size
+    val corpusArr = emb.as[(Long, Array[Float])].collect()
+    val corpus = corpusArr.toMap
+    def l2(p: Array[Float], c: Array[Float]): Double = {
+      var pp = 0.0; var pc = 0.0; var cc = 0.0; var i = 0
+      while (i < p.length) { pp += p(i).toDouble*p(i); pc += p(i).toDouble*c(i); cc += c(i).toDouble*c(i); i += 1 }
+      pp - 2.0*pc + cc
     }
-    val adc = rec(Similarity.ivfPqSearch(emb, probes, 16, 4, 4, 16, 1, k))
-    val refined = rec(Similarity.ivfPqRefine(emb, probes, 16, 4, 4, 16, 1, 20, k))
-    info(f"recall@$k vs exact L2: ADC order $adc%.2f, refined $refined%.2f")
-    // the refine contract: ordering error from quantization is gone, so
-    // recall can only be limited by the shortlist, never by ADC ranking
-    assert(refined >= adc, f"refine lowered recall: $refined%.2f < $adc%.2f")
-    // deterministic at this fixture: measured ADC 0.12 -> refined 0.28
-    // (2.3x) — the floor pins the improvement with margin; absolute
-    // recall stays shortlist-limited (shortK=20 over a crude m=4 ADC)
-    assert(refined >= 0.20, f"refined recall $refined%.2f below floor 0.20")
+    val k = 5
+    val dk = (0L until 10L).map { p =>
+      p -> corpusArr.map { case (_, cv) => l2(corpus(p), cv) }.sorted.apply(k - 1)
+    }.toMap
+    def recTol(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"probe_id", $"vec_id").as[(Long, Long)].collect()
+      got.count { case (p, id) => l2(corpus(p), corpus(id)) <= dk(p) * (1 + 1e-9) + 1e-12 }
+        .toDouble / (10 * k)
+    }
+    val adc = recTol(Similarity.ivfPqSearch(emb, probes, 16, 4, 4, 16, 1, k))
+    val r20 = recTol(Similarity.ivfPqRefine(emb, probes, 16, 4, 4, 16, 1, 20, k))
+    val r50 = recTol(Similarity.ivfPqRefine(emb, probes, 16, 4, 4, 16, 1, 50, k))
+    info(f"tolerance recall@$k: ADC order $adc%.2f, refined@20 $r20%.2f, refined@50 $r50%.2f")
+    // measured (deterministic): adc 0.42, refined@20 0.76, refined@50
+    // 0.94 (sf0.01: 0.44 / 0.78 / 0.92) — floors pinned with margin
+    assert(r20 >= adc + 0.2, f"refine did not beat ADC order: $r20%.2f vs $adc%.2f")
+    assert(r20 >= 0.60, f"refined@20 recall $r20%.2f below floor 0.60")
+    assert(r50 >= r20, f"deeper shortlist lowered recall: $r50%.2f < $r20%.2f")
+    assert(r50 >= 0.85, f"refined@50 recall $r50%.2f below floor 0.85")
   }
 
   test("kmeans: Lloyd refinement recovers planted clusters from bad seeds") {
