@@ -65,24 +65,47 @@ object IndexStore {
   /** Land one encoded batch as `codes/batch_id=N` (err column dropped —
     * 8 bytes/row would double the m-bytes/row 100 TB table) AND its
     * drift-monitor row as `stats/batch_id=N` (n, mean_err, max_err —
-    * 1 row). The encode output is batch-sized, so one persist lets both
-    * writes share the single encode pass; the stats row is what
-    * [[graft.operators.IndexDriftSpec]]'s reconstruction-error tripwire
-    * reads in production form — a drifted drop encodes ~65× worse than
-    * the training batch, and now the number is QUERYABLE index state
-    * (chart `stats/` over batch_id), not a spec-only measurement.
-    * Same overwrite-by-batch replay discipline as the codes. */
+    * 1 row). The stats row is what [[graft.operators.IndexDriftSpec]]'s
+    * reconstruction-error tripwire reads in production form — a drifted
+    * drop encodes ~65× worse than the training batch, and the number is
+    * QUERYABLE index state (`spark.read.json(dir + "/stats")`, charted
+    * over batch_id), not a spec-only measurement.
+    *
+    * Cost discipline, measured on the per-call streaming row
+    * (xs_index_stream, 3 micro-batches/call): a persist + separate agg
+    * job cost ~1 s/call, and even `observe()` leaves a 1-row parquet
+    * write as a full Spark job per batch. So the aggregate rides the
+    * codes write via `observe()` (computed DURING the one write job —
+    * zero extra passes) and the driver-resident result lands as a
+    * 1-line JSON file through the Hadoop FS API: zero extra Spark jobs.
+    * Temp-name + rename keeps a crash from leaving a half-written line
+    * (dot-prefixed temp is invisible to Spark readers anyway), and
+    * overwrite-by-batch replay discipline matches the codes. */
   private def writeCodesWithStats(encoded: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = encoded.sparkSession
-    import spark.implicits._
-    encoded.persist()
-    try {
-      encoded.drop("err").write.mode("overwrite").parquet(s"$dir/codes/batch_id=$batchId")
-      val r = encoded.agg(count(lit(1)), avg(col("err")), max(col("err"))).head
-      Seq((r.getLong(0), r.getDouble(1), r.getDouble(2)))
-        .toDF("n", "mean_err", "max_err")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats/batch_id=$batchId")
-    } finally { encoded.unpersist(); () }
+    val obs = org.apache.spark.sql.Observation(s"graft-encode-$batchId-${System.nanoTime()}")
+    encoded
+      .observe(obs, count(lit(1)).as("n"), avg(col("err")).as("mean_err"),
+        max(col("err")).as("max_err"))
+      .drop("err")
+      .write.mode("overwrite").parquet(s"$dir/codes/batch_id=$batchId")
+    val m = obs.get
+    val n = m("n").asInstanceOf[Long]
+    def d(key: String): Double = m(key) match {
+      case null => 0.0 // empty batch: no err samples
+      case x: java.lang.Double => x.doubleValue()
+    }
+    val statsDir = new org.apache.hadoop.fs.Path(s"$dir/stats/batch_id=$batchId")
+    val fs = statsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(statsDir, true) // replay overwrites the batch, like the codes
+    val tmp = new org.apache.hadoop.fs.Path(statsDir, ".stats.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"n":$n,"mean_err":${d("mean_err")},"max_err":${d("max_err")}}\n"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(statsDir, "stats.json")),
+      s"IndexStore: landing $statsDir/stats.json failed")
   }
 
   /** Logical delete — the tombstone half of index maintenance (SemDeDup

@@ -91,9 +91,10 @@ class IndexDriftSpec extends SparkSpec {
 
     // the monitor is INDEX STATE, not just a spec measurement: every
     // build/append lands a stats/batch_id=N row off the same encode
-    // pass, so the tripwire reads from the artifact a production
-    // pipeline would chart
-    val stats = spark.read.parquet(s"$frozenDir/stats")
+    // pass (a 1-line JSON file — driver-resident after observe(), so
+    // landing it costs zero Spark jobs), and the tripwire reads from
+    // the artifact a production pipeline would chart
+    val stats = spark.read.json(s"$frozenDir/stats")
       .select($"batch_id", $"n", $"mean_err").as[(Long, Long, Double)]
       .collect().sortBy(_._1)
     assert(stats.map(_._1).toSeq == Seq(0L, 1L) && stats.forall(_._2 > 0))
