@@ -296,18 +296,29 @@ object IndexStore {
     s"$dir/$t"
   }
 
-  /** Bounded index state reloaded from disk: (meta, centroids, books). */
+  /** Bounded index state reloaded from disk: (meta, centroids, books).
+    * Read schemas are EXPLICIT (they are this store's write contract,
+    * fixed at [[buildIvfPq]]): parquet schema inference costs one Spark
+    * job per read, and these three reloads run on every append — a
+    * streaming micro-batch path where per-batch job count is latency
+    * ([[IndexStoreSpec]] pins the total at 3 reloads + 1 encode+write). */
   private[operators] def load(spark: SparkSession, dir: String)
       : (Int, Int, Int, Int, Array[(Long, Array[Double], Double)], Array[Array[Array[Double]]]) = {
     import spark.implicits._
-    val meta = spark.read.parquet(requireTable(spark, dir, "meta"))
+    val meta = spark.read
+      .schema("nlist INT, m INT, k INT, sub INT, dim INT")
+      .parquet(requireTable(spark, dir, "meta"))
       .select("nlist", "m", "k", "sub").as[(Int, Int, Int, Int)].head()
     val (nlist, m, k, sub) = meta
-    val cents = spark.read.parquet(requireTable(spark, dir, "centroids"))
+    val cents = spark.read
+      .schema("cid BIGINT, centroid ARRAY<DOUBLE>, norm DOUBLE")
+      .parquet(requireTable(spark, dir, "centroids"))
       .select("cid", "centroid", "norm").as[(Long, Array[Double], Double)]
       .collect().sortBy(_._1)
     require(cents.length == nlist, s"IndexStore: ${cents.length} centroids, meta says $nlist")
-    val bookRows = spark.read.parquet(requireTable(spark, dir, "codebooks"))
+    val bookRows = spark.read
+      .schema("subspace INT, code INT, vec ARRAY<DOUBLE>")
+      .parquet(requireTable(spark, dir, "codebooks"))
       .select("subspace", "code", "vec").as[(Int, Int, Array[Double])].collect()
     require(bookRows.length == m * k, s"IndexStore: ${bookRows.length} codewords, meta says ${m * k}")
     val books = Array.ofDim[Array[Double]](m, k)

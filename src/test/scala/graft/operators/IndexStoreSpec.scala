@@ -232,6 +232,40 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("appendIvfPq job budget: bounded state reloads + ONE encode+write job") {
+    // the perf contract behind the stats landing (BENCHNOTES): the
+    // per-batch drift-monitor row rides the codes write via observe()
+    // and lands through the Hadoop FS API, so appending a batch runs
+    // exactly the three bounded state-reload jobs (meta, centroids,
+    // codebooks) plus ONE encode+write job. A regression that adds a
+    // per-batch action (a persist, a separate agg, a 1-row DF write)
+    // fires here instead of surfacing as wall-clock drift on the
+    // streaming row.
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-jobs").toString
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    IndexStore.buildIvfPq(emb.filter(col("vec_id") < 250), dir, 16, 4, 16, 1)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try IndexStore.appendIvfPq(emb.filter(col("vec_id") >= 250), dir, batchId = 1)
+    finally {
+      // the listener bus is async — give in-flight job-start events a
+      // moment to drain before reading the counter
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(jobs.get == 4,
+      s"appendIvfPq ran ${jobs.get} jobs, contract is 4 (3 bounded reloads + 1 encode+write)")
+    // and the batch's stats row landed without any of those jobs
+    val st = spark.read.json(s"$dir/stats").where(col("batch_id") === 1)
+      .select("n", "mean_err", "max_err").collect()
+    assert(st.length == 1 && st(0).getLong(0) == 250 && st(0).getDouble(1) > 0)
+  }
+
   test("ensureIndexFor builds once, reuses on match, rebuilds on marker mismatch") {
     // single-writer/single-JVM contract (the q38 Bucketing caveat): this
     // pins the sequential behavior — build on first use, reuse while the
