@@ -282,7 +282,7 @@ object IndexStore {
   def appendIvfPq(emb: DataFrame, dir: String, batchId: Long): Unit = {
     require(batchId > 0, s"appendIvfPq: batchId must be > 0 (0 is the build batch), got $batchId")
     val spark = emb.sparkSession
-    val (_, _, _, sub, cents, books) = load(spark, dir)
+    val (_, _, _, sub, cents, books) = loadCached(spark, dir)
     writeCodesWithStats(
       Similarity.pqEncode(Similarity.ivfAssignWith(emb, cents), sub, books,
         keep = Seq("cluster")), dir, batchId)
@@ -296,6 +296,53 @@ object IndexStore {
     s"$dir/$t"
   }
 
+  /** Driver-side cache of the bounded index state — the "query-many"
+    * half of build-once/query-many: a production ANN server holds
+    * centroids/codebooks in memory and does NOT re-read them per query
+    * (FAISS keeps the whole index resident; here only the bounded
+    * state is, ~nlist×dim + m×k×sub doubles, KBs at the declared
+    * configs). Keyed by dir, validated by a filesystem signature over
+    * the three state tables (file name:length:mtime per file), so a
+    * REBUILD into the same dir — the only operation that rewrites
+    * state; [[appendIvfPq]]/[[deleteIvfPq]]/[[compactIvfPq]] touch
+    * only codes/tombstones/stats — changes the signature and forces a
+    * reload. Bounded at [[StateCacheMax]] dirs (state is KBs; the
+    * bound is a leak guard, not a memory budget), cleared wholesale on
+    * overflow. Single-JVM like every IndexStore mutation contract;
+    * cross-JVM rebuild visibility rides the signature, not the cache.
+    * [[IndexStoreSpec]] pins hit/invalidate behavior via
+    * [[stateLoads]]. */
+  private val stateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String,
+      (Int, Int, Int, Int, Array[(Long, Array[Double], Double)], Array[Array[Array[Double]]]))]
+  private val StateCacheMax = 16
+  private[operators] val stateLoads = new java.util.concurrent.atomic.AtomicLong
+
+  private def stateSignature(spark: SparkSession, dir: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("meta", "centroids", "codebooks").map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      if (!fs.exists(p)) s"$t:absent"
+      else fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .mkString(s"$t[", ",", "]")
+    }.mkString("|")
+  }
+
+  private[operators] def loadCached(spark: SparkSession, dir: String)
+      : (Int, Int, Int, Int, Array[(Long, Array[Double], Double)], Array[Array[Array[Double]]]) = {
+    val sig = stateSignature(spark, dir)
+    val hit = stateCache.get(dir)
+    if (hit != null && hit._1 == sig) hit._2
+    else {
+      val state = load(spark, dir)
+      if (stateCache.size >= StateCacheMax) stateCache.clear()
+      stateCache.put(dir, (sig, state))
+      state
+    }
+  }
+
   /** Bounded index state reloaded from disk: (meta, centroids, books).
     * Read schemas are EXPLICIT (they are this store's write contract,
     * fixed at [[buildIvfPq]]): parquet schema inference costs one Spark
@@ -305,6 +352,7 @@ object IndexStore {
   private[operators] def load(spark: SparkSession, dir: String)
       : (Int, Int, Int, Int, Array[(Long, Array[Double], Double)], Array[Array[Array[Double]]]) = {
     import spark.implicits._
+    stateLoads.incrementAndGet()
     val meta = spark.read
       .schema("nlist INT, m INT, k INT, sub INT, dim INT")
       .parquet(requireTable(spark, dir, "meta"))
@@ -337,7 +385,7 @@ object IndexStore {
     require(!markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(markerPath),
       s"IndexStore: $dir has a stranded compaction ($CompactingMarker present) — " +
         "a half-deleted fold set must never be served; re-run compactIvfPq to finish the plan")
-    val (_, m, _, sub, cents, books) = load(spark, dir)
+    val (_, m, _, sub, cents, books) = loadCached(spark, dir)
     // codes/ is batch-partitioned (batch_id=N per build/append); every
     // batch must carry its own commit marker — a torn append is refused
     // as a whole rather than silently serving half a batch

@@ -250,20 +250,56 @@ class IndexStoreSpec extends SparkSpec {
         jobs.incrementAndGet(); ()
       }
     }
-    spark.sparkContext.addSparkListener(listener)
-    try IndexStore.appendIvfPq(emb.filter(col("vec_id") >= 250), dir, batchId = 1)
-    finally {
-      // the listener bus is async — give in-flight job-start events a
-      // moment to drain before reading the counter
-      Thread.sleep(500)
-      spark.sparkContext.removeSparkListener(listener)
+    def counted(body: => Unit): Int = {
+      jobs.set(0)
+      spark.sparkContext.addSparkListener(listener)
+      try body
+      finally {
+        // the listener bus is async — give in-flight job-start events a
+        // moment to drain before reading the counter
+        Thread.sleep(500)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      jobs.get
     }
-    assert(jobs.get == 4,
-      s"appendIvfPq ran ${jobs.get} jobs, contract is 4 (3 bounded reloads + 1 encode+write)")
-    // and the batch's stats row landed without any of those jobs
+    val cold = counted {
+      IndexStore.appendIvfPq(emb.filter(col("vec_id") >= 250 && col("vec_id") < 400), dir, 1)
+    }
+    assert(cold == 4,
+      s"cold appendIvfPq ran $cold jobs, contract is 4 (3 bounded reloads + 1 encode+write)")
+    // the state cache makes every later append against the same (still
+    // frozen) state a single encode+write job — micro-batch latency is
+    // job count, and a production maintainer appends thousands of times
+    // per one build
+    val warm = counted { IndexStore.appendIvfPq(emb.filter(col("vec_id") >= 400), dir, 2) }
+    assert(warm == 1,
+      s"warm appendIvfPq ran $warm jobs, contract is 1 (cached state + encode+write)")
+    // and the batches' stats rows landed without any of those jobs
     val st = spark.read.json(s"$dir/stats").where(col("batch_id") === 1)
       .select("n", "mean_err", "max_err").collect()
-    assert(st.length == 1 && st(0).getLong(0) == 250 && st(0).getDouble(1) > 0)
+    assert(st.length == 1 && st(0).getLong(0) == 150 && st(0).getDouble(1) > 0)
+  }
+
+  test("state cache: query-many serves from memory, a rebuild invalidates by signature") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-cache").toString
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val probes = emb.filter(col("vec_id") < 3)
+    IndexStore.buildIvfPq(emb.filter(col("vec_id") < 300), dir, 16, 4, 16, 1)
+    def search() = IndexStore.searchIvfPq(spark, dir, probes, 4, 5)
+      .orderBy(col("probe_id"), col("rnk")).collect().toSeq
+    val base = IndexStore.stateLoads.get()
+    val first = search()
+    assert(IndexStore.stateLoads.get() == base + 1, "first search must load state from disk")
+    assert(search() == first)
+    assert(IndexStore.stateLoads.get() == base + 1,
+      "second search must be served from the cached state — zero reload jobs")
+    // a REBUILD rewrites meta/centroids/codebooks: the filesystem
+    // signature changes, so the cache must miss and serve the NEW state
+    IndexStore.buildIvfPq(emb, dir, 16, 4, 16, 1)
+    val rebuilt = search()
+    assert(IndexStore.stateLoads.get() == base + 2,
+      "a rebuilt index must be reloaded, not served stale from the cache")
+    assert(rebuilt != first, "rebuild over a larger corpus should change results")
   }
 
   test("ensureIndexFor builds once, reuses on match, rebuilds on marker mismatch") {
