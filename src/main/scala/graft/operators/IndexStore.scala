@@ -538,10 +538,37 @@ object IndexStore {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** The drift monitor as a driver-checked row: build on the first half
+    * of the corpus (batch 0 trains), append the second half against the
+    * FROZEN codebooks (batch 1 — the [[appendIvfPq]] contract), then
+    * read the persisted `stats/` artifact itself. The DuckDB oracle
+    * replays training-on-half + encode-all and aggregates
+    * reconstruction error per batch ([[Similarity.x2IndexStatsSql]]),
+    * so the monitoring tier — not just the serving tier — is
+    * value-checked end to end: n exactly, mean/max err under the
+    * driver's 4-dp compare (the [[Similarity.pqCodes]] err parity
+    * class). At 100 TB this artifact is the rebuild-decision input
+    * ([[graft.operators.IndexDriftSpec]] pins the ≥10× drifted-batch
+    * jump); here it is proven to hold the numbers the declared
+    * semantics say it holds. */
+  private[operators] def x2IndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val h = emb.count() / 2
+    val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb-stats-n16m4k16", { d =>
+      buildIvfPq(emb.filter(col("vec_id") < h), d, 16, 4, 16, 1)
+      appendIvfPq(emb.filter(col("vec_id") >= h), d, batchId = 1)
+    })
+    spark.read.json(s"$ixDir/stats")
+      .select(col("batch_id").cast("long").as("batch_id"), col("n"),
+        col("mean_err"), col("max_err"))
+      .orderBy("batch_id")
+  }
+
   val all: Seq[Declared] = Seq(
     Declared("x2_ivfpq_persisted", x2IvfPqPersisted, Some(Similarity.x2IvfPqSearchSql)),
     Declared("x2_ivfpq_deleted", x2IvfPqDeleted, Some(x2IvfPqDeletedSql)),
     Declared("x2_ivfpq_tombstoned", x2IvfPqTombstoned, Some(x2IvfPqDeletedSql)),
     Declared("x2_ivfpq_refined_persisted", x2IvfPqRefinedPersisted,
-      Some(Similarity.x2IvfPqRefinedSql)))
+      Some(Similarity.x2IvfPqRefinedSql)),
+    Declared("x2_index_stats", x2IndexStats, Some(Similarity.x2IndexStatsSql)))
 }

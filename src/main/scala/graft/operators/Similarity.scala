@@ -1131,6 +1131,27 @@ object Similarity {
        |ORDER BY probe_id, rnk""".stripMargin
   }
 
+  /** Oracle for the persisted drift-monitor artifact
+    * (`x2_index_stats`, [[IndexStore]]): replay PQ training on the
+    * FIRST-HALF slice only (the build batch), encode the WHOLE corpus
+    * with those frozen codewords — exactly what build-then-append does
+    * — and aggregate reconstruction error per batch. err is the one
+    * compare-rounded column family (see [[pqCodes]]'s parity note);
+    * n is exact. */
+  private[operators] val x2IndexStatsSql = {
+    val (m, k, sub) = (4, 16, 16)
+    val half = "(SELECT COUNT(*) // 2 FROM embeddings)"
+    val errSum = (0 until m).map(s => s"err_$s").mkString(" + ")
+    val joins = (1 until m).map(s => s"JOIN f$s USING (vec_id)").mkString(" ")
+    s"""WITH ${pqCommonSql(m, k, sub, s"WHERE vec_id < $half")},
+       |errs AS (
+       |  SELECT vec_id, $errSum AS err
+       |  FROM f0 $joins)
+       |SELECT CAST(CASE WHEN vec_id < $half THEN 0 ELSE 1 END AS BIGINT) AS batch_id,
+       |  COUNT(*) AS n, AVG(err) AS mean_err, MAX(err) AS max_err
+       |FROM errs GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val all: Seq[Declared] = Seq(
     Declared("x2_pq_codes", x2PqCodes, Some(x2PqCodesSql)),
     Declared("x2_pq_search", x2PqSearch, Some(x2PqSearchSql)),
