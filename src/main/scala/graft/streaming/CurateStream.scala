@@ -191,8 +191,14 @@ object CurateStream {
             val cand = newBanded.join(oldBanded, Seq("band", "bh"))
               .filter(col("old_id") < col("doc_id"))
               .select(col("doc_id"), col("old_id")).distinct()
+            // explicit schema: the verify path needs only (doc_id,
+            // text) + the batch_id partition filter, and a schemaless
+            // parquet read costs one inference job PER MICRO-BATCH
+            // (the IndexStore.load job-budget discipline); extra
+            // store columns are pruned by name resolution
             val oldSh = Dedup.shingleAndSign(
-              sp.read.parquet(dataDir)
+              sp.read.schema("doc_id BIGINT, text STRING, batch_id BIGINT")
+                .parquet(dataDir)
                 .filter(col("batch_id") < batchId)
                 .join(cand.select(col("old_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
                 .select(col("doc_id"), col("text")),
