@@ -265,7 +265,9 @@ object IndexStore {
     for (b <- batches)
       require(fs.exists(new org.apache.hadoop.fs.Path(b.getPath, "_SUCCESS")),
         s"IndexStore: ${b.getPath} partially written (no _SUCCESS) — re-run the delete for that batch")
-    codes.join(spark.read.parquet(s"$dir/tombstones").select("vec_id"),
+    codes.join(
+      spark.read.schema("vec_id BIGINT, batch_id BIGINT")
+        .parquet(s"$dir/tombstones").select("vec_id"),
       Seq("vec_id"), "left_anti")
   }
 
@@ -398,7 +400,13 @@ object IndexStore {
     for (b <- batches)
       require(fs.exists(new org.apache.hadoop.fs.Path(b.getPath, "_SUCCESS")),
         s"IndexStore: ${b.getPath} partially written (no _SUCCESS) — re-run the append for that batch")
-    val codes = tombstoneFilter(spark, dir, spark.read.parquet(s"$dir/codes"))
+    // explicit schema (the store's own write contract, m from meta):
+    // schema inference on a schemaless read is one extra Spark job per
+    // QUERY on the serving path
+    val codeSchema = "vec_id BIGINT, cluster BIGINT, " +
+      (0 until m).map(s => s"code_$s INT").mkString(", ") + ", batch_id BIGINT"
+    val codes = tombstoneFilter(spark, dir,
+        spark.read.schema(codeSchema).parquet(s"$dir/codes"))
       .withColumn("codes", array((0 until m).map(s => col(s"code_$s").cast(IntegerType)): _*))
     val pc = Similarity.ivfProbeClusters(probes, cents, nprobe)
       .select(col("probe_id"), col("cluster"))
@@ -558,9 +566,9 @@ object IndexStore {
       buildIvfPq(emb.filter(col("vec_id") < h), d, 16, 4, 16, 1)
       appendIvfPq(emb.filter(col("vec_id") >= h), d, batchId = 1)
     })
-    spark.read.json(s"$ixDir/stats")
-      .select(col("batch_id").cast("long").as("batch_id"), col("n"),
-        col("mean_err"), col("max_err"))
+    spark.read.schema("n BIGINT, mean_err DOUBLE, max_err DOUBLE, batch_id BIGINT")
+      .json(s"$ixDir/stats")
+      .select(col("batch_id"), col("n"), col("mean_err"), col("max_err"))
       .orderBy("batch_id")
   }
 
