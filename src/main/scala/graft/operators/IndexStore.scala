@@ -561,8 +561,10 @@ object IndexStore {
     * semantics say it holds. */
   private[operators] def x2IndexStats(spark: SparkSession, dir: String): DataFrame = {
     val emb = graft.core.Tables.load(spark, dir, "embeddings")
-    val h = emb.count() / 2
     val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb-stats-n16m4k16", { d =>
+      // the split point is only needed on first build — counting here
+      // keeps warehouse-cached serves job-free up to the stats read
+      val h = emb.count() / 2
       buildIvfPq(emb.filter(col("vec_id") < h), d, 16, 4, 16, 1)
       appendIvfPq(emb.filter(col("vec_id") >= h), d, batchId = 1)
     })
