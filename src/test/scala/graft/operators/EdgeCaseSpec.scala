@@ -306,6 +306,20 @@ class EdgeCaseSpec extends SparkSpec {
       IndexStore.buildIvfPq(noVecs, dir)
     }
     assert(e.getMessage.contains("empty"), e.getMessage)
+    // ...but an empty APPEND batch is legal (a streaming micro-batch
+    // can be empty): it must land a committed n=0 stats row (the
+    // avg-of-nothing → 0.0 path) and leave search serving normally
+    val emb = graft.core.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val built = java.nio.file.Files.createTempDirectory("ix-empty-append").toString
+    IndexStore.buildIvfPq(emb.filter($"vec_id" < 100), built, 16, 4, 16, 1)
+    IndexStore.appendIvfPq(emb.filter($"vec_id" < 0), built, batchId = 1)
+    val st = spark.read
+      .schema("n BIGINT, mean_err DOUBLE, max_err DOUBLE, batch_id BIGINT")
+      .json(s"$built/stats").where($"batch_id" === 1)
+      .select("n", "mean_err").as[(Long, Double)].collect()
+    assert(st.toSeq == Seq((0L, 0.0)))
+    assert(IndexStore.searchIvfPq(spark, built, emb.filter($"vec_id" < 2), 4, 5)
+      .count() > 0)
   }
 
   test("asof join with no matching earlier rows yields empty (not nulls)") {
