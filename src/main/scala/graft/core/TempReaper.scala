@@ -15,9 +15,21 @@ object TempReaper {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
       roots.forEach { root =>
-        if (Files.exists(root))
-          Files.walk(root).sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => Files.deleteIfExists(p))
+        // per-root isolation: a failure deleting one root (e.g. a file
+        // removed concurrently mid-walk) must not abort cleanup of the
+        // remaining registered roots; the walk stream is closed so the
+        // hook never leaks directory handles (ADVICE r12)
+        try {
+          if (Files.exists(root)) {
+            val s = Files.walk(root)
+            try s.sorted(Comparator.reverseOrder[Path]())
+              .forEach(p => Files.deleteIfExists(p))
+            finally s.close()
+          }
+        } catch {
+          case e: java.io.IOException =>
+            System.err.println(s"TempReaper: skipping $root (${e.getMessage})")
+        }
       }
     }
     ()

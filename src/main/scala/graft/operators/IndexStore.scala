@@ -39,14 +39,20 @@ object IndexStore {
 
   /** Train (sample-bounded), assign, encode, persist. One corpus scan
     * for the count-free path (nlist/m/k fixed), plus the bounded
-    * training collects of [[Similarity.pqTrain]]/[[Similarity.centroids]]. */
+    * training collects of [[Similarity.pqTrainD]]/[[Similarity.centroids]].
+    * The codebooks are RESIDUAL codebooks (canonical IVFADC, since the
+    * v4 layout): they quantize `x − centroid(cluster(x))`
+    * ([[Similarity.ivfResiduals]]), and the stored codes describe each
+    * vector's within-cell displacement. */
   def buildIvfPq(emb: DataFrame, dir: String, nlist: Int = 16, m: Int = 4,
       k: Int = 16, iters: Int = 1): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val (sub, books) = Similarity.pqTrain(emb, m, k, iters).getOrElse(
+    val cents = Similarity.coarseCentroids(emb, nlist)
+    val resid = Similarity.ivfResiduals(emb, cents)
+    val (sub, books) = Similarity.pqTrainD(
+      resid.select(col("vec_id"), col("v")), m, k, iters).getOrElse(
       throw new IllegalArgumentException("buildIvfPq: empty corpus"))
-    val cents = Similarity.centroids(emb, nlist)
     cents.toSeq.map { case (cid, cv, cn) => (cid, cv.toSeq, cn) }
       .toDF("cid", "centroid", "norm")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
@@ -55,8 +61,8 @@ object IndexStore {
     }.toSeq.toDF("subspace", "code", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
     writeCodesWithStats(
-      Similarity.pqEncode(Similarity.ivfAssignWith(emb, cents), sub, books,
-        keep = Seq("cluster")), dir, batchId = 0)
+      Similarity.pqEncodeD(resid, sub, books, keep = Seq("cluster")),
+      dir, batchId = 0)
     Seq((nlist, m, k, sub, books.head.head.length * m))
       .toDF("nlist", "m", "k", "sub", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
@@ -286,7 +292,7 @@ object IndexStore {
     val spark = emb.sparkSession
     val (_, _, _, sub, cents, books) = loadCached(spark, dir)
     writeCodesWithStats(
-      Similarity.pqEncode(Similarity.ivfAssignWith(emb, cents), sub, books,
+      Similarity.pqEncodeD(Similarity.ivfResiduals(emb, cents), sub, books,
         keep = Seq("cluster")), dir, batchId)
   }
 
@@ -408,10 +414,10 @@ object IndexStore {
     val codes = tombstoneFilter(spark, dir,
         spark.read.schema(codeSchema).parquet(s"$dir/codes"))
       .withColumn("codes", array((0 until m).map(s => col(s"code_$s").cast(IntegerType)): _*))
-    val pc = Similarity.ivfProbeClusters(probes, cents, nprobe)
-      .select(col("probe_id"), col("cluster"))
-    Similarity.adcRank(codes.join(broadcast(pc), Seq("cluster")),
-      probes, books, sub, topK)
+    val routes = Similarity.probeRoutes(probes, cents, nprobe)
+    val pc = Similarity.routesDf(spark, routes)
+    Similarity.adcRankResidual(codes.join(broadcast(pc), Seq("cluster")),
+      routes, cents, books, sub, topK)
   }
 
   // ----------------------------------------------------------- declared
@@ -459,11 +465,13 @@ object IndexStore {
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(src), s"IndexStore: fixture $src missing")
     val st = fs.getFileStatus(src)
-    // "v3" = the on-disk LAYOUT version (v2 added batch-partitioned
-    // codes/, v3 added tombstones + compaction): bumping it invalidates
+    // "v4" = the on-disk LAYOUT version (v2 added batch-partitioned
+    // codes/, v3 added tombstones + compaction, v4 switched the
+    // codebooks/codes to IVF-RESIDUAL encoding): bumping it invalidates
     // markers written by an older layout, so a layout change rebuilds
-    // instead of serving a dir the reader can't parse
-    val fp = "v3:" + (
+    // instead of serving codes whose SEMANTICS the reader would
+    // misinterpret (raw-vector codes scored against residual LUTs)
+    val fp = "v4:" + (
       if (st.isDirectory) {
         val parts = fs.listStatus(src).filter(_.isFile).sortBy(_.getPath.getName)
         s"${parts.map(_.getLen).sum}:${parts.map(_.getModificationTime).max}:${parts.length}"

@@ -632,7 +632,12 @@ object Similarity {
     * previous value), and every vector is encoded as its per-subspace
     * L2-argmin codeword index — m small integers replacing dim floats
     * (64 floats → 4 bytes here), THE memory story that lets a
-    * 100 TB-scale ANN index hold residuals in RAM.
+    * 100 TB-scale ANN index serve queries from RAM-resident codes while
+    * the raw vectors stay on disk. (This operator quantizes the RAW
+    * vectors — the flat-PQ model; the IVF-composed paths
+    * ([[ivfPqSearch]], [[IndexStore]]) quantize IVF RESIDUALS
+    * `x − centroid(cluster(x))`, the canonical IVFADC refinement — see
+    * [[ivfResiduals]].)
     *
     * Scale posture: codebook training is the bounded-collect kmeans
     * pattern per subspace (k × dim/m doubles each — the IVF centroid
@@ -673,26 +678,58 @@ object Similarity {
     * semantics. */
   private[operators] val PqTrainCap = 2048
 
+  /** Lloyd rounds for the IVF-RESIDUAL paths' coarse quantizer. */
+  private[operators] val CoarseIters = 1
+
+  /** Coarse quantizer for the residual-IVFADC paths ([[ivfPqSearch]],
+    * [[IndexStore]]): k-means-refined centroids, not raw samples —
+    * canonical IVFADC trains the coarse quantizer (FAISS
+    * `IndexIVFPQ.train`), and with SAMPLED points as "centroids" the
+    * residual `x − c(x)` has MORE energy than x itself on this
+    * fixture's unit-norm vectors (measured E‖r‖² 1.51 vs 1.00 —
+    * subtracting a cosine-near but not-mean point adds noise), which
+    * inverts the entire point of residual encoding. One Lloyd round
+    * over the SAME capped train slice PQ training uses (bounded:
+    * [[PqTrainCap]] × dim work, never a corpus pass — at 100 TB the
+    * coarse quantizer trains on a sample, exactly like the codebooks)
+    * drops E‖r‖² to 0.90 and restores the canonical ordering
+    * (BENCHNOTES r13 table). Deterministic and oracle-replayable: the
+    * [[kmeansCentroids]] decimal-exact-mean idiom the `x2_kmeans` row
+    * already value-checks. */
+  private[operators] def coarseCentroids(emb: DataFrame, nlist: Int,
+      iters: Int = CoarseIters): Array[(Long, Array[Double], Double)] =
+    kmeansCentroids(emb.orderBy(col("vec_id")).limit(PqTrainCap), nlist, iters)
+
   private[operators] def pqTrain(emb: DataFrame, m: Int, k: Int,
+      iters: Int): Option[(Int, Array[Array[Array[Double]]])] =
+    pqTrainD(emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("v")), m, k, iters)
+
+  /** [[pqTrain]] over an already-double vector column `v` — the shared
+    * trainer for the raw-vector path (floats widened on entry; widening
+    * is exact, so the raw-path codebooks are bit-identical to the old
+    * float-input kernel) and the IVF-RESIDUAL path ([[ivfResiduals]]
+    * output, where the values are born double). */
+  private[operators] def pqTrainD(dv: DataFrame, m: Int, k: Int,
       iters: Int): Option[(Int, Array[Array[Array[Double]]])] = {
-    val spark = emb.sparkSession
-    val first = emb.select(size(col("embedding")).as("d")).limit(1).collect()
+    val spark = dv.sparkSession
+    val first = dv.select(size(col("v")).as("d")).limit(1).collect()
     if (first.isEmpty) return None
     val dim = first.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    val train = emb.orderBy(col("vec_id")).limit(PqTrainCap)
-      .select(col("vec_id"), col("embedding"))
+    val train = dv.orderBy(col("vec_id")).limit(PqTrainCap)
+      .select(col("vec_id"), col("v"))
 
-    def subvec(s: Int) = slice(col("embedding"), s * sub + 1, sub)
+    def subvec(s: Int) = slice(col("v"), s * sub + 1, sub)
     // seed codebook: first k vectors by vec_id, dense codeword ids 0..k-1
     def seeds(s: Int): Array[Array[Double]] =
       train.orderBy(col("vec_id")).limit(k).select(subvec(s)).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .map(_.getSeq[Double](0).toArray)
 
     def l2ArgminUdf(cb: Array[Array[Double]]) = {
       val bc = spark.sparkContext.broadcast(cb)
-      udf { (v: Seq[Float]) =>
+      udf { (v: Seq[Double]) =>
         val cs = bc.value
         var best = -1; var bestD = Double.PositiveInfinity
         var c = 0
@@ -701,7 +738,7 @@ object Similarity {
           var xx = 0.0; var xc = 0.0; var cc = 0.0
           var i = 0
           while (i < cv.length) {
-            val x = v(i).toDouble
+            val x = v(i)
             xx += x * x; xc += x * cv(i); cc += cv(i) * cv(i); i += 1
           }
           val d2 = (xx - 2.0 * xc) + cc
@@ -740,11 +777,20 @@ object Similarity {
     * columns (e.g. an IVF cluster id) through the encode so composing
     * operators never need a corpus-wide join to re-attach them. */
   private[operators] def pqEncode(emb: DataFrame, sub: Int,
+      books: Array[Array[Array[Double]]], keep: Seq[String] = Nil): DataFrame =
+    pqEncodeD(emb.select(col("vec_id") +: keep.map(col) :+
+      transform(col("embedding"), x => x.cast(DoubleType)).as("v"): _*),
+      sub, books, keep)
+
+  /** [[pqEncode]] over an already-double vector column `v` (shared with
+    * the residual path, same exact-widening parity argument as
+    * [[pqTrainD]]). */
+  private[operators] def pqEncodeD(dv: DataFrame, sub: Int,
       books: Array[Array[Array[Double]]], keep: Seq[String] = Nil): DataFrame = {
-    val spark = emb.sparkSession
+    val spark = dv.sparkSession
     val m = books.length
     val bcAll = spark.sparkContext.broadcast(books)
-    val encodeUdf = udf { (v: Seq[Float]) =>
+    val encodeUdf = udf { (v: Seq[Double]) =>
       val bs = bcAll.value
       val codes = new Array[Int](bs.length)
       var err = 0.0
@@ -758,7 +804,7 @@ object Similarity {
           var xx = 0.0; var xc = 0.0; var cc = 0.0
           var i = 0
           while (i < cv.length) {
-            val x = v(off + i).toDouble
+            val x = v(off + i)
             xx += x * x; xc += x * cv(i); cc += cv(i) * cv(i); i += 1
           }
           val d2 = (xx - 2.0 * xc) + cc
@@ -769,11 +815,57 @@ object Similarity {
       }
       (codes.toSeq, err)
     }
-    emb
-      .withColumn("_pq", encodeUdf(col("embedding")))
+    dv
+      .withColumn("_pq", encodeUdf(col("v")))
       .select((col("vec_id") +: keep.map(col)) ++
         (0 until m).map(s => col("_pq._1").getItem(s).as(s"code_$s")) :+
         col("_pq._2").as("err"): _*)
+  }
+
+  /** Cluster assignment + IVF residual in ONE map-only pass:
+    * `(vec_id, cluster, v = x − centroid(cluster(x)))` with the residual
+    * born DOUBLE (float widened exactly, centroid already double).
+    * Quantizing residuals instead of raw vectors is THE accuracy
+    * mechanism of canonical IVFADC (Jégou et al., PAMI 2011 §IV; FAISS
+    * `IndexIVFPQ` default): subtracting the coarse centroid concentrates
+    * the PQ codebooks' dynamic range on the within-cell displacement, so
+    * the same m×k code budget spends itself on local structure instead
+    * of re-describing the cell's position (measured on the fixture:
+    * ADC-order tolerance recall 0.42 raw → see BENCHNOTES r13 table).
+    * Assignment is IDENTICAL to [[ivfAssignWith]] (cosine argmax,
+    * lowest-cid ties, centroids in ascending-cid order). */
+  private[operators] def ivfResiduals(emb: DataFrame,
+      cents: Array[(Long, Array[Double], Double)]): DataFrame = {
+    val bc = emb.sparkSession.sparkContext.broadcast(cents)
+    val residUdf = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      val d = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { d(i) = v(i); i += 1 }
+      var nv = 0.0; i = 0
+      while (i < d.length) { nv += d(i) * d(i); i += 1 }
+      nv = math.sqrt(nv)
+      var bestId = -1L; var bestIdx = -1; var best = Double.NegativeInfinity
+      var c = 0
+      while (c < cs.length) {
+        val cv = cs(c)._2; val cn = cs(c)._3
+        var dot = 0.0; var j = 0
+        while (j < cv.length) { dot += d(j) * cv(j); j += 1 }
+        val cos = dot / (nv * cn)
+        if (cos > best) { best = cos; bestId = cs(c)._1; bestIdx = c }
+        c += 1
+      }
+      val rv = new Array[Double](d.length)
+      if (bestIdx >= 0) {
+        val cv = cs(bestIdx)._2
+        i = 0
+        while (i < d.length) { rv(i) = d(i) - cv(i); i += 1 }
+      }
+      (bestId, rv.toSeq)
+    }
+    emb
+      .withColumn("_ar", residUdf(col("embedding")))
+      .select(col("vec_id"), col("_ar._1").as("cluster"), col("_ar._2").as("v"))
   }
 
   private def x2PqCodes(spark: SparkSession, dir: String): DataFrame =
@@ -853,37 +945,132 @@ object Similarity {
         element_at(col("ds"), col("pos") + 1).as("adist"))
   }
 
+  /** Probe routing computed DRIVER-SIDE once (probes are query-sized):
+    * (probe_id, probe vector as doubles, its `nprobe` nearest cluster
+    * ids by the [[ivfProbeClusters]] ordering — cosine desc, stable
+    * ties → ascending cid). One collect; the result feeds BOTH the
+    * broadcast (probe_id, cluster) candidate join and the per-(probe,
+    * cluster) residual ADC LUTs, so the two can never disagree. */
+  private[operators] def probeRoutes(probes: DataFrame,
+      cents: Array[(Long, Array[Double], Double)],
+      nprobe: Int): Array[(Long, Array[Double], Seq[Long])] =
+    probes.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).collect().map { r =>
+        val d = r.getSeq[Float](1).map(_.toDouble).toArray
+        val nv = math.sqrt(d.map(x => x * x).sum)
+        val cls = cents.map { case (cid, cv, cn) =>
+          var dot = 0.0; var j = 0
+          while (j < cv.length) { dot += d(j) * cv(j); j += 1 }
+          (cid, dot / (nv * cn))
+        }.sortBy(-_._2).take(nprobe).map(_._1).toSeq
+        (r.getLong(0), d, cls)
+      }
+
+  /** Residual-ADC query tail (canonical IVFADC): the approximate
+    * distance to candidate x in cluster c is
+    * ‖(p − centroid(c)) − q(residual(x))‖², so the m × k LUT is built
+    * per (probe, PROBED CLUSTER) against the probe's own residual —
+    * probes × nprobe × m × k doubles, still driver-built and broadcast
+    * (the [[adcRank]] bound times nprobe). `cand` carries (probe_id,
+    * cluster, vec_id, codes); everything downstream is map-only plus
+    * the partitions × probes × topK [[graft.functions.TopKMinAgg]]
+    * exchange. */
+  private[operators] def adcRankResidual(cand: DataFrame,
+      routes: Array[(Long, Array[Double], Seq[Long])],
+      cents: Array[(Long, Array[Double], Double)],
+      books: Array[Array[Array[Double]]], sub: Int, topK: Int): DataFrame = {
+    val spark = cand.sparkSession
+    val m = books.length
+    val k = books.head.length
+    val centOf = cents.map(c => c._1 -> c._2).toMap
+    val lut: Map[(Long, Long), Array[Array[Double]]] = routes.flatMap {
+      case (pid, pv, cls) => cls.map { cid =>
+        val cv = centOf(cid)
+        val pr = new Array[Double](pv.length)
+        var i = 0
+        while (i < pv.length) { pr(i) = pv(i) - cv(i); i += 1 }
+        (pid, cid) -> Array.tabulate(m) { s =>
+          Array.tabulate(k) { c =>
+            val w = books(s)(c)
+            var xx = 0.0; var xc = 0.0; var cc = 0.0
+            var j = 0
+            while (j < sub) {
+              val x = pr(s * sub + j)
+              xx += x * x; xc += x * w(j); cc += w(j) * w(j); j += 1
+            }
+            (xx - 2.0 * xc) + cc
+          }
+        }
+      }
+    }.toMap
+    val bc = spark.sparkContext.broadcast(lut)
+    val adistUdf = udf { (probe: Long, cluster: Long, cs: Seq[Int]) =>
+      val t = bc.value((probe, cluster))
+      var d = 0.0; var s = 0
+      while (s < cs.length) { d += t(s)(cs(s)); s += 1 }
+      d
+    }
+    val topkAgg = udaf(new graft.functions.TopKMinAgg(topK))
+    cand
+      .withColumn("adist", adistUdf(col("probe_id"), col("cluster"), col("codes")))
+      .groupBy(col("probe_id"))
+      .agg(topkAgg(col("adist"), col("vec_id")).as("top"))
+      .select(col("probe_id"), col("top.key").as("ds"),
+        posexplode(col("top.id")).as(Seq("pos", "vec_id")))
+      .select(col("probe_id"), col("vec_id"),
+        (col("pos") + 1).cast(IntegerType).as("rnk"),
+        element_at(col("ds"), col("pos") + 1).as("adist"))
+  }
+
+  /** The broadcast (probe_id, cluster) candidate frame derived from
+    * [[probeRoutes]] — driver-created, so the candidate join and the
+    * residual LUTs share one routing decision. */
+  private[operators] def routesDf(spark: SparkSession,
+      routes: Array[(Long, Array[Double], Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    routes.flatMap { case (pid, _, cls) => cls.map(cid => (pid, cid)) }
+      .toSeq.toDF("probe_id", "cluster")
+  }
+
   /** IVF-PQ search (Jégou et al.'s IVFADC, the FAISS production shape):
     * IVF list pruning composes IN FRONT of PQ-ADC scoring, so the ADC
     * pass — and the bounded top-k behind it — sees only the vectors in
     * each probe's `nprobe` nearest lists (~nprobe/nlist of the corpus),
-    * never the full codes frame. This declared row is the composition
-    * the r10 verdict asked to pin: [[pqSearch]] remains the prune-free
-    * ADC baseline (its own rank stage now bounded), and this is the
-    * production path where BOTH the candidate set and the rank state
-    * are sublinear.
+    * never the full codes frame. [[pqSearch]] remains the prune-free
+    * raw-vector ADC baseline; this is the production path where BOTH
+    * the candidate set and the rank state are sublinear.
     *
-    * Dataflow: one map-only pass assigns cluster + codes together
-    * (cluster rides through [[pqEncode]]'s `keep` — no corpus-wide
-    * re-join), probe routing is a probe-sized broadcast joined on
-    * cluster id, ADC + bounded top-k as in [[pqSearch]]. Deterministic
-    * end to end (sampled centroids = first nlist by vec_id, cosine
-    * routing with lowest-cid ties, L2 ADC with lowest-vec_id ties), so
-    * the DuckDB oracle replays it EXACTLY — unlike the recall-bound
-    * ANN rows, every (probe, neighbor, rank, adist) tuple is
-    * value-checked. */
+    * Since r13 the PQ layer quantizes IVF RESIDUALS
+    * `x − centroid(cluster(x))` ([[ivfResiduals]]), the canonical
+    * IVFADC formulation: codebooks train on the residuals of the
+    * capped training slice, every vector's codes describe its
+    * within-cell displacement, and query-time ADC builds its LUT per
+    * (probe, probed cluster) against the probe's own residual
+    * ([[adcRankResidual]]).
+    *
+    * Dataflow: one map-only pass assigns cluster + residual together
+    * ([[ivfResiduals]]) and a second map-only pass encodes (cluster
+    * rides through [[pqEncodeD]]'s `keep` — no corpus-wide re-join);
+    * probe routing is one driver-side collect feeding both the
+    * broadcast candidate join and the LUTs. Deterministic end to end
+    * (coarse centroids = [[coarseCentroids]]' seeded Lloyd rounds on
+    * the capped train slice, cosine routing with lowest-cid ties, L2
+    * ADC with lowest-vec_id ties), so the DuckDB oracle replays it
+    * EXACTLY — unlike the recall-bound ANN rows, every (probe,
+    * neighbor, rank, adist) tuple is value-checked. */
   def ivfPqSearch(emb: DataFrame, probes: DataFrame, nlist: Int = 16,
       nprobe: Int = 4, m: Int = 4, k: Int = 16, iters: Int = 1,
       topK: Int = 5): DataFrame = {
-    val (sub, books) = pqTrain(emb, m, k, iters).getOrElse(
-      throw new IllegalArgumentException("ivfPqSearch: empty corpus"))
-    val cents = centroids(emb, nlist)
-    val codes = pqEncode(ivfAssignWith(emb, cents), sub, books,
-        keep = Seq("cluster"))
+    val cents = coarseCentroids(emb, nlist)
+    val resid = ivfResiduals(emb, cents)
+    val (sub, books) = pqTrainD(resid.select(col("vec_id"), col("v")), m, k, iters)
+      .getOrElse(throw new IllegalArgumentException("ivfPqSearch: empty corpus"))
+    val codes = pqEncodeD(resid, sub, books, keep = Seq("cluster"))
       .withColumn("codes", array((0 until m).map(s => col(s"code_$s")): _*))
-    val pc = ivfProbeClusters(probes, cents, nprobe)
-      .select(col("probe_id"), col("cluster"))
-    adcRank(codes.join(broadcast(pc), Seq("cluster")), probes, books, sub, topK)
+    val routes = probeRoutes(probes, cents, nprobe)
+    val pc = routesDf(emb.sparkSession, routes)
+    adcRankResidual(codes.join(broadcast(pc), Seq("cluster")),
+      routes, cents, books, sub, topK)
   }
 
   private def x2PqSearch(spark: SparkSession, dir: String): DataFrame = {
@@ -979,12 +1166,15 @@ object Similarity {
   private def pqD2(v: String, c: String) =
     s"(list_dot_product($v, $v) - 2.0e0 * list_dot_product($v, $c) + list_dot_product($c, $c))"
 
-  private def pqCommonSql(m: Int, k: Int, sub: Int,
-      trainWhere: String = ""): String = {
-    val blocks = (0 until m).map { s =>
+  /** The per-subspace train+encode CTE chain, reading vectors from CTE
+    * `$src` (columns: vec_id, v DOUBLE[]) — `e` for the raw-vector PQ
+    * rows, `rsd` for the residual IVFADC rows. */
+  private def pqBlocksSql(m: Int, k: Int, sub: Int,
+      trainWhere: String, src: String): String =
+    (0 until m).map { s =>
       val (lo, hi) = (s * sub + 1, (s + 1) * sub)
       s"""e$s AS (
-         |  SELECT vec_id, v[$lo:$hi] AS vs FROM e),
+         |  SELECT vec_id, v[$lo:$hi] AS vs FROM $src),
          |t$s AS (
          |  SELECT vec_id, vs FROM e$s $trainWhere ORDER BY vec_id LIMIT $PqTrainCap),
          |c${s}_0 AS (
@@ -1011,9 +1201,65 @@ object Similarity {
          |        ORDER BY ${pqD2("e.vs", "c.cv")} ASC, c.cid) AS rn
          |    FROM e$s e CROSS JOIN c${s}_1 c) t WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (
+
+  private def pqCommonSql(m: Int, k: Int, sub: Int,
+      trainWhere: String = ""): String =
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |$blocks""".stripMargin
+       |${pqBlocksSql(m, k, sub, trainWhere, "e")}""".stripMargin
+
+  /** Shared residual-IVFADC oracle prefix: raw doubles `e`, the capped
+    * train slice `tr`, coarse k-means `ic0→ka0→ks0→ic` (seeds = first
+    * nlist of the train slice, [[CoarseIters]] Lloyd rounds with
+    * decimal-exact means — the `x2_kmeans` replay idiom, see
+    * [[coarseCentroids]]), cosine argmax assignment `asg` over the
+    * WHOLE corpus against the refined `ic`, residual vectors
+    * `rsd` (v − centroid, double-exact — the [[ivfResiduals]] replay),
+    * then the per-subspace PQ train/encode blocks over `rsd` (training
+    * capped to the trainWhere slice, encoding over everything — the
+    * frozen-codebook append semantics fall out of the same CTEs).
+    *
+    * The multiply-referenced CTEs are `AS MATERIALIZED`: DuckDB 1.x
+    * otherwise INLINES a CTE at every reference, and the residual chain
+    * references `e`/`rsd` from each per-subspace block — with a
+    * computed-vectors prefix (the hashvec rows' md5-per-token
+    * `embeddings` CTE) the re-evaluation multiplied out to an
+    * hour-plus, 60 GB-spill oracle. Materialized: sub-second. */
+  private def ivfResidualCommonSql(m: Int, k: Int, sub: Int, nlist: Int,
+      trainWhere: String = ""): String = {
+    def cos(v: String, c: String) =
+      s"""(list_dot_product($v, $c) /
+         |      (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c))))""".stripMargin
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |tr AS MATERIALIZED (
+       |  SELECT vec_id, v FROM e $trainWhere ORDER BY vec_id LIMIT $PqTrainCap),
+       |ic0 AS (
+       |  SELECT vec_id AS cid, v AS cv FROM tr ORDER BY vec_id LIMIT $nlist),
+       |ka0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT t.vec_id, c.cid, row_number() OVER (PARTITION BY t.vec_id
+       |      ORDER BY ${cos("t.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM tr t CROSS JOIN ic0 c) q WHERE rn = 1),
+       |ks0 AS (
+       |  SELECT cid, pos, CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / COUNT(val) AS c
+       |  FROM (SELECT a.cid, generate_subscripts(t.v, 1) - 1 AS pos, unnest(t.v) AS val
+       |        FROM tr t JOIN ka0 a USING (vec_id)) d
+       |  GROUP BY cid, pos),
+       |ic AS MATERIALIZED (
+       |  SELECT ic0.cid, COALESCE(l.cv, ic0.cv) AS cv
+       |  FROM ic0 LEFT JOIN (SELECT cid, list(c ORDER BY pos) AS cv FROM ks0 GROUP BY cid) l
+       |    USING (cid)),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN ic c) t WHERE rn = 1),
+       |rsd AS MATERIALIZED (
+       |  SELECT e.vec_id, a.cluster,
+       |    list_transform(generate_series(1, len(e.v)), i -> e.v[i] - c.cv[i]) AS v
+       |  FROM e JOIN asg a USING (vec_id) JOIN ic c ON c.cid = a.cluster),
+       |${pqBlocksSql(m, k, sub, trainWhere, "rsd")}""".stripMargin
   }
 
   private val x2PqCodesSql = {
@@ -1060,12 +1306,12 @@ object Similarity {
        |ORDER BY probe_id, rnk""".stripMargin
   }
 
-  /** Exact IVFPQ replay: the [[x2PqSearchSql]] ADC idiom with three new
-    * CTEs in front — `ic` (sampled centroids = first nlist by vec_id),
-    * `asg` (cosine argmax assignment, lowest-cid ties — the
-    * [[x2KmeansSql]] idiom), `plists` (top-nprobe lists per probe,
-    * same ordering) — and the ADC scoring joined through the candidate
-    * set instead of the full cross product. */
+  /** Exact residual-IVFADC replay: [[ivfResidualCommonSql]] in front
+    * (centroids, assignment, residuals, residual codebooks/codes), then
+    * `plists` (top-nprobe lists per probe), the probe's own residual per
+    * probed cluster (`pres`), per-(probe, cluster) ADC LUTs against the
+    * residual codebooks, and the scoring joined through the candidate
+    * set — the [[adcRankResidual]] dataflow stated in SQL. */
   private[operators] val x2IvfPqSearchSql = ivfPqSearchSqlWith()
 
   /** [[x2IvfPqSearchSql]] parameterized on the TRAINING slice: `prefix`
@@ -1089,25 +1335,18 @@ object Similarity {
     val luts = (0 until m).map { s =>
       val (lo, hi) = (s * sub + 1, (s + 1) * sub)
       s"""lut$s AS (
-         |  SELECT p.probe_id, c.cid, ${pqD2(s"p.v[$lo:$hi]", "c.cv")} AS d
-         |  FROM p CROSS JOIN c${s}_1 c)""".stripMargin
+         |  SELECT pr.probe_id, pr.cluster, c.cid, ${pqD2(s"pr.pv[$lo:$hi]", "c.cv")} AS d
+         |  FROM pres pr CROSS JOIN c${s}_1 c)""".stripMargin
     }.mkString(",\n")
     val codeJoins = (1 until m).map(s => s"JOIN f$s USING (vec_id)").mkString(" ")
     val lutJoins = (0 until m).map { s =>
-      s"JOIN lut$s l$s ON l$s.cid = codes.code_$s AND l$s.probe_id = cand.probe_id"
+      s"JOIN lut$s l$s ON l$s.cid = codes.code_$s AND l$s.probe_id = cand.probe_id AND l$s.cluster = cand.cluster"
     }.mkString("\n  ")
     val dSum = (0 until m).map(s => s"l$s.d").mkString(" + ")
-    s"""WITH $prefix${pqCommonSql(m, k, sub, trainWhere)},
+    s"""WITH $prefix${ivfResidualCommonSql(m, k, sub, nlist, trainWhere)},
        |codes AS (
        |  SELECT vec_id, ${(0 until m).map(s => s"code_$s").mkString(", ")}
        |  FROM f0 $codeJoins),
-       |ic AS (
-       |  SELECT vec_id AS cid, v AS cv FROM e $trainWhere ORDER BY vec_id LIMIT $nlist),
-       |asg AS (
-       |  SELECT vec_id, cid AS cluster FROM (
-       |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn
-       |    FROM e CROSS JOIN ic c) t WHERE rn = 1),
        |p AS (SELECT vec_id AS probe_id, v FROM e WHERE vec_id < 10),
        |plists AS (
        |  SELECT probe_id, cluster FROM (
@@ -1115,8 +1354,13 @@ object Similarity {
        |      PARTITION BY p.probe_id
        |      ORDER BY ${cos("p.v", "c.cv")} DESC, c.cid) AS rn
        |    FROM p CROSS JOIN ic c) t WHERE rn <= $nprobe),
+       |pres AS (
+       |  SELECT pl.probe_id, pl.cluster,
+       |    list_transform(generate_series(1, len(p.v)), i -> p.v[i] - c.cv[i]) AS pv
+       |  FROM plists pl JOIN p USING (probe_id) JOIN ic c ON c.cid = pl.cluster),
        |cand AS (
-       |  SELECT pl.probe_id, a.vec_id FROM plists pl JOIN asg a USING (cluster) $serveWhere),
+       |  SELECT pl.probe_id, pl.cluster, a.vec_id
+       |  FROM plists pl JOIN asg a USING (cluster) $serveWhere),
        |$luts,
        |r AS (
        |  SELECT cand.probe_id, cand.vec_id, $dSum AS adist
@@ -1132,18 +1376,20 @@ object Similarity {
   }
 
   /** Oracle for the persisted drift-monitor artifact
-    * (`x2_index_stats`, [[IndexStore]]): replay PQ training on the
-    * FIRST-HALF slice only (the build batch), encode the WHOLE corpus
-    * with those frozen codewords — exactly what build-then-append does
-    * — and aggregate reconstruction error per batch. err is the one
+    * (`x2_index_stats`, [[IndexStore]]): replay residual-PQ training on
+    * the FIRST-HALF slice only (the build batch — centroids AND residual
+    * codebooks both sample it), assign + encode the WHOLE corpus against
+    * those frozen artifacts — exactly what build-then-append does — and
+    * aggregate residual reconstruction error per batch. err is the one
     * compare-rounded column family (see [[pqCodes]]'s parity note);
     * n is exact. */
   private[operators] val x2IndexStatsSql = {
     val (m, k, sub) = (4, 16, 16)
+    val nlist = 16
     val half = "(SELECT COUNT(*) // 2 FROM embeddings)"
     val errSum = (0 until m).map(s => s"err_$s").mkString(" + ")
     val joins = (1 until m).map(s => s"JOIN f$s USING (vec_id)").mkString(" ")
-    s"""WITH ${pqCommonSql(m, k, sub, s"WHERE vec_id < $half")},
+    s"""WITH ${ivfResidualCommonSql(m, k, sub, nlist, s"WHERE vec_id < $half")},
        |errs AS (
        |  SELECT vec_id, $errSum AS err
        |  FROM f0 $joins)

@@ -892,8 +892,12 @@ object TextAnalysis {
 
   private val xtHashvecIndexSql = {
     val v = 64
+    // MATERIALIZED: the residual-IVFADC chain references `embeddings`
+    // many times and DuckDB inlines plain CTEs per reference — the
+    // md5-per-token vectorization re-ran dozens of times (hour-plus,
+    // 60 GB spill) before the hint; with it the row oracles in <1 s
     val hvCte =
-      s"""embeddings AS (
+      s"""embeddings AS MATERIALIZED (
          |  WITH tok AS (
          |    SELECT doc_id, unnest(string_split(trim(lower(regexp_replace(text,'\\s+',' ','g'))), ' ')) AS t
          |    FROM documents),

@@ -30,11 +30,45 @@ object RefineSweep {
         got.count { case (p, id) => l2(corpus(p), corpus(id)) <= dk(p) * (1 + 1e-9) + 1e-12 }
           .toDouble / (10 * k)
       }
+      // the r12 RAW-vector composition (pre-residual), reconstructed
+      // verbatim for the A/B: train+encode raw subvectors, per-probe
+      // (not per-(probe,cluster)) LUTs
+      def rawIvfPq(topK: Int) = {
+        val (sub, books) = Similarity.pqTrain(emb, 4, 16, 1).get
+        val cents = Similarity.centroids(emb, 16)
+        val codes = Similarity.pqEncode(Similarity.ivfAssignWith(emb, cents),
+            sub, books, keep = Seq("cluster"))
+          .withColumn("codes", array((0 until 4).map(s => col(s"code_$s")): _*))
+        val pc = Similarity.ivfProbeClusters(probes, cents, 4)
+          .select(col("probe_id"), col("cluster"))
+        Similarity.adcRank(codes.join(broadcast(pc), Seq("cluster")),
+          probes, books, sub, topK)
+      }
+      val adcRaw = recTol(rawIvfPq(k))
       val adc = recTol(Similarity.ivfPqSearch(emb, probes, 16, 4, 4, 16, 1, k))
+      // reconstruction MSE from the SHIPPED encode kernels: pqEncodeD's
+      // err is ||input − q(input)||², and for the residual path that IS
+      // the full reconstruction error (x − (c + q(r)) = r − q(r)) — the
+      // well-conditioned encoder-quality metric (same signal the drift
+      // monitor persists), where 50-sample top-k recall is noise-bound
+      // on this fixture's near-equidistant neighbors
+      def mse(df: org.apache.spark.sql.DataFrame): Double =
+        df.agg(avg($"err")).head.getDouble(0)
+      val mseRaw = {
+        val (sub, books) = Similarity.pqTrain(emb, 4, 16, 1).get
+        mse(Similarity.pqEncode(emb, sub, books))
+      }
+      val mseResid = {
+        val cents = Similarity.coarseCentroids(emb, 16)
+        val resid = Similarity.ivfResiduals(emb, cents)
+        val (sub, books) = Similarity.pqTrainD(resid.select(col("vec_id"), col("v")), 4, 16, 1).get
+        mse(Similarity.pqEncodeD(resid, sub, books))
+      }
       val line = Seq(10, 20, 50, 100).map { sk =>
         f"short$sk=${recTol(Similarity.ivfPqRefine(emb, probes, 16, 4, 4, 16, 1, sk, k))}%.2f"
       }.mkString(" ")
-      println(f"SWEEP $sfd adcTol=$adc%.2f $line")
+      println(f"SWEEP $sfd mseRAW=$mseRaw%.3f mseRESID=$mseResid%.3f " +
+        f"adcTolRAW=$adcRaw%.2f adcTolRESID=$adc%.2f $line")
     }
     spark.stop()
   }
