@@ -29,11 +29,31 @@ import org.apache.spark.sql.types.IntegerType
   * the `x2_ivfpq_persisted` declared row hash-matches the SAME DuckDB
   * oracle as `x2_ivfpq_search`).
   *
-  * Writes are plain overwrite-mode parquet: per-table `_SUCCESS`
-  * markers gate partial dirs ([[load]] requires them), and the whole
-  * index is rebuilt atomically-enough for the single-writer batch jobs
-  * that build indexes — concurrent builders of the SAME dir are out of
-  * contract (the q38 Bucketing caveat, documented not locked).
+  * Visibility protocol (since the v5 layout): a single
+  * `manifest.json` — swapped by ATOMIC RENAME — lists the live
+  * codes/tombstone batch ids plus a per-build nonce. Readers resolve
+  * the whole index from that one driver-side file read (O(1) serving
+  * metadata: no directory listings, no per-batch `_SUCCESS` probes —
+  * on the object stores a 100 TB index lives on, per-query listings
+  * are latency AND request cost), and writers only ever reference
+  * `_SUCCESS`-complete batches from a manifest (checked once, at
+  * commit time). A batch written but not yet committed — the torn
+  * append/delete shape — is simply invisible; a crashed compaction
+  * leaves orphan dirs the next compaction garbage-collects; readers
+  * during compaction keep serving the pre-swap snapshot instead of
+  * being refused. The one remaining unavailability window is a
+  * REBUILD into a live dir ([[buildIvfPq]] retracts the manifest
+  * first, so a mid-rebuild crash refuses loudly rather than serving
+  * mixed-generation state). Single-writer per index dir by contract
+  * (the q38 Bucketing caveat, documented not locked); per-table
+  * `_SUCCESS` still gates the bounded state tables ([[load]]).
+  *
+  * Snapshot grace period: dirs a compaction supersedes are NOT deleted
+  * by the compaction that supersedes them — they become orphans the
+  * NEXT compaction's GC reclaims (the Iceberg expire-snapshots split:
+  * swapping the manifest is the commit, reclaiming storage is separate
+  * maintenance). A reader that resolved the old manifest therefore has
+  * a full compaction cycle to finish its scan.
   */
 object IndexStore {
 
@@ -48,6 +68,12 @@ object IndexStore {
       k: Int = 16, iters: Int = 1): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // rebuild-into-a-live-dir retracts the manifest FIRST: state tables
+    // are overwritten in place below, and a crash mid-rebuild must leave
+    // an index that refuses loudly ("no manifest — build first"), never
+    // one whose manifest points at mixed-generation state
+    val mp = manifestPath(dir)
+    mp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mp, false)
     val cents = Similarity.coarseCentroids(emb, nlist)
     val resid = Similarity.ivfResiduals(emb, cents)
     val (sub, books) = Similarity.pqTrainD(
@@ -66,6 +92,13 @@ object IndexStore {
     Seq((nlist, m, k, sub, books.head.head.length * m))
       .toDF("nlist", "m", "k", "sub", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // the build COMMIT: a fresh nonce (the state tables' content token —
+    // the driver state cache invalidates on it, never on mtime
+    // granularity) and exactly the build batch live. Any batches a
+    // previous generation left on disk are orphaned here and
+    // garbage-collected by the next compaction.
+    writeManifest(spark, dir, Manifest(LayoutVersion,
+      java.util.UUID.randomUUID().toString, Seq(0L), Nil))
   }
 
   /** Land one encoded batch as `codes/batch_id=N` (err column dropped —
@@ -114,20 +147,144 @@ object IndexStore {
       s"IndexStore: landing $statsDir/stats.json failed")
   }
 
+  // --------------------------------------------------------- manifest
+  /** The index's visibility root: which codes/tombstone batches are
+    * LIVE (dirs are `codes/batch_id=<id>`, `tombstones/batch_id=<id>`;
+    * compaction folds land under NEGATIVE ids so a fold can never
+    * collide with — and be silently overwritten by — a future streaming
+    * append's monotone positive batch id), plus the per-build `nonce`
+    * that tokens the bounded state tables' content. */
+  private[graft] case class Manifest(layout: Int, nonce: String,
+      codes: Seq[Long], tombstones: Seq[Long])
+
+  private[operators] val LayoutVersion = 5
+  private[operators] val ManifestName = "manifest.json"
+
+  private def manifestPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/$ManifestName")
+
+  /** One driver-side file read — the ENTIRE serving-metadata cost of a
+    * query. Unparseable content refuses with the path and remedy in the
+    * message (the write path makes this unreachable short of external
+    * corruption: the manifest is only ever swapped in by atomic rename
+    * of a fully-written temp). */
+  private[graft] def readManifest(spark: SparkSession, dir: String): Manifest = {
+    val p = manifestPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"IndexStore: $dir has no $ManifestName — build the index first " +
+        "(or re-run the interrupted buildIvfPq that retracted it)")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(txt)
+      def ids(field: String): Seq[Long] = {
+        val n = root.get(field)
+        (0 until n.size()).map(i => n.get(i).asLong())
+      }
+      val man = Manifest(root.get("layout").asInt(), root.get("nonce").asText(),
+        ids("codes"), ids("tombstones"))
+      require(man.layout == LayoutVersion,
+        s"IndexStore: $dir is layout v${man.layout}, this build reads v$LayoutVersion — " +
+          "rebuild with buildIvfPq (codes written under another layout have " +
+          "different SEMANTICS, e.g. raw-vector codes under residual LUTs)")
+      man
+    } catch {
+      case e: IllegalArgumentException => throw e // the layout require above
+      case e: Exception => throw new IllegalStateException(
+        s"IndexStore: $p is unparseable (${e.getMessage}) — external corruption; " +
+          "restore it or rebuild the index with buildIvfPq", e)
+    }
+  }
+
+  /** Atomic swap: dot-prefixed temp + `FileContext.rename(OVERWRITE)`.
+    * `FileContext` (not `FileSystem`) on BOTH write and rename: the
+    * plain local `FileSystem` is checksummed and would strand a `.crc`
+    * sidecar keyed to the temp name on every swap, and its `rename`
+    * refuses an existing destination. Readers see the old manifest or
+    * the new one, never a torn one. */
+  private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    import org.apache.hadoop.fs.{CreateFlag, FileContext, Options}
+    val dst = manifestPath(dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.$ManifestName.tmp")
+    val fc = FileContext.getFileContext(dst.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val json =
+      s"""{"layout":${m.layout},"nonce":"${m.nonce}",""" +
+        s""""codes":[${m.codes.sorted.mkString(",")}],""" +
+        s""""tombstones":[${m.tombstones.sorted.mkString(",")}]}"""
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
+    fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+
+  /** Publish a written batch into the manifest — the ONLY way a batch
+    * becomes visible. The `_SUCCESS` gate runs HERE, once per commit,
+    * instead of per query: a torn write can therefore never be
+    * referenced, and readers need no per-batch probes. Idempotent
+    * (replayed batch ids union in), like the dir overwrites above it. */
+  private[operators] def commitBatch(spark: SparkSession, dir: String,
+      codesId: Option[Long] = None, tombId: Option[Long] = None): Unit = {
+    val fs = manifestPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def committed(table: String, b: Long): Unit = require(
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$table/batch_id=$b/_SUCCESS")),
+      s"IndexStore: $dir/$table/batch_id=$b is partially written (no _SUCCESS) — " +
+        "re-run the write for that batch before committing it")
+    codesId.foreach(committed("codes", _))
+    tombId.foreach(committed("tombstones", _))
+    val man = readManifest(spark, dir)
+    writeManifest(spark, dir, man.copy(
+      codes = (man.codes ++ codesId).distinct.sorted,
+      tombstones = (man.tombstones ++ tombId).distinct.sorted))
+  }
+
+  /** Delete every `batch_id=*` dir the manifest does NOT reference —
+    * crashed appends/deletes that never committed, folded batches a
+    * finished compaction superseded, fold attempts a crash stranded.
+    * Run at the START of compaction (never on the append hot path):
+    * orphans are invisible to readers by construction, so reclaiming
+    * them is pure hygiene and can wait for maintenance. */
+  private def gcOrphans(spark: SparkSession, dir: String, man: Manifest): Unit = {
+    val fs = manifestPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sweep(table: String, live: Set[Long]): Unit = {
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$table")
+      if (fs.exists(root)) {
+        fs.listStatus(root)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+          .filterNot(st => live.contains(
+            st.getPath.getName.stripPrefix("batch_id=").toLong))
+          .foreach(st => fs.delete(st.getPath, true))
+        if (live.isEmpty &&
+            !fs.listStatus(root).exists(_.getPath.getName.startsWith("batch_id=")))
+          fs.delete(root, true) // drained: "no tombstones" stays visible
+      }
+    }
+    sweep("codes", man.codes.toSet)
+    sweep("tombstones", man.tombstones.toSet)
+  }
+
   /** Logical delete — the tombstone half of index maintenance (SemDeDup
     * pipelines delete aggressively, and a 100 TB index cannot rewrite
     * corpus-sized codes per delete). Deleted vec_ids land as
-    * `tombstones/batch_id=<id>/` (ids only, 8 bytes/row) under the same
-    * overwrite-by-batch discipline as [[appendIvfPq]], so at-least-once
-    * delivery of a delete batch lands exactly-once. [[searchIvfPq]]
-    * anti-joins the codes scan against every committed tombstone batch
-    * (an id-only join — AQE broadcasts it while deletes are small, and
-    * it stays a keyed shuffle, never a rewrite, when they are not);
-    * [[compactIvfPq]] makes the deletes physical and clears the
-    * tombstones. */
-  def deleteIvfPq(ids: DataFrame, dir: String, batchId: Long): Unit =
+    * `tombstones/batch_id=<id>/` (ids only, 8 bytes/row) then COMMIT
+    * into the manifest, the same write-then-publish discipline as
+    * [[appendIvfPq]]: at-least-once delivery lands exactly-once, and a
+    * crash between write and commit leaves the delete invisible until
+    * its replay. [[searchIvfPq]] anti-joins the codes scan against the
+    * committed tombstone batches (an id-only join — AQE broadcasts it
+    * while deletes are small, and it stays a keyed shuffle, never a
+    * rewrite, when they are not); [[compactIvfPq]] makes the deletes
+    * physical and clears the tombstones. */
+  def deleteIvfPq(ids: DataFrame, dir: String, batchId: Long): Unit = {
     ids.select(col("vec_id").cast("long"))
       .write.mode("overwrite").parquet(s"$dir/tombstones/batch_id=$batchId")
+    commitBatch(ids.sparkSession, dir, tombId = Some(batchId))
+  }
 
   /** Physical maintenance — the missing half of [[appendIvfPq]]: a year
     * of streaming appends is the small-files problem at exactly the
@@ -143,24 +300,27 @@ object IndexStore {
     * never race a replayed append (the CurateStream /
     * `Maintenance.compactBatchStore` replay contract).
     *
-    * Crash posture — the staged-marker plan:
-    *  1. stage the folded+filtered codes to `codes__compact/batch_id=0`
-    *     (its own `_SUCCESS`);
-    *  2. write `_compacting` listing exactly the fold + tombstone
-    *     batch dirs to remove — from here until step 5,
-    *     [[searchIvfPq]] REFUSES the index (a half-deleted fold set
-    *     must never be silently served);
-    *  3. delete the listed dirs; 4. rename the staging batch in as the
-    *     new `batch_id=0`; 5. remove the marker.
-    * A crash before 2 leaves a dead staging dir (overwritten by the
-    * next attempt, index never degraded); a crash in 3-5 strands the
-    * marker, and the next [[compactIvfPq]] call FINISHES the
-    * interrupted plan from the marker before doing anything else
-    * (streaming replay re-runs the compaction batch, which is exactly
-    * that call). Tombstones are cleared only when every live batch is
-    * folded (always true for the streaming `upTo = batchId − 1` call,
-    * where batch `batchId` appends after); a partial fold keeps them
-    * so deleted ids in kept batches stay excluded. Single-writer by
+    * Crash posture — the manifest plan (since v5, replacing the v3
+    * staged-marker protocol and its read-refusal window):
+    *  1. GC orphan batch dirs the manifest does not reference (crashed
+    *     prior attempts, dirs a FINISHED prior compaction superseded);
+    *  2. write the folded+filtered codes to `codes/batch_id=<foldId>`
+    *     where foldId is a fresh NEGATIVE id (invisible: not in the
+    *     manifest; can never collide with streaming's monotone
+    *     positive append ids);
+    *  3. COMMIT: one atomic manifest swap — fold sources out, foldId
+    *     in, tombstones cleared when every live batch folded.
+    * A crash anywhere leaves the manifest untouched: readers keep
+    * serving the pre-compaction snapshot throughout (no refusal
+    * window), and the stranded fold dir is step-1 hygiene for the next
+    * call. Superseded fold-source dirs likewise survive until the next
+    * compaction's GC, so a reader that resolved the old manifest
+    * finishes its scan (see the snapshot-grace note in the object
+    * scaladoc). Tombstones are folded into the output always, but
+    * CLEARED from the manifest only when every live batch is folded
+    * (always true for the streaming `upTo = batchId − 1` call, where
+    * batch `batchId` appends after); a partial fold keeps them so
+    * deleted ids in kept batches stay excluded. Single-writer by
     * contract like every other mutation here ([[ensureIndexFor]]).
     * Search results are identical before and after ([[IndexStoreSpec]]
     * proves row equality, including across a simulated mid-plan
@@ -172,110 +332,54 @@ object IndexStore {
   def compactIvfPq(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20, upTo: Long = Long.MaxValue): Unit = {
     require(upTo >= 0, s"IndexStore: upTo must cover the build batch 0, got $upTo")
-    val codesRoot = new org.apache.hadoop.fs.Path(s"$dir/codes")
-    val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    resumeCompaction(spark, dir) // finish a stranded plan first
-    require(fs.exists(codesRoot), s"IndexStore: $codesRoot missing — nothing to compact")
-    def batchIds(root: org.apache.hadoop.fs.Path): Seq[Long] =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
-        .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
-    val all = batchIds(codesRoot)
-    val fold = all.filter(_ <= upTo).sorted
+    val man = readManifest(spark, dir)
+    gcOrphans(spark, dir, man) // 1. reclaim what no reader can reference
+    // negative fold ids are always ≤ upTo: prior folds re-fold freely
+    val fold = man.codes.filter(_ <= upTo).sorted
     if (fold.isEmpty) return
-    for (b <- fold)
-      require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes/batch_id=$b/_SUCCESS")),
-        s"IndexStore: codes/batch_id=$b partially written (no _SUCCESS) — cannot fold a torn batch")
-    val foldAll = fold.size == all.size
-    val tombs = if (foldAll) batchIds(new org.apache.hadoop.fs.Path(s"$dir/tombstones")) else Seq.empty
-    // 1. stage: folded batches minus tombstones, sized from disk footprint
+    val foldAll = fold.size == man.codes.size
+    val fs = manifestPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fresh negative id, below every id any manifest ever referenced
+    val foldId = man.codes.filter(_ < 0).minOption.getOrElse(0L) - 1
+    // 2. write the fold: sources minus tombstones, file count sized
+    // from the measured on-disk footprint (no extra corpus scan)
     val bytes = fold.map(b =>
       fs.getContentSummary(new org.apache.hadoop.fs.Path(s"$dir/codes/batch_id=$b")).getLength).sum
     val nParts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val staging = new org.apache.hadoop.fs.Path(s"$dir/codes__compact")
-    fs.delete(staging, true) // a dead prior pre-marker attempt
-    val live = tombstoneFilter(spark, dir,
-      spark.read.parquet(s"$dir/codes")
-        .filter(col("batch_id").isin(fold: _*)).drop("batch_id"))
+    val m = loadCached(spark, dir, man.nonce)._2
+    val live = tombstoneFilter(spark, dir, man,
+      spark.read.schema(codeSchema(m))
+        .parquet(fold.map(b => s"$dir/codes/batch_id=$b"): _*))
     live.repartition(nParts)
-      .write.mode("overwrite").parquet(s"$staging/batch_id=0")
-    // 2. marker: the exact removal list (search refuses from here on)
-    writeMarker(fs, dir, fold, tombs)
-    finishCompaction(spark, dir, fold, tombs)
+      .write.mode("overwrite").parquet(s"$dir/codes/batch_id=$foldId")
+    // 3. commit: fold sources out, foldId in, one atomic swap
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes/batch_id=$foldId/_SUCCESS")),
+      s"IndexStore: fold write $dir/codes/batch_id=$foldId left no _SUCCESS")
+    writeManifest(spark, dir, man.copy(
+      codes = (man.codes.filterNot(fold.contains) :+ foldId).sorted,
+      tombstones = if (foldAll) Nil else man.tombstones))
   }
 
-  /** Steps 3-5 of the compaction plan (see [[compactIvfPq]]) —
-    * idempotent, so a stranded plan can re-run it verbatim. */
-  private def finishCompaction(spark: SparkSession, dir: String,
-      fold: Seq[Long], tombs: Seq[Long]): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (b <- fold) fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes/batch_id=$b"), true)
-    for (b <- tombs) fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones/batch_id=$b"), true)
-    val tombRoot = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    if (fs.exists(tombRoot) &&
-        !fs.listStatus(tombRoot).exists(_.getPath.getName.startsWith("batch_id=")))
-      fs.delete(tombRoot, true) // drained: drop the root so "no tombstones" is visible
-    val stagedBatch = new org.apache.hadoop.fs.Path(s"$dir/codes__compact/batch_id=0")
-    require(fs.rename(stagedBatch, new org.apache.hadoop.fs.Path(s"$dir/codes/batch_id=0")),
-      s"IndexStore: rename $stagedBatch into codes/ failed")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes__compact"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$CompactingMarker"), true)
-  }
-
-  private[operators] val CompactingMarker = "_compacting"
-
-  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-      fold: Seq[Long], tombs: Seq[Long]): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/$CompactingMarker"), true)
-    try out.write(s"fold:${fold.mkString(",")}|tomb:${tombs.mkString(",")}".getBytes("UTF-8"))
-    finally out.close()
-  }
-
-  /** Finish an interrupted compaction if `_compacting` is stranded.
-    * The marker is written only AFTER the staging batch is complete
-    * (plan step 2), so resume = re-run the idempotent steps 3-5: the
-    * already-deleted dirs no-op, the staged batch renames in, the
-    * marker clears. If the rename already happened (staging gone, a
-    * crash between 4 and 5), only the marker is left to clear. */
-  private def resumeCompaction(spark: SparkSession, dir: String): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(s"$dir/$CompactingMarker")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) return
-    val in = fs.open(marker)
-    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    def ids(part: String): Seq[Long] = {
-      val body = part.split(":", 2).lift(1).getOrElse("")
-      if (body.isEmpty) Seq.empty else body.split(",").toSeq.map(_.toLong)
-    }
-    val Array(foldPart, tombPart) = txt.split("\\|", 2)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes__compact/batch_id=0/_SUCCESS")))
-      finishCompaction(spark, dir, ids(foldPart), ids(tombPart))
-    else // crash between rename (4) and marker clear (5)
-      fs.delete(marker, true)
-  }
-
-  /** Anti-join `codes` against every committed tombstone batch (no-op
-    * when no tombstones exist). Every batch dir must carry `_SUCCESS` —
-    * a torn delete batch is refused like a torn append: serving it
-    * would silently resurrect half a delete. */
+  /** Anti-join `codes` against the manifest's live tombstone batches
+    * (no-op when none). Manifest membership IS the torn-write gate:
+    * only `_SUCCESS`-complete batches are ever committed
+    * ([[commitBatch]]), so no per-batch probes run here. */
   private def tombstoneFilter(spark: SparkSession, dir: String,
-      codes: DataFrame): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return codes
-    val batches = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
-    if (batches.isEmpty) return codes
-    for (b <- batches)
-      require(fs.exists(new org.apache.hadoop.fs.Path(b.getPath, "_SUCCESS")),
-        s"IndexStore: ${b.getPath} partially written (no _SUCCESS) — re-run the delete for that batch")
-    codes.join(
-      spark.read.schema("vec_id BIGINT, batch_id BIGINT")
-        .parquet(s"$dir/tombstones").select("vec_id"),
+      man: Manifest, codes: DataFrame): DataFrame =
+    if (man.tombstones.isEmpty) codes
+    else codes.join(
+      spark.read.schema("vec_id BIGINT")
+        .parquet(man.tombstones.map(b => s"$dir/tombstones/batch_id=$b"): _*)
+        .select("vec_id"),
       Seq("vec_id"), "left_anti")
-  }
+
+  /** The codes table's write contract (fixed at [[buildIvfPq]]) —
+    * explicit on every serving/maintenance read: parquet schema
+    * inference costs one Spark job per schemaless read. */
+  private def codeSchema(m: Int): String =
+    "vec_id BIGINT, cluster BIGINT, " +
+      (0 until m).map(s => s"code_$s INT").mkString(", ")
 
   /** Incremental maintenance — the FAISS `add()` shape: encode NEW
     * vectors against the FROZEN centroids/codebooks (one bounded reload
@@ -284,16 +388,20 @@ object IndexStore {
     * not retrained (PQ practice: the sampled training distribution
     * stands for the stream; re-training would silently re-mean every
     * EXISTING code's semantics — rebuild via [[buildIvfPq]] when drift
-    * demands it). Re-appending a batch id OVERWRITES that directory:
-    * at-least-once upstream delivery lands exactly-once in the index —
-    * the CurateStream batch-store replay discipline. */
+    * demands it). Re-appending a batch id OVERWRITES that directory
+    * and re-COMMITS idempotently: at-least-once upstream delivery
+    * lands exactly-once in the index — the CurateStream batch-store
+    * replay discipline; a crash between write and commit leaves the
+    * batch invisible until its replay. */
   def appendIvfPq(emb: DataFrame, dir: String, batchId: Long): Unit = {
     require(batchId > 0, s"appendIvfPq: batchId must be > 0 (0 is the build batch), got $batchId")
     val spark = emb.sparkSession
-    val (_, _, _, sub, cents, books) = loadCached(spark, dir)
+    val man = readManifest(spark, dir)
+    val (_, _, _, sub, cents, books) = loadCached(spark, dir, man.nonce)
     writeCodesWithStats(
       Similarity.pqEncodeD(Similarity.ivfResiduals(emb, cents), sub, books,
         keep = Seq("cluster")), dir, batchId)
+    commitBatch(spark, dir, codesId = Some(batchId))
   }
 
   private def requireTable(spark: SparkSession, dir: String, t: String): String = {
@@ -309,44 +417,34 @@ object IndexStore {
     * centroids/codebooks in memory and does NOT re-read them per query
     * (FAISS keeps the whole index resident; here only the bounded
     * state is, ~nlist×dim + m×k×sub doubles, KBs at the declared
-    * configs). Keyed by dir, validated by a filesystem signature over
-    * the three state tables (file name:length:mtime per file), so a
-    * REBUILD into the same dir — the only operation that rewrites
-    * state; [[appendIvfPq]]/[[deleteIvfPq]]/[[compactIvfPq]] touch
-    * only codes/tombstones/stats — changes the signature and forces a
-    * reload. Bounded at [[StateCacheMax]] dirs (state is KBs; the
-    * bound is a leak guard, not a memory budget), cleared wholesale on
-    * overflow. Single-JVM like every IndexStore mutation contract;
-    * cross-JVM rebuild visibility rides the signature, not the cache.
-    * [[IndexStoreSpec]] pins hit/invalidate behavior via
-    * [[stateLoads]]. */
+    * configs). Keyed by dir, validated by the manifest NONCE — a
+    * CONTENT token [[buildIvfPq]] refreshes on every rebuild (the only
+    * operation that rewrites state;
+    * [[appendIvfPq]]/[[deleteIvfPq]]/[[compactIvfPq]] touch only
+    * codes/tombstones/stats). The pre-v5 scheme signed the state files
+    * by name:length:mtime, which a byte-identical rebuild inside the
+    * filesystem's mtime granularity could defeat (ADVICE r12); the
+    * nonce cannot be defeated and costs zero extra fs calls — callers
+    * already hold the manifest. Bounded at [[StateCacheMax]] dirs
+    * (state is KBs; the bound is a leak guard, not a memory budget),
+    * cleared wholesale on overflow. Single-JVM like every IndexStore
+    * mutation contract; cross-JVM rebuild visibility rides the nonce,
+    * not the cache. [[IndexStoreSpec]] pins hit/invalidate behavior
+    * via [[stateLoads]]. */
   private val stateCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String,
       (Int, Int, Int, Int, Array[(Long, Array[Double], Double)], Array[Array[Array[Double]]]))]
   private val StateCacheMax = 16
   private[operators] val stateLoads = new java.util.concurrent.atomic.AtomicLong
 
-  private def stateSignature(spark: SparkSession, dir: String): String = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("meta", "centroids", "codebooks").map { t =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
-      if (!fs.exists(p)) s"$t:absent"
-      else fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
-        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-        .mkString(s"$t[", ",", "]")
-    }.mkString("|")
-  }
-
-  private[operators] def loadCached(spark: SparkSession, dir: String)
+  private[operators] def loadCached(spark: SparkSession, dir: String, nonce: String)
       : (Int, Int, Int, Int, Array[(Long, Array[Double], Double)], Array[Array[Array[Double]]]) = {
-    val sig = stateSignature(spark, dir)
     val hit = stateCache.get(dir)
-    if (hit != null && hit._1 == sig) hit._2
+    if (hit != null && hit._1 == nonce) hit._2
     else {
       val state = load(spark, dir)
       if (stateCache.size >= StateCacheMax) stateCache.clear()
-      stateCache.put(dir, (sig, state))
+      stateCache.put(dir, (nonce, state))
       state
     }
   }
@@ -389,30 +487,19 @@ object IndexStore {
     * in-memory path. */
   def searchIvfPq(spark: SparkSession, dir: String, probes: DataFrame,
       nprobe: Int = 4, topK: Int = 5): DataFrame = {
-    val markerPath = new org.apache.hadoop.fs.Path(s"$dir/$CompactingMarker")
-    require(!markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(markerPath),
-      s"IndexStore: $dir has a stranded compaction ($CompactingMarker present) — " +
-        "a half-deleted fold set must never be served; re-run compactIvfPq to finish the plan")
-    val (_, m, _, sub, cents, books) = loadCached(spark, dir)
-    // codes/ is batch-partitioned (batch_id=N per build/append); every
-    // batch must carry its own commit marker — a torn append is refused
-    // as a whole rather than silently serving half a batch
-    val codesRoot = new org.apache.hadoop.fs.Path(s"$dir/codes")
-    val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(codesRoot), s"IndexStore: $codesRoot missing — build the index first")
-    val batches = fs.listStatus(codesRoot)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
-    require(batches.nonEmpty, s"IndexStore: $codesRoot has no batches — build the index first")
-    for (b <- batches)
-      require(fs.exists(new org.apache.hadoop.fs.Path(b.getPath, "_SUCCESS")),
-        s"IndexStore: ${b.getPath} partially written (no _SUCCESS) — re-run the append for that batch")
-    // explicit schema (the store's own write contract, m from meta):
-    // schema inference on a schemaless read is one extra Spark job per
-    // QUERY on the serving path
-    val codeSchema = "vec_id BIGINT, cluster BIGINT, " +
-      (0 until m).map(s => s"code_$s INT").mkString(", ") + ", batch_id BIGINT"
-    val codes = tombstoneFilter(spark, dir,
-        spark.read.schema(codeSchema).parquet(s"$dir/codes"))
+    // ONE driver-side manifest read resolves the whole index — the
+    // snapshot this query serves, pinned here: batches a concurrent
+    // compaction supersedes stay on disk until the next compaction's
+    // GC, so the scan below cannot lose files mid-plan. Manifest
+    // membership is the torn-write gate (only _SUCCESS-complete
+    // batches commit), so no per-batch probes run per query.
+    val man = readManifest(spark, dir)
+    require(man.codes.nonEmpty,
+      s"IndexStore: $dir has no committed codes batches — build the index first")
+    val (_, m, _, sub, cents, books) = loadCached(spark, dir, man.nonce)
+    val codes = tombstoneFilter(spark, dir, man,
+        spark.read.schema(codeSchema(m))
+          .parquet(man.codes.map(b => s"$dir/codes/batch_id=$b"): _*))
       .withColumn("codes", array((0 until m).map(s => col(s"code_$s").cast(IntegerType)): _*))
     val routes = Similarity.probeRoutes(probes, cents, nprobe)
     val pc = Similarity.routesDf(spark, routes)
@@ -465,13 +552,14 @@ object IndexStore {
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(src), s"IndexStore: fixture $src missing")
     val st = fs.getFileStatus(src)
-    // "v4" = the on-disk LAYOUT version (v2 added batch-partitioned
+    // "v5" = the on-disk LAYOUT version (v2 added batch-partitioned
     // codes/, v3 added tombstones + compaction, v4 switched the
-    // codebooks/codes to IVF-RESIDUAL encoding): bumping it invalidates
-    // markers written by an older layout, so a layout change rebuilds
-    // instead of serving codes whose SEMANTICS the reader would
-    // misinterpret (raw-vector codes scored against residual LUTs)
-    val fp = "v4:" + (
+    // codebooks/codes to IVF-RESIDUAL encoding, v5 the manifest
+    // visibility protocol): bumping it invalidates markers written by
+    // an older layout, so a layout change rebuilds instead of serving
+    // state the reader would misinterpret (raw-vector codes scored
+    // against residual LUTs; a manifest-less dir refused as unbuilt)
+    val fp = "v5:" + (
       if (st.isDirectory) {
         val parts = fs.listStatus(src).filter(_.isFile).sortBy(_.getPath.getName)
         s"${parts.map(_.getLen).sum}:${parts.map(_.getModificationTime).max}:${parts.length}"

@@ -48,10 +48,10 @@ object IndexStream {
     * derived from the checkpoint itself, so only batches that are
     * committed — and can therefore never replay — are folded, and the
     * current batch's append lands after as its own directory. A
-    * compaction crash strands the `_compacting` marker, search refuses
-    * the index loudly, and the checkpoint replays this batch — whose
-    * compact call finishes the interrupted plan from the marker before
-    * appending (see [[IndexStore.compactIvfPq]]'s crash posture). */
+    * compaction crash leaves the manifest untouched — queries keep
+    * serving the pre-compaction snapshot — and the checkpoint replays
+    * this batch, whose compact call GCs the stranded fold attempt and
+    * re-runs it (see [[IndexStore.compactIvfPq]]'s crash posture). */
   def start(spark: SparkSession, inDir: String, ixDir: String,
       checkpoint: String, nlist: Int = 16, m: Int = 4, k: Int = 16,
       iters: Int = 1, compactEvery: Int = 0): StreamingQuery =

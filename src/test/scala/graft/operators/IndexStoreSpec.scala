@@ -39,16 +39,32 @@ class IndexStoreSpec extends SparkSpec {
     assert(!plan.contains("embeddings.parquet"), plan)
   }
 
-  test("a partially-written batch is refused, not silently served") {
+  test("a batch written but never committed is invisible; commit refuses a torn write") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-ix3").toString
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val n = emb.count()
     IndexStore.buildIvfPq(emb, dir, 16, 4, 16, 1)
-    // simulate a crash that lost the build batch's commit marker
-    assert(new java.io.File(s"$dir/codes/batch_id=0/_SUCCESS").delete())
+    val probes = emb.filter(col("vec_id") < 3)
+    def served() = IndexStore.searchIvfPq(spark, dir, probes, 4, n.toInt)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val baseline = served()
+    // the crash-between-write-and-commit shape: a codes dir lands
+    // (with _SUCCESS — Spark finished the write) but the manifest swap
+    // never ran. Its rows must not be served.
+    val phantomIds = (900000L until 900000L + 20L)
+    spark.read.parquet(s"$dir/codes/batch_id=0")
+      .limit(20).withColumn("vec_id",
+        monotonically_increasing_id() + 900000L)
+      .write.parquet(s"$dir/codes/batch_id=7")
+    assert(served() == baseline, "uncommitted batch rows were served")
+    // and a commit of a batch whose write is TORN (no _SUCCESS) refuses
+    assert(new java.io.File(s"$dir/codes/batch_id=7/_SUCCESS").delete())
     val e = intercept[IllegalArgumentException] {
-      IndexStore.searchIvfPq(spark, dir, emb.filter(col("vec_id") < 3), 4, 5).collect()
+      IndexStore.commitBatch(spark, dir, codesId = Some(7L))
     }
-    assert(e.getMessage.contains("batch"), e.getMessage)
+    assert(e.getMessage.contains("partially written"), e.getMessage)
+    assert(served() == baseline)
+    assert(phantomIds.forall(p => !baseline.contains(p)))
   }
 
   test("appendIvfPq: frozen-codebook encode, replay-idempotent, searchable") {
@@ -112,31 +128,51 @@ class IndexStoreSpec extends SparkSpec {
     // replayed delete batch lands exactly-once (overwrite, not append)
     IndexStore.deleteIvfPq(victims.toDF("vec_id"), dir, batchId = 1)
     assert(search().collect().toSeq == afterDelete)
-    // compaction: one physical batch, tombstones gone, results identical
+    // compaction: one live fold batch under a negative id, tombstones
+    // cleared from the MANIFEST (the visibility root), results identical
     IndexStore.compactIvfPq(spark, dir)
     assert(search().collect().toSeq == afterDelete,
       "compaction changed search results")
-    val batches = new java.io.File(s"$dir/codes").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).toSeq
-    assert(batches.map(_.getName) == Seq("batch_id=0"), batches.map(_.getName))
-    assert(!new java.io.File(s"$dir/tombstones").exists(), "tombstones not cleared")
-    assert(spark.read.parquet(s"$dir/codes").count() == n - victims.size)
+    val man = IndexStore.readManifest(spark, dir)
+    assert(man.codes == Seq(-1L), man.codes)
+    assert(man.tombstones.isEmpty, "tombstones not cleared from the manifest")
+    assert(spark.read.parquet(s"$dir/codes/batch_id=-1").count() == n - victims.size)
+    // superseded dirs survive the commit (the snapshot grace period)
+    // and are reclaimed by the NEXT compaction's GC
+    assert(new java.io.File(s"$dir/codes/batch_id=0").exists())
+    IndexStore.compactIvfPq(spark, dir)
+    assert(search().collect().toSeq == afterDelete)
+    val left = new java.io.File(s"$dir/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(!left.contains("batch_id=0") && !left.contains("batch_id=1"),
+      s"orphaned fold sources not GC'd: $left")
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "drained tombstone dirs not GC'd")
   }
 
-  test("a partially-written tombstone batch is refused, not silently half-applied") {
+  test("an uncommitted tombstone batch is not applied; its commit makes the delete live") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-ix6").toString
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val n = emb.count()
     IndexStore.buildIvfPq(emb, dir, 16, 4, 16, 1)
-    IndexStore.deleteIvfPq(Seq(1L, 2L).toDF("vec_id"), dir, batchId = 1)
-    assert(new java.io.File(s"$dir/tombstones/batch_id=1/_SUCCESS").delete())
-    val e = intercept[IllegalArgumentException] {
-      IndexStore.searchIvfPq(spark, dir, emb.filter(col("vec_id") < 3), 4, 5).collect()
-    }
-    assert(e.getMessage.contains("delete"), e.getMessage)
+    val probes = emb.filter(col("vec_id") < 3)
+    def served() = IndexStore.searchIvfPq(spark, dir, probes, 4, n.toInt)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val victim = served().max
+    // the crash-between-write-and-commit shape for a DELETE: tombstone
+    // rows on disk (with _SUCCESS) but never committed — a half-
+    // delivered delete must stay entirely invisible, not half-applied
+    Seq(victim).toDF("vec_id")
+      .write.parquet(s"$dir/tombstones/batch_id=1")
+    assert(served().contains(victim), "uncommitted tombstone was applied")
+    // the replay that commits it (deleteIvfPq overwrites + commits)
+    // flips the whole batch visible atomically
+    IndexStore.deleteIvfPq(Seq(victim).toDF("vec_id"), dir, batchId = 1)
+    assert(!served().contains(victim), "committed tombstone not applied")
   }
 
-  test("a compaction crash mid-plan refuses search and the next compact call finishes the plan") {
+  test("a compaction crash never degrades serving; the next compact call GCs and completes") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-ix7").toString
     val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
     val n = emb.count()
@@ -146,26 +182,46 @@ class IndexStoreSpec extends SparkSpec {
     def search() = IndexStore.searchIvfPq(spark, dir, probes, 4, 5)
       .orderBy(col("probe_id"), col("rnk")).collect().toSeq
     val baseline = search()
-    // fabricate the state after plan step 2 + a PARTIAL step 3: staging
-    // complete, marker written, batch 0 already deleted, batch 1 not yet
-    spark.read.parquet(s"$dir/codes").drop("batch_id")
-      .write.parquet(s"$dir/codes__compact/batch_id=0")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "_compacting"), "fold:0,1|tomb:")
-    def rmRec(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmRec)); f.delete(); ()
-    }
-    rmRec(new java.io.File(s"$dir/codes/batch_id=0"))
-    val e = intercept[IllegalArgumentException](search())
-    assert(e.getMessage.contains("stranded compaction"), e.getMessage)
-    // the next maintenance call finishes the interrupted plan first
+    // fabricate a compaction that crashed mid-fold-write: a PARTIAL
+    // fold dir at the negative id the next attempt will reuse — under
+    // the manifest protocol it was never committed, so readers never
+    // see it and nothing is refused
+    spark.read.parquet(s"$dir/codes/batch_id=0").limit(10)
+      .write.parquet(s"$dir/codes/batch_id=-1")
+    assert(search() == baseline, "a crashed fold attempt leaked into serving")
+    // the replayed maintenance call GCs the stranded attempt, re-folds,
+    // and commits — results identical throughout
     IndexStore.compactIvfPq(spark, dir)
-    assert(search() == baseline, "resume changed search results")
-    assert(!new java.io.File(s"$dir/_compacting").exists())
-    assert(!new java.io.File(s"$dir/codes__compact").exists())
-    val batches = new java.io.File(s"$dir/codes").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).toSeq
-    assert(batches == Seq("batch_id=0"), batches)
+    assert(search() == baseline, "compaction after a crash changed search results")
+    val man = IndexStore.readManifest(spark, dir)
+    assert(man.codes == Seq(-1L), man.codes)
+    assert(spark.read.parquet(s"$dir/codes/batch_id=-1").count() == n,
+      "the completed fold must supersede the partial crash attempt")
+  }
+
+  test("snapshot isolation: a reader resolved before compaction serves the pre-compaction snapshot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-snap").toString
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val n = emb.count()
+    IndexStore.buildIvfPq(emb.filter(col("vec_id") < n / 2), dir, 16, 4, 16, 1)
+    IndexStore.appendIvfPq(emb.filter(col("vec_id") >= n / 2), dir, batchId = 1)
+    IndexStore.deleteIvfPq(Seq(0L, 1L).toDF("vec_id"), dir, batchId = 1)
+    val probes = emb.filter(col("vec_id") < 5)
+    val baseline = IndexStore.searchIvfPq(spark, dir, probes, 4, 5)
+      .orderBy(col("probe_id"), col("rnk")).collect().toSeq
+    // the concurrent-reader shape: this plan resolved its manifest (and
+    // pinned its batch dirs) BEFORE the compaction below commits —
+    // under the v3 marker protocol this collect THREW mid-compaction
+    val pinned = IndexStore.searchIvfPq(spark, dir, probes, 4, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+    IndexStore.compactIvfPq(spark, dir)
+    assert(pinned.collect().toSeq == baseline,
+      "a pre-compaction reader must serve its pinned snapshot")
+    // and a reader arriving after the commit sees the identical results
+    // from the folded layout
+    assert(IndexStore.searchIvfPq(spark, dir, probes, 4, 5)
+      .orderBy(col("probe_id"), col("rnk")).collect().toSeq == baseline)
   }
 
   test("partial fold (upTo) leaves newer batches and tombstones in place") {
@@ -186,13 +242,14 @@ class IndexStoreSpec extends SparkSpec {
     val before = search()
     IndexStore.compactIvfPq(spark, dir, upTo = 1) // fold {0,1}, keep 2
     assert(search() == before, "partial fold changed search results")
-    val batches = new java.io.File(s"$dir/codes").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).toSet
-    assert(batches == Set("batch_id=0", "batch_id=2"), batches)
+    val man = IndexStore.readManifest(spark, dir)
+    assert(man.codes == Seq(-1L, 2L), man.codes)
     // tombstones must SURVIVE a partial fold: the deleted id is in batch
     // 2, which was not rewritten — clearing them would resurrect it
-    assert(new java.io.File(s"$dir/tombstones").exists, "tombstones cleared on partial fold")
-    assert(spark.read.parquet(s"$dir/codes").count() == n, "kept batch was rewritten")
+    assert(man.tombstones == Seq(1L), "tombstones cleared on partial fold")
+    assert(spark.read
+      .parquet(man.codes.map(b => s"$dir/codes/batch_id=$b"): _*)
+      .count() == n, "kept batch was rewritten")
   }
 
   test("compaction property: random batches + random deletes + partial/full folds preserve search results") {
@@ -233,7 +290,7 @@ class IndexStoreSpec extends SparkSpec {
       assert(search() == before, s"trial $trial: partial fold changed results")
       IndexStore.compactIvfPq(spark, dir)
       assert(search() == before, s"trial $trial: full fold changed results")
-      assert(!new java.io.File(s"$dir/tombstones").exists,
+      assert(IndexStore.readManifest(spark, dir).tombstones.isEmpty,
         s"trial $trial: tombstones not cleared by the full fold")
     }
   }

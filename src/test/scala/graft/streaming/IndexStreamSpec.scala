@@ -56,11 +56,14 @@ class IndexStreamSpec extends SparkSpec {
       IndexStream.start(spark, s"$root/in/*", s"$root/ix", s"$root/ck",
         compactEvery = 2).awaitTermination()
     }
-    // batch 2 compacted {0,1} -> 0 before appending itself: two dirs left
-    val batches = new java.io.File(s"$root/ix/codes").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).toSet
-    assert(batches == Set("batch_id=0", "batch_id=2"), batches)
-    assert(spark.read.parquet(s"$root/ix/codes").count() == n)
+    // batch 2 compacted {0,1} -> fold -1 before appending itself: two
+    // LIVE batches in the manifest (superseded dirs linger as orphans
+    // until the next compaction's GC — the snapshot grace period)
+    val man = IndexStore.readManifest(spark, s"$root/ix")
+    assert(man.codes == Seq(-1L, 2L), man.codes)
+    assert(spark.read
+      .parquet(man.codes.map(b => s"$root/ix/codes/batch_id=$b"): _*)
+      .count() == n)
     val probes = emb.filter(col("vec_id") < 5)
     val got = IndexStore.searchIvfPq(spark, s"$root/ix", probes, 4, 5)
       .orderBy(col("probe_id"), col("rnk")).collect().toSeq
