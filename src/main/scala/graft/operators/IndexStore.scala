@@ -41,12 +41,13 @@ import org.apache.spark.sql.types.IntegerType
   * append/delete shape — is simply invisible; a crashed compaction
   * leaves orphan dirs the next compaction garbage-collects; readers
   * during compaction keep serving the pre-swap snapshot instead of
-  * being refused. The one remaining unavailability window is a
-  * REBUILD into a live dir ([[buildIvfPq]] retracts the manifest
-  * first, so a mid-rebuild crash refuses loudly rather than serving
-  * mixed-generation state). Single-writer per index dir by contract
-  * (the q38 Bucketing caveat, documented not locked); per-table
-  * `_SUCCESS` still gates the bounded state tables ([[load]]).
+  * being refused. Even a REBUILD into a live dir is invisible until
+  * its commit: state lands under a fresh `state/<nonce>/` generation
+  * and the build batch under a fresh id, so there is NO
+  * read-unavailability window anywhere in the protocol. Single-writer
+  * per index dir by contract (the q38 Bucketing caveat, documented
+  * not locked); per-table `_SUCCESS` still gates the bounded state
+  * tables ([[load]]).
   *
   * Snapshot grace period: dirs a compaction supersedes are NOT deleted
   * by the compaction that supersedes them — they become orphans the
@@ -63,17 +64,36 @@ object IndexStore {
     * The codebooks are RESIDUAL codebooks (canonical IVFADC, since the
     * v4 layout): they quantize `x − centroid(cluster(x))`
     * ([[Similarity.ivfResiduals]]), and the stored codes describe each
-    * vector's within-cell displacement. */
+    * vector's within-cell displacement.
+    *
+    * `subsume` > 0 marks this build as a mid-stream REBUILD: the given
+    * corpus covers every streaming batch ≤ `subsume`, so their
+    * replayed appends no-op (see [[Manifest.subsumed]];
+    * [[graft.streaming.IndexStream]]'s `rebuildWhen` drift hook is the
+    * caller).
+    *
+    * A rebuild into a LIVE dir is atomic like every other mutation
+    * here: state lands under a fresh generation dir
+    * (`state/<nonce>/`), the build batch under a fresh id that cannot
+    * collide with the prior generation's, and the manifest swap is the
+    * commit — readers keep serving the old generation until then, a
+    * crash strands only orphans, and the superseded generation
+    * survives as the usual snapshot grace period. (Through v5 a
+    * rebuild overwrote state in place and had to RETRACT the manifest
+    * first — the one read-unavailability window in the protocol; v6
+    * closed it.) */
   def buildIvfPq(emb: DataFrame, dir: String, nlist: Int = 16, m: Int = 4,
-      k: Int = 16, iters: Int = 1): Unit = {
+      k: Int = 16, iters: Int = 1, subsume: Long = 0L): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // rebuild-into-a-live-dir retracts the manifest FIRST: state tables
-    // are overwritten in place below, and a crash mid-rebuild must leave
-    // an index that refuses loudly ("no manifest — build first"), never
-    // one whose manifest points at mixed-generation state
-    val mp = manifestPath(dir)
-    mp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mp, false)
+    val prior = if (hasManifest(spark, dir)) Some(readManifest(spark, dir)) else None
+    val nonce = java.util.UUID.randomUUID().toString
+    val stateDir = s"$dir/state/$nonce"
+    // fresh dir → the canonical batch 0; rebuild → a fresh NEGATIVE id
+    // (the fold-id discipline: invisible until committed, can never
+    // collide with a live batch or a future positive append id)
+    val builtId = prior.map(_.codes.filter(_ < 0).minOption.getOrElse(0L) - 1)
+      .getOrElse(0L)
     val cents = Similarity.coarseCentroids(emb, nlist)
     val resid = Similarity.ivfResiduals(emb, cents)
     val (sub, books) = Similarity.pqTrainD(
@@ -81,24 +101,31 @@ object IndexStore {
       throw new IllegalArgumentException("buildIvfPq: empty corpus"))
     cents.toSeq.map { case (cid, cv, cn) => (cid, cv.toSeq, cn) }
       .toDF("cid", "centroid", "norm")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/centroids")
     books.zipWithIndex.flatMap { case (cb, s) =>
       cb.zipWithIndex.map { case (cv, c) => (s, c, cv.toSeq) }
     }.toSeq.toDF("subspace", "code", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/codebooks")
     writeCodesWithStats(
       Similarity.pqEncodeD(resid, sub, books, keep = Seq("cluster")),
-      dir, batchId = 0)
+      dir, batchId = builtId)
     Seq((nlist, m, k, sub, books.head.head.length * m))
       .toDF("nlist", "m", "k", "sub", "dim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    // the build COMMIT: a fresh nonce (the state tables' content token —
-    // the driver state cache invalidates on it, never on mtime
-    // granularity) and exactly the build batch live. Any batches a
-    // previous generation left on disk are orphaned here and
-    // garbage-collected by the next compaction.
-    writeManifest(spark, dir, Manifest(LayoutVersion,
-      java.util.UUID.randomUUID().toString, Seq(0L), Nil))
+      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/meta")
+    // the build COMMIT: one atomic swap — the fresh nonce addresses the
+    // new generation's state (and is the content token the driver state
+    // cache keys on), exactly the build batch is live, and everything
+    // the previous generation owned becomes orphans for the next
+    // compaction's GC
+    writeManifest(spark, dir, Manifest(LayoutVersion, nonce,
+      Seq(builtId), Nil, subsumed = subsume, built = builtId))
+  }
+
+  /** Does `dir` hold a committed index? (False = never built, or a
+    * fresh build's first commit has not landed yet.) */
+  private[graft] def hasManifest(spark: SparkSession, dir: String): Boolean = {
+    val p = manifestPath(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Land one encoded batch as `codes/batch_id=N` (err column dropped —
@@ -147,17 +174,61 @@ object IndexStore {
       s"IndexStore: landing $statsDir/stats.json failed")
   }
 
+  /** The drift tripwire over the persisted stats artifact: did batch
+    * `batchId` encode ≥ `factor`× worse (mean reconstruction error)
+    * than the CURRENT build's training batch (`stats/batch_id=<built>`
+    * from the manifest — a rebuild repoints it, so the baseline always
+    * tracks the codebooks actually serving)? Two driver-side 1-line JSON reads,
+    * zero Spark jobs — the production cadence is once per micro-batch
+    * ([[graft.streaming.IndexStream]]'s `rebuildWhen`). Empty batches
+    * and a zero/absent baseline never fire ([[IndexDriftSpec]] pins
+    * the ~65× drifted-batch jump this guards against; ≥10× is the
+    * declared firing line). */
+  private[graft] def driftBreached(spark: SparkSession, dir: String,
+      batchId: Long, factor: Double): Boolean = {
+    def stat(b: Long): Option[(Long, Double)] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/stats/batch_id=$b/stats.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+        Some((root.get("n").asLong(), root.get("mean_err").asDouble()))
+      }
+    }
+    (stat(readManifest(spark, dir).built), stat(batchId)) match {
+      case (Some((n0, e0)), Some((n1, e1))) if n0 > 0 && n1 > 0 && e0 > 0 =>
+        e1 >= factor * e0
+      case _ => false
+    }
+  }
+
   // --------------------------------------------------------- manifest
   /** The index's visibility root: which codes/tombstone batches are
     * LIVE (dirs are `codes/batch_id=<id>`, `tombstones/batch_id=<id>`;
     * compaction folds land under NEGATIVE ids so a fold can never
     * collide with — and be silently overwritten by — a future streaming
     * append's monotone positive batch id), plus the per-build `nonce`
-    * that tokens the bounded state tables' content. */
+    * that tokens the bounded state tables' content.
+    *
+    * `subsumed` is the rebuild watermark: a mid-stream REBUILD
+    * ([[buildIvfPq]] with `subsume = N`) re-encodes the full upstream
+    * corpus — including every batch ≤ N — into its build batch, so a
+    * replayed append of any batch ≤ N must land as a NO-OP
+    * ([[appendIvfPq]]); without it, a crash between the rebuild and
+    * the checkpoint commit would re-append vectors the rebuild already
+    * holds and serve them twice.
+    *
+    * `built` is the build batch's id (0 for a fresh dir, a negative
+    * generation id after an in-place rebuild) — the drift monitor's
+    * baseline pointer: `stats/batch_id=<built>` is the row describing
+    * how the SERVING codebooks encoded their own training corpus. */
   private[graft] case class Manifest(layout: Int, nonce: String,
-      codes: Seq[Long], tombstones: Seq[Long])
+      codes: Seq[Long], tombstones: Seq[Long], subsumed: Long = 0L,
+      built: Long = 0L)
 
-  private[operators] val LayoutVersion = 5
+  private[operators] val LayoutVersion = 6
   private[operators] val ManifestName = "manifest.json"
 
   private def manifestPath(dir: String) =
@@ -184,7 +255,8 @@ object IndexStore {
         (0 until n.size()).map(i => n.get(i).asLong())
       }
       val man = Manifest(root.get("layout").asInt(), root.get("nonce").asText(),
-        ids("codes"), ids("tombstones"))
+        ids("codes"), ids("tombstones"), root.path("subsumed").asLong(0L),
+        root.path("built").asLong(0L))
       require(man.layout == LayoutVersion,
         s"IndexStore: $dir is layout v${man.layout}, this build reads v$LayoutVersion — " +
           "rebuild with buildIvfPq (codes written under another layout have " +
@@ -213,7 +285,8 @@ object IndexStore {
     val json =
       s"""{"layout":${m.layout},"nonce":"${m.nonce}",""" +
         s""""codes":[${m.codes.sorted.mkString(",")}],""" +
-        s""""tombstones":[${m.tombstones.sorted.mkString(",")}]}"""
+        s""""tombstones":[${m.tombstones.sorted.mkString(",")}],""" +
+        s""""subsumed":${m.subsumed},"built":${m.built}}"""
     val out = fc.create(tmp,
       java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
       org.apache.hadoop.fs.Options.CreateOpts.createParent())
@@ -266,6 +339,14 @@ object IndexStore {
     }
     sweep("codes", man.codes.toSet)
     sweep("tombstones", man.tombstones.toSet)
+    // dead state GENERATIONS: everything but the manifest's nonce
+    // (a superseded rebuild's centroids/codebooks/meta, or a crashed
+    // rebuild's half-written generation)
+    val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
+    if (fs.exists(stateRoot))
+      fs.listStatus(stateRoot)
+        .filter(st => st.isDirectory && st.getPath.getName != man.nonce)
+        .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Logical delete — the tombstone half of index maintenance (SemDeDup
@@ -381,6 +462,22 @@ object IndexStore {
     "vec_id BIGINT, cluster BIGINT, " +
       (0 until m).map(s => s"code_$s INT").mkString(", ")
 
+  /** Every vec_id the index currently serves: the manifest's live
+    * codes batches minus its live tombstones, as an id-only column
+    * scan (8 B/row — parquet column pruning never touches the code
+    * columns). The streaming drift-rebuild uses this to pin its
+    * corpus to PROCESSED batches: re-reading the input directory alone
+    * would also swallow files of batches the source has not yet
+    * processed, whose later appends would then serve those vectors
+    * twice ([[graft.streaming.IndexStream.maintain]]). */
+  private[graft] def liveVecIds(spark: SparkSession, dir: String): DataFrame = {
+    val man = readManifest(spark, dir)
+    tombstoneFilter(spark, dir, man,
+      spark.read.schema("vec_id BIGINT")
+        .parquet(man.codes.map(b => s"$dir/codes/batch_id=$b"): _*)
+        .select("vec_id"))
+  }
+
   /** Incremental maintenance — the FAISS `add()` shape: encode NEW
     * vectors against the FROZEN centroids/codebooks (one bounded reload
     * + one map-only pass over the batch, never the existing corpus) and
@@ -397,6 +494,7 @@ object IndexStore {
     require(batchId > 0, s"appendIvfPq: batchId must be > 0 (0 is the build batch), got $batchId")
     val spark = emb.sparkSession
     val man = readManifest(spark, dir)
+    if (batchId <= man.subsumed) return // a rebuild absorbed this batch (replay)
     val (_, _, _, sub, cents, books) = loadCached(spark, dir, man.nonce)
     writeCodesWithStats(
       Similarity.pqEncodeD(Similarity.ivfResiduals(emb, cents), sub, books,
@@ -442,37 +540,40 @@ object IndexStore {
     val hit = stateCache.get(dir)
     if (hit != null && hit._1 == nonce) hit._2
     else {
-      val state = load(spark, dir)
+      val state = load(spark, dir, nonce)
       if (stateCache.size >= StateCacheMax) stateCache.clear()
       stateCache.put(dir, (nonce, state))
       state
     }
   }
 
-  /** Bounded index state reloaded from disk: (meta, centroids, books).
-    * Read schemas are EXPLICIT (they are this store's write contract,
-    * fixed at [[buildIvfPq]]): parquet schema inference costs one Spark
-    * job per read, and these three reloads run on every append — a
-    * streaming micro-batch path where per-batch job count is latency
-    * ([[IndexStoreSpec]] pins the total at 3 reloads + 1 encode+write). */
-  private[operators] def load(spark: SparkSession, dir: String)
+  /** Bounded index state reloaded from disk — the `nonce`-addressed
+    * generation (`state/<nonce>/{meta,centroids,codebooks}`): (meta,
+    * centroids, books). Read schemas are EXPLICIT (they are this
+    * store's write contract, fixed at [[buildIvfPq]]): parquet schema
+    * inference costs one Spark job per read, and these three reloads
+    * run on every cold append — a streaming micro-batch path where
+    * per-batch job count is latency ([[IndexStoreSpec]] pins the total
+    * at 3 reloads + 1 encode+write). */
+  private[operators] def load(spark: SparkSession, dir: String, nonce: String)
       : (Int, Int, Int, Int, Array[(Long, Array[Double], Double)], Array[Array[Array[Double]]]) = {
     import spark.implicits._
     stateLoads.incrementAndGet()
+    val gen = s"state/$nonce"
     val meta = spark.read
       .schema("nlist INT, m INT, k INT, sub INT, dim INT")
-      .parquet(requireTable(spark, dir, "meta"))
+      .parquet(requireTable(spark, dir, s"$gen/meta"))
       .select("nlist", "m", "k", "sub").as[(Int, Int, Int, Int)].head()
     val (nlist, m, k, sub) = meta
     val cents = spark.read
       .schema("cid BIGINT, centroid ARRAY<DOUBLE>, norm DOUBLE")
-      .parquet(requireTable(spark, dir, "centroids"))
+      .parquet(requireTable(spark, dir, s"$gen/centroids"))
       .select("cid", "centroid", "norm").as[(Long, Array[Double], Double)]
       .collect().sortBy(_._1)
     require(cents.length == nlist, s"IndexStore: ${cents.length} centroids, meta says $nlist")
     val bookRows = spark.read
       .schema("subspace INT, code INT, vec ARRAY<DOUBLE>")
-      .parquet(requireTable(spark, dir, "codebooks"))
+      .parquet(requireTable(spark, dir, s"$gen/codebooks"))
       .select("subspace", "code", "vec").as[(Int, Int, Array[Double])].collect()
     require(bookRows.length == m * k, s"IndexStore: ${bookRows.length} codewords, meta says ${m * k}")
     val books = Array.ofDim[Array[Double]](m, k)
@@ -552,14 +653,15 @@ object IndexStore {
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(src), s"IndexStore: fixture $src missing")
     val st = fs.getFileStatus(src)
-    // "v5" = the on-disk LAYOUT version (v2 added batch-partitioned
+    // "v6" = the on-disk LAYOUT version (v2 added batch-partitioned
     // codes/, v3 added tombstones + compaction, v4 switched the
     // codebooks/codes to IVF-RESIDUAL encoding, v5 the manifest
-    // visibility protocol): bumping it invalidates markers written by
-    // an older layout, so a layout change rebuilds instead of serving
-    // state the reader would misinterpret (raw-vector codes scored
-    // against residual LUTs; a manifest-less dir refused as unbuilt)
-    val fp = "v5:" + (
+    // visibility protocol, v6 nonce-addressed state generations):
+    // bumping it invalidates markers written by an older layout, so a
+    // layout change rebuilds instead of serving state the reader would
+    // misinterpret (raw-vector codes scored against residual LUTs; a
+    // manifest-less dir refused as unbuilt)
+    val fp = "v6:" + (
       if (st.isDirectory) {
         val parts = fs.listStatus(src).filter(_.isFile).sortBy(_.getPath.getName)
         s"${parts.map(_.getLen).sum}:${parts.map(_.getModificationTime).max}:${parts.length}"

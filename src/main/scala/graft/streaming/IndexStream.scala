@@ -26,14 +26,15 @@ import graft.operators.{Declared, IndexStore}
   * Training on the first drop is the PQ sampling argument one step
   * further — the first drop stands for the stream the way the
   * 2048-vector cap stands for the corpus; when drift breaks that
-  * assumption, rebuild via [[IndexStore.buildIvfPq]] (the oracle pins
-  * the frozen-codebook semantics, so a retrain can never happen
-  * silently). "When drift demands it" has a number attached:
-  * [[graft.operators.IndexDriftSpec]] pins the per-batch mean
-  * reconstruction-error tripwire (a drifted drop encodes ~65× worse
-  * under frozen books at the fixture; ≥10× fires) and that a rebuild
-  * clears it (≥5× reduction) — the monitor rides the encode pass for
-  * free as `pqEncode`'s `err`.
+  * assumption, the maintainer REBUILDS (the `rebuildWhen` hook below)
+  * — the oracle pins the frozen-codebook semantics, so a retrain can
+  * never happen silently. "When drift demands it" has a number
+  * attached: [[graft.operators.IndexDriftSpec]] pins the per-batch
+  * mean reconstruction-error tripwire (a drifted drop encodes ~65×
+  * worse under frozen books at the fixture; ≥10× fires) and that a
+  * rebuild clears it (≥5× reduction) — the monitor rides the encode
+  * pass for free as `pqEncode`'s `err`, lands as the per-batch
+  * `stats/` artifact, and [[maintain]] ACTS on it.
   */
 object IndexStream {
 
@@ -51,10 +52,23 @@ object IndexStream {
     * compaction crash leaves the manifest untouched — queries keep
     * serving the pre-compaction snapshot — and the checkpoint replays
     * this batch, whose compact call GCs the stranded fold attempt and
-    * re-runs it (see [[IndexStore.compactIvfPq]]'s crash posture). */
+    * re-runs it (see [[IndexStore.compactIvfPq]]'s crash posture).
+    *
+    * `rebuildWhen` > 0 arms the drift hook: after each append, the
+    * batch's persisted stats row is compared against the current
+    * build's training-batch row ([[IndexStore.driftBreached]] — two
+    * driver-side 1-line reads, zero Spark jobs), and a breach triggers
+    * [[IndexStore.buildIvfPq]] over the input directory pinned to the
+    * index's live ids, with `subsume = batchId`. The re-encode scan is
+    * the honest cost of a rebuild (new codebooks re-mean every
+    * existing code's semantics — incremental patching is not a thing
+    * PQ supports); `subsume` + the live-id pin keep it replay-safe
+    * (see [[maintain]]). ≥10 is the
+    * [[graft.operators.IndexDriftSpec]]-calibrated firing line. */
   def start(spark: SparkSession, inDir: String, ixDir: String,
       checkpoint: String, nlist: Int = 16, m: Int = 4, k: Int = 16,
-      iters: Int = 1, compactEvery: Int = 0): StreamingQuery =
+      iters: Int = 1, compactEvery: Int = 0,
+      rebuildWhen: Double = 0.0): StreamingQuery =
     spark.readStream
       .schema(Tables.embeddings)
       .parquet(inDir)
@@ -62,14 +76,54 @@ object IndexStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batchId == 0L) IndexStore.buildIvfPq(batch, ixDir, nlist, m, k, iters)
-        else {
-          if (compactEvery > 0 && batchId % compactEvery == 0)
-            IndexStore.compactIvfPq(spark, ixDir, upTo = batchId - 1)
-          IndexStore.appendIvfPq(batch, ixDir, batchId)
-        }
+        maintain(spark, inDir, ixDir, batch, batchId,
+          nlist, m, k, iters, compactEvery, rebuildWhen)
       }
       .start()
+
+  /** One micro-batch of index maintenance — the foreachBatch body,
+    * factored out so the replay shapes are spec-drivable without crash
+    * injection.
+    *
+    * The rebuild corpus is the input directory SEMI-JOINED against the
+    * index's live vec_ids ([[IndexStore.liveVecIds]]): exactly what the
+    * index holds after this batch's append. Re-reading the directory
+    * alone would also swallow files of batches the file source has not
+    * yet processed (a producer can out-run the maintainer), and their
+    * later appends would serve those vectors twice; the id-only
+    * semi-join (8 B/row against a scan the rebuild pays anyway) pins
+    * the corpus to processed batches. Deletes survive a rebuild for
+    * the same reason: tombstoned ids are excluded from liveVecIds, so
+    * they never re-enter the rebuilt index.
+    *
+    * Replay discipline, case by case:
+    *   - batch 0 replay: deterministic rebuild over the same input;
+    *   - batch N replay after a completed append: overwrite +
+    *     idempotent re-commit ([[IndexStore.appendIvfPq]]);
+    *   - batch N replay after a completed REBUILD: the manifest's
+    *     `subsumed ≥ N` makes the append a no-op and skips the drift
+    *     check — without the watermark the batch's vectors (already
+    *     inside the rebuilt build batch) would be served twice;
+    *   - a CRASHED rebuild never surfaces: the build commits by one
+    *     manifest swap ([[IndexStore.buildIvfPq]]), so the replayed
+    *     batch finds the old generation serving, re-appends
+    *     idempotently, re-fires the tripwire, and re-runs the rebuild. */
+  private[graft] def maintain(spark: SparkSession, inDir: String,
+      ixDir: String, batch: DataFrame, batchId: Long, nlist: Int, m: Int,
+      k: Int, iters: Int, compactEvery: Int, rebuildWhen: Double): Unit =
+    if (batchId == 0L) IndexStore.buildIvfPq(batch, ixDir, nlist, m, k, iters)
+    else {
+      if (compactEvery > 0 && batchId % compactEvery == 0)
+        IndexStore.compactIvfPq(spark, ixDir, upTo = batchId - 1)
+      val fresh = batchId > IndexStore.readManifest(spark, ixDir).subsumed
+      IndexStore.appendIvfPq(batch, ixDir, batchId)
+      if (fresh && rebuildWhen > 0 &&
+          IndexStore.driftBreached(spark, ixDir, batchId, rebuildWhen))
+        IndexStore.buildIvfPq(
+          spark.read.schema(Tables.embeddings).parquet(inDir)
+            .join(IndexStore.liveVecIds(spark, ixDir), Seq("vec_id"), "left_semi"),
+          ixDir, nlist, m, k, iters, subsume = batchId)
+    }
 
   def runOnce(spark: SparkSession, inDir: String, ixDir: String,
       checkpoint: String): Unit =

@@ -79,7 +79,8 @@ class IndexStoreSpec extends SparkSpec {
     assert(codes.count() == n, "append grew the codes table to the full corpus")
     // frozen codebooks: batch-1 codes equal a fresh encode with the
     // HALF-trained books (training never reran on the appended data)
-    val (_, _, _, sub, cents, books) = IndexStore.load(spark, dir)
+    val (_, _, _, sub, cents, books) =
+      IndexStore.load(spark, dir, IndexStore.readManifest(spark, dir).nonce)
     val expect = Similarity.pqEncodeD(Similarity.ivfResiduals(rest, cents), sub, books,
         keep = Seq("cluster")).drop("err")
       .orderBy(col("vec_id")).collect().toSeq
@@ -222,6 +223,19 @@ class IndexStoreSpec extends SparkSpec {
     // from the folded layout
     assert(IndexStore.searchIvfPq(spark, dir, probes, 4, 5)
       .orderBy(col("probe_id"), col("rnk")).collect().toSeq == baseline)
+    // the same guarantee across a REBUILD (v6 generation-addressed
+    // state: new state/<nonce>/ + a fresh build-batch id, one manifest
+    // swap — a rebuild no longer retracts the manifest, so a reader
+    // pinned before it serves the OLD generation, not an error)
+    val preRebuild = IndexStore.searchIvfPq(spark, dir, probes, 4, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+    val preRows = preRebuild.collect().toSeq
+    IndexStore.buildIvfPq(emb, dir, 16, 4, 16, 1) // full corpus, new books
+    assert(preRebuild.collect().toSeq == preRows,
+      "a pre-rebuild reader must keep serving its pinned generation")
+    val postMan = IndexStore.readManifest(spark, dir)
+    assert(postMan.codes == Seq(postMan.built) && postMan.built < 0,
+      s"rebuild should commit a fresh negative build batch: $postMan")
   }
 
   test("partial fold (upTo) leaves newer batches and tombstones in place") {

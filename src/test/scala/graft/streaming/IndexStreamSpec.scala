@@ -71,4 +71,59 @@ class IndexStreamSpec extends SparkSpec {
       .orderBy(col("probe_id"), col("rnk")).collect().toSeq
     assert(got.nonEmpty && got == want, "compaction changed streamed search results")
   }
+
+  test("rebuildWhen: a drifted drop trips the stats tripwire, rebuilds in-stream, and encode quality is restored") {
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("ixstream-r").toString
+    // finer quantization than the declared rows (the IndexDriftSpec
+    // config) so quantization noise doesn't mask the drift signal
+    val (nlist, m, k, iters) = (16, 16, 64, 2)
+    def pass() = IndexStream.start(spark, s"$root/in/*", s"$root/ix",
+      s"$root/ck", nlist, m, k, iters, compactEvery = 0, rebuildWhen = 10)
+      .awaitTermination()
+    // the IndexDriftSpec drift shape: +0.5 per dim, fresh ids
+    def shifted(off: Long) = emb.select((col("vec_id") + off).as("vec_id"),
+      expr("transform(embedding, x -> CAST(x + 0.5 AS FLOAT))").as("embedding"))
+    emb.coalesce(1).write.parquet(s"$root/in/drop0.parquet"); pass()
+    val man0 = IndexStore.readManifest(spark, s"$root/ix")
+    assert(man0.subsumed == 0L && man0.codes == Seq(0L) && man0.built == 0L)
+    // the drifted drop appends under frozen books (its stats row lands
+    // ≥10× the training baseline), the tripwire fires, and the batch
+    // triggers an in-stream rebuild subsuming itself
+    shifted(100000L).coalesce(1).write.parquet(s"$root/in/drop1.parquet"); pass()
+    val man1 = IndexStore.readManifest(spark, s"$root/ix")
+    assert(man1.subsumed == 1L && man1.codes == Seq(-1L) && man1.built == -1L,
+      s"drift did not trigger an in-stream rebuild: $man1")
+    def stat(b: Long): Double = spark.read
+      .schema("n BIGINT, mean_err DOUBLE, max_err DOUBLE, batch_id BIGINT")
+      .json(s"$root/ix/stats").where(col("batch_id") === b)
+      .select("mean_err").head.getDouble(0)
+    // monitoring history retained: batch 1's drifted-under-frozen row
+    // still shows the ≥10× jump against the ORIGINAL training row,
+    // while the new baseline (the rebuild's own row) encodes its
+    // grown corpus back in band
+    assert(stat(1L) >= 10 * stat(0L), s"history lost: ${stat(1L)} vs ${stat(0L)}")
+    assert(stat(-1L) <= stat(1L) / 5, s"rebuild did not restore encode quality: ${stat(-1L)}")
+    // the next drifted drop appends CLEAN under the rebuilt books —
+    // the tripwire stays quiet and the batch lands as a normal append
+    shifted(200000L).coalesce(1).write.parquet(s"$root/in/drop2.parquet"); pass()
+    val man2 = IndexStore.readManifest(spark, s"$root/ix")
+    assert(man2.subsumed == 1L && man2.codes == Seq(-1L, 2L),
+      s"post-rebuild append misbehaved: $man2")
+    assert(stat(2L) <= stat(1L) / 5,
+      s"rebuilt books should encode the drifted distribution cleanly: ${stat(2L)} vs ${stat(1L)}")
+    // every indexed vector is served exactly once (the subsume
+    // watermark: batch 1's vectors live ONLY in the rebuilt batch)
+    val n = emb.count()
+    val served = IndexStore.liveVecIds(spark, s"$root/ix").collect().map(_.getLong(0))
+    assert(served.length == 3 * n && served.distinct.length == served.length,
+      s"duplicate or missing vectors after rebuild: ${served.length} ids, ${served.distinct.length} distinct")
+    // a replayed append of the subsumed batch is a no-op (the
+    // crash-between-rebuild-and-checkpoint-commit shape)
+    IndexStream.maintain(spark, s"$root/in/*", s"$root/ix", shifted(100000L),
+      1L, nlist, m, k, iters, 0, 10)
+    assert(IndexStore.readManifest(spark, s"$root/ix") == man2,
+      "replay of a subsumed batch must change nothing")
+  }
 }
