@@ -863,7 +863,7 @@ object TextAnalysis {
   /** Hashed text vectors as floats keyed by `vec_id` — the corpus and
     * probe shape the ANN rows share (see [[xtHashvecIndex]] for the
     * 2^24 float-exactness bound the cast carries). */
-  private def hashVecEmb(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def hashVecEmb(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     hashVectors(Tables.load(spark, dir, "documents"))
       .filter($"l2" > 0)
@@ -890,12 +890,15 @@ object TextAnalysis {
       .orderBy($"probe_id", $"rnk")
   }
 
-  private val xtHashvecIndexSql = {
+  /** The hashed-text-vector corpus as a DuckDB CTE (trailing comma
+    * included) — shared by every text-tier ANN oracle, including the
+    * curation-tombstone row ([[graft.streaming.CurateStream]]).
+    * MATERIALIZED: the residual-IVFADC chain references `embeddings`
+    * many times and DuckDB inlines plain CTEs per reference — the
+    * md5-per-token vectorization re-ran dozens of times (hour-plus,
+    * 60 GB spill) before the hint; with it the row oracles in <1 s. */
+  private[graft] val hashvecCte: String = {
     val v = 64
-    // MATERIALIZED: the residual-IVFADC chain references `embeddings`
-    // many times and DuckDB inlines plain CTEs per reference — the
-    // md5-per-token vectorization re-ran dozens of times (hour-plus,
-    // 60 GB spill) before the hint; with it the row oracles in <1 s
     val hvCte =
       s"""embeddings AS MATERIALIZED (
          |  WITH tok AS (
@@ -917,8 +920,11 @@ object TextAnalysis {
          |  FROM dense GROUP BY doc_id
          |  HAVING SUM(v*v) > 0),
          |""".stripMargin
-    graft.operators.Similarity.ivfPqSearchSqlWith(prefix = hvCte)
+    hvCte
   }
+
+  private val xtHashvecIndexSql =
+    graft.operators.Similarity.ivfPqSearchSqlWith(prefix = hashvecCte)
 
   // ---------------------------------------------------- approx quantile
   /** X4b — sketch quantiles with their real guarantee checked: Spark's

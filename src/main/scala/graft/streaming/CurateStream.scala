@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 
 import graft.core.Tables
-import graft.operators.{Curation, Declared, Dedup}
+import graft.operators.{Curation, Declared, Dedup, IndexStore}
 
 /** Incremental corpus curation: the batch [[graft.operators.Curation]]
   * stages applied continuously to a GROWING parquet directory — how a
@@ -121,7 +121,8 @@ object CurateStream {
     * O(candidates) rows, no shingle-set state. */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
       keysDir: String, dataDir: String, minWords: Int,
-      maxDupWordFrac: Double, nearDupJaccard: Option[Double] = None): Unit = {
+      maxDupWordFrac: Double, nearDupJaccard: Option[Double] = None,
+      tombstoneIndex: Option[String] = None): Unit = {
     val sp = batch.sparkSession
     // 1. within-batch keep-first (skew-safe, as in Curation.curate)
     val keepers = batch
@@ -232,6 +233,26 @@ object CurateStream {
           .write.mode("overwrite")
           .parquet(s"${bandsDirOf(dataDir)}/batch_id=$batchId")
       }
+      // curation deletes PROPAGATE to the ANN index (opt-in): every
+      // doc_id this batch rejected — within-batch dup copies, docs an
+      // earlier batch's keys/bands suppress, quality failures — lands
+      // as a tombstone batch in the text-tier index (vec_id ≡ doc_id,
+      // the xt_hashvec convention; a deployment with a separate id
+      // space maps before indexing). Same checkpoint batch id, same
+      // exactly-once shape as the other sinks: deleteIvfPq overwrites
+      // its batch dir and re-commits idempotently, a rejected doc that
+      // was never indexed anti-joins to nothing, and without this hook
+      // a doc curation drops KEEPS BEING SERVED by retrieval until
+      // someone hand-runs a delete. The index's tombstone batch-id
+      // namespace belongs to this stream (single-tombstone-writer —
+      // the index maintainer only ever appends codes).
+      tombstoneIndex.foreach { ix =>
+        IndexStore.deleteIvfPq(
+          batch.select(col("doc_id").as("vec_id")).distinct()
+            .join(curated.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_anti"),
+          ix, batchId)
+      }
     } finally {
       curated.unpersist()
       cached.foreach(_.unpersist())
@@ -261,7 +282,8 @@ object CurateStream {
       checkpoint: String, minWords: Int = 30,
       maxDupWordFrac: Double = 0.5,
       nearDupJaccard: Option[Double] = None,
-      compactEvery: Int = 0): StreamingQuery = {
+      compactEvery: Int = 0,
+      tombstoneIndex: Option[String] = None): StreamingQuery = {
     val keysDir = s"$outDir/_keys"
     val dataDir = s"$outDir/data"
     spark.readStream
@@ -276,7 +298,7 @@ object CurateStream {
           Maintenance.compactBatchStore(spark, bandsDirOf(dataDir), upTo = batchId - 1)
         }
         processBatch(batch, batchId, keysDir, dataDir, minWords, maxDupWordFrac,
-          nearDupJaccard)
+          nearDupJaccard, tombstoneIndex)
       }
       .start()
   }
@@ -284,9 +306,9 @@ object CurateStream {
   /** Run one AvailableNow pass to completion (test / cron entry). */
   def runOnce(spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, nearDupJaccard: Option[Double] = None,
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 0, tombstoneIndex: Option[String] = None): Unit = {
     val q = start(spark, inDir, outDir, checkpoint, nearDupJaccard = nearDupJaccard,
-      compactEvery = compactEvery)
+      compactEvery = compactEvery, tombstoneIndex = tombstoneIndex)
     q.awaitTermination()
   }
 
@@ -303,7 +325,8 @@ object CurateStream {
     * row (drop-boundary arithmetic); parity holds for ANY ordered
     * cut, so boundary choice affects batch sizes, never the result. */
   private def runThreeDrops(spark: SparkSession, dir: String,
-      nearDupJaccard: Option[Double]): DataFrame = {
+      nearDupJaccard: Option[Double],
+      tombstoneIndex: Option[String] = None): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val rootPath = java.nio.file.Files.createTempDirectory("xs-curate-stream")
     // the returned DataFrame reads lazily from outDir, so the scratch
@@ -322,7 +345,8 @@ object CurateStream {
       col("doc_id") > cut2)
     drops.zipWithIndex.foreach { case (cond, i) =>
       docs.filter(cond).coalesce(2).write.parquet(s"$inDir/drop$i.parquet")
-      runOnce(spark, s"$inDir/*", outDir, s"$root/ck", nearDupJaccard)
+      runOnce(spark, s"$inDir/*", outDir, s"$root/ck", nearDupJaccard,
+        tombstoneIndex = tombstoneIndex)
     }
     spark.read.parquet(s"$outDir/data")
       .select(col("doc_id"), col("lang"), col("n_words"), col("split"))
@@ -398,7 +422,57 @@ object CurateStream {
       |FROM rep WHERE doc_id NOT IN (SELECT doc_id FROM nd)
       |ORDER BY doc_id""".stripMargin
 
+  /** Curation-delete propagation as a driver-checked row: the
+    * ingest-then-curate shape — a text-tier hashvec index is built over
+    * EVERY document (the ingest pipeline indexed them as they landed;
+    * same vectors and build params as `xt_hashvec_persisted`, its own
+    * warehouse dir so that row stays un-tombstoned), then the three
+    * ordered drops stream through curation with `tombstoneIndex` set,
+    * so each micro-batch's rejects land as tombstone batches. The
+    * standard 10 probes then query the store. The DuckDB oracle
+    * replays hashvec IVFADC with the CANDIDATE set restricted to the
+    * batch-curation survivors (training and probe routing see the full
+    * corpus — the `x2_ivfpq_deleted` delete semantics): retrieval must
+    * serve exactly what curation kept, with no rebuild and no
+    * re-encode. Idempotent across passes: the warehouse build runs
+    * once, and each pass's stream re-lands the same deterministic
+    * tombstone batches (checkpoint batch ids restart at 0, overwrite +
+    * re-commit). */
+  private def xsCurateIndex(spark: SparkSession, dir: String): DataFrame = {
+    val hv = graft.operators.TextAnalysis.hashVecEmb(spark, dir)
+    val ixDir = IndexStore.ensureIndexFor(spark, s"$dir/documents.parquet",
+      "hashvec-cur-n16m4k16",
+      d => IndexStore.buildIvfPq(hv, d, 16, 4, 16, 1))
+    // runThreeDrops drives the three passes eagerly (awaitTermination
+    // per drop); the curated frame it returns is not this row's output
+    runThreeDrops(spark, dir, None, tombstoneIndex = Some(ixDir))
+    IndexStore.searchIvfPq(spark, ixDir, hv.filter(col("vec_id") < 10), 4, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Batch-curation survivors as CTEs (the [[xsCurateStreamSql]] keep
+    * stages) + hashvec IVFADC with candidates restricted to them. */
+  private val xsCurateIndexSql = {
+    val curCtes =
+      """curkeep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents
+        |  GROUP BY trim(lower(regexp_replace(text, '\s+', ' ', 'g')))),
+        |cursurv AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, len(w) AS n_words,
+        |      (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE) AS dwf
+        |    FROM (SELECT doc_id,
+        |            string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') w
+        |          FROM documents WHERE doc_id IN (SELECT doc_id FROM curkeep)))
+        |  WHERE n_words >= 30 AND dwf <= 0.5),
+        |""".stripMargin
+    graft.operators.Similarity.ivfPqSearchSqlWith(
+      prefix = graft.operators.TextAnalysis.hashvecCte + curCtes,
+      serveWhere = "WHERE a.vec_id IN (SELECT doc_id FROM cursurv)")
+  }
+
   val all: Seq[Declared] = Seq(
     Declared("xs_curate_stream", xsCurateStream, Some(xsCurateStreamSql)),
-    Declared("xs_curate_stream_neardup", xsCurateStreamNeardup, Some(xsCurateStreamNeardupSql)))
+    Declared("xs_curate_stream_neardup", xsCurateStreamNeardup, Some(xsCurateStreamNeardupSql)),
+    Declared("xs_curate_index", xsCurateIndex, Some(xsCurateIndexSql)))
 }

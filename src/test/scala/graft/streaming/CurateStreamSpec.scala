@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.operators.IndexStore
 
 /** Incremental curation over a growing parquet directory: within-batch
   * keep-first, cross-batch dedup via the persisted key store, and the
@@ -395,6 +396,61 @@ class CurateStreamSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L, 5L),
       s"cross-batch dedup must still hold against the compacted store: $ids")
     assert(spark.read.parquet(keysDir).count() == 4)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("tombstoneIndex: curation-rejected docs stop being served by the ANN index; replay converges") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("curatetomb").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    val ixDir = s"$root/ix"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    // the ingest-then-curate shape: EVERY incoming doc was indexed as
+    // it landed (vec_id ≡ doc_id, the text-tier convention) — curation
+    // runs later and must retract its rejects from retrieval
+    val allDocs = Seq(
+      doc(1, longText(1)), doc(2, longText(2)), doc(3, longText(3)),
+      doc(4, "  " + longText(1).toUpperCase + " "), // exact dup of 1
+      doc(5, "too short"),                          // quality reject
+      doc(6, longText(2)),                          // cross-batch dup of 2
+      doc(7, longText(7))).toDF(cols: _*)
+    val vecs = allDocs.select($"doc_id".as("vec_id"),
+      expr("transform(sequence(1, 8), i -> CAST(sin(doc_id * i) AS FLOAT))")
+        .as("embedding"))
+    IndexStore.buildIvfPq(vecs, ixDir, nlist = 2, m = 4, k = 4, iters = 1)
+    def served(): Set[Long] = IndexStore
+      .searchIvfPq(spark, ixDir, vecs, nprobe = 2, topK = 7)
+      .select("vec_id").as[Long].collect().toSet
+    assert(served() == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+
+    allDocs.filter($"doc_id" <= 5).write.parquet(s"$inDir/drop1.parquet")
+    CurateStream.runOnce(spark, s"$inDir/*", outDir, ck,
+      tombstoneIndex = Some(ixDir))
+    assert(served() == Set(1L, 2L, 3L, 6L, 7L),
+      "batch-0 rejects (dup 4, short 5) must leave retrieval; uncurated 6/7 stay")
+
+    allDocs.filter($"doc_id" > 5).write.parquet(s"$inDir/drop2.parquet")
+    CurateStream.runOnce(spark, s"$inDir/*", outDir, ck,
+      tombstoneIndex = Some(ixDir))
+    assert(served() == Set(1L, 2L, 3L, 7L),
+      "the cross-batch dup 6 must leave retrieval after batch 1")
+    // the curated output and the index agree on the living set
+    val kept = spark.read.parquet(s"$outDir/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == served(), s"index serves $served but curation kept $kept")
+
+    // replay of batch 1 (crash before the checkpoint commit): the
+    // tombstone batch overwrites + re-commits — nothing resurrects,
+    // nothing extra dies
+    CurateStream.processBatch(allDocs.filter($"doc_id" > 5), 1L,
+      s"$outDir/_keys", s"$outDir/data", 30, 0.5,
+      tombstoneIndex = Some(ixDir))
+    assert(served() == Set(1L, 2L, 3L, 7L), "replay changed the served set")
+    // and compaction makes the curation deletes physical without
+    // changing what retrieval returns
+    IndexStore.compactIvfPq(spark, ixDir)
+    assert(served() == Set(1L, 2L, 3L, 7L), "compaction changed the served set")
+    assert(IndexStore.readManifest(spark, ixDir).tombstones.isEmpty)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 }
