@@ -772,8 +772,34 @@ object IndexStore {
       .orderBy("batch_id")
   }
 
+  /** The atomic-rebuild path as a driver-checked row: build on the
+    * first half (batch 0 trains), append the second half frozen — the
+    * drift shape — then REBUILD over the full corpus with
+    * `subsume = 1` (the `rebuildWhen` remedy run by hand) and
+    * IMMEDIATELY replay the append of batch 1, which the subsumed
+    * watermark must turn into a no-op. The rebuild trains on the same
+    * full corpus with the same deterministic seeding as a plain
+    * build, so the committed generation's artifacts equal
+    * `x2_ivfpq_search`'s and the row hash-matches the SAME oracle: a
+    * rebuild leaves no trace but fresh codebooks — and if the
+    * replayed append were NOT a no-op, the duplicated second-half
+    * vectors would occupy extra ranks and the hash would catch it. */
+  private[operators] def x2IvfPqRebuilt(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb-reb-n16m4k16", { d =>
+      val h = emb.count() / 2
+      buildIvfPq(emb.filter(col("vec_id") < h), d, 16, 4, 16, 1)
+      appendIvfPq(emb.filter(col("vec_id") >= h), d, batchId = 1)
+      buildIvfPq(emb, d, 16, 4, 16, 1, subsume = 1)
+      appendIvfPq(emb.filter(col("vec_id") >= h), d, batchId = 1) // replay: must no-op
+    })
+    searchIvfPq(spark, ixDir, emb.filter(col("vec_id") < 10), 4, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   val all: Seq[Declared] = Seq(
     Declared("x2_ivfpq_persisted", x2IvfPqPersisted, Some(Similarity.x2IvfPqSearchSql)),
+    Declared("x2_ivfpq_rebuilt", x2IvfPqRebuilt, Some(Similarity.x2IvfPqSearchSql)),
     Declared("x2_ivfpq_deleted", x2IvfPqDeleted, Some(x2IvfPqDeletedSql)),
     Declared("x2_ivfpq_tombstoned", x2IvfPqTombstoned, Some(x2IvfPqDeletedSql)),
     Declared("x2_ivfpq_refined_persisted", x2IvfPqRefinedPersisted,
