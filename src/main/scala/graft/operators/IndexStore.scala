@@ -275,7 +275,14 @@ object IndexStore {
     * plain local `FileSystem` is checksummed and would strand a `.crc`
     * sidecar keyed to the temp name on every swap, and its `rename`
     * refuses an existing destination. Readers see the old manifest or
-    * the new one, never a torn one. */
+    * the new one, never a torn one.
+    *
+    * Atomicity rides the filesystem's rename (POSIX, HDFS). A store
+    * WITHOUT atomic rename (S3's copy+delete) needs the commit routed
+    * through a conditional PUT or a catalog service — the same split
+    * Iceberg makes between its metadata swap and its data files; the
+    * data-side protocol here (invisible-until-committed batch dirs,
+    * GC'd orphans) carries over unchanged. */
   private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
     import org.apache.hadoop.fs.{CreateFlag, FileContext, Options}
     val dst = manifestPath(dir)
