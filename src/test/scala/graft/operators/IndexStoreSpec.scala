@@ -379,6 +379,95 @@ class IndexStoreSpec extends SparkSpec {
     assert(rebuilt != first, "rebuild over a larger corpus should change results")
   }
 
+  test("protocol property: random append/delete/compact/rebuild with injected crashes always serve exactly the committed live set") {
+    import spark.implicits._
+    // model-based check of the WHOLE v6 mutation protocol: a driver-side
+    // model tracks the set of ids the index should serve; after every
+    // operation — including the four crash shapes, each of which leaves
+    // an UNCOMMITTED artifact on disk — the actually-served set must
+    // equal the model exactly. Seeded so failures reproduce.
+    val rnd = new scala.util.Random(20260815L)
+    val base = Tables.load(spark, sf("sf0.001"), "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 120).as[(Long, Array[Float])].collect()
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-model").toString
+    val idToVec = scala.collection.mutable.Map.empty[Long, Array[Float]]
+    def mint(n: Int): Seq[Long] = {
+      val start = if (idToVec.isEmpty) 0L else idToVec.keys.max + 1
+      (start until start + n).map { id =>
+        idToVec(id) = base((id % base.length).toInt)._2; id
+      }
+    }
+    def df(ids: Seq[Long]) = ids.map(id => (id, idToVec(id))).toDF("vec_id", "embedding")
+    var live = Set.empty[Long]
+    var nextBatch = 1L
+    var lastUsedBatch = 0L
+    val first = mint(40)
+    // one probe, every cluster probed (nprobe = nlist), topK ≥ any live
+    // count: the ranked candidates ARE the served set
+    val probe = df(Seq(first.head))
+    def served(): Set[Long] = IndexStore
+      .searchIvfPq(spark, dir, probe, nprobe = 8, topK = 4096)
+      .select("vec_id").as[Long].collect().toSet
+    IndexStore.buildIvfPq(df(first), dir, nlist = 8, m = 4, k = 8, iters = 1)
+    live = first.toSet
+    assert(served() == live, "post-build")
+    for (step <- 0 until 12) {
+      val op = rnd.nextInt(8)
+      val what = op match {
+        case 0 | 1 => // append a fresh drop
+          val ids = mint(5 + rnd.nextInt(20))
+          IndexStore.appendIvfPq(df(ids), dir, nextBatch)
+          lastUsedBatch = nextBatch; nextBatch += 1
+          live ++= ids; s"append(${ids.size})"
+        case 2 => // delete a random live slice
+          val ids = live.toSeq.sorted.filter(_ => rnd.nextDouble() < 0.25)
+          if (ids.nonEmpty) {
+            IndexStore.deleteIvfPq(ids.toDF("vec_id"), dir, nextBatch)
+            lastUsedBatch = nextBatch; nextBatch += 1
+            live --= ids
+          }
+          s"delete(${ids.size})"
+        case 3 => // compact at a random boundary
+          IndexStore.compactIvfPq(spark, dir,
+            upTo = rnd.between(0L, nextBatch))
+          "compact"
+        case 4 => // rebuild over the live set, subsuming every used batch
+          IndexStore.buildIvfPq(df(live.toSeq.sorted), dir, 8, 4, 8, 1,
+            subsume = lastUsedBatch)
+          "rebuild"
+        case 5 => // CRASHED append: codes dir on disk, commit never ran —
+          // fabricate the torn shape by landing a live batch's codes
+          // rows under phantom ids at an uncommitted positive batch id
+          val src = IndexStore.readManifest(spark, dir).codes.head
+          spark.read.parquet(s"$dir/codes/batch_id=$src")
+            .limit(8).withColumn("vec_id", monotonically_increasing_id() + 900000L)
+            .write.mode("overwrite").parquet(s"$dir/codes/batch_id=$nextBatch")
+          nextBatch += 1 // a replayed stream would reuse the id; fresh here keeps the model simple
+          "crash-append"
+        case 6 => // CRASHED delete: tombstone dir on disk, no commit
+          val victims = live.toSeq.sorted.take(3)
+          if (victims.nonEmpty)
+            victims.toDF("vec_id").write.mode("overwrite")
+              .parquet(s"$dir/tombstones/batch_id=$nextBatch")
+          nextBatch += 1
+          "crash-delete"
+        case 7 => // CRASHED compact/rebuild: junk fold dir at a negative id
+          val src = IndexStore.readManifest(spark, dir).codes.head
+          spark.read.parquet(s"$dir/codes/batch_id=$src").limit(3)
+            .write.mode("overwrite").parquet(s"$dir/codes/batch_id=${-99L - step}")
+          "crash-fold"
+      }
+      assert(served() == live,
+        s"step $step ($what): served ${served().size} != model ${live.size}; " +
+          s"extra=${(served() -- live).take(5)} missing=${(live -- served()).take(5)}")
+    }
+    // closing full fold: deletes physical, crash debris GC'd, set intact
+    IndexStore.compactIvfPq(spark, dir)
+    assert(served() == live, "post-final-compact")
+    assert(IndexStore.readManifest(spark, dir).tombstones.isEmpty)
+  }
+
   test("ensureIndexFor builds once, reuses on match, rebuilds on marker mismatch") {
     // single-writer/single-JVM contract (the q38 Bucketing caveat): this
     // pins the sequential behavior — build on first use, reuse while the
