@@ -897,13 +897,19 @@ object TextAnalysis {
     * many times and DuckDB inlines plain CTEs per reference — the
     * md5-per-token vectorization re-ran dozens of times (hour-plus,
     * 60 GB spill) before the hint; with it the row oracles in <1 s. */
-  private[graft] val hashvecCte: String = {
+  private[graft] val hashvecCte: String = hashvecCteOver("documents")
+
+  /** [[hashvecCte]] with the source corpus swappable — the
+    * curate-and-index pipeline hashes only the ACCEPTED docs, so its
+    * oracle vectorizes `(SELECT ... FROM documents WHERE accepted)`
+    * instead of the whole table ([[graft.streaming.CurateStream]]). */
+  private[graft] def hashvecCteOver(corpus: String): String = {
     val v = 64
     val hvCte =
       s"""embeddings AS MATERIALIZED (
          |  WITH tok AS (
          |    SELECT doc_id, unnest(string_split(trim(lower(regexp_replace(text,'\\s+',' ','g'))), ' ')) AS t
-         |    FROM documents),
+         |    FROM $corpus),
          |  h AS (
          |    SELECT doc_id,
          |      ((strpos('0123456789abcdef', substr(md5(t),1,1))-1)*16 +
@@ -911,7 +917,7 @@ object TextAnalysis {
          |      CASE WHEN strpos('0123456789abcdef', substr(md5(t),3,1))-1 >= 8 THEN -1 ELSE 1 END AS sgn
          |    FROM tok),
          |  sums AS (SELECT doc_id, idx, CAST(SUM(sgn) AS BIGINT) AS v FROM h GROUP BY doc_id, idx),
-         |  grid AS (SELECT DISTINCT doc_id FROM documents),
+         |  grid AS (SELECT DISTINCT doc_id FROM $corpus),
          |  dense AS (
          |    SELECT g.doc_id, r.range AS idx, COALESCE(s.v, 0) AS v
          |    FROM grid g CROSS JOIN range($v) r

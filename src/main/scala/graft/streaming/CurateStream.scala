@@ -312,6 +312,53 @@ object CurateStream {
     q.awaitTermination()
   }
 
+  /** The COMPLETE streaming ingestion loop — curate THEN index inside
+    * one micro-batch: survivors land in the data store AND their
+    * hashed text vectors land in the ANN index (batch 0 builds —
+    * codebooks train on the first drop's ACCEPTED docs — and every
+    * later batch encodes frozen, the [[IndexStream]] discipline). A
+    * 100 TB pipeline runs exactly this loop so retrieval serves the
+    * curated corpus with no separate indexing job and no window where
+    * a rejected doc is retrievable (it never enters the index at all —
+    * the complement of [[start]]'s `tombstoneIndex`, which retracts
+    * docs that were indexed BEFORE curation ran).
+    *
+    * Replay-safe end to end with nothing new: the curation writes
+    * overwrite per batch, the vectorization is deterministic over the
+    * batch directory those writes just (re)created, and
+    * build/append are idempotent under the IndexStore manifest
+    * protocol (a batch-0 replay re-trains on the same accepted set;
+    * an append replay overwrites + re-commits). */
+  def startCurateAndIndex(spark: SparkSession, inDir: String,
+      outDir: String, checkpoint: String, ixDir: String, minWords: Int = 30,
+      maxDupWordFrac: Double = 0.5, nlist: Int = 16, m: Int = 4,
+      k: Int = 16, iters: Int = 1): StreamingQuery = {
+    val keysDir = s"$outDir/_keys"
+    val dataDir = s"$outDir/data"
+    spark.readStream
+      .schema(Tables.documents)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, keysDir, dataDir, minWords, maxDupWordFrac)
+        // this batch's survivors, re-read from the partition the write
+        // above just created (explicit pruned schema: the vectorizer
+        // needs only doc_id + text, and inference is a job per batch)
+        val accepted = spark.read
+          .schema("doc_id BIGINT, text STRING")
+          .parquet(s"$dataDir/batch_id=$batchId")
+        val hv = graft.operators.TextAnalysis.hashVectors(accepted)
+          .filter(col("l2") > 0)
+          .select(col("doc_id").as("vec_id"),
+            expr("transform(vec, x -> CAST(x AS FLOAT))").as("embedding"))
+        if (batchId == 0L) IndexStore.buildIvfPq(hv, ixDir, nlist, m, k, iters)
+        else IndexStore.appendIvfPq(hv, ixDir, batchId)
+      }
+      .start()
+  }
+
   // ----------------------------------------------------------- declared
   /** Stream-vs-batch parity, driver-oracled: the fixture lands as three
     * doc_id-ordered drops, one AvailableNow pass each (one shared
@@ -451,28 +498,81 @@ object CurateStream {
   }
 
   /** Batch-curation survivors as CTEs (the [[xsCurateStreamSql]] keep
-    * stages) + hashvec IVFADC with candidates restricted to them. */
-  private val xsCurateIndexSql = {
-    val curCtes =
-      """curkeep AS (
-        |  SELECT MIN(doc_id) AS doc_id FROM documents
-        |  GROUP BY trim(lower(regexp_replace(text, '\s+', ' ', 'g')))),
-        |cursurv AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, len(w) AS n_words,
-        |      (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE) AS dwf
-        |    FROM (SELECT doc_id,
-        |            string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') w
-        |          FROM documents WHERE doc_id IN (SELECT doc_id FROM curkeep)))
-        |  WHERE n_words >= 30 AND dwf <= 0.5),
-        |""".stripMargin
+    * stages) — shared by both index-integration oracles. */
+  private val curSurvCtes =
+    """curkeep AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents
+      |  GROUP BY trim(lower(regexp_replace(text, '\s+', ' ', 'g')))),
+      |cursurv AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, len(w) AS n_words,
+      |      (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE) AS dwf
+      |    FROM (SELECT doc_id,
+      |            string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') w
+      |          FROM documents WHERE doc_id IN (SELECT doc_id FROM curkeep)))
+      |  WHERE n_words >= 30 AND dwf <= 0.5),
+      |""".stripMargin
+
+  /** [[curSurvCtes]] + hashvec IVFADC with CANDIDATES restricted to the
+    * survivors (tombstone semantics: training/routing see everything). */
+  private val xsCurateIndexSql =
     graft.operators.Similarity.ivfPqSearchSqlWith(
-      prefix = graft.operators.TextAnalysis.hashvecCte + curCtes,
+      prefix = graft.operators.TextAnalysis.hashvecCte + curSurvCtes,
       serveWhere = "WHERE a.vec_id IN (SELECT doc_id FROM cursurv)")
+
+  /** The curate-and-index pipeline as a driver-checked row: three
+    * ordered drops through [[startCurateAndIndex]] (one checkpoint —
+    * three real micro-batches, each curating then building/appending
+    * the index), then the surviving docs with doc_id < 10 probe the
+    * store. The oracle vectorizes ONLY the batch-curation survivors
+    * (rejects never entered the index — the complement of
+    * `xs_curate_index`'s tombstone shape) and trains the IVFADC chain
+    * on the FIRST drop's survivor slice, exactly what batch 0 built
+    * from; candidate set, codebook freezing, per-batch encode, and the
+    * serving path are all value-checked in one row. */
+  private def xsCurateToIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val rootPath = java.nio.file.Files.createTempDirectory("xs-curate-to-index")
+    graft.core.TempReaper.reapAtExit(rootPath)
+    val root = rootPath.toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ixDir = s"$root/ix"
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * ((hi - lo) / 3)
+    val drops = Seq(
+      col("doc_id") <= cut1,
+      col("doc_id") > cut1 && col("doc_id") <= cut2,
+      col("doc_id") > cut2)
+    drops.zipWithIndex.foreach { case (cond, i) =>
+      docs.filter(cond).coalesce(2).write.parquet(s"$inDir/drop$i.parquet")
+      startCurateAndIndex(spark, s"$inDir/*", outDir, s"$root/ck", ixDir)
+        .awaitTermination()
+    }
+    val probes = graft.operators.TextAnalysis.hashVectors(
+        spark.read.schema("doc_id BIGINT, text STRING, batch_id BIGINT")
+          .parquet(s"$outDir/data").filter(col("doc_id") < 10)
+          .select(col("doc_id"), col("text")))
+      .filter(col("l2") > 0)
+      .select(col("doc_id").as("vec_id"),
+        expr("transform(vec, x -> CAST(x AS FLOAT))").as("embedding"))
+    IndexStore.searchIvfPq(spark, ixDir, probes, 4, 5)
+      .orderBy(col("probe_id"), col("rnk"))
   }
+
+  /** Survivors-only hashvec corpus, trained on the first drop's
+    * survivor slice — the [[xsCurateToIndex]] replay. */
+  private val xsCurateToIndexSql =
+    graft.operators.Similarity.ivfPqSearchSqlWith(
+      prefix = curSurvCtes +
+        "bounds AS (SELECT MIN(doc_id) AS blo, MAX(doc_id) AS bhi FROM documents),\n" +
+        graft.operators.TextAnalysis.hashvecCteOver(
+          "(SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT doc_id FROM cursurv))"),
+      trainWhere = "WHERE vec_id <= (SELECT blo + (bhi - blo) // 3 FROM bounds)")
 
   val all: Seq[Declared] = Seq(
     Declared("xs_curate_stream", xsCurateStream, Some(xsCurateStreamSql)),
     Declared("xs_curate_stream_neardup", xsCurateStreamNeardup, Some(xsCurateStreamNeardupSql)),
-    Declared("xs_curate_index", xsCurateIndex, Some(xsCurateIndexSql)))
+    Declared("xs_curate_index", xsCurateIndex, Some(xsCurateIndexSql)),
+    Declared("xs_curate_to_index", xsCurateToIndex, Some(xsCurateToIndexSql)))
 }
