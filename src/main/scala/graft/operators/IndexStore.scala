@@ -99,6 +99,14 @@ object IndexStore {
     val (sub, books) = Similarity.pqTrainD(
       resid.select(col("vec_id"), col("v")), m, k, iters).getOrElse(
       throw new IllegalArgumentException("buildIvfPq: empty corpus"))
+    // k-means can only mint as many codewords as the training slice has
+    // points: persisting fewer than meta's k would write an index every
+    // later load refuses ("N codewords, meta says m*k") — fail at BUILD
+    // time with the remedy instead
+    require(books.forall(_.length == k),
+      s"buildIvfPq: training yielded only ${books.map(_.length).min} codewords " +
+        s"in some subspace (corpus too small/degenerate for k=$k) — lower k " +
+        "or grow the corpus")
     cents.toSeq.map { case (cid, cv, cn) => (cid, cv.toSeq, cn) }
       .toDF("cid", "centroid", "norm")
       .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/centroids")

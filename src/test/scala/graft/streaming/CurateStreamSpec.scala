@@ -399,6 +399,50 @@ class CurateStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("startCurateAndIndex: the index serves exactly the curated corpus; an idle pass adds nothing") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("curateandix").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    val ixDir = s"$root/ix"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    // k = 2: batch 0 has only 3 accepted docs to train on (k-means
+    // cannot mint more codewords than training points — buildIvfPq
+    // refuses loudly otherwise, see its require)
+    def pass() = CurateStream.startCurateAndIndex(spark, s"$inDir/*", outDir,
+      ck, ixDir, nlist = 2, m = 4, k = 2).awaitTermination()
+    def served(): Set[Long] = {
+      val probes = graft.operators.TextAnalysis.hashVectors(
+          Seq((1L, longText(1))).toDF("doc_id", "text"))
+        .filter($"l2" > 0)
+        .select($"doc_id".as("vec_id"),
+          expr("transform(vec, x -> CAST(x AS FLOAT))").as("embedding"))
+      IndexStore.searchIvfPq(spark, ixDir, probes, nprobe = 2, topK = 100)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    def kept(): Set[Long] = spark.read.parquet(s"$outDir/data")
+      .select("doc_id").as[Long].collect().toSet
+    // drop 1: 1-3 distinct, 4 dups 1, 5 fails quality — rejects must
+    // never enter the index at all
+    Seq(doc(1, longText(1)), doc(2, longText(2)), doc(3, longText(3)),
+        doc(4, "  " + longText(1).toUpperCase + " "), doc(5, "too short"))
+      .toDF(cols: _*).write.parquet(s"$inDir/drop1.parquet")
+    pass()
+    assert(kept() == Set(1L, 2L, 3L))
+    assert(served() == kept(), "index must serve exactly the curated corpus")
+    // drop 2: 6 re-posts doc 2 (cross-batch dup, rejected), 7 new —
+    // the append encodes ONLY the survivors, under frozen codebooks
+    Seq(doc(6, longText(2)), doc(7, longText(7)))
+      .toDF(cols: _*).write.parquet(s"$inDir/drop2.parquet")
+    pass()
+    assert(kept() == Set(1L, 2L, 3L, 7L))
+    assert(served() == kept(), "append must track curation exactly")
+    // an AvailableNow pass with no new files replays nothing
+    pass()
+    assert(served() == Set(1L, 2L, 3L, 7L))
+    assert(IndexStore.readManifest(spark, ixDir).codes == Seq(0L, 1L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("tombstoneIndex: curation-rejected docs stop being served by the ANN index; replay converges") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("curatetomb").toString
