@@ -1081,6 +1081,80 @@ object TextAnalysis {
       |FROM per CROSS JOIN tot
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- bigram LM
+  /** CCNet-style perplexity filtering (Wenzek et al. 2020 train a
+    * held-out KenLM and drop high-perplexity docs; LLaMA's data recipe
+    * keeps the stage): a bigram LM with Laplace smoothing is the
+    * fixture-honest version — trained on the TRAIN split only (the
+    * [[Curation.hashSplit]] buckets, so val/test docs exercise the
+    * unseen-mass smoothing path) and scoring EVERY doc by mean
+    * negative log P(w₂|w₁) (cross-entropy; perplexity = e^H, monotone
+    * so the score itself is the filter key).
+    *
+    * 100 TB shape: the model is two VOCABULARY-bounded count tables
+    * (bigram counts keyed (w₁,w₂), context counts keyed w₁) built by
+    * ordinary keyed aggregation and consumed by shuffle joins — no
+    * driver-side model, no unbounded broadcast (only the 1-row vocab
+    * size crosses as a broadcast scalar); scoring is one pass over the
+    * corpus bigrams. The per-doc bigram extraction is a doc-partitioned
+    * `lead` window — one shuffle on doc_id, the natural plan when
+    * documents are small relative to partitions. `materialize`
+    * localCheckpoints the tokenized bigrams, which four consumers
+    * (two count tables, the vocab scalar, the scoring join) otherwise
+    * recompute from the raw text. */
+  def bigramLmScore(docs: DataFrame, alpha: Double = 1.0,
+      trainHi: String = "cd", materialize: Boolean = false): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi0 = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+    val bi = if (materialize) bi0.localCheckpoint() else bi0
+    val train = bi.filter(
+      substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 2) < trainHi)
+    val ctx = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val big = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val vocab = train.agg(countDistinct(col("w2")).as("v"))
+    bi.join(big, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp", log(
+        (coalesce(col("c2"), lit(0L)) + alpha) /
+          (coalesce(col("c1"), lit(0L)) + col("v") * alpha)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_bigrams"),
+        (avg(col("logp")) * -1d).as("cross_entropy"))
+  }
+
+  private def xtBigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLmScore(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  /** Bigrams as "w₁ w₂" strings (tokens cannot contain spaces after
+    * [[Dedup.normText]], so the pairing is injective and DuckDB's list
+    * comprehension extracts them without WITH ORDINALITY). */
+  private val xtBigramLmSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id,
+      |    unnest([w[i+1] || ' ' || w[i+2] for i in range(len(w) - 1)]) AS bg
+      |  FROM toks),
+      |sp AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bi),
+      |train AS (
+      |  SELECT bg, w1 FROM sp
+      |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM train GROUP BY w1),
+      |c2 AS (SELECT bg, COUNT(*) AS c2 FROM train GROUP BY bg),
+      |v AS (SELECT COUNT(DISTINCT string_split(bg, ' ')[2]) AS v FROM train)
+      |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+      |  -AVG(ln((COALESCE(c2.c2, 0) + 1.0) /
+      |           (COALESCE(c1.c1, 0) + 1.0 * (SELECT v FROM v)))) AS cross_entropy
+      |FROM sp LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   private val Bm25Terms = Seq("join", "window", "stream")
 
   private def xtBm25(spark: SparkSession, dir: String): DataFrame =
@@ -1119,6 +1193,7 @@ object TextAnalysis {
   val all: Seq[Declared] = Seq(
     Declared("xt_bm25", xtBm25, Some(xtBm25Sql)),
     Declared("xt_word_freq_score", xtWordFreq, Some(xtWordFreqSql)),
+    Declared("xt_bigram_lm", xtBigramLm, Some(xtBigramLmSql)),
     Declared("x3_token_freq", x3TokenFreq, Some(x3TokenFreqSql)),
     Declared("x4_approx_distinct", x4Approx, Some(x4ApproxSql)),
     Declared("x4_hll_union", x4HllUnion, Some(x4HllUnionSql)),

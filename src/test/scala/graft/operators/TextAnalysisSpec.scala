@@ -223,4 +223,28 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("bigramLmScore: fluent repetition scores below gibberish; unseen mass stays finite") {
+    import spark.implicits._
+    // doc_ids chosen so the md5 split buckets put the TRAINING mass in
+    // 'train' (< cd) and the probe docs wherever they land — every doc
+    // is scored either way; only training reads the split
+    val fluent = (1L to 40L).map(i =>
+      (i, "the cat sat on the mat and the cat sat on the mat again"))
+    val gibberish = Seq((100L, "zq xv qj wk vx jq kz xw qv zj"))
+    val tiny = Seq((200L, "one"), (201L, ""))
+    val docs = (fluent ++ gibberish ++ tiny).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the model trains on the fluent mass: a fluent doc's bigrams are
+    // high-count -> low cross-entropy; the gibberish doc's bigrams are
+    // unseen -> smoothed (finite!) but far worse
+    val fluentCe = out(1L)
+    val gibCe = out(100L)
+    assert(!gibCe.isNaN && !gibCe.isInfinite, s"unseen mass must stay finite: $gibCe")
+    assert(gibCe > fluentCe + 1.0,
+      s"gibberish ($gibCe) must score well above fluent text ($fluentCe)")
+    // docs with fewer than two tokens produce no bigrams and no row
+    assert(!out.contains(200L) && !out.contains(201L))
+  }
 }
