@@ -1155,6 +1155,102 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- BPE learning
+  /** Byte-pair-encoding MERGE LEARNING (Sennrich et al. 2016) — the
+    * tokenizer-training stage of a data pipeline, not just tokenizing
+    * with one: repeatedly merge the most frequent adjacent symbol pair
+    * (weighted by word frequency, ties to the lexicographically first
+    * pair), left-to-right non-overlapping per word, and emit the
+    * ordered merge table a tokenizer is built from.
+    *
+    * 100 TB shape — the same split real BPE trainers make: the
+    * corpus-sized work is ONE tokenize + word-count shuffle; training
+    * then runs on the top-`vocabCap` word-frequency table (capped
+    * deterministically by (freq DESC, word ASC)), the
+    * bounded-training-collect discipline every quantizer here uses
+    * (HF's trainer likewise fits on the word-count table, never the
+    * corpus). Words are gated to `[a-z0-9]+` post-normalization so
+    * Java and RE2 char semantics agree (multi-codepoint graphemes
+    * split differently between UTF-16 and UTF-8 regex engines).
+    *
+    * The oracle unrolls every round as generated CTEs (the x2_kmeans
+    * idiom): pair counts from the symbol strings, argmax, and the
+    * merge applied as a DOUBLE string replace — two left-to-right
+    * passes are exactly equivalent to symbol-wise non-overlapping
+    * merging because pass 1 leaves no two pending occurrences
+    * adjacent (shared-separator chains like `a b a b` need the second
+    * pass; `a a a` correctly yields `aa a` in either formulation). */
+  def bpeMerges(docs: DataFrame, rounds: Int = 8, vocabCap: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs.select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(vocabCap)
+      .as[(String, Long)].collect()
+    var syms = vocab.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((s, f) <- syms; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((r, s"$a $b", a + b, c))
+        syms = syms.map { case (s, f) =>
+          val buf = Array.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { buf += a + b; i += 2 }
+            else { buf += s(i); i += 1 }
+          }
+          (buf.result(), f)
+        }
+        r += 1
+      }
+    }
+    out.result().toDF("rank", "pair", "merged", "cnt")
+      .select(col("rank").cast(IntegerType), col("pair"), col("merged"), col("cnt"))
+  }
+
+  private def xtBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables.load(spark, dir, "documents")).orderBy(col("rank"))
+
+  private val xtBpeMergesSql = {
+    val (rounds, cap) = (8, 256)
+    val roundCtes = (0 until rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest([s[i+1] || ' ' || s[i+2] for i in range(len(s) - 1)]) AS pr
+         |    FROM (SELECT string_split(trim(sym), ' ') AS s, freq FROM w$r))
+         |  GROUP BY pr),
+         |m$r AS (SELECT $r AS rank, pr, cnt FROM p$r ORDER BY cnt DESC, pr LIMIT 1),
+         |w${r + 1} AS (
+         |  SELECT replace(replace(sym,
+         |      ' ' || m.pr || ' ', ' ' || replace(m.pr, ' ', '') || ' '),
+         |      ' ' || m.pr || ' ', ' ' || replace(m.pr, ' ', '') || ' ') AS sym, freq
+         |  FROM w$r CROSS JOIN m$r m)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 until rounds)
+      .map(r => s"SELECT rank, pr, cnt FROM m$r").mkString("\nUNION ALL ")
+    s"""WITH capped AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS word
+       |    FROM documents)
+       |  WHERE regexp_full_match(word, '[a-z0-9]+')
+       |  GROUP BY word ORDER BY freq DESC, word LIMIT $cap),
+       |w0 AS (
+       |  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym, freq FROM capped),
+       |$roundCtes
+       |SELECT CAST(rank AS INTEGER) AS rank, pr AS pair,
+       |  replace(pr, ' ', '') AS merged, cnt
+       |FROM ($unions)
+       |ORDER BY rank""".stripMargin
+  }
+
   private val Bm25Terms = Seq("join", "window", "stream")
 
   private def xtBm25(spark: SparkSession, dir: String): DataFrame =
@@ -1194,6 +1290,7 @@ object TextAnalysis {
     Declared("xt_bm25", xtBm25, Some(xtBm25Sql)),
     Declared("xt_word_freq_score", xtWordFreq, Some(xtWordFreqSql)),
     Declared("xt_bigram_lm", xtBigramLm, Some(xtBigramLmSql)),
+    Declared("xt_bpe_merges", xtBpeMerges, Some(xtBpeMergesSql)),
     Declared("x3_token_freq", x3TokenFreq, Some(x3TokenFreqSql)),
     Declared("x4_approx_distinct", x4Approx, Some(x4ApproxSql)),
     Declared("x4_hll_union", x4HllUnion, Some(x4HllUnionSql)),

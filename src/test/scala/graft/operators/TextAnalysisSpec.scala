@@ -247,4 +247,23 @@ class TextAnalysisSpec extends SparkSpec {
     // docs with fewer than two tokens produce no bigrams and no row
     assert(!out.contains(200L) && !out.contains(201L))
   }
+
+  test("bpeMerges: hand-computable merge sequence, non-overlapping left-to-right application") {
+    import spark.implicits._
+    // vocab: 'ababab' freq 3, 'aaa' freq 2. Round-by-round by hand:
+    //  r0 pairs: (a,b) 3x3=9, (b,a) 2x3=6, (a,a) 2x2=4  -> merge 'a b' 9
+    //  r1: ababab=[ab,ab,ab] -> (ab,ab) 2x3=6 vs (a,a) 4 -> 'ab ab' 6
+    //  r2: ababab=[abab,ab] -> (abab,ab) 3 vs (a,a) 4     -> 'a a' 4
+    //     (aaa=[a,a,a] merges LEFT-TO-RIGHT NON-OVERLAPPING to [aa,a])
+    //  r3: (abab,ab) 3 vs (aa,a) 2                        -> 'abab ab' 3
+    //  r4: (aa,a) 2                                       -> 'aa a' 2
+    //  r5: no pairs left -> stops early (8 rounds requested, 5 emitted)
+    val docs = Seq((1L, "ababab ababab ababab aaa aaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs)
+      .orderBy($"rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (0, "a b", "ab", 9L), (1, "ab ab", "abab", 6L), (2, "a a", "aa", 4L),
+      (3, "abab ab", "ababab", 3L), (4, "aa a", "aaa", 2L)), got.toString)
+  }
 }
