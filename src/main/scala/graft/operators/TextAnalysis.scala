@@ -1219,8 +1219,10 @@ object TextAnalysis {
   private def xtBpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMerges(Tables.load(spark, dir, "documents")).orderBy(col("rank"))
 
-  private val xtBpeMergesSql = {
-    val (rounds, cap) = (8, 256)
+  /** The shared learning CTEs: `capped` top-V vocab, `w0` char
+    * symbolization, and per-round (pair counts `p_r`, argmax `m_r`,
+    * merged vocab `w_{r+1}`). Both BPE oracles prepend this. */
+  private def bpeRoundsCtes(rounds: Int, cap: Int): String = {
     val roundCtes = (0 until rounds).map { r =>
       s"""p$r AS (
          |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -1234,9 +1236,7 @@ object TextAnalysis {
          |      ' ' || m.pr || ' ', ' ' || replace(m.pr, ' ', '') || ' ') AS sym, freq
          |  FROM w$r CROSS JOIN m$r m)""".stripMargin
     }.mkString(",\n")
-    val unions = (0 until rounds)
-      .map(r => s"SELECT rank, pr, cnt FROM m$r").mkString("\nUNION ALL ")
-    s"""WITH capped AS (
+    s"""capped AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS word
        |    FROM documents)
@@ -1244,11 +1244,76 @@ object TextAnalysis {
        |  GROUP BY word ORDER BY freq DESC, word LIMIT $cap),
        |w0 AS (
        |  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym, freq FROM capped),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private val xtBpeMergesSql = {
+    val (rounds, cap) = (8, 256)
+    val unions = (0 until rounds)
+      .map(r => s"SELECT rank, pr, cnt FROM m$r").mkString("\nUNION ALL ")
+    s"""WITH ${bpeRoundsCtes(rounds, cap)}
        |SELECT CAST(rank AS INTEGER) AS rank, pr AS pair,
        |  replace(pr, ' ', '') AS merged, cnt
        |FROM ($unions)
        |ORDER BY rank""".stripMargin
+  }
+
+  /** Tokenize the CORPUS with the learned merges — the encode side:
+    * per-doc BPE token counts and tokens-per-word, the budget metric a
+    * pipeline prices datasets with. The merge table is action-collected
+    * (≤ rounds rows) and applied as a chain of 2×rounds LITERAL
+    * `replace` column ops — whole-stage-codegen'd, no UDF; the double
+    * replace carries the same left-to-right equivalence the learning
+    * rounds use. Map-only over the corpus after one word explode;
+    * words outside the `[a-z0-9]+` gate are excluded from both sides'
+    * counts (documented: real BPE pre-tokenizers split those off). */
+  def bpeEncodeStats(docs: DataFrame, rounds: Int = 8, vocabCap: Int = 256): DataFrame = {
+    val merges = bpeMerges(docs, rounds, vocabCap)
+      .orderBy(col("rank")).select(col("pair"), col("merged")).collect()
+    val words = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+    var sym: Column = concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+    for (m <- merges) {
+      val pat = lit(" " + m.getString(0) + " ")
+      val rep = lit(" " + m.getString(1) + " ")
+      sym = replace(replace(sym, pat, rep), pat, rep)
+    }
+    words.withColumn("n_sym", size(split(trim(sym), " ")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_words"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+      .withColumn("bpe_per_word",
+        col("n_bpe_tokens").cast(DoubleType) / col("n_words"))
+  }
+
+  private def xtBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeStats(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  private val xtBpeEncodeSql = {
+    val (rounds, cap) = (8, 256)
+    val encodeCtes = (0 until rounds).map { r =>
+      s"""e${r + 1} AS (
+         |  SELECT doc_id, replace(replace(sym,
+         |      ' ' || m.pr || ' ', ' ' || replace(m.pr, ' ', '') || ' '),
+         |      ' ' || m.pr || ' ', ' ' || replace(m.pr, ' ', '') || ' ') AS sym
+         |  FROM e$r CROSS JOIN m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeRoundsCtes(rounds, cap)},
+       |cw AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS word
+       |    FROM documents)
+       |  WHERE regexp_full_match(word, '[a-z0-9]+')),
+       |e0 AS (
+       |  SELECT doc_id, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym FROM cw),
+       |$encodeCtes
+       |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_words,
+       |  CAST(SUM(len(string_split(trim(sym), ' '))) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(len(string_split(trim(sym), ' '))) AS DOUBLE) / COUNT(*) AS bpe_per_word
+       |FROM e$rounds
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   private val Bm25Terms = Seq("join", "window", "stream")
@@ -1291,6 +1356,7 @@ object TextAnalysis {
     Declared("xt_word_freq_score", xtWordFreq, Some(xtWordFreqSql)),
     Declared("xt_bigram_lm", xtBigramLm, Some(xtBigramLmSql)),
     Declared("xt_bpe_merges", xtBpeMerges, Some(xtBpeMergesSql)),
+    Declared("xt_bpe_encode", xtBpeEncode, Some(xtBpeEncodeSql)),
     Declared("x3_token_freq", x3TokenFreq, Some(x3TokenFreqSql)),
     Declared("x4_approx_distinct", x4Approx, Some(x4ApproxSql)),
     Declared("x4_hll_union", x4HllUnion, Some(x4HllUnionSql)),

@@ -265,5 +265,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq(
       (0, "a b", "ab", 9L), (1, "ab ab", "abab", 6L), (2, "a a", "aa", 4L),
       (3, "abab ab", "ababab", 3L), (4, "aa a", "aaa", 2L)), got.toString)
+    // encode side: under those merges 'ababab' collapses to ONE token
+    // and 'aaa' to one ('aa a' is the r4 merge), so the doc's 5 gated
+    // words (3x ababab + 2x aaa) encode to 5 BPE tokens
+    val enc = TextAnalysis.bpeEncodeStats(docs).collect()
+    assert(enc.length == 1)
+    assert(enc(0).getInt(1) == 5 && enc(0).getLong(2) == 5L,
+      s"expected 5 words -> 5 BPE tokens, got ${enc(0)}")
   }
 }
