@@ -1093,10 +1093,11 @@ object TextAnalysis {
     *
     * 100 TB shape: the model is two VOCABULARY-bounded count tables
     * (bigram counts keyed (w₁,w₂), context counts keyed w₁) built by
-    * ordinary keyed aggregation and consumed by shuffle joins — no
-    * driver-side model, no unbounded broadcast (only the 1-row vocab
-    * size crosses as a broadcast scalar); scoring is one pass over the
-    * corpus bigrams. The per-doc bigram extraction is a doc-partitioned
+    * ordinary keyed aggregation and consumed by equi-joins Catalyst
+    * sizes — broadcast while they fit (the fixture plan, see
+    * PLANPINS), shuffle-hash beyond the threshold; never a driver-side
+    * model (only the 1-row vocab size is a forced broadcast scalar).
+    * Scoring is one pass over the corpus bigrams. The per-doc bigram extraction is a doc-partitioned
     * `lead` window — one shuffle on doc_id, the natural plan when
     * documents are small relative to partitions. `materialize`
     * localCheckpoints the tokenized bigrams, which four consumers

@@ -52,7 +52,8 @@ object PlanPin {
     "xt_bm25", "xc_gopher_rules", "xc_stratified",
     "q39_shipping_priority", "xt_word_freq_score", "x2_pq_codes",
     "x2_pq_search", "x2_ivfpq_search", "x2_ivfpq_refined", "x4_kmv_jaccard",
-    "xl_hilbert_key", "xt_hash_vectorize", "xt_hashvec_knn", "xt_hashvec_index")
+    "xl_hilbert_key", "xt_hash_vectorize", "xt_hashvec_knn", "xt_hashvec_index",
+    "xt_bigram_lm")
 
   val pinFile = "PLANPINS.txt"
   val sfDir = "/root/testdata/sf0.001"
