@@ -27,7 +27,11 @@ object TempReaper {
             finally s.close()
           }
         } catch {
-          case e: java.io.IOException =>
+          // NonFatal, not just IOException: Files.walk surfaces
+          // iteration-time IO failures as UncheckedIOException (a
+          // RuntimeException), which is exactly the file-removed-
+          // mid-walk shape this isolation exists for
+          case scala.util.control.NonFatal(e) =>
             System.err.println(s"TempReaper: skipping $root (${e.getMessage})")
         }
       }

@@ -375,7 +375,17 @@ object IndexStore {
     * committed tombstone batches (an id-only join — AQE broadcasts it
     * while deletes are small, and it stays a keyed shuffle, never a
     * rewrite, when they are not); [[compactIvfPq]] makes the deletes
-    * physical and clears the tombstones. */
+    * physical and clears the tombstones.
+    *
+    * Scope contract — a tombstone masks vectors PRESENT at delete
+    * time; it is not a ban on the id: appending the same vec_id after
+    * the tombstone is folded away serves it again (standard ANN-index
+    * semantics — FAISS `remove_ids` does not block a later `add`, an
+    * Iceberg delete does not block a later insert). Deleting an id
+    * that was never indexed is therefore a documented no-op, and a
+    * caller that needs delete-then-never-readd must filter its append
+    * stream upstream (the curate-and-index loop does exactly that:
+    * rejects never enter the append path at all). */
   def deleteIvfPq(ids: DataFrame, dir: String, batchId: Long): Unit = {
     ids.select(col("vec_id").cast("long"))
       .write.mode("overwrite").parquet(s"$dir/tombstones/batch_id=$batchId")
@@ -438,6 +448,12 @@ object IndexStore {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // fresh negative id, below every id any manifest ever referenced
     val foldId = man.codes.filter(_ < 0).minOption.getOrElse(0L) - 1
+    // folds write NO stats row (stats/ is the per-original-drop encode
+    // history), so a stats row already AT foldId can only be the
+    // stranding of a rebuild that crashed before its manifest swap —
+    // left in place it would attribute that dead generation's training
+    // error to this fold batch in the drift chart; clear it
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/stats/batch_id=$foldId"), true)
     // 2. write the fold: sources minus tombstones, file count sized
     // from the measured on-disk footprint (no extra corpus scan)
     val bytes = fold.map(b =>

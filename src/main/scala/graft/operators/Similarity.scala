@@ -855,12 +855,17 @@ object Similarity {
         if (cos > best) { best = cos; bestId = cs(c)._1; bestIdx = c }
         c += 1
       }
-      val rv = new Array[Double](d.length)
-      if (bestIdx >= 0) {
-        val cv = cs(bestIdx)._2
-        i = 0
-        while (i < d.length) { rv(i) = d(i) - cv(i); i += 1 }
+      if (bestIdx < 0) {
+        // every cosine NaN (a zero-norm vector): fall back to the
+        // lowest-cid centroid — the oracle's NaN tie-break (row_number
+        // over (cos DESC, cid)) — instead of a cluster=-1 row no probe
+        // route can ever reach (a silently unservable vector)
+        bestIdx = 0; bestId = cs(0)._1
       }
+      val rv = new Array[Double](d.length)
+      val cv2 = cs(bestIdx)._2
+      i = 0
+      while (i < d.length) { rv(i) = d(i) - cv2(i); i += 1 }
       (bestId, rv.toSeq)
     }
     emb

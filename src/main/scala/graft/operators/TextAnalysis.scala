@@ -1292,12 +1292,18 @@ object TextAnalysis {
 
   private val xtBpeEncodeSql = {
     val (rounds, cap) = (8, 256)
+    // LEFT JOIN ON TRUE, not CROSS JOIN: a corpus that exhausts
+    // mergeable pairs before `rounds` leaves later m$r CTEs EMPTY, and
+    // a cross join would annihilate every doc row while the Scala side
+    // (which applies only the merges actually learned) keeps them —
+    // the NULL-pair case passes sym through unchanged instead
     val encodeCtes = (0 until rounds).map { r =>
       s"""e${r + 1} AS (
-         |  SELECT doc_id, replace(replace(sym,
+         |  SELECT doc_id, CASE WHEN m.pr IS NULL THEN sym ELSE
+         |    replace(replace(sym,
          |      ' ' || m.pr || ' ', ' ' || replace(m.pr, ' ', '') || ' '),
-         |      ' ' || m.pr || ' ', ' ' || replace(m.pr, ' ', '') || ' ') AS sym
-         |  FROM e$r CROSS JOIN m$r m)""".stripMargin
+         |      ' ' || m.pr || ' ', ' ' || replace(m.pr, ' ', '') || ' ') END AS sym
+         |  FROM e$r LEFT JOIN m$r m ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH ${bpeRoundsCtes(rounds, cap)},
        |cw AS (

@@ -241,11 +241,18 @@ object CurateStream {
       // space maps before indexing). Same checkpoint batch id, same
       // exactly-once shape as the other sinks: deleteIvfPq overwrites
       // its batch dir and re-commits idempotently, a rejected doc that
-      // was never indexed anti-joins to nothing, and without this hook
-      // a doc curation drops KEEPS BEING SERVED by retrieval until
-      // someone hand-runs a delete. The index's tombstone batch-id
-      // namespace belongs to this stream (single-tombstone-writer —
-      // the index maintainer only ever appends codes).
+      // was never indexed anti-joins to nothing (and stays servable if
+      // something later APPENDS it — a tombstone masks present
+      // vectors, not future ids; deleteIvfPq's scope contract), and
+      // without this hook a doc curation drops KEEPS BEING SERVED by
+      // retrieval until someone hand-runs a delete. The IndexStore
+      // single-writer contract covers ALL manifest mutations, commits
+      // included: arming tombstoneIndex makes THIS stream the index
+      // dir's one writer — a separate append maintainer running
+      // concurrently against the same dir would race commitBatch's
+      // read-modify-write and lose a commit (batch-id namespacing does
+      // not save that; serialize the two, or use startCurateAndIndex,
+      // which does both jobs in one stream).
       tombstoneIndex.foreach { ix =>
         IndexStore.deleteIvfPq(
           batch.select(col("doc_id").as("vec_id")).distinct()

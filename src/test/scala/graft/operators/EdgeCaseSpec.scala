@@ -332,4 +332,21 @@ class EdgeCaseSpec extends SparkSpec {
     val out = AsOf.asOfJoin(clicks, views, Seq("user_id"), "ts", "view_ts")
     assert(out.count() == 1 && out.filter(out("asof").isNotNull).count() == 0)
   }
+
+  test("zero-norm embedding is routed to the lowest-cid cluster, not silently unservable") {
+    import spark.implicits._
+    // every cosine to a zero vector is NaN; the residual assigner must
+    // fall back to the oracle's NaN tie-break (lowest cid) instead of
+    // writing a cluster=-1 codes row no probe route can ever reach
+    val emb = ((0L until 30L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * (j + 1)).toFloat))) :+
+      (30L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("zero-vec-ix").toString
+    IndexStore.buildIvfPq(emb, dir, nlist = 2, m = 4, k = 4, iters = 1)
+    val served = IndexStore.searchIvfPq(spark, dir,
+        emb.filter($"vec_id" === 0), nprobe = 2, topK = 31)
+      .select("vec_id").as[Long].collect().toSet
+    assert(served.contains(30L), s"zero-norm vector not served: $served")
+    assert(served.size == 31)
+  }
 }
