@@ -339,7 +339,7 @@ object CurateStream {
   def startCurateAndIndex(spark: SparkSession, inDir: String,
       outDir: String, checkpoint: String, ixDir: String, minWords: Int = 30,
       maxDupWordFrac: Double = 0.5, nlist: Int = 16, m: Int = 4,
-      k: Int = 16, iters: Int = 1): StreamingQuery = {
+      k: Int = 16, iters: Int = 1, compactEvery: Int = 0): StreamingQuery = {
     val keysDir = s"$outDir/_keys"
     val dataDir = s"$outDir/data"
     spark.readStream
@@ -361,7 +361,14 @@ object CurateStream {
           .select(col("doc_id").as("vec_id"),
             expr("transform(vec, x -> CAST(x AS FLOAT))").as("embedding"))
         if (batchId == 0L) IndexStore.buildIvfPq(hv, ixDir, nlist, m, k, iters)
-        else IndexStore.appendIvfPq(hv, ixDir, batchId)
+        else {
+          // the long-running-stream small-files control, same
+          // checkpoint-derived upTo discipline as IndexStream.maintain:
+          // only committed-and-never-replayable batches fold
+          if (compactEvery > 0 && batchId % compactEvery == 0)
+            IndexStore.compactIvfPq(spark, ixDir, upTo = batchId - 1)
+          IndexStore.appendIvfPq(hv, ixDir, batchId)
+        }
       }
       .start()
   }

@@ -440,6 +440,15 @@ class CurateStreamSpec extends SparkSpec {
     pass()
     assert(served() == Set(1L, 2L, 3L, 7L))
     assert(IndexStore.readManifest(spark, ixDir).codes == Seq(0L, 1L))
+    // drop 3 with compactEvery=2: batch 2 folds {0,1} under the
+    // checkpoint-derived upTo BEFORE appending itself — served set
+    // still tracks curation exactly, manifest holds fold + own batch
+    Seq(doc(8, longText(8))).toDF(cols: _*).write.parquet(s"$inDir/drop3.parquet")
+    CurateStream.startCurateAndIndex(spark, s"$inDir/*", outDir, ck, ixDir,
+      nlist = 2, m = 4, k = 2, compactEvery = 2).awaitTermination()
+    assert(kept() == Set(1L, 2L, 3L, 7L, 8L))
+    assert(served() == kept(), "post-compaction append must track curation")
+    assert(IndexStore.readManifest(spark, ixDir).codes == Seq(-1L, 2L))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
