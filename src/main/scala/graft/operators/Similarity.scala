@@ -255,6 +255,10 @@ object Similarity {
         val cos = dot / (nv * cn)
         if (cos > best) { best = cos; bestId = cid }
       }
+      // zero-norm fallback, identical to [[ivfResiduals]]: a FINITE
+      // zero vector takes the oracle's NaN tie-break (lowest cid);
+      // non-finite garbage keeps the quarantining cluster=-1
+      if (bestId < 0 && nv == 0.0) bestId = cs(0)._1
       bestId
     }
     emb.withColumn("cluster", assignUdf(col("embedding")))
@@ -855,17 +859,25 @@ object Similarity {
         if (cos > best) { best = cos; bestId = cs(c)._1; bestIdx = c }
         c += 1
       }
-      if (bestIdx < 0) {
-        // every cosine NaN (a zero-norm vector): fall back to the
-        // lowest-cid centroid — the oracle's NaN tie-break (row_number
-        // over (cos DESC, cid)) — instead of a cluster=-1 row no probe
-        // route can ever reach (a silently unservable vector)
+      if (bestIdx < 0 && nv == 0.0) {
+        // every cosine NaN because the vector is a FINITE zero: fall
+        // back to the lowest-cid centroid — the oracle's NaN tie-break
+        // (row_number over (cos DESC, cid)) — instead of a cluster=-1
+        // row no probe route can ever reach (a silently unservable
+        // vector). The nv == 0.0 guard matters: an embedding with a
+        // NaN/Inf COMPONENT also NaNs every cosine, but routing it
+        // would poison downstream (NaN residual → code -1 → LUT index
+        // crash at query time; NaN mean_err → unparseable stats row) —
+        // non-finite garbage keeps the old quarantining cluster=-1 /
+        // zero-residual row instead.
         bestIdx = 0; bestId = cs(0)._1
       }
       val rv = new Array[Double](d.length)
-      val cv2 = cs(bestIdx)._2
-      i = 0
-      while (i < d.length) { rv(i) = d(i) - cv2(i); i += 1 }
+      if (bestIdx >= 0) {
+        val cv2 = cs(bestIdx)._2
+        i = 0
+        while (i < d.length) { rv(i) = d(i) - cv2(i); i += 1 }
+      }
       (bestId, rv.toSeq)
     }
     emb

@@ -349,6 +349,13 @@ object CurateStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the key store's small-files control runs BEFORE the batch's
+        // own work, exactly as in [[start]]: a compaction that crashed
+        // mid-swap strands the marker, and the replayed batch must
+        // FINISH the swap first — processBatch's layout gate would
+        // otherwise refuse the batch forever
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          Maintenance.compactBatchStore(spark, keysDir, upTo = batchId - 1)
         processBatch(batch, batchId, keysDir, dataDir, minWords, maxDupWordFrac)
         // this batch's survivors, re-read from the partition the write
         // above just created (explicit pruned schema: the vectorizer
@@ -360,11 +367,18 @@ object CurateStream {
           .filter(col("l2") > 0)
           .select(col("doc_id").as("vec_id"),
             expr("transform(vec, x -> CAST(x AS FLOAT))").as("embedding"))
+        // deliberately NOT IndexStream.maintain: its rebuildWhen hook
+        // rebuilds from an EMBEDDINGS input glob, and this stream's
+        // input is documents — a drift rebuild here would have to
+        // re-vectorize the curated data store instead, a corpus source
+        // maintain cannot express. The shared part is the build/compact/
+        // append ordering below (same checkpoint-derived upTo
+        // discipline: only committed-and-never-replayable batches fold;
+        // the index compaction is crash-order-free — a crashed fold is
+        // just an orphan the next call GCs — so it can stay beside the
+        // append it serves).
         if (batchId == 0L) IndexStore.buildIvfPq(hv, ixDir, nlist, m, k, iters)
         else {
-          // the long-running-stream small-files control, same
-          // checkpoint-derived upTo discipline as IndexStream.maintain:
-          // only committed-and-never-replayable batches fold
           if (compactEvery > 0 && batchId % compactEvery == 0)
             IndexStore.compactIvfPq(spark, ixDir, upTo = batchId - 1)
           IndexStore.appendIvfPq(hv, ixDir, batchId)

@@ -348,5 +348,22 @@ class EdgeCaseSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(served.contains(30L), s"zero-norm vector not served: $served")
     assert(served.size == 31)
+    // a NON-FINITE embedding is different garbage: routing it would
+    // poison the LUT path (NaN residual -> code -1 -> index crash), so
+    // it keeps the quarantining cluster=-1 row - appended without
+    // error, never served, stats still parseable
+    val nanRow = Seq((100L, Array(Float.NaN) ++ Array.fill(7)(1f)))
+      .toDF("vec_id", "embedding")
+    IndexStore.appendIvfPq(nanRow, dir, batchId = 1)
+    val after = IndexStore.searchIvfPq(spark, dir,
+        emb.filter($"vec_id" === 0), nprobe = 2, topK = 40)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!after.contains(100L), "non-finite vector must stay quarantined")
+    assert(after.size == 31, s"quarantine changed the served set: ${after.size}")
+    val stats = spark.read
+      .schema("n BIGINT, mean_err DOUBLE, max_err DOUBLE, batch_id BIGINT")
+      .json(s"$dir/stats").where($"batch_id" === 1).select("n", "mean_err").head
+    assert(stats.getLong(0) == 1 && !stats.getDouble(1).isNaN,
+      s"quarantined row must land a finite stats entry: $stats")
   }
 }

@@ -449,6 +449,12 @@ class CurateStreamSpec extends SparkSpec {
     assert(kept() == Set(1L, 2L, 3L, 7L, 8L))
     assert(served() == kept(), "post-compaction append must track curation")
     assert(IndexStore.readManifest(spark, ixDir).codes == Seq(-1L, 2L))
+    // the keys store compacted under the same schedule (start()'s
+    // compactEvery contract): batch_id<=1 collapsed into 1, plus the
+    // batch's own partition
+    val keyParts = new java.io.File(s"$outDir/_keys").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(keyParts == Seq("batch_id=1", "batch_id=2"), keyParts.toString)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
