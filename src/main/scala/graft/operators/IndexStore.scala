@@ -81,12 +81,38 @@ object IndexStore {
     * survives as the usual snapshot grace period. (Through v5 a
     * rebuild overwrote state in place and had to RETRACT the manifest
     * first — the one read-unavailability window in the protocol; v6
-    * closed it.) */
+    * closed it.)
+    *
+    * Deletes survive a rebuild: the build corpus is anti-joined
+    * against the prior manifest's LIVE tombstones here, inside the
+    * build, so a direct rebuild over an unfiltered upstream corpus
+    * cannot resurrect vectors a deletion (SemDeDup rejection, a
+    * compliance removal) already retracted — without the guard, a
+    * caller who forgot the [[liveVecIds]] pre-filter would silently
+    * re-serve them. The rebuild's manifest then carries NO tombstones:
+    * like compaction, a rebuild makes prior deletes physical (the ids
+    * never enter the new generation's codes). [[graft.streaming.IndexStream.maintain]]'s
+    * live-id pin keeps being applied upstream too — there the
+    * anti-join is a no-op by construction. Tombstone batches are bare
+    * vec_id lists (format stable since the v3 layout), so the guard
+    * also holds across layout upgrades (below).
+    *
+    * An OLDER-layout manifest in `dir` does not refuse the rebuild
+    * (readers must refuse old codes — their semantics differ — but the
+    * rebuild is exactly the remedy the refusal message prescribes, so
+    * refusing here would be circular; ADVICE r13): the prior manifest
+    * is parsed laxly, its tombstones still honored and its batch ids
+    * still avoided, and everything else it owned becomes orphans for
+    * the next maintenance GC. */
   def buildIvfPq(emb: DataFrame, dir: String, nlist: Int = 16, m: Int = 4,
       k: Int = 16, iters: Int = 1, subsume: Long = 0L): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val prior = if (hasManifest(spark, dir)) Some(readManifest(spark, dir)) else None
+    // lax parse (no layout gate): a rebuild never READS prior codes or
+    // state, only the id namespace and the tombstone lists — both
+    // layout-stable — and rebuilding is precisely how an older-layout
+    // dir upgrades in place
+    val prior = if (hasManifest(spark, dir)) Some(parseManifest(spark, dir)) else None
     val nonce = java.util.UUID.randomUUID().toString
     val stateDir = s"$dir/state/$nonce"
     // fresh dir → the canonical batch 0; rebuild → a fresh NEGATIVE id
@@ -94,8 +120,9 @@ object IndexStore {
     // collide with a live batch or a future positive append id)
     val builtId = prior.map(_.codes.filter(_ < 0).minOption.getOrElse(0L) - 1)
       .getOrElse(0L)
-    val cents = Similarity.coarseCentroids(emb, nlist)
-    val resid = Similarity.ivfResiduals(emb, cents)
+    val corpus = prior.map(p => tombstoneFilter(spark, dir, p, emb)).getOrElse(emb)
+    val cents = Similarity.coarseCentroids(corpus, nlist)
+    val resid = Similarity.ivfResiduals(corpus, cents)
     val (sub, books) = Similarity.pqTrainD(
       resid.select(col("vec_id"), col("v")), m, k, iters).getOrElse(
       throw new IllegalArgumentException("buildIvfPq: empty corpus"))
@@ -242,12 +269,15 @@ object IndexStore {
   private def manifestPath(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir/$ManifestName")
 
-  /** One driver-side file read — the ENTIRE serving-metadata cost of a
-    * query. Unparseable content refuses with the path and remedy in the
-    * message (the write path makes this unreachable short of external
-    * corruption: the manifest is only ever swapped in by atomic rename
-    * of a fully-written temp). */
-  private[graft] def readManifest(spark: SparkSession, dir: String): Manifest = {
+  /** Lax parse — no layout gate. Only [[buildIvfPq]] may use this:
+    * a rebuild reads nothing whose semantics the layout versions (only
+    * the id namespace and the layout-stable tombstone lists), and the
+    * layout gate would otherwise refuse the very call its message
+    * prescribes as the remedy. Unparseable content refuses with the
+    * path and remedy in the message (the write path makes this
+    * unreachable short of external corruption: the manifest is only
+    * ever swapped in by atomic rename of a fully-written temp). */
+  private def parseManifest(spark: SparkSession, dir: String): Manifest = {
     val p = manifestPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
@@ -262,20 +292,28 @@ object IndexStore {
         val n = root.get(field)
         (0 until n.size()).map(i => n.get(i).asLong())
       }
-      val man = Manifest(root.get("layout").asInt(), root.get("nonce").asText(),
+      Manifest(root.get("layout").asInt(), root.get("nonce").asText(),
         ids("codes"), ids("tombstones"), root.path("subsumed").asLong(0L),
         root.path("built").asLong(0L))
-      require(man.layout == LayoutVersion,
-        s"IndexStore: $dir is layout v${man.layout}, this build reads v$LayoutVersion — " +
-          "rebuild with buildIvfPq (codes written under another layout have " +
-          "different SEMANTICS, e.g. raw-vector codes under residual LUTs)")
-      man
     } catch {
-      case e: IllegalArgumentException => throw e // the layout require above
       case e: Exception => throw new IllegalStateException(
         s"IndexStore: $p is unparseable (${e.getMessage}) — external corruption; " +
           "restore it or rebuild the index with buildIvfPq", e)
     }
+  }
+
+  /** One driver-side file read — the ENTIRE serving-metadata cost of a
+    * query. Readers (and every mutation that reads codes/state) go
+    * through HERE: an older-layout manifest refuses, because codes
+    * written under another layout have different SEMANTICS (e.g.
+    * raw-vector codes scored against residual LUTs). */
+  private[graft] def readManifest(spark: SparkSession, dir: String): Manifest = {
+    val man = parseManifest(spark, dir)
+    require(man.layout == LayoutVersion,
+      s"IndexStore: $dir is layout v${man.layout}, this build reads v$LayoutVersion — " +
+        "rebuild with buildIvfPq (codes written under another layout have " +
+        "different SEMANTICS, e.g. raw-vector codes under residual LUTs)")
+    man
   }
 
   /** Atomic swap: dot-prefixed temp + `FileContext.rename(OVERWRITE)`.
@@ -363,6 +401,25 @@ object IndexStore {
         .filter(st => st.isDirectory && st.getPath.getName != man.nonce)
         .foreach(st => fs.delete(st.getPath, true))
   }
+
+  /** Explicit storage reclamation — the Iceberg `expireSnapshots`
+    * split, as its own maintenance entry: delete every batch dir and
+    * state generation the CURRENT manifest does not reference. Without
+    * it, superseded generations are reclaimed only by the next
+    * compaction's GC ([[gcOrphans]] runs at the start of
+    * [[compactIvfPq]]) — correct, but a rebuild-heavy deployment that
+    * compacts rarely holds N dead generations of state + codes between
+    * compactions (ADVICE/verdict r13). Calling this COLLAPSES the
+    * snapshot grace period: a reader that resolved a pre-rebuild (or
+    * pre-compaction) manifest and has not finished its scan loses its
+    * files — exactly Iceberg's contract, where snapshot retention is
+    * the operator's cadence choice; run it when no reader can hold a
+    * stale manifest older than the last commit. Orphans are invisible
+    * to every CURRENT-manifest reader by construction, so beyond that
+    * grace trade-off this is pure hygiene, idempotent, and never
+    * touches the manifest itself. */
+  def expireSnapshots(spark: SparkSession, dir: String): Unit =
+    gcOrphans(spark, dir, readManifest(spark, dir))
 
   /** Logical delete — the tombstone half of index maintenance (SemDeDup
     * pipelines delete aggressively, and a 100 TB index cannot rewrite
@@ -522,7 +579,9 @@ object IndexStore {
     * replay discipline; a crash between write and commit leaves the
     * batch invisible until its replay. */
   def appendIvfPq(emb: DataFrame, dir: String, batchId: Long): Unit = {
-    require(batchId > 0, s"appendIvfPq: batchId must be > 0 (0 is the build batch), got $batchId")
+    require(batchId > 0, s"appendIvfPq: batchId must be > 0 (build batches " +
+      s"use id <= 0 — 0 fresh, negative for rebuilds/folds; streaming " +
+      s"appends must be positive), got $batchId")
     val spark = emb.sparkSession
     val man = readManifest(spark, dir)
     if (batchId <= man.subsumed) return // a rebuild absorbed this batch (replay)
@@ -533,7 +592,7 @@ object IndexStore {
     commitBatch(spark, dir, codesId = Some(batchId))
   }
 
-  private def requireTable(spark: SparkSession, dir: String, t: String): String = {
+  private[operators] def requireTable(spark: SparkSession, dir: String, t: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$t/_SUCCESS")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
@@ -679,11 +738,7 @@ object IndexStore {
     * silently served). [[IndexStoreSpec]] pins the rebuild-on-mismatch
     * behavior. */
   private[graft] def ensureIndexFor(spark: SparkSession, srcPath: String,
-      tag: String, build: String => Unit): String = {
-    val src = new org.apache.hadoop.fs.Path(srcPath)
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(src), s"IndexStore: fixture $src missing")
-    val st = fs.getFileStatus(src)
+      tag: String, build: String => Unit): String =
     // "v6" = the on-disk LAYOUT version (v2 added batch-partitioned
     // codes/, v3 added tombstones + compaction, v4 switched the
     // codebooks/codes to IVF-RESIDUAL encoding, v5 the manifest
@@ -692,12 +747,24 @@ object IndexStore {
     // layout change rebuilds instead of serving state the reader would
     // misinterpret (raw-vector codes scored against residual LUTs; a
     // manifest-less dir refused as unbuilt)
-    val fp = "v6:" + (
+    ensureArtifactFor(spark, srcPath, tag, "ivfpq", "v6", build)
+
+  /** The generic form of [[ensureIndexFor]] — any train-once artifact
+    * family keyed to a source fixture gets the same fingerprint/marker
+    * discipline ([[TokenizerStore]] is the other user; `family` keys
+    * the warehouse namespace, `layout` the artifact format version). */
+  private[graft] def ensureArtifactFor(spark: SparkSession, srcPath: String,
+      tag: String, family: String, layout: String, build: String => Unit): String = {
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(src), s"IndexStore: fixture $src missing")
+    val st = fs.getFileStatus(src)
+    val fp = s"$layout:" + (
       if (st.isDirectory) {
         val parts = fs.listStatus(src).filter(_.isFile).sortBy(_.getPath.getName)
         s"${parts.map(_.getLen).sum}:${parts.map(_.getModificationTime).max}:${parts.length}"
       } else s"${st.getLen}:${st.getModificationTime}")
-    val ixDir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-$tag-" +
+    val ixDir = s"${sys.props("java.io.tmpdir")}/graft-$family-$tag-" +
       fp.replaceAll("[^A-Za-z0-9]", "-")
     val marker = new org.apache.hadoop.fs.Path(s"$ixDir/_graft_fingerprint")
     val ok = fs.exists(marker) && {

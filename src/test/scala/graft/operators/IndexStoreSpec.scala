@@ -490,4 +490,102 @@ class IndexStoreSpec extends SparkSpec {
     assert(ensure() == d1 && builds == 2, "stale marker must trigger rebuild")
     assert(ensure() == d1 && builds == 2)
   }
+
+  test("rebuild over an UNFILTERED corpus cannot resurrect tombstoned vectors") {
+    import spark.implicits._
+    // the data-removal hazard (ADVICE r13): buildIvfPq is a public API,
+    // and a direct rebuild call over the raw upstream corpus — without
+    // IndexStream.maintain's liveVecIds pre-filter — must still honor
+    // live tombstones (a SemDeDup/compliance delete is a promise)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-resur").toString
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val n = emb.count()
+    IndexStore.buildIvfPq(emb, dir, 16, 4, 16, 1)
+    val victims = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+    val victimIds = victims.as[Long].collect().toSet
+    IndexStore.deleteIvfPq(victims, dir, batchId = 1)
+    // rebuild straight over the unfiltered fixture (subsume irrelevant
+    // here — the hazard is the corpus, not the watermark)
+    IndexStore.buildIvfPq(emb, dir, 16, 4, 16, 1)
+    val served = IndexStore.searchIvfPq(spark, dir,
+        emb.filter(col("vec_id") < 10), 4, n.toInt)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(victimIds.forall(v => !served.contains(v)),
+      s"rebuild resurrected deleted ids: ${(served & victimIds).take(5)}")
+    // like compaction, the rebuild made the deletes PHYSICAL: the new
+    // generation carries no tombstones and none of the victims' codes
+    val man = IndexStore.readManifest(spark, dir)
+    assert(man.tombstones.isEmpty, man.tombstones)
+    val stored = spark.read.parquet(s"$dir/codes/batch_id=${man.built}")
+      .select("vec_id").as[Long].collect().toSet
+    assert(victimIds.forall(v => !stored.contains(v)))
+    // and a SURVIVING vector is still served (the filter dropped only
+    // the victims, not the corpus)
+    assert(served.nonEmpty && (served -- victimIds).nonEmpty)
+  }
+
+  test("buildIvfPq upgrades an older-layout dir in place, preserving its tombstones") {
+    import spark.implicits._
+    // the circular-upgrade trap (ADVICE r13): readManifest's layout gate
+    // says "rebuild with buildIvfPq", so buildIvfPq itself must tolerate
+    // the older-layout manifest it is asked to replace
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-upg").toString
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val n = emb.count()
+    IndexStore.buildIvfPq(emb, dir, 16, 4, 16, 1)
+    IndexStore.deleteIvfPq(Seq(3L, 10L).toDF("vec_id"), dir, batchId = 1)
+    // simulate the dir having been written by the previous layout: the
+    // id namespace and tombstone lists are layout-stable, only the
+    // version field differs. The nio overwrite invalidates the checksum
+    // sidecar hadoop's local fs keeps for the manifest — drop it
+    val mp = java.nio.file.Paths.get(dir, "manifest.json")
+    java.nio.file.Files.writeString(mp,
+      java.nio.file.Files.readString(mp).replace("\"layout\":6", "\"layout\":5"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, ".manifest.json.crc"))
+    // readers refuse (codes semantics differ across layouts)...
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.readManifest(spark, dir)
+    }
+    assert(e.getMessage.contains("rebuild with buildIvfPq"), e.getMessage)
+    // ...and the prescribed remedy WORKS instead of re-throwing the gate
+    IndexStore.buildIvfPq(emb, dir, 16, 4, 16, 1)
+    val served = IndexStore.searchIvfPq(spark, dir,
+        emb.filter(col("vec_id") < 10), 4, n.toInt)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(served.nonEmpty && !served.contains(3L) && !served.contains(10L),
+      "tombstones written before the layout upgrade must survive it")
+    assert(IndexStore.readManifest(spark, dir).layout == 6)
+  }
+
+  test("expireSnapshots reclaims superseded generations without touching current readers") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-exp").toString
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val n = emb.count()
+    IndexStore.buildIvfPq(emb.filter(col("vec_id") < n / 2), dir, 16, 4, 16, 1)
+    val oldNonce = IndexStore.readManifest(spark, dir).nonce
+    val probes = emb.filter(col("vec_id") < 5)
+    def search() = IndexStore.searchIvfPq(spark, dir, probes, 4, 5)
+      .orderBy(col("probe_id"), col("rnk")).collect().toSeq
+    // rebuild supersedes generation 1; until maintenance runs, the dead
+    // generation and the old build batch stay on disk (snapshot grace)
+    IndexStore.buildIvfPq(emb, dir, 16, 4, 16, 1)
+    val cur = search()
+    assert(new java.io.File(s"$dir/state/$oldNonce").exists(),
+      "superseded generation should linger until explicit maintenance")
+    assert(new java.io.File(s"$dir/codes/batch_id=0").exists())
+    IndexStore.expireSnapshots(spark, dir)
+    // dead state generation + orphan build batch are gone...
+    assert(!new java.io.File(s"$dir/state/$oldNonce").exists(),
+      "expireSnapshots left the dead generation")
+    assert(!new java.io.File(s"$dir/codes/batch_id=0").exists(),
+      "expireSnapshots left the superseded build batch")
+    val man = IndexStore.readManifest(spark, dir)
+    assert(new java.io.File(s"$dir/state/${man.nonce}").exists())
+    // ...and current-manifest reads are untouched, before and after
+    assert(search() == cur, "expireSnapshots changed served results")
+    // idempotent: a second expiry is a no-op
+    IndexStore.expireSnapshots(spark, dir)
+    assert(search() == cur)
+  }
 }
