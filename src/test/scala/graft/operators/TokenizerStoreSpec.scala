@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class TokenizerStoreSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, sf("sf0.001"), "documents")
+
+  test("persisted BPE encode equals the composed re-learning row bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("tok-bpe").toString
+    TokenizerStore.trainBpe(docs, dir, 8, 256)
+    val persisted = TokenizerStore.encodeBpe(docs, dir)
+      .orderBy(col("doc_id")).collect().toSeq
+    val composed = TextAnalysis.bpeEncodeStats(docs, 8, 256)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(persisted.nonEmpty && persisted == composed)
+  }
+
+  test("persisted bigram-LM score equals the composed train-and-score row bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("tok-lm").toString
+    TokenizerStore.trainBigramLm(docs, dir)
+    val persisted = TokenizerStore.scoreBigramLm(docs, dir)
+      .orderBy(col("doc_id")).collect().toSeq
+    val composed = TextAnalysis.bigramLmScore(docs)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(persisted.nonEmpty && persisted == composed)
+  }
+
+  test("train-once/encode-many: a frozen tokenizer prices corpora it never trained on") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tok-frozen").toString
+    TokenizerStore.trainBpe(docs, dir, 8, 256)
+    val merges = TokenizerStore.loadMerges(spark, dir)
+    assert(merges.nonEmpty && merges.size <= 8)
+    // a held-out corpus: unseen words must pass through with only the
+    // LEARNED merges applied (never retrained mid-encode) — chars minus
+    // the applicable merge count, exactly what a frozen tokenizer does
+    val held = Seq((1L, "zqx unseenword zqx"), (2L, "aaaa"))
+      .toDF("doc_id", "text")
+    val out = TokenizerStore.encodeBpe(held, dir)
+      .orderBy(col("doc_id")).collect()
+    assert(out.length == 2)
+    val byId = out.map(r => r.getLong(0) -> r.getLong(2)).toMap // n_bpe_tokens
+    // with no applicable merges, token count == char count; any learned
+    // merge can only shrink it — never grow it
+    assert(byId(1L) <= "zqxunseenwordzqx".length)
+    assert(byId(2L) <= 4)
+    // and the frozen table is byte-stable across reloads (ordered read)
+    assert(TokenizerStore.loadMerges(spark, dir) == merges)
+  }
+
+  test("scoring refuses a missing or torn artifact instead of silently skipping the model") {
+    val dir = java.nio.file.Files.createTempDirectory("tok-torn").toString
+    val e = intercept[IllegalArgumentException] {
+      TokenizerStore.scoreBigramLm(docs, dir)
+    }
+    assert(e.getMessage.contains("_SUCCESS") || e.getMessage.contains("missing"),
+      e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TokenizerStore.encodeBpe(docs, dir)
+    }
+    assert(e2.getMessage.contains("missing") || e2.getMessage.contains("_SUCCESS"),
+      e2.getMessage)
+  }
+
+  test("ensureTokenizerFor trains once and reuses the warehouse artifact") {
+    var trains = 0
+    def ensure() = TokenizerStore.ensureTokenizerFor(spark,
+      s"${sf("sf0.001")}/documents.parquet", "spec-bpe",
+      d => { trains += 1; TokenizerStore.trainBpe(docs, d, 8, 256) })
+    val d1 = ensure()
+    assert(trains == 1)
+    assert(ensure() == d1 && trains == 1, "matching marker must be reused")
+    // the tokenizer family's warehouse namespace is its own (an index
+    // artifact with the same tag could never collide)
+    assert(d1.contains("graft-tok-"))
+  }
+}
