@@ -319,6 +319,16 @@ object CurateStream {
     q.awaitTermination()
   }
 
+  /** Hashed-text vectors of a curated-store slice — the loop's
+    * vectorizer, shared by the per-batch index feed and the drift
+    * rebuild's corpus provider so the two can never diverge (a rebuild
+    * that re-vectorized differently would re-mean every code). */
+  private def vectorized(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.hashVectors(docs)
+      .filter(col("l2") > 0)
+      .select(col("doc_id").as("vec_id"),
+        expr("transform(vec, x -> CAST(x AS FLOAT))").as("embedding"))
+
   /** The COMPLETE streaming ingestion loop — curate THEN index inside
     * one micro-batch: survivors land in the data store AND their
     * hashed text vectors land in the ANN index (batch 0 builds —
@@ -335,11 +345,24 @@ object CurateStream {
     * batch directory those writes just (re)created, and
     * build/append are idempotent under the IndexStore manifest
     * protocol (a batch-0 replay re-trains on the same accepted set;
-    * an append replay overwrites + re-commits). */
+    * an append replay overwrites + re-commits).
+    *
+    * `rebuildWhen` > 0 arms the same drift escape hatch the embeddings
+    * stream has ([[IndexStream]]): batch 0's codebooks are frozen, and
+    * when a later batch's accepted docs encode ≥ that-many × worse
+    * than the training baseline, the index rebuilds IN-STREAM — from
+    * the RE-VECTORIZED curated data store (this stream's input is
+    * documents, so an embeddings-glob re-read cannot be its corpus;
+    * the corpus-provider gap the r13 verdict named). The provider
+    * re-reads `dataDir` with [[vectorized]] — the exact per-batch feed
+    * — and [[IndexStream.maintainWith]] pins it to the index's live
+    * vec_ids, so replayed appends no-op under the subsume watermark
+    * and nothing is served twice. */
   def startCurateAndIndex(spark: SparkSession, inDir: String,
       outDir: String, checkpoint: String, ixDir: String, minWords: Int = 30,
       maxDupWordFrac: Double = 0.5, nlist: Int = 16, m: Int = 4,
-      k: Int = 16, iters: Int = 1, compactEvery: Int = 0): StreamingQuery = {
+      k: Int = 16, iters: Int = 1, compactEvery: Int = 0,
+      rebuildWhen: Double = 0.0): StreamingQuery = {
     val keysDir = s"$outDir/_keys"
     val dataDir = s"$outDir/data"
     spark.readStream
@@ -360,29 +383,20 @@ object CurateStream {
         // this batch's survivors, re-read from the partition the write
         // above just created (explicit pruned schema: the vectorizer
         // needs only doc_id + text, and inference is a job per batch)
-        val accepted = spark.read
+        val hv = vectorized(spark.read
           .schema("doc_id BIGINT, text STRING")
-          .parquet(s"$dataDir/batch_id=$batchId")
-        val hv = graft.operators.TextAnalysis.hashVectors(accepted)
-          .filter(col("l2") > 0)
-          .select(col("doc_id").as("vec_id"),
-            expr("transform(vec, x -> CAST(x AS FLOAT))").as("embedding"))
-        // deliberately NOT IndexStream.maintain: its rebuildWhen hook
-        // rebuilds from an EMBEDDINGS input glob, and this stream's
-        // input is documents — a drift rebuild here would have to
-        // re-vectorize the curated data store instead, a corpus source
-        // maintain cannot express. The shared part is the build/compact/
-        // append ordering below (same checkpoint-derived upTo
-        // discipline: only committed-and-never-replayable batches fold;
-        // the index compaction is crash-order-free — a crashed fold is
-        // just an orphan the next call GCs — so it can stay beside the
-        // append it serves).
-        if (batchId == 0L) IndexStore.buildIvfPq(hv, ixDir, nlist, m, k, iters)
-        else {
-          if (compactEvery > 0 && batchId % compactEvery == 0)
-            IndexStore.compactIvfPq(spark, ixDir, upTo = batchId - 1)
-          IndexStore.appendIvfPq(hv, ixDir, batchId)
-        }
+          .parquet(s"$dataDir/batch_id=$batchId"))
+        // build/compact/append ordering is IndexStream's (same
+        // checkpoint-derived upTo discipline: only committed-and-never-
+        // replayable batches fold; a crashed fold is an orphan the next
+        // call GCs); the rebuild corpus provider re-vectorizes the
+        // curated store — invoked only if the drift tripwire fires
+        IndexStream.maintainWith(spark, ixDir, hv, batchId,
+          nlist, m, k, iters, compactEvery, rebuildWhen,
+          corpus = () => vectorized(spark.read
+            .schema("doc_id BIGINT, text STRING, batch_id BIGINT")
+            .parquet(dataDir)
+            .select(col("doc_id"), col("text"))))
       }
       .start()
   }

@@ -111,6 +111,24 @@ object IndexStream {
   private[graft] def maintain(spark: SparkSession, inDir: String,
       ixDir: String, batch: DataFrame, batchId: Long, nlist: Int, m: Int,
       k: Int, iters: Int, compactEvery: Int, rebuildWhen: Double): Unit =
+    maintainWith(spark, ixDir, batch, batchId, nlist, m, k, iters,
+      compactEvery, rebuildWhen,
+      () => spark.read.schema(Tables.embeddings).parquet(inDir))
+
+  /** [[maintain]] with the rebuild corpus PARAMETERIZED — the shape a
+    * stream whose input is not an embeddings glob needs
+    * ([[CurateStream]]'s curate-and-index loop: its input is documents,
+    * so its rebuild corpus is the RE-VECTORIZED curated store, a source
+    * an input-directory re-read cannot express; the gap the r13 verdict
+    * named). `corpus` supplies the raw upstream vectors and is invoked
+    * only when the tripwire actually fires; the live-id semi-join pin —
+    * the replay/exactly-once half of the contract — stays HERE, applied
+    * to whatever the provider returns, so no provider can accidentally
+    * drop it. */
+  private[graft] def maintainWith(spark: SparkSession, ixDir: String,
+      batch: DataFrame, batchId: Long, nlist: Int, m: Int, k: Int,
+      iters: Int, compactEvery: Int, rebuildWhen: Double,
+      corpus: () => DataFrame): Unit =
     if (batchId == 0L) IndexStore.buildIvfPq(batch, ixDir, nlist, m, k, iters)
     else {
       if (compactEvery > 0 && batchId % compactEvery == 0)
@@ -120,7 +138,7 @@ object IndexStream {
       if (fresh && rebuildWhen > 0 &&
           IndexStore.driftBreached(spark, ixDir, batchId, rebuildWhen))
         IndexStore.buildIvfPq(
-          spark.read.schema(Tables.embeddings).parquet(inDir)
+          corpus()
             .join(IndexStore.liveVecIds(spark, ixDir), Seq("vec_id"), "left_semi"),
           ixDir, nlist, m, k, iters, subsume = batchId)
     }

@@ -458,6 +458,69 @@ class CurateStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("startCurateAndIndex rebuildWhen: drifted documents rebuild the index from the re-vectorized curated store") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("curate-drift").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    val ixDir = s"$root/ix"
+    // finer quantization than the declared loop (the IndexDriftSpec
+    // discipline) so quantization noise doesn't mask the drift signal
+    val (nlist, m, k, iters) = (16, 16, 16, 2)
+    def pass() = CurateStream.startCurateAndIndex(spark, s"$inDir/*", outDir,
+      ck, ixDir, nlist = nlist, m = m, k = k, iters = iters,
+      rebuildWhen = 10).awaitTermination()
+    // batch 0 trains on the fixture's accepted docs (~56 words/doc)
+    graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+      .coalesce(1).write.parquet(s"$inDir/drop0.parquet")
+    pass()
+    val man0 = IndexStore.readManifest(spark, ixDir)
+    assert(man0.built == 0L && man0.subsumed == 0L)
+    // the drifted drop: 30 long all-unique-word docs (pass curation:
+    // n_words >> 30, dup_word_frac = 0) whose hashed-count vectors are
+    // ~20x the training magnitude — frozen codebooks encode them badly
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val drifted = (0 until 30).map { i =>
+      doc(10000L + i, Seq.tabulate(1200)(j => s"zz${i}q$j").mkString(" "))
+    }
+    drifted.toDF(cols: _*).coalesce(1).write.parquet(s"$inDir/drop1.parquet")
+    pass()
+    // the tripwire fired and the rebuild subsumed batch 1 — trained on
+    // the re-vectorized curated store, not an embeddings glob
+    val man1 = IndexStore.readManifest(spark, ixDir)
+    assert(man1.subsumed == 1L && man1.built == -1L && man1.codes == Seq(-1L),
+      s"document drift did not trigger the in-stream rebuild: $man1")
+    def stat(b: Long): Double = spark.read
+      .schema("n BIGINT, mean_err DOUBLE, max_err DOUBLE, batch_id BIGINT")
+      .json(s"$ixDir/stats").where(col("batch_id") === b)
+      .select("mean_err").head.getDouble(0)
+    assert(stat(1L) >= 10 * stat(0L),
+      s"drifted docs should encode >=10x worse under frozen books: ${stat(1L)} vs ${stat(0L)}")
+    assert(stat(-1L) <= stat(1L) / 5,
+      s"rebuild did not restore encode quality: ${stat(-1L)} vs ${stat(1L)}")
+    // the rebuilt index serves EXACTLY the curated corpus, once each
+    val kept = spark.read.parquet(s"$outDir/data")
+      .select("doc_id").as[Long].collect().toSet
+    val served = IndexStore.liveVecIds(spark, ixDir)
+      .as[Long].collect().toSeq
+    assert(served.toSet == kept && served.distinct.length == served.length,
+      s"rebuild must serve the curated corpus exactly once: " +
+        s"${served.length} served, ${kept.size} kept")
+    assert(drifted.map(_._1).forall(kept.contains), "drifted docs were curated in")
+    // replayed append of the subsumed batch (crash between rebuild and
+    // checkpoint commit) is a no-op under the subsume watermark
+    val hv1 = graft.operators.TextAnalysis.hashVectors(
+        spark.read.schema("doc_id BIGINT, text STRING")
+          .parquet(s"$outDir/data/batch_id=1"))
+      .filter($"l2" > 0)
+      .select($"doc_id".as("vec_id"),
+        expr("transform(vec, x -> CAST(x AS FLOAT))").as("embedding"))
+    IndexStream.maintainWith(spark, ixDir, hv1, 1L, nlist, m, k, iters, 0, 10,
+      corpus = () => fail("replay of a subsumed batch must not rebuild"))
+    assert(IndexStore.readManifest(spark, ixDir) == man1,
+      "replay of a subsumed batch must change nothing")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("tombstoneIndex: curation-rejected docs stop being served by the ANN index; replay converges") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("curatetomb").toString
