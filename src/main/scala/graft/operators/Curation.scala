@@ -1120,7 +1120,53 @@ object Curation {
       |FROM r WHERE rnk <= 5
       |ORDER BY lang, source, rnk""".stripMargin
 
+  // -------------------------------------------- perplexity bucketing
+  /** CCNet's head/middle/tail split — what the bigram LM is FOR in a
+    * curation pipeline (Wenzek et al. 2020 bucket every document by
+    * its trained-LM perplexity and keep head+middle for training;
+    * LLaMA's recipe inherits the stage). Thresholds are ABSOLUTE
+    * cutoffs chosen offline against the trained model — the CCNet
+    * deployment shape (buckets derive from a held-out percentile sweep
+    * ONCE, then apply as constants), which keeps the stage map-only
+    * after the scoring join; a per-corpus global percentile would be a
+    * single-reducer sort at 100 TB. Cross-entropy is monotone in
+    * perplexity (ppl = e^H), so bucketing H directly is the same
+    * split. */
+  def perplexityBuckets(scores: DataFrame, headBelow: Double,
+      middleBelow: Double): DataFrame =
+    scores.withColumn("bucket",
+      when(col("cross_entropy") < headBelow, "head")
+        .when(col("cross_entropy") < middleBelow, "middle")
+        .otherwise("tail"))
+
+  /** Scored from the PERSISTED [[TokenizerStore]] LM — the same frozen
+    * artifact `xt_bigram_lm_persisted` serves (one training per corpus
+    * fingerprint, two consumers: exactly the amortization the store
+    * exists for). Thresholds 3.38/3.41 bracket the fixture generator's
+    * SF-stable cross-entropy median (~3.39–3.40 at sf0.001→0.1,
+    * measured in BENCHNOTES r14), so every SF exercises all three
+    * buckets. Boundary safety: engine float noise is ~1e-13 while
+    * adjacent-doc score gaps are ~1e-5, so an exact threshold compare
+    * cannot flip a bucket between Spark and DuckDB in practice. */
+  private def xcPerplexityBucket(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tokDir = TokenizerStore.ensureTokenizerFor(spark,
+      s"$dir/documents.parquet", "biglm-a1-cd",
+      d => TokenizerStore.trainBigramLm(docs, d))
+    perplexityBuckets(TokenizerStore.scoreBigramLm(docs, tokDir), 3.38, 3.41)
+      .orderBy(col("doc_id"))
+  }
+
+  private val xcPerplexityBucketSql =
+    s"""SELECT doc_id, n_bigrams, cross_entropy,
+       |  CASE WHEN cross_entropy < 3.38 THEN 'head'
+       |       WHEN cross_entropy < 3.41 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM (${TextAnalysis.bigramLmScoreSql})
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Declared] = Seq(
+    Declared("xc_perplexity_bucket", xcPerplexityBucket, Some(xcPerplexityBucketSql)),
     Declared("xc_gopher_rules", xcGopherRules, Some(xcGopherRulesSql)),
     Declared("xc_stratified", xcStratified, Some(xcStratifiedSql)),
     Declared("xc_pipeline_full", xcPipelineFull, Some(xcPipelineFullSql)),

@@ -1167,8 +1167,10 @@ object TextAnalysis {
 
   /** Bigrams as "w₁ w₂" strings (tokens cannot contain spaces after
     * [[Dedup.normText]], so the pairing is injective and DuckDB's list
-    * comprehension extracts them without WITH ORDINALITY). */
-  private val xtBigramLmSql =
+    * comprehension extracts them without WITH ORDINALITY). Shared with
+    * [[Curation]]'s perplexity-bucket oracle, which wraps it as a
+    * subquery. */
+  private[operators] val bigramLmScoreSql =
     """WITH toks AS (
       |  SELECT doc_id,
       |    string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
@@ -1188,8 +1190,9 @@ object TextAnalysis {
       |  -AVG(ln((COALESCE(c2.c2, 0) + 1.0) /
       |           (COALESCE(c1.c1, 0) + 1.0 * (SELECT v FROM v)))) AS cross_entropy
       |FROM sp LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1)
-      |GROUP BY doc_id
-      |ORDER BY doc_id""".stripMargin
+      |GROUP BY doc_id""".stripMargin
+
+  private val xtBigramLmSql = bigramLmScoreSql + "\nORDER BY doc_id"
 
   // ---------------------------------------------------- BPE learning
   /** Byte-pair-encoding MERGE LEARNING (Sennrich et al. 2016) — the

@@ -380,4 +380,29 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
     assert(s1.sortBy(_._1).toSeq == s2.sortBy(_._1).toSeq)
   }
+
+  test("perplexityBuckets partitions every scored doc into exactly one CCNet bucket") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val scores = TextAnalysis.bigramLmScore(docs)
+    val bucketed = Curation.perplexityBuckets(scores, 3.38, 3.41)
+      .select($"doc_id", $"cross_entropy", $"bucket")
+      .as[(Long, Double, String)].collect()
+    // total preservation: bucketing adds a label, drops nothing
+    assert(bucketed.length == scores.count())
+    // the label is exactly the threshold comparison, doc by doc
+    assert(bucketed.forall { case (_, ce, b) =>
+      b == (if (ce < 3.38) "head" else if (ce < 3.41) "middle" else "tail")
+    })
+    // the fixture thresholds are chosen to exercise ALL THREE buckets
+    // at every SF (the generator's score distribution is SF-stable)
+    val byBucket = bucketed.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(Set("head", "middle", "tail").forall(b => byBucket.getOrElse(b, 0) > 0),
+      s"degenerate bucketing: $byBucket")
+    // monotone in perplexity: every head score < every middle < every tail
+    def max0(b: String) = bucketed.filter(_._3 == b).map(_._2).maxOption.getOrElse(-1e9)
+    def min0(b: String) = bucketed.filter(_._3 == b).map(_._2).minOption.getOrElse(1e9)
+    assert(max0("head") < min0("middle") && max0("middle") < min0("tail"))
+  }
 }
