@@ -53,7 +53,12 @@ object PlanPin {
     "q39_shipping_priority", "xt_word_freq_score", "x2_pq_codes",
     "x2_pq_search", "x2_ivfpq_search", "x2_ivfpq_refined", "x4_kmv_jaccard",
     "xl_hilbert_key", "xt_hash_vectorize", "xt_hashvec_knn", "xt_hashvec_index",
-    "xt_bigram_lm")
+    "xt_bigram_lm",
+    // the persisted-tokenizer tier: plans must show the frozen-artifact
+    // reads (broadcast joins against vocabulary-bounded tables, the
+    // codegen replace-chain encode) with NO training lineage
+    "xt_bigram_lm_persisted", "xt_bpe_encode_persisted",
+    "xc_perplexity_bucket")
 
   val pinFile = "PLANPINS.txt"
   val sfDir = "/root/testdata/sf0.001"
