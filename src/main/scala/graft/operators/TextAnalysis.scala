@@ -1168,9 +1168,9 @@ object TextAnalysis {
   /** Bigrams as "w₁ w₂" strings (tokens cannot contain spaces after
     * [[Dedup.normText]], so the pairing is injective and DuckDB's list
     * comprehension extracts them without WITH ORDINALITY). Shared with
-    * [[Curation]]'s perplexity-bucket oracle, which wraps it as a
-    * subquery. */
-  private[operators] val bigramLmScoreSql =
+    * [[Curation]]'s perplexity-bucket oracle and [[graft.streaming.CurateStream]]'s
+    * LM-gate oracle, which wrap it as a subquery. */
+  private[graft] val bigramLmScoreSql =
     """WITH toks AS (
       |  SELECT doc_id,
       |    string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w

@@ -122,7 +122,8 @@ object CurateStream {
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
       keysDir: String, dataDir: String, minWords: Int,
       maxDupWordFrac: Double, nearDupJaccard: Option[Double] = None,
-      tombstoneIndex: Option[String] = None): Unit = {
+      tombstoneIndex: Option[String] = None,
+      lmGate: Option[(String, Double)] = None): Unit = {
     val sp = batch.sparkSession
     // 1. within-batch keep-first (skew-safe, as in Curation.curate)
     val keepers = batch
@@ -148,8 +149,36 @@ object CurateStream {
     // must not shadow anything) — the same stage order the batch oracle
     // uses, and the invariant that keeps within-batch and cross-batch
     // suppressor sets identical.
-    val filtered = Curation.repetition(fresh)
+    val repFiltered = Curation.repetition(fresh)
       .filter(col("n_words") >= minWords && col("dup_word_frac") <= maxDupWordFrac)
+    // 3a. LM quality gate (opt-in): the CCNet perplexity filter run
+    // IN-STREAM against a FROZEN TokenizerStore bigram-LM artifact
+    // (trained offline on held-out data — the deployment cadence; the
+    // stream never trains). Scoring is per-doc against the persisted
+    // count tables, and the score is a function of the NORMALIZED text
+    // alone, so batching cannot change it — stream output equals the
+    // batch pipeline with the same cutoff, and a rejected doc's exact
+    // dups score identically and fail identically in any later batch
+    // (the keep-first/gate commutation the oracle relies on). Applied
+    // with the other quality stages, before near-dup, preserving the
+    // never-suppresses invariant. minWords >= 2 guarantees every
+    // surviving doc HAS bigrams, so the semi-join drops nothing for
+    // lack of a score.
+    val filtered = lmGate match {
+      case None => repFiltered
+      case Some((tokDir, maxCe)) =>
+        // the gate consumes the curation lineage twice (join left +
+        // scoring input); recompute is DELIBERATE — persisting the
+        // text-bearing frame measured SLOWER (warm mins 7.07 vs 6.18 s
+        // at sf0.1: the lineage is map-only + small aggs, cheaper to
+        // re-run than to materialize — the BigramMatSweep finding again)
+        repFiltered.join(
+          graft.operators.TokenizerStore.scoreBigramLm(
+              repFiltered.select(col("doc_id"), col("text")), tokDir)
+            .filter(col("cross_entropy") < maxCe)
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+    }
     // 3b. near-dup elimination (opt-in). The shingled batch feeds four
     // consumers in one DAG (within-pairs twice, the cross-band explode,
     // the verify join) — persist it for the batch's duration.
@@ -290,7 +319,8 @@ object CurateStream {
       maxDupWordFrac: Double = 0.5,
       nearDupJaccard: Option[Double] = None,
       compactEvery: Int = 0,
-      tombstoneIndex: Option[String] = None): StreamingQuery = {
+      tombstoneIndex: Option[String] = None,
+      lmGate: Option[(String, Double)] = None): StreamingQuery = {
     val keysDir = s"$outDir/_keys"
     val dataDir = s"$outDir/data"
     spark.readStream
@@ -305,7 +335,7 @@ object CurateStream {
           Maintenance.compactBatchStore(spark, bandsDirOf(dataDir), upTo = batchId - 1)
         }
         processBatch(batch, batchId, keysDir, dataDir, minWords, maxDupWordFrac,
-          nearDupJaccard, tombstoneIndex)
+          nearDupJaccard, tombstoneIndex, lmGate)
       }
       .start()
   }
@@ -313,9 +343,11 @@ object CurateStream {
   /** Run one AvailableNow pass to completion (test / cron entry). */
   def runOnce(spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, nearDupJaccard: Option[Double] = None,
-      compactEvery: Int = 0, tombstoneIndex: Option[String] = None): Unit = {
+      compactEvery: Int = 0, tombstoneIndex: Option[String] = None,
+      lmGate: Option[(String, Double)] = None): Unit = {
     val q = start(spark, inDir, outDir, checkpoint, nearDupJaccard = nearDupJaccard,
-      compactEvery = compactEvery, tombstoneIndex = tombstoneIndex)
+      compactEvery = compactEvery, tombstoneIndex = tombstoneIndex,
+      lmGate = lmGate)
     q.awaitTermination()
   }
 
@@ -415,7 +447,8 @@ object CurateStream {
     * cut, so boundary choice affects batch sizes, never the result. */
   private def runThreeDrops(spark: SparkSession, dir: String,
       nearDupJaccard: Option[Double],
-      tombstoneIndex: Option[String] = None): DataFrame = {
+      tombstoneIndex: Option[String] = None,
+      lmGate: Option[(String, Double)] = None): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val rootPath = java.nio.file.Files.createTempDirectory("xs-curate-stream")
     // the returned DataFrame reads lazily from outDir, so the scratch
@@ -435,7 +468,7 @@ object CurateStream {
     drops.zipWithIndex.foreach { case (cond, i) =>
       docs.filter(cond).coalesce(2).write.parquet(s"$inDir/drop$i.parquet")
       runOnce(spark, s"$inDir/*", outDir, s"$root/ck", nearDupJaccard,
-        tombstoneIndex = tombstoneIndex)
+        tombstoneIndex = tombstoneIndex, lmGate = lmGate)
     }
     spark.read.parquet(s"$outDir/data")
       .select(col("doc_id"), col("lang"), col("n_words"), col("split"))
@@ -444,6 +477,26 @@ object CurateStream {
 
   private def xsCurateStream(spark: SparkSession, dir: String): DataFrame =
     runThreeDrops(spark, dir, None)
+
+  /** The CCNet quality gate IN-STREAM, driver-oracled: the LM is
+    * trained ONCE offline (the shared `biglm-a1-cd` [[graft.operators.TokenizerStore]]
+    * warehouse artifact — the same frozen model `xt_bigram_lm_persisted`
+    * and `xc_perplexity_bucket` serve), then the three ordered drops
+    * stream through curation with the gate at cross-entropy < 3.41
+    * (the bucket tier's tail cutoff: head+middle kept — the CCNet
+    * training recipe). Stream-vs-batch parity is EXACT, not
+    * clique-conditional like near-dup: the score is a pure function of
+    * each doc's normalized text against the frozen tables, so batching
+    * cannot move it, and an exact dup of a gated-out doc gates out
+    * identically in any later batch. The oracle is the batch curation
+    * SQL ∩ the full-corpus LM score filter. */
+  private def xsCurateLmGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tokDir = graft.operators.TokenizerStore.ensureTokenizerFor(spark,
+      s"$dir/documents.parquet", "biglm-a1-cd",
+      d => graft.operators.TokenizerStore.trainBigramLm(docs, d))
+    runThreeDrops(spark, dir, None, lmGate = Some((tokDir, 3.41)))
+  }
 
   /** Near-dup parity, driver-oracled: same three ordered drops, near-dup
     * elimination at J ≥ 0.8 on — the accumulated stream output must
@@ -481,6 +534,30 @@ object CurateStream {
       |       ELSE 'test' END AS split
       |FROM rep WHERE n_words >= 30 AND dwf <= 0.5
       |ORDER BY doc_id""".stripMargin
+
+  /** [[xsCurateStreamSql]] ∩ the LM gate: the trained-on-full-corpus
+    * bigram score (the same SQL the xt_bigram_lm oracle runs, as a
+    * subquery) filtered at the tail cutoff. */
+  private val xsCurateLmGateSql =
+    s"""WITH keep AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents
+       |  GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))),
+       |rep AS (
+       |  SELECT doc_id, lang, len(w) AS n_words,
+       |    (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE) AS dwf
+       |  FROM (SELECT doc_id, lang,
+       |          string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') w
+       |        FROM documents WHERE doc_id IN (SELECT doc_id FROM keep))),
+       |lmok AS (
+       |  SELECT doc_id FROM (${graft.operators.TextAnalysis.bigramLmScoreSql})
+       |  WHERE cross_entropy < 3.41)
+       |SELECT doc_id, lang, CAST(n_words AS INTEGER) AS n_words,
+       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+       |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM rep WHERE n_words >= 30 AND dwf <= 0.5
+       |  AND doc_id IN (SELECT doc_id FROM lmok)
+       |ORDER BY doc_id""".stripMargin
 
   /** Batch near-dup curation in SQL: exact keep-first → repetition
     * filter → drop any doc with a smaller-id near-dup (word-5-shingle
@@ -614,6 +691,7 @@ object CurateStream {
 
   val all: Seq[Declared] = Seq(
     Declared("xs_curate_stream", xsCurateStream, Some(xsCurateStreamSql)),
+    Declared("xs_curate_lm_gate", xsCurateLmGate, Some(xsCurateLmGateSql)),
     Declared("xs_curate_stream_neardup", xsCurateStreamNeardup, Some(xsCurateStreamNeardupSql)),
     Declared("xs_curate_index", xsCurateIndex, Some(xsCurateIndexSql)),
     Declared("xs_curate_to_index", xsCurateToIndex, Some(xsCurateToIndexSql)))

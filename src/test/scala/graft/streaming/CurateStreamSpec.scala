@@ -458,6 +458,55 @@ class CurateStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("lmGate drops exactly the frozen-model tail in-stream; a gated doc's later exact dup gates identically") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val root = java.nio.file.Files.createTempDirectory("curate-lmgate").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    // the frozen model: trained ONCE, offline, on the full fixture —
+    // the shared warehouse artifact the persisted rows serve
+    val tokDir = graft.operators.TokenizerStore.ensureTokenizerFor(spark,
+      s"${sf("sf0.001")}/documents.parquet", "biglm-a1-cd",
+      d => graft.operators.TokenizerStore.trainBigramLm(docs, d))
+    val maxCe = 3.41
+    def pass() = CurateStream.runOnce(spark, s"$inDir/*", outDir, ck,
+      lmGate = Some((tokDir, maxCe)))
+    val r = docs.agg(min($"doc_id"), max($"doc_id")).head
+    val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    docs.filter($"doc_id" <= cut).coalesce(1).write.parquet(s"$inDir/d0.parquet")
+    pass()
+    docs.filter($"doc_id" > cut).coalesce(1).write.parquet(s"$inDir/d1.parquet")
+    pass()
+    val kept = spark.read.parquet(s"$outDir/data")
+      .select("doc_id").as[Long].collect().toSet
+    // expectation: the ungated batch-curation survivors ∩ the frozen
+    // model's head+middle buckets (score < maxCe) — computed from the
+    // SAME frozen artifact, so this pins the gate's semantics, and the
+    // DuckDB oracle (xs_curate_lm_gate) independently pins the values
+    val ungated = graft.operators.Curation.curate(docs)
+      .select("doc_id").as[Long].collect().toSet
+    val lmok = graft.operators.TokenizerStore.scoreBigramLm(docs, tokDir)
+      .filter($"cross_entropy" < maxCe).select("doc_id").as[Long].collect().toSet
+    assert(kept == (ungated & lmok),
+      s"gate mismatch: ${(kept -- (ungated & lmok)).take(5)} extra, " +
+        s"${((ungated & lmok) -- kept).take(5)} missing")
+    assert((ungated -- lmok).nonEmpty, "fixture should have a non-empty tail bucket")
+    // a gated-out doc re-posted verbatim under a NEW id in a later
+    // batch: identical normalized text → identical frozen-model score →
+    // gated identically (no key-store interaction can admit it, because
+    // the original never entered the key store)
+    val gatedOut = (ungated -- lmok).min
+    val text = docs.filter($"doc_id" === gatedOut).select("text").head.getString(0)
+    Seq((999999L, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$inDir/d2.parquet")
+    pass()
+    val kept2 = spark.read.parquet(s"$outDir/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == kept, "a dup of a gated-out doc must gate identically")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("startCurateAndIndex rebuildWhen: drifted documents rebuild the index from the re-vectorized curated store") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("curate-drift").toString
