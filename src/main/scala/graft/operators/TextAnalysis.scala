@@ -1337,6 +1337,32 @@ object TextAnalysis {
         col("n_bpe_tokens").cast(DoubleType) / col("n_words"))
   }
 
+  /** Per-word token-ID sequences under a frozen merge table + vocab —
+    * the model-input shape ([[TokenizerStore.encodeBpeIds]] supplies
+    * both from the persisted artifact). `pos` is the word's index in
+    * the FULL token stream (gate gaps preserved), so document order is
+    * recoverable; ids are CSV-serialized (the `xt_hash_vectorize`
+    * array-compare convention). */
+  private[operators] def bpeEncodeIdsWith(docs: DataFrame,
+      merges: Seq[(String, String)], vocab: Map[String, Int]): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+    var sym: Column = concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+    for ((pair, merged) <- merges) {
+      val pat = lit(" " + pair + " ")
+      val rep = lit(" " + merged + " ")
+      sym = replace(replace(sym, pat, rep), pat, rep)
+    }
+    val syms = split(trim(sym), " ")
+    words
+      .withColumn("pos", col("pos").cast(IntegerType))
+      .withColumn("n_sym", size(syms).cast(IntegerType))
+      .withColumn("ids", concat_ws(",",
+        transform(syms, s => element_at(typedLit(vocab), s).cast(StringType))))
+      .select(col("doc_id"), col("pos"), col("word"), col("n_sym"), col("ids"))
+  }
+
   private def xtBpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncodeStats(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
 
@@ -1387,6 +1413,61 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The complete tokenizer chain to MODEL INPUT: frozen artifact →
+    * per-word token-id sequences — shares the `bpe-r8v256` warehouse
+    * artifact with `xt_bpe_encode_persisted` (one training, two
+    * consumers). The oracle re-learns the merges as CTEs, carries
+    * (pos, word) through the encode chain, derives the SAME id
+    * assignment (chars 0–35, merge r → 36+r, first-wins on surface
+    * collision via MIN(id)), and looks ids up through a one-row map. */
+  private def xtBpeIds(spark: SparkSession, dir: String): DataFrame = {
+    val tokDir = TokenizerStore.ensureTokenizerFor(spark,
+      s"$dir/documents.parquet", "bpe-r8v256",
+      d => TokenizerStore.trainBpe(Tables.load(spark, dir, "documents"), d, 8, 256))
+    TokenizerStore.encodeBpeIds(Tables.load(spark, dir, "documents"), tokDir)
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  private val xtBpeIdsSql = {
+    val (rounds, cap) = (8, 256)
+    val encodeCtes = (0 until rounds).map { r =>
+      s"""f${r + 1} AS (
+         |  SELECT doc_id, pos, word, CASE WHEN m.pr IS NULL THEN sym ELSE
+         |    replace(replace(sym,
+         |      ' ' || m.pr || ' ', ' ' || replace(m.pr, ' ', '') || ' '),
+         |      ' ' || m.pr || ' ', ' ' || replace(m.pr, ' ', '') || ' ') END AS sym
+         |  FROM f$r LEFT JOIN m$r m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    val charVals = (('a' to 'z') ++ ('0' to '9')).zipWithIndex
+      .map { case (c, i) => s"('$c',$i)" }.mkString(",")
+    val mergeUnion = (0 until rounds).map(r => s"SELECT rank, pr FROM m$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeRoundsCtes(rounds, cap)},
+       |pw AS (
+       |  SELECT doc_id, CAST(u['p'] AS INTEGER) AS pos, u['w'] AS word
+       |  FROM (SELECT doc_id,
+       |          unnest([{'p': i, 'w': w[i+1]} for i in range(len(w))]) AS u
+       |        FROM (SELECT doc_id,
+       |                string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+       |              FROM documents))
+       |  WHERE regexp_full_match(u['w'], '[a-z0-9]+')),
+       |f0 AS (
+       |  SELECT doc_id, pos, word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym FROM pw),
+       |$encodeCtes,
+       |chars AS (SELECT * FROM (VALUES $charVals) c(sym, id)),
+       |mvocab AS (SELECT replace(pr, ' ', '') AS sym, 36 + rank AS id FROM ($mergeUnion)),
+       |vocab AS (
+       |  SELECT sym, MIN(id) AS id
+       |  FROM (SELECT * FROM chars UNION ALL SELECT * FROM mvocab) GROUP BY sym),
+       |vm AS (SELECT map(list(sym ORDER BY id), list(id ORDER BY id)) AS m FROM vocab)
+       |SELECT doc_id, pos, word,
+       |  CAST(len(string_split(trim(sym), ' ')) AS INTEGER) AS n_sym,
+       |  array_to_string(list_transform(string_split(trim(sym), ' '),
+       |    s -> map_extract(vm.m, s)[1]), ',') AS ids
+       |FROM f$rounds CROSS JOIN vm
+       |ORDER BY doc_id, pos""".stripMargin
+  }
+
   private val Bm25Terms = Seq("join", "window", "stream")
 
   private def xtBm25(spark: SparkSession, dir: String): DataFrame =
@@ -1430,6 +1511,7 @@ object TextAnalysis {
     Declared("xt_bpe_merges", xtBpeMerges, Some(xtBpeMergesSql)),
     Declared("xt_bpe_encode", xtBpeEncode, Some(xtBpeEncodeSql)),
     Declared("xt_bpe_encode_persisted", xtBpeEncodePersisted, Some(xtBpeEncodeSql)),
+    Declared("xt_bpe_ids", xtBpeIds, Some(xtBpeIdsSql)),
     Declared("x3_token_freq", x3TokenFreq, Some(x3TokenFreqSql)),
     Declared("x4_approx_distinct", x4Approx, Some(x4ApproxSql)),
     Declared("x4_hll_union", x4HllUnion, Some(x4HllUnionSql)),

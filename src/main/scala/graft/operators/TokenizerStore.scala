@@ -82,6 +82,32 @@ object TokenizerStore {
   def encodeBpe(docs: DataFrame, dir: String): DataFrame =
     TextAnalysis.bpeEncodeWith(docs, loadMerges(docs.sparkSession, dir))
 
+  /** The artifact's token-ID vocabulary — the id assignment is part of
+    * the tokenizer contract (an id means nothing unless every consumer
+    * derives it identically): base characters `a..z0..9` take ids
+    * 0–35 in that fixed order, merge rank r takes id 36+r. Two merges
+    * whose concatenations collide on the same SURFACE string (("ab","c")
+    * and ("a","bc") both yield "abc") are indistinguishable in the
+    * symbol text, so the surface keeps its FIRST (lowest-rank) id. */
+  def bpeVocab(spark: SparkSession, dir: String): Map[String, Int] = {
+    val chars = (('a' to 'z') ++ ('0' to '9')).map(_.toString).zipWithIndex.toMap
+    loadMerges(spark, dir).zipWithIndex.foldLeft(chars) {
+      case (m, ((_, merged), r)) =>
+        if (m.contains(merged)) m else m + (merged -> (36 + r))
+    }
+  }
+
+  /** Encode to the MODEL-INPUT shape: per word (doc order preserved via
+    * the token position), the frozen tokenizer's token-id sequence —
+    * what sequence packing actually consumes downstream. Map-only after
+    * one word explode: the replace-chain encode plus a literal-map id
+    * lookup, all whole-stage codegen, no training, no shuffle beyond
+    * the explode. */
+  def encodeBpeIds(docs: DataFrame, dir: String): DataFrame = {
+    val spark = docs.sparkSession
+    TextAnalysis.bpeEncodeIdsWith(docs, loadMerges(spark, dir), bpeVocab(spark, dir))
+  }
+
   // -------------------------------------------------- bigram LM (CCNet)
   /** Train the Laplace-smoothed bigram LM on the `trainHi` hash-split
     * bucket of `docs` and persist the model: the two vocabulary-bounded

@@ -52,6 +52,34 @@ class TokenizerStoreSpec extends SparkSpec {
     assert(TokenizerStore.loadMerges(spark, dir) == merges)
   }
 
+  test("token-id sequences decode back to their words; counts agree with the stats row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tok-ids").toString
+    TokenizerStore.trainBpe(docs, dir, 8, 256)
+    val vocab = TokenizerStore.bpeVocab(spark, dir)
+    // ids are unique (first-wins collision policy keeps the map a
+    // bijection onto its id range), so decoding is well-defined
+    assert(vocab.values.toSeq.distinct.size == vocab.size)
+    val inv = vocab.map(_.swap)
+    val rows = TokenizerStore.encodeBpeIds(docs, dir)
+      .select($"doc_id", $"word", $"n_sym", $"ids")
+      .as[(Long, String, Int, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, word, nSym, ids) =>
+      val seq = ids.split(",").map(_.toInt)
+      assert(seq.length == nSym)
+      // LOSSLESS: the id sequence concatenates back to the exact word —
+      // the property that makes it model input rather than a statistic
+      assert(seq.map(inv).mkString == word, s"$word decoded wrong: $ids")
+    }
+    // and the pricing row is the aggregate of the id rows: per doc,
+    // sum(n_sym) must equal encodeBpe's n_bpe_tokens
+    val fromIds = rows.groupBy(_._1).view.mapValues(_.map(_._3.toLong).sum).toMap
+    val stats = TokenizerStore.encodeBpe(docs, dir)
+      .select($"doc_id", $"n_bpe_tokens").as[(Long, Long)].collect().toMap
+    assert(fromIds == stats)
+  }
+
   test("scoring refuses a missing or torn artifact instead of silently skipping the model") {
     val dir = java.nio.file.Files.createTempDirectory("tok-torn").toString
     val e = intercept[IllegalArgumentException] {
@@ -68,8 +96,11 @@ class TokenizerStoreSpec extends SparkSpec {
 
   test("ensureTokenizerFor trains once and reuses the warehouse artifact") {
     var trains = 0
+    // fresh tag per run: the warehouse marker survives ACROSS JVMs by
+    // design, so a fixed tag would find the previous run's artifact
+    val tag = s"spec-bpe-${java.util.UUID.randomUUID().toString.take(8)}"
     def ensure() = TokenizerStore.ensureTokenizerFor(spark,
-      s"${sf("sf0.001")}/documents.parquet", "spec-bpe",
+      s"${sf("sf0.001")}/documents.parquet", tag,
       d => { trains += 1; TokenizerStore.trainBpe(docs, d, 8, 256) })
     val d1 = ensure()
     assert(trains == 1)
