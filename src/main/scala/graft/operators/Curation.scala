@@ -593,20 +593,31 @@ object Curation {
     * prefix sums — so sketch precision only affects balance, never
     * correctness. */
   def pack(docs: DataFrame, seqLen: Int = 512, buckets: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = docs.select(col("doc_id"), size(tokens(col("text"))).as("n_words"))
+    packOffsets(d, "n_words", buckets)
+      .select(col("doc_id"), col("n_words"), col("offset_tokens"),
+        expr(s"offset_tokens DIV $seqLen").as("seq_id"))
+  }
+
+  /** Global doc-order prefix sum of `nCol` WITHOUT a global sort — the
+    * [[pack]] machinery, factored so any token-accounting column can
+    * ride it ([[packIds]] uses BPE token counts): bucket by doc_id
+    * quantile cuts, per-bucket window prefix sums, bucket base offsets
+    * via a `buckets`-row collect. Returns the input plus
+    * `offset_tokens` (empty input → empty output, schema preserved). */
+  private[operators] def packOffsets(d: DataFrame, nCol: String,
+      buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cuts = packCuts(d, buckets)
-    if (cuts.isEmpty)
-      return d.limit(0).select(col("doc_id"), col("n_words"),
-        lit(0L).as("offset_tokens"), lit(0L).as("seq_id"))
+    if (cuts.isEmpty) return d.limit(0).withColumn("offset_tokens", lit(0L))
     // bucket id = number of boundary cuts strictly below doc_id: a chain
     // of `buckets`−1 codegen'd comparisons, no division, no overflow.
     val db = d.withColumn("_b",
       cuts.map(c => when(col("doc_id") > c, 1L).otherwise(0L))
         .reduceOption(_ + _).getOrElse(lit(0L)).cast(LongType))
-    val spark = docs.sparkSession
+    val spark = d.sparkSession
     import spark.implicits._
-    val totals = db.groupBy(col("_b")).agg(sum(col("n_words")).as("t"))
+    val totals = db.groupBy(col("_b")).agg(sum(col(nCol)).as("t"))
       .as[(Long, Long)].collect().sortBy(_._1)
     val offs = totals.scanLeft((-1L, 0L)) {
       case ((_, acc), (b, t)) => (b, acc + t)
@@ -616,9 +627,8 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, -1)
     db.join(broadcast(offDf), Seq("_b"))
       .withColumn("offset_tokens",
-        col("_boff") + coalesce(sum(col("n_words")).over(w), lit(0L)))
-      .select(col("doc_id"), col("n_words"), col("offset_tokens"),
-        expr(s"offset_tokens DIV $seqLen").as("seq_id"))
+        col("_boff") + coalesce(sum(col(nCol)).over(w), lit(0L)))
+      .drop("_b", "_boff")
   }
 
   /** Interior bucket boundaries for [[pack]]: the 1/b … (b−1)/b doc_id
@@ -636,6 +646,86 @@ object Curation {
   private def xcPack(spark: SparkSession, dir: String): DataFrame =
     pack(Tables.load(spark, dir, "documents"))
       .orderBy(col("doc_id"))
+
+  // ------------------------------------------------- sequence packing
+  /** Pack the corpus's TOKEN-ID stream into fixed-length training
+    * sequences — the last stage before a training job reads the data:
+    * each doc's frozen-tokenizer ids ([[TokenizerStore.encodeBpeIds]])
+    * plus one EOS separator (id = vocab size, the first free id),
+    * concatenated in doc_id order and cut every `seqLen` tokens (the
+    * GPT-style packed-sequence layout; the tail sequence keeps its
+    * short length). Docs with no gated words contribute nothing.
+    *
+    * 100 TB shape: per-doc id streams come from one word-level
+    * aggregation (per-doc sorted collect of ≤doc-length word arrays —
+    * bounded by document size, never corpus); global token offsets ride
+    * [[packOffsets]]'s bucketed prefix sum (no global sort, one
+    * `buckets`-row collect); the final explode shuffles one row per
+    * token ONCE, keyed on seq_id — the honest cost of materializing
+    * training sequences, and exactly the shuffle a packing job exists
+    * to pay. Output is sequence-count-sized. */
+  def packIds(docs: DataFrame, tokDir: String, seqLen: Int = 512,
+      buckets: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    val eos = TokenizerStore.bpeVocab(spark, tokDir).size
+    val perDoc = TokenizerStore.encodeBpeIds(docs, tokDir)
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"), col("ids")))),
+          x => x.getField("ids"))).as("docids"),
+        (sum(col("n_sym")) + 1L).as("n"))
+      .withColumn("docids", concat(col("docids"), lit(s",$eos")))
+    packOffsets(perDoc, "n", buckets)
+      .select(col("offset_tokens"),
+        posexplode(split(col("docids"), ",")).as(Seq("k", "id")))
+      .withColumn("gpos", col("offset_tokens") + col("k"))
+      .groupBy(expr(s"gpos DIV $seqLen").as("seq_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_tokens"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("gpos"), col("id")))),
+          x => x.getField("id"))).as("ids"))
+  }
+
+  /** Packed from the shared frozen `bpe-r8v256` artifact (third
+    * consumer of one training). The oracle rebuilds the id stream in
+    * SQL — the shared bpe-ids CTEs, per-doc flatten + EOS append, a
+    * global running-sum offset (fine in DuckDB; Spark avoids the
+    * global sort via the bucketed prefix sum), unnest with ordinality,
+    * and GROUP BY gpos // seqLen. */
+  private def xcPackIds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tokDir = TokenizerStore.ensureTokenizerFor(spark,
+      s"$dir/documents.parquet", "bpe-r8v256",
+      d => TokenizerStore.trainBpe(docs, d, 8, 256))
+    packIds(docs, tokDir).orderBy(col("seq_id"))
+  }
+
+  private val xcPackIdsSql = {
+    val rounds = 8
+    s"""WITH ${TextAnalysis.bpeIdsCtes(rounds, 256)},
+       |eos AS (SELECT 36 + COUNT(DISTINCT sym) AS e FROM mvocab),
+       |docids AS (
+       |  SELECT doc_id,
+       |    list_append(flatten(list(
+       |      list_transform(string_split(trim(sym), ' '), t -> map_extract(vm.m, t)[1])
+       |      ORDER BY pos)), (SELECT e FROM eos)) AS ids
+       |  FROM f$rounds CROSS JOIN vm GROUP BY doc_id),
+       |offs AS (
+       |  SELECT doc_id, ids,
+       |    COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+       |  FROM docids),
+       |tok AS (
+       |  SELECT o + u['i'] AS gpos, u['v'] AS id
+       |  FROM (SELECT o, unnest([{'i': i, 'v': ids[i+1]} for i in range(len(ids))]) AS u
+       |        FROM offs))
+       |SELECT CAST(gpos // 512 AS BIGINT) AS seq_id,
+       |  CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY gpos) AS ids
+       |FROM tok GROUP BY 1
+       |ORDER BY seq_id""".stripMargin
+  }
 
   private val xcPackSql =
     """SELECT doc_id, n_words, offset_tokens, offset_tokens // 512 AS seq_id
@@ -1179,6 +1269,7 @@ object Curation {
     Declared("xc_upsample", xcUpsample, Some(xcUpsampleSql)),
     Declared("xc_quantize", xcQuantize, Some(xcQuantizeSql)),
     Declared("xc_pack", xcPack, Some(xcPackSql)),
+    Declared("xc_pack_ids", xcPackIds, Some(xcPackIdsSql)),
     Declared("xc_shard", xcShard, Some(xcShardSql)),
     Declared("xc_keep_best", xcKeepBest, Some(xcKeepBestSql)),
     Declared("xc_substring_keep_best", xcSubstringKeepBest, Some(xcSubstringKeepBestSql)),

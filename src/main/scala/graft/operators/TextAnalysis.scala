@@ -1428,8 +1428,11 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("pos"))
   }
 
-  private val xtBpeIdsSql = {
-    val (rounds, cap) = (8, 256)
+  /** Everything through the per-word encoded symbols (`f<rounds>`: one
+    * row per gated word carrying doc_id/pos/word/sym) plus the derived
+    * id vocabulary (`vocab`/`vm`): the shared oracle base for
+    * `xt_bpe_ids` and [[Curation]]'s `xc_pack_ids`. */
+  private[graft] def bpeIdsCtes(rounds: Int = 8, cap: Int = 256): String = {
     val encodeCtes = (0 until rounds).map { r =>
       s"""f${r + 1} AS (
          |  SELECT doc_id, pos, word, CASE WHEN m.pr IS NULL THEN sym ELSE
@@ -1442,7 +1445,7 @@ object TextAnalysis {
       .map { case (c, i) => s"('$c',$i)" }.mkString(",")
     val mergeUnion = (0 until rounds).map(r => s"SELECT rank, pr FROM m$r")
       .mkString(" UNION ALL ")
-    s"""WITH ${bpeRoundsCtes(rounds, cap)},
+    s"""${bpeRoundsCtes(rounds, cap)},
        |pw AS (
        |  SELECT doc_id, CAST(u['p'] AS INTEGER) AS pos, u['w'] AS word
        |  FROM (SELECT doc_id,
@@ -1459,7 +1462,12 @@ object TextAnalysis {
        |vocab AS (
        |  SELECT sym, MIN(id) AS id
        |  FROM (SELECT * FROM chars UNION ALL SELECT * FROM mvocab) GROUP BY sym),
-       |vm AS (SELECT map(list(sym ORDER BY id), list(id ORDER BY id)) AS m FROM vocab)
+       |vm AS (SELECT map(list(sym ORDER BY id), list(id ORDER BY id)) AS m FROM vocab)""".stripMargin
+  }
+
+  private val xtBpeIdsSql = {
+    val rounds = 8
+    s"""WITH ${bpeIdsCtes(rounds, 256)}
        |SELECT doc_id, pos, word,
        |  CAST(len(string_split(trim(sym), ' ')) AS INTEGER) AS n_sym,
        |  array_to_string(list_transform(string_split(trim(sym), ' '),

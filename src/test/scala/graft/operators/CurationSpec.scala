@@ -381,6 +381,40 @@ class CurationSpec extends SparkSpec {
     assert(s1.sortBy(_._1).toSeq == s2.sortBy(_._1).toSeq)
   }
 
+  test("packIds cuts the EOS-separated id stream into exact fixed-length sequences") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val dir = java.nio.file.Files.createTempDirectory("tok-pack").toString
+    TokenizerStore.trainBpe(docs, dir, 8, 256)
+    val seqLen = 512
+    val seqs = Curation.packIds(docs, dir, seqLen)
+      .orderBy($"seq_id")
+      .select($"seq_id", $"n_tokens", $"ids")
+      .as[(Long, Int, String)].collect()
+    assert(seqs.nonEmpty)
+    // sequence ids are dense from 0; every sequence but the last is
+    // EXACTLY seqLen; the tail keeps its short remainder
+    assert(seqs.map(_._1).toSeq == seqs.indices.map(_.toLong))
+    seqs.init.foreach { case (sid, n, ids) =>
+      assert(n == seqLen && ids.split(",").length == seqLen, s"seq $sid: $n")
+    }
+    assert(seqs.last._2 <= seqLen && seqs.last._2 == seqs.last._3.split(",").length)
+    // conservation: total packed tokens = sum over docs of (tokens + EOS)
+    val perDoc = TokenizerStore.encodeBpe(docs, dir)
+      .agg(sum($"n_bpe_tokens"), count(lit(1))).head
+    val expected = perDoc.getLong(0) + perDoc.getLong(1)
+    assert(seqs.map(_._2.toLong).sum == expected)
+    // the stream is doc_id-ordered: the first doc's first word's ids
+    // open sequence 0, and an EOS (the first free id = vocab size)
+    // separates docs — count of EOS tokens equals the doc count
+    val eos = TokenizerStore.bpeVocab(spark, dir).size.toString
+    assert(seqs.iterator.flatMap(_._3.split(",")).count(_ == eos) == perDoc.getLong(1))
+    val firstWordIds = TokenizerStore.encodeBpeIds(docs, dir)
+      .orderBy($"doc_id", $"pos").select($"ids").head.getString(0)
+    assert(seqs.head._3.startsWith(firstWordIds))
+  }
+
   test("perplexityBuckets partitions every scored doc into exactly one CCNet bucket") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
