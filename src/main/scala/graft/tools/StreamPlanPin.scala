@@ -77,6 +77,28 @@ object StreamPlanPin {
       Dedup.lshCandidates(shingled).queryExecution.executedPlan)
   }
 
+  /** The xs_curate_lm_gate per-batch core: the quality gate's scoring
+    * semi-join against the FROZEN TokenizerStore tables, as built every
+    * trigger — the plan must stay (left-semi over (bigram window →
+    * two broadcast joins against the frozen count parquet → 1-row
+    * vocab BNLJ)); a flip of the frozen-table joins to shuffle inside
+    * the per-batch plan is exactly the drift this pin catches. */
+  private def curateBatchLmGate(spark: SparkSession): String = {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "beta gamma delta epsilon"),
+      (3L, "gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pin-lmgate").toString
+    graft.operators.TokenizerStore.trainBigramLm(docs, dir)
+    val gated = docs.join(
+      graft.operators.TokenizerStore.scoreBigramLm(docs, dir)
+        .filter(col("cross_entropy") < 99).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    PlanPin.skeletonOf(gated.queryExecution.executedPlan)
+  }
+
   def currentSkeletons(spark: SparkSession): Seq[(String, String)] = Seq(
     "s1_tumbling_window_microbatch" ->
       microBatchSkeleton(spark, EventStreams.tumbling, "complete"),
@@ -88,7 +110,8 @@ object StreamPlanPin {
       microBatchSkeleton(spark, EventStreams.windowDistinctUsers, "complete"),
     "s3_dedup_microbatch" ->
       microBatchSkeleton(spark, EventStreams.dedupStream, "append"),
-    "xs_curate_batch_neardup" -> curateBatchNearDup(spark))
+    "xs_curate_batch_neardup" -> curateBatchNearDup(spark),
+    "xs_curate_batch_lmgate" -> curateBatchLmGate(spark))
 }
 
 /** Regenerate STREAMPINS.txt after an intentional streaming-plan change. */
