@@ -651,10 +651,17 @@ object Curation {
   /** Pack the corpus's TOKEN-ID stream into fixed-length training
     * sequences — the last stage before a training job reads the data:
     * each doc's frozen-tokenizer ids ([[TokenizerStore.encodeBpeIds]])
-    * plus one EOS separator (id = vocab size, the first free id),
-    * concatenated in doc_id order and cut every `seqLen` tokens (the
-    * GPT-style packed-sequence layout; the tail sequence keeps its
-    * short length). Docs with no gated words contribute nothing.
+    * plus one EOS separator, concatenated in doc_id order and cut
+    * every `seqLen` tokens (the GPT-style packed-sequence layout; the
+    * tail sequence keeps its short length). Docs with no gated words
+    * contribute nothing.
+    *
+    * EOS id = 36 + MERGE COUNT — one past the highest id the
+    * assignment scheme can mint (merge rank r holds 36+r) — NOT the
+    * vocab-map size: when two merges collide on a surface string the
+    * map is smaller than the id range, and a size-derived EOS would
+    * equal the last merge's real token id, silently aliasing document
+    * boundaries with content (review r14).
     *
     * 100 TB shape: per-doc id streams come from one word-level
     * aggregation (per-doc sorted collect of ≤doc-length word arrays —
@@ -667,7 +674,13 @@ object Curation {
   def packIds(docs: DataFrame, tokDir: String, seqLen: Int = 512,
       buckets: Int = 32): DataFrame = {
     val spark = docs.sparkSession
-    val eos = TokenizerStore.bpeVocab(spark, tokDir).size
+    val eos = 36 + TokenizerStore.loadMerges(spark, tokDir).size
+    // localCheckpoint, not recompute: THIS lineage (encode chain + a
+    // corpus-wide groupBy/collect_list) is consumed three times —
+    // packOffsets' quantile sketch, its bucket-totals collect, and the
+    // final explode job — and unlike the cheap map-only lineages the
+    // BigramMatSweep measured, materializing it wins here (review r14;
+    // measured at sf0.1 in BENCHNOTES)
     val perDoc = TokenizerStore.encodeBpeIds(docs, tokDir)
       .groupBy(col("doc_id"))
       .agg(
@@ -676,6 +689,7 @@ object Curation {
           x => x.getField("ids"))).as("docids"),
         (sum(col("n_sym")) + 1L).as("n"))
       .withColumn("docids", concat(col("docids"), lit(s",$eos")))
+      .localCheckpoint()
     packOffsets(perDoc, "n", buckets)
       .select(col("offset_tokens"),
         posexplode(split(col("docids"), ",")).as(Seq("k", "id")))
@@ -704,7 +718,7 @@ object Curation {
   private val xcPackIdsSql = {
     val rounds = 8
     s"""WITH ${TextAnalysis.bpeIdsCtes(rounds, 256)},
-       |eos AS (SELECT 36 + COUNT(DISTINCT sym) AS e FROM mvocab),
+       |eos AS (SELECT 36 + COUNT(*) AS e FROM mvocab),
        |docids AS (
        |  SELECT doc_id,
        |    list_append(flatten(list(

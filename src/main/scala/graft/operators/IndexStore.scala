@@ -296,9 +296,17 @@ object IndexStore {
         ids("codes"), ids("tombstones"), root.path("subsumed").asLong(0L),
         root.path("built").asLong(0L))
     } catch {
+      // the remedy must NOT be "rebuild with buildIvfPq": buildIvfPq
+      // itself parses the prior manifest (for the tombstone guard and
+      // the id namespace), so that instruction would loop right back
+      // here (review r14). Deleting the manifest first is the real
+      // escape — stated with its cost.
       case e: Exception => throw new IllegalStateException(
         s"IndexStore: $p is unparseable (${e.getMessage}) — external corruption; " +
-          "restore it or rebuild the index with buildIvfPq", e)
+          "restore it from a backup, or delete it and rebuild with buildIvfPq " +
+          "(deleting the manifest forfeits any pending tombstones: vectors " +
+          "deleted but not yet compacted away would re-enter the rebuilt index " +
+          "unless the rebuild corpus is pre-filtered)", e)
     }
   }
 
@@ -767,14 +775,18 @@ object IndexStore {
     val ixDir = s"${sys.props("java.io.tmpdir")}/graft-$family-$tag-" +
       fp.replaceAll("[^A-Za-z0-9]", "-")
     val marker = new org.apache.hadoop.fs.Path(s"$ixDir/_graft_fingerprint")
-    val ok = fs.exists(marker) && {
-      val in = fs.open(marker)
+    // the marker lives in the LOCAL warehouse regardless of where the
+    // source fixture lives — resolve its filesystem from its own path,
+    // not the (possibly remote) fixture's (review r14)
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ok = mfs.exists(marker) && {
+      val in = mfs.open(marker)
       val read = try scala.io.Source.fromInputStream(in).mkString finally in.close()
       read == fp
     }
     if (!ok) {
       build(ixDir)
-      val out = fs.create(marker, true)
+      val out = mfs.create(marker, true)
       try out.write(fp.getBytes("UTF-8")) finally out.close()
     }
     ixDir

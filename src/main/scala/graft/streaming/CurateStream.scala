@@ -167,6 +167,13 @@ object CurateStream {
     val filtered = lmGate match {
       case None => repFiltered
       case Some((tokDir, maxCe)) =>
+        // a doc with < 2 words has NO bigrams, hence no score row, and
+        // the semi-join below would silently treat its UNDEFINED
+        // perplexity as tail — refuse the config instead of guessing
+        // (review r14); at the default minWords = 30 this never fires
+        require(minWords >= 2,
+          s"CurateStream: lmGate needs minWords >= 2 (got $minWords) — " +
+            "a single-word doc has no bigrams and no defined perplexity")
         // the gate consumes the curation lineage twice (join left +
         // scoring input); recompute is DELIBERATE — persisting the
         // text-bearing frame measured SLOWER (warm mins 7.07 vs 6.18 s

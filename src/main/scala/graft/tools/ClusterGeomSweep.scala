@@ -34,6 +34,79 @@ object ClusterGeomSweep {
     rows.toDF("vec_id", "embedding").repartition(8)
   }
 
+  // --- the shared measurement harness (ONE copy: this sweep, the
+  // --- NprobeSweep, and ClusteredGeometrySpec's tripwire all pin the
+  // --- SAME computation — a tolerance or raw-path fix here moves all
+  // --- three in lockstep; review r14)
+  private[operators] def l2(p: Array[Float], c: Array[Float]): Double = {
+    var pp = 0.0; var pc = 0.0; var cc = 0.0; var i = 0
+    while (i < p.length) {
+      pp += p(i).toDouble * p(i); pc += p(i).toDouble * c(i)
+      cc += c(i).toDouble * c(i); i += 1
+    }
+    pp - 2.0 * pc + cc
+  }
+
+  /** True k-th-NN distance per probe (driver-side exact — sweep/spec
+    * corpora are small by design). */
+  private[operators] def kthDist(corpusArr: Array[(Long, Array[Float])],
+      corpus: Map[Long, Array[Float]], nProbes: Int, topK: Int): Map[Long, Double] =
+    (0L until nProbes.toLong).map { p =>
+      p -> corpusArr.map { case (_, cv) => l2(corpus(p), cv) }.sorted.apply(topK - 1)
+    }.toMap
+
+  /** Distance-tolerance recall@k (a hit = retrieved vector within
+    * (1+1e-9) of the true k-th-NN distance — the r12 adjudication:
+    * set-overlap is ill-conditioned under float association noise). */
+  private[operators] def recallTol(df: org.apache.spark.sql.DataFrame,
+      corpus: Map[Long, Array[Float]], dk: Map[Long, Double],
+      nProbes: Int, topK: Int): Double = {
+    val got = df.select(org.apache.spark.sql.functions.col("probe_id"),
+        org.apache.spark.sql.functions.col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.count { case (p, id) =>
+      l2(corpus(p), corpus(id)) <= dk(p) * (1 + 1e-9) + 1e-12
+    }.toDouble / (nProbes * topK)
+  }
+
+  /** The r12 RAW-vector IVF-PQ composition (pre-residual),
+    * reconstructed for A/Bs: raw-subvector train+encode, per-probe
+    * (not per-(probe,cluster)) LUTs. */
+  private[operators] def rawIvfPq(emb: org.apache.spark.sql.DataFrame,
+      probes: org.apache.spark.sql.DataFrame, nlist: Int, m: Int, k: Int,
+      iters: Int, nprobe: Int, topK: Int): org.apache.spark.sql.DataFrame = {
+    val (sub, books) = Similarity.pqTrain(emb, m, k, iters).get
+    val cents = Similarity.centroids(emb, nlist)
+    val codes = Similarity.pqEncode(Similarity.ivfAssignWith(emb, cents),
+        sub, books, keep = Seq("cluster"))
+      .withColumn("codes", array((0 until m).map(s => col(s"code_$s")): _*))
+    val pc = Similarity.ivfProbeClusters(probes, cents, nprobe)
+      .select(col("probe_id"), col("cluster"))
+    Similarity.adcRank(codes.join(broadcast(pc), Seq("cluster")),
+      probes, books, sub, topK)
+  }
+
+  private[operators] def mseOf(df: org.apache.spark.sql.DataFrame): Double =
+    df.agg(avg(col("err"))).head.getDouble(0)
+
+  /** Raw-path reconstruction MSE at (m, k, iters). */
+  private[operators] def mseRaw(emb: org.apache.spark.sql.DataFrame,
+      m: Int, k: Int, iters: Int): Double = {
+    val (sub, books) = Similarity.pqTrain(emb, m, k, iters).get
+    mseOf(Similarity.pqEncode(emb, sub, books))
+  }
+
+  /** Residual-path reconstruction MSE (pqEncodeD's err IS the full
+    * reconstruction error: x − (c + q(r)) = r − q(r)). */
+  private[operators] def mseResid(emb: org.apache.spark.sql.DataFrame,
+      nlist: Int, m: Int, k: Int, iters: Int): Double = {
+    val cents = Similarity.coarseCentroids(emb, nlist)
+    val resid = Similarity.ivfResiduals(emb, cents)
+    val (sub, books) = Similarity.pqTrainD(
+      resid.select(col("vec_id"), col("v")), m, k, iters).get
+    mseOf(Similarity.pqEncodeD(resid, sub, books))
+  }
+
   def main(a: Array[String]): Unit = {
     val spark = graft.core.GraftSession.builder("local[8]", 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -47,47 +120,15 @@ object ClusterGeomSweep {
       val probes = emb.filter(col("vec_id") < nProbes)
       val corpusArr = emb.as[(Long, Array[Float])].collect()
       val corpus = corpusArr.toMap
-      def l2(p: Array[Float], c: Array[Float]): Double = {
-        var pp = 0.0; var pc = 0.0; var cc = 0.0; var i = 0
-        while (i < p.length) { pp += p(i).toDouble * p(i); pc += p(i).toDouble * c(i); cc += c(i).toDouble * c(i); i += 1 }
-        pp - 2.0 * pc + cc
-      }
-      val dk = (0L until nProbes.toLong).map { p =>
-        p -> corpusArr.map { case (_, cv) => l2(corpus(p), cv) }.sorted.apply(topK - 1)
-      }.toMap
-      def recTol(df: org.apache.spark.sql.DataFrame): Double = {
-        val got = df.select($"probe_id", $"vec_id").as[(Long, Long)].collect()
-        got.count { case (p, id) => l2(corpus(p), corpus(id)) <= dk(p) * (1 + 1e-9) + 1e-12 }
-          .toDouble / (nProbes * topK)
-      }
-      // the r12 RAW-vector composition (RefineSweep's reconstruction)
-      def rawIvfPq() = {
-        val (sub, books) = Similarity.pqTrain(emb, m, k, iters).get
-        val cents = Similarity.centroids(emb, nlist)
-        val codes = Similarity.pqEncode(Similarity.ivfAssignWith(emb, cents),
-            sub, books, keep = Seq("cluster"))
-          .withColumn("codes", array((0 until m).map(s => col(s"code_$s")): _*))
-        val pc = Similarity.ivfProbeClusters(probes, cents, 4)
-          .select(col("probe_id"), col("cluster"))
-        Similarity.adcRank(codes.join(broadcast(pc), Seq("cluster")),
-          probes, books, sub, topK)
-      }
-      def mse(df: org.apache.spark.sql.DataFrame): Double =
-        df.agg(avg($"err")).head.getDouble(0)
-      val mseRaw = {
-        val (sub, books) = Similarity.pqTrain(emb, m, k, iters).get
-        mse(Similarity.pqEncode(emb, sub, books))
-      }
-      val mseResid = {
-        val cents = Similarity.coarseCentroids(emb, nlist)
-        val resid = Similarity.ivfResiduals(emb, cents)
-        val (sub, books) = Similarity.pqTrainD(resid.select(col("vec_id"), col("v")), m, k, iters).get
-        mse(Similarity.pqEncodeD(resid, sub, books))
-      }
-      val recRaw = recTol(rawIvfPq())
-      val recResid = recTol(
-        Similarity.ivfPqSearch(emb, probes, nlist, 4, m, k, iters, topK))
-      println(f"CLUSTERGEOM sigma=$sigma%.1f mseRAW=$mseRaw%.4f mseRESID=$mseResid%.4f " +
+      val dk = kthDist(corpusArr, corpus, nProbes, topK)
+      val recRaw = recallTol(
+        rawIvfPq(emb, probes, nlist, m, k, iters, 4, topK), corpus, dk, nProbes, topK)
+      val recResid = recallTol(
+        Similarity.ivfPqSearch(emb, probes, nlist, 4, m, k, iters, topK),
+        corpus, dk, nProbes, topK)
+      println(f"CLUSTERGEOM sigma=$sigma%.1f " +
+        f"mseRAW=${mseRaw(emb, m, k, iters)}%.4f " +
+        f"mseRESID=${mseResid(emb, nlist, m, k, iters)}%.4f " +
         f"recallRAW=$recRaw%.2f recallRESID=$recResid%.2f")
     }
     spark.stop()

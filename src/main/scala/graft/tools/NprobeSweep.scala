@@ -40,14 +40,7 @@ object NprobeSweep {
       val corpusArr = emb.as[(Long, Array[Float])].collect()
       val corpus = corpusArr.toMap
       val n = corpusArr.length
-      def l2(p: Array[Float], c: Array[Float]): Double = {
-        var pp = 0.0; var pc = 0.0; var cc = 0.0; var i = 0
-        while (i < p.length) { pp += p(i).toDouble * p(i); pc += p(i).toDouble * c(i); cc += c(i).toDouble * c(i); i += 1 }
-        pp - 2.0 * pc + cc
-      }
-      val dk = (0L until nProbes.toLong).map { p =>
-        p -> corpusArr.map { case (_, cv) => l2(corpus(p), cv) }.sorted.apply(topK - 1)
-      }.toMap
+      val dk = ClusterGeomSweep.kthDist(corpusArr, corpus, nProbes, topK)
       // cluster histogram (from the stored codes) + routes give the
       // exact candidate count per nprobe without re-running the join
       val man = IndexStore.readManifest(spark, dir)
@@ -60,19 +53,17 @@ object NprobeSweep {
         val candFrac = routes.map(_._3.map(c => hist.getOrElse(c, 0L)).sum).sum
           .toDouble / (nProbes.toLong * n)
         val t0 = System.nanoTime()
-        val got = IndexStore.searchIvfPq(spark, dir, probes, nprobe, topK)
-          .select($"probe_id", $"vec_id").as[(Long, Long)].collect()
+        val search = IndexStore.searchIvfPq(spark, dir, probes, nprobe, topK)
+        val rec = ClusterGeomSweep.recallTol(search, corpus, dk, nProbes, topK)
         val sec = (System.nanoTime() - t0) / 1e9
-        def rec(pairs: Array[(Long, Long)]): Double = pairs.count { case (p, id) =>
-          l2(corpus(p), corpus(id)) <= dk(p) * (1 + 1e-9) + 1e-12
-        }.toDouble / (nProbes * topK)
         // the refined tier (ADC shortlist → exact re-rank): quantization
         // noise is gone, so THIS is where routing becomes the binding
         // constraint and the nprobe knob shows its real curve
-        val refined = rec(Similarity.exactRerank(
-            IndexStore.searchIvfPq(spark, dir, probes, nprobe, 20), emb, probes, topK)
-          .select($"probe_id", $"vec_id").as[(Long, Long)].collect())
-        println(f"NPROBE $name nprobe=$nprobe%2d recall=${rec(got)}%.2f " +
+        val refined = ClusterGeomSweep.recallTol(
+          Similarity.exactRerank(
+            IndexStore.searchIvfPq(spark, dir, probes, nprobe, 20), emb, probes, topK),
+          corpus, dk, nProbes, topK)
+        println(f"NPROBE $name nprobe=$nprobe%2d recall=$rec%.2f " +
           f"refined=$refined%.2f candFrac=$candFrac%.3f serve=$sec%.2f s")
       }
     }

@@ -13,11 +13,13 @@ import graft.SparkSpec
   * shipped residual composition beats the r12 raw-vector path there:
   * the coarse quantizer absorbs between-cluster displacement and PQ
   * spends its budget on small within-cluster residuals. Measured via
-  * [[ClusterGeomSweep]] (sf-independent synthetic): residual 0.45 vs
-  * raw 0.22 distance-tolerance recall@5, MSE 20 % lower, stable
-  * across sigma ∈ {0.1, 0.3, 1.0}. A regression that quietly drops
-  * the residual mechanism (e.g. training codebooks on raw vectors
-  * again) fails here even though the fixture rows cannot see it. */
+  * [[ClusterGeomSweep]] (whose harness this spec SHARES — one copy of
+  * the tolerance/raw-path machinery, so the tripwire pins exactly the
+  * sweep's computation): residual 0.45 vs raw 0.22 distance-tolerance
+  * recall@5, MSE 20 % lower, stable across sigma ∈ {0.1, 0.3, 1.0}.
+  * A regression that quietly drops the residual mechanism (e.g.
+  * training codebooks on raw vectors again) fails here even though
+  * the fixture rows cannot see it. */
 class ClusteredGeometrySpec extends SparkSpec {
 
   test("on clustered geometry, residual IVFADC beats raw-vector PQ on recall and MSE") {
@@ -30,52 +32,22 @@ class ClusteredGeometrySpec extends SparkSpec {
     val probes = emb.filter(col("vec_id") < nProbes)
     val corpusArr = emb.as[(Long, Array[Float])].collect()
     val corpus = corpusArr.toMap
-    def l2(p: Array[Float], c: Array[Float]): Double = {
-      var pp = 0.0; var pc = 0.0; var cc = 0.0; var i = 0
-      while (i < p.length) { pp += p(i).toDouble * p(i); pc += p(i).toDouble * c(i); cc += c(i).toDouble * c(i); i += 1 }
-      pp - 2.0 * pc + cc
-    }
-    val dk = (0L until nProbes.toLong).map { p =>
-      p -> corpusArr.map { case (_, cv) => l2(corpus(p), cv) }.sorted.apply(topK - 1)
-    }.toMap
-    def recTol(df: org.apache.spark.sql.DataFrame): Double = {
-      val got = df.select($"probe_id", $"vec_id").as[(Long, Long)].collect()
-      got.count { case (p, id) => l2(corpus(p), corpus(id)) <= dk(p) * (1 + 1e-9) + 1e-12 }
-        .toDouble / (nProbes * topK)
-    }
-    // the r12 raw-vector composition (per-probe LUTs over raw codes)
-    val recRaw = {
-      val (sub, books) = Similarity.pqTrain(emb, m, k, iters).get
-      val cents = Similarity.centroids(emb, nlist)
-      val codes = Similarity.pqEncode(Similarity.ivfAssignWith(emb, cents),
-          sub, books, keep = Seq("cluster"))
-        .withColumn("codes", array((0 until m).map(s => col(s"code_$s")): _*))
-      val pc = Similarity.ivfProbeClusters(probes, cents, 4)
-        .select(col("probe_id"), col("cluster"))
-      recTol(Similarity.adcRank(codes.join(broadcast(pc), Seq("cluster")),
-        probes, books, sub, topK))
-    }
-    val recResid = recTol(
-      Similarity.ivfPqSearch(emb, probes, nlist, 4, m, k, iters, topK))
+    val dk = ClusterGeomSweep.kthDist(corpusArr, corpus, nProbes, topK)
+    val recRaw = ClusterGeomSweep.recallTol(
+      ClusterGeomSweep.rawIvfPq(emb, probes, nlist, m, k, iters, 4, topK),
+      corpus, dk, nProbes, topK)
+    val recResid = ClusterGeomSweep.recallTol(
+      Similarity.ivfPqSearch(emb, probes, nlist, 4, m, k, iters, topK),
+      corpus, dk, nProbes, topK)
     assert(recResid >= recRaw,
       s"residual encoding must not lose to raw on clustered geometry: $recResid vs $recRaw")
     assert(recResid > recRaw + 0.05,
       s"the clustered-geometry recall win disappeared: residual $recResid vs raw $recRaw " +
         "(did the residual mechanism regress to raw-vector training?)")
     // and the reconstruction-MSE ordering that drives it
-    def mse(df: org.apache.spark.sql.DataFrame): Double =
-      df.agg(avg($"err")).head.getDouble(0)
-    val mseRaw = {
-      val (sub, books) = Similarity.pqTrain(emb, m, k, iters).get
-      mse(Similarity.pqEncode(emb, sub, books))
-    }
-    val mseResid = {
-      val cents = Similarity.coarseCentroids(emb, nlist)
-      val resid = Similarity.ivfResiduals(emb, cents)
-      val (sub, books) = Similarity.pqTrainD(resid.select(col("vec_id"), col("v")), m, k, iters).get
-      mse(Similarity.pqEncodeD(resid, sub, books))
-    }
-    assert(mseResid < mseRaw,
-      s"residual reconstruction must beat raw on clustered geometry: $mseResid vs $mseRaw")
+    val mseR = ClusterGeomSweep.mseRaw(emb, m, k, iters)
+    val mseD = ClusterGeomSweep.mseResid(emb, nlist, m, k, iters)
+    assert(mseD < mseR,
+      s"residual reconstruction must beat raw on clustered geometry: $mseD vs $mseR")
   }
 }

@@ -406,9 +406,12 @@ class CurationSpec extends SparkSpec {
     val expected = perDoc.getLong(0) + perDoc.getLong(1)
     assert(seqs.map(_._2.toLong).sum == expected)
     // the stream is doc_id-ordered: the first doc's first word's ids
-    // open sequence 0, and an EOS (the first free id = vocab size)
+    // open sequence 0, and an EOS (36 + merge count — one past the
+    // highest mintable id, NOT the collision-shrunk vocab-map size)
     // separates docs — count of EOS tokens equals the doc count
-    val eos = TokenizerStore.bpeVocab(spark, dir).size.toString
+    val eos = (36 + TokenizerStore.loadMerges(spark, dir).size).toString
+    assert(!TokenizerStore.bpeVocab(spark, dir).values.toSet.contains(eos.toInt),
+      "EOS must never alias a real token id")
     assert(seqs.iterator.flatMap(_._3.split(",")).count(_ == eos) == perDoc.getLong(1))
     val firstWordIds = TokenizerStore.encodeBpeIds(docs, dir)
       .orderBy($"doc_id", $"pos").select($"ids").head.getString(0)
