@@ -1476,6 +1476,27 @@ object TextAnalysis {
        |ORDER BY doc_id, pos""".stripMargin
   }
 
+  /** The artifact's VOCABULARY as a declared row — the id-assignment
+    * contract value-checked directly (chars 0–35 in fixed order, merge
+    * rank r → 36+r, first-wins on surface collision), not just through
+    * the encode round-trip. Export shape: what a serving system ships
+    * to its tokenizer clients. Driver-side: the map is ≤ 36+rounds
+    * entries, the bounded-artifact class. */
+  private def xtBpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tokDir = TokenizerStore.ensureTokenizerFor(spark,
+      s"$dir/documents.parquet", "bpe-r8v256",
+      d => TokenizerStore.trainBpe(Tables.load(spark, dir, "documents"), d, 8, 256))
+    TokenizerStore.bpeVocab(spark, tokDir).toSeq.toDF("sym", "id")
+      .select(col("sym"), col("id").cast(IntegerType))
+      .orderBy(col("id"))
+  }
+
+  private val xtBpeVocabSql =
+    s"""WITH ${bpeIdsCtes(8, 256)}
+       |SELECT sym, CAST(id AS INTEGER) AS id FROM vocab
+       |ORDER BY id""".stripMargin
+
   private val Bm25Terms = Seq("join", "window", "stream")
 
   private def xtBm25(spark: SparkSession, dir: String): DataFrame =
@@ -1520,6 +1541,7 @@ object TextAnalysis {
     Declared("xt_bpe_encode", xtBpeEncode, Some(xtBpeEncodeSql)),
     Declared("xt_bpe_encode_persisted", xtBpeEncodePersisted, Some(xtBpeEncodeSql)),
     Declared("xt_bpe_ids", xtBpeIds, Some(xtBpeIdsSql)),
+    Declared("xt_bpe_vocab", xtBpeVocab, Some(xtBpeVocabSql)),
     Declared("x3_token_freq", x3TokenFreq, Some(x3TokenFreqSql)),
     Declared("x4_approx_distinct", x4Approx, Some(x4ApproxSql)),
     Declared("x4_hll_union", x4HllUnion, Some(x4HllUnionSql)),

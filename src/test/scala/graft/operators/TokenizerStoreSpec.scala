@@ -60,6 +60,9 @@ class TokenizerStoreSpec extends SparkSpec {
     // ids are unique (first-wins collision policy keeps the map a
     // bijection onto its id range), so decoding is well-defined
     assert(vocab.values.toSeq.distinct.size == vocab.size)
+    // the id assignment is part of the contract (xt_bpe_vocab): base
+    // chars a..z0..9 hold ids 0..35 in that fixed order
+    assert(vocab("a") == 0 && vocab("z") == 25 && vocab("0") == 26 && vocab("9") == 35)
     val inv = vocab.map(_.swap)
     val rows = TokenizerStore.encodeBpeIds(docs, dir)
       .select($"doc_id", $"word", $"n_sym", $"ids")
