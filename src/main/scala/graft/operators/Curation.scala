@@ -605,7 +605,7 @@ object Curation {
     * quantile cuts, per-bucket window prefix sums, bucket base offsets
     * via a `buckets`-row collect. Returns the input plus
     * `offset_tokens` (empty input → empty output, schema preserved). */
-  private[operators] def packOffsets(d: DataFrame, nCol: String,
+  private[graft] def packOffsets(d: DataFrame, nCol: String,
       buckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cuts = packCuts(d, buckets)
@@ -648,13 +648,11 @@ object Curation {
       .orderBy(col("doc_id"))
 
   // ------------------------------------------------- sequence packing
-  /** Pack the corpus's TOKEN-ID stream into fixed-length training
-    * sequences — the last stage before a training job reads the data:
-    * each doc's frozen-tokenizer ids ([[TokenizerStore.encodeBpeIds]])
-    * plus one EOS separator, concatenated in doc_id order and cut
-    * every `seqLen` tokens (the GPT-style packed-sequence layout; the
-    * tail sequence keeps its short length). Docs with no gated words
-    * contribute nothing.
+  /** [[packIds]]'s first stage, factored so batch and incremental
+    * packing can never drift ([[graft.streaming.PackStream]] runs the
+    * SAME per-doc stage per micro-batch): each doc's frozen-tokenizer
+    * id stream (`docids` — comma-joined, EOS appended) plus its token
+    * count `n` (incl. EOS).
     *
     * EOS id = 36 + MERGE COUNT — one past the highest id the
     * assignment scheme can mint (merge rank r holds 36+r) — NOT the
@@ -662,6 +660,34 @@ object Curation {
     * map is smaller than the id range, and a size-derived EOS would
     * equal the last merge's real token id, silently aliasing document
     * boundaries with content (review r14).
+    *
+    * localCheckpoint, not recompute: THIS lineage (encode chain + a
+    * corpus-wide groupBy/collect_list) is consumed three times —
+    * packOffsets' quantile sketch, its bucket-totals collect, and the
+    * final explode job — and unlike the cheap map-only lineages the
+    * BigramMatSweep measured, materializing it wins here (review r14;
+    * measured at sf0.1 in BENCHNOTES). */
+  private[graft] def perDocIds(docs: DataFrame, tokDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    val eos = 36 + TokenizerStore.loadMerges(spark, tokDir).size
+    TokenizerStore.encodeBpeIds(docs, tokDir)
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"), col("ids")))),
+          x => x.getField("ids"))).as("docids"),
+        (sum(col("n_sym")) + 1L).as("n"))
+      .withColumn("docids", concat(col("docids"), lit(s",$eos")))
+      .localCheckpoint()
+  }
+
+  /** Pack the corpus's TOKEN-ID stream into fixed-length training
+    * sequences — the last stage before a training job reads the data:
+    * each doc's frozen-tokenizer ids ([[TokenizerStore.encodeBpeIds]])
+    * plus one EOS separator ([[perDocIds]]), concatenated in doc_id
+    * order and cut every `seqLen` tokens (the GPT-style packed-sequence
+    * layout; the tail sequence keeps its short length). Docs with no
+    * gated words contribute nothing.
     *
     * 100 TB shape: per-doc id streams come from one word-level
     * aggregation (per-doc sorted collect of ≤doc-length word arrays —
@@ -673,23 +699,7 @@ object Curation {
     * to pay. Output is sequence-count-sized. */
   def packIds(docs: DataFrame, tokDir: String, seqLen: Int = 512,
       buckets: Int = 32): DataFrame = {
-    val spark = docs.sparkSession
-    val eos = 36 + TokenizerStore.loadMerges(spark, tokDir).size
-    // localCheckpoint, not recompute: THIS lineage (encode chain + a
-    // corpus-wide groupBy/collect_list) is consumed three times —
-    // packOffsets' quantile sketch, its bucket-totals collect, and the
-    // final explode job — and unlike the cheap map-only lineages the
-    // BigramMatSweep measured, materializing it wins here (review r14;
-    // measured at sf0.1 in BENCHNOTES)
-    val perDoc = TokenizerStore.encodeBpeIds(docs, tokDir)
-      .groupBy(col("doc_id"))
-      .agg(
-        concat_ws(",", transform(
-          array_sort(collect_list(struct(col("pos"), col("ids")))),
-          x => x.getField("ids"))).as("docids"),
-        (sum(col("n_sym")) + 1L).as("n"))
-      .withColumn("docids", concat(col("docids"), lit(s",$eos")))
-      .localCheckpoint()
+    val perDoc = perDocIds(docs, tokDir)
     packOffsets(perDoc, "n", buckets)
       .select(col("offset_tokens"),
         posexplode(split(col("docids"), ",")).as(Seq("k", "id")))
@@ -715,7 +725,7 @@ object Curation {
     packIds(docs, tokDir).orderBy(col("seq_id"))
   }
 
-  private val xcPackIdsSql = {
+  private[graft] val xcPackIdsSql = {
     val rounds = 8
     s"""WITH ${TextAnalysis.bpeIdsCtes(rounds, 256)},
        |eos AS (SELECT 36 + COUNT(*) AS e FROM mvocab),

@@ -1,0 +1,222 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.core.Tables
+import graft.operators.{Curation, Declared, TokenizerStore}
+
+/** Incremental sequence packing: [[graft.operators.Curation.packIds]]
+  * applied continuously to a growing document directory — the stateful
+  * last stage of a streaming training-data pipeline. Re-running batch
+  * packing per drop is O(corpus) per drop AND rewrites every already-
+  * packed sequence (all global offsets shift only if earlier docs
+  * change — they don't, so the work is pure waste); this is O(new data)
+  * and append-only.
+  *
+  * The cross-batch state is ONE number — the total token count packed
+  * so far. Each micro-batch runs the SAME per-doc stage as batch
+  * packing ([[Curation.perDocIds]]: frozen-tokenizer ids + EOS per
+  * doc), computes batch-local offsets with the same bucketed prefix
+  * sum ([[Curation.packOffsets]] — no global sort), shifts them by the
+  * carried total, and lands the batch's sequence FRAGMENTS under
+  * `frag/batch_id=N/`. A sequence that straddles a batch boundary gets
+  * one fragment per batch; [[packed]] merges fragments by seq_id in
+  * global-position order. Emitting fragments instead of holding the
+  * partial tail sequence in operator state keeps the operator fully
+  * distributed — a tail held in `flatMapGroupsWithState` would funnel
+  * every batch through one grouping key, a single-task bottleneck at
+  * scale, and fragment merge is exactly the read-side concat a training
+  * loader does anyway.
+  *
+  * Because drops arrive in doc_id order (this library's streaming
+  * contract, same as [[CurateStream]]'s three-drop rows), the
+  * concatenation of per-batch doc_id-ordered streams IS the global
+  * doc_id order, so the accumulated output is bit-identical to batch
+  * [[Curation.packIds]] over the union — the parity the declared row's
+  * oracle checks. On out-of-order drops the operator still packs every
+  * token exactly once; only the doc concatenation order (and hence
+  * sequence contents) differs from the batch run.
+  *
+  * Replay discipline (the [[graft.operators.IndexStore]] commit shape,
+  * scaled down): the token-count carry lives in `pack_state.json`,
+  * atomically renamed AFTER the batch's fragment write. The state
+  * records (last committed batch, its base offset, total after it), so
+  * a foreachBatch replay of the last batch — the only replay Spark's
+  * checkpoint can produce — recomputes from its original base and
+  * overwrites its own fragment dir, byte-identical; batches at-or-below
+  * the watermark no-op entirely. A crash between the fragment write
+  * and the state swap leaves an uncommitted fragment dir that readers
+  * never see ([[packed]] reads only `batch_id ≤` the state watermark)
+  * and the replay overwrites. Like every store here: one stream is the
+  * dir's single writer.
+  *
+  * 100 TB shape: per batch, one corpus-of-the-batch shuffle for the
+  * per-doc stage, a `buckets`-row collect for offsets, one per-token
+  * shuffle keyed on seq_id (the honest cost of materializing training
+  * sequences), and one 3-long-int state file — no driver-side model,
+  * no O(history) work, no global sort ever.
+  */
+object PackStream {
+
+  /** Last committed batch, the global offset it started at, and the
+    * total token count after it (= the next batch's base). */
+  private case class PackState(batchId: Long, base: Long, total: Long)
+
+  private def statePath(outDir: String) = new Path(s"$outDir/pack_state.json")
+
+  private def readState(spark: SparkSession, outDir: String): Option[PackState] = {
+    val p = statePath(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+        Some(PackState(root.get("batch_id").asLong(), root.get("base").asLong(),
+          root.get("total").asLong()))
+      } catch {
+        case e: Exception => throw new IllegalStateException(
+          s"PackStream: $p is unparseable (${e.getMessage}) — external corruption; " +
+            "restore it, or delete the whole pack store and replay the stream " +
+            "from a fresh checkpoint (offsets are derivable only from history)", e)
+      }
+    }
+  }
+
+  /** Dot-prefixed temp + `FileContext.rename(OVERWRITE)` — the
+    * [[graft.operators.IndexStore]] manifest-swap idiom (checksum-free,
+    * atomic on POSIX/HDFS; an S3-class store needs a conditional PUT). */
+  private def writeState(spark: SparkSession, outDir: String, st: PackState): Unit = {
+    import org.apache.hadoop.fs.{CreateFlag, FileContext, Options}
+    val dst = statePath(outDir)
+    val tmp = new Path(s"$outDir/.pack_state.json.tmp")
+    val fc = FileContext.getFileContext(dst.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val json = s"""{"batch_id":${st.batchId},"base":${st.base},"total":${st.total}}"""
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
+    fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+
+  /** Pack one micro-batch: per-doc id streams, batch-local offsets
+    * shifted by the carried base, fragments landed under the batch dir,
+    * then the state swap that makes them visible. Idempotent per the
+    * replay discipline above. */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+      tokDir: String, outDir: String, seqLen: Int, buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val base = readState(spark, outDir) match {
+      case None =>
+        require(batchId == 0L,
+          s"PackStream: $outDir has no pack_state.json but batch $batchId arrived — " +
+            "an existing checkpoint is pointed at a fresh out dir; offsets before " +
+            "this batch are unknowable, start from a fresh checkpoint")
+        0L
+      case Some(s) if batchId == s.batchId + 1 => s.total
+      case Some(s) if batchId == s.batchId => s.base // checkpoint replay
+      case Some(s) if batchId < s.batchId => return // committed long ago; no-op
+      case Some(s) => throw new IllegalArgumentException(
+        s"PackStream: batch $batchId arrived but $outDir is committed through " +
+          s"${s.batchId} — a second checkpoint is interleaving with this store's " +
+          "single writer")
+    }
+    val perDoc = Curation.perDocIds(batch, tokDir)
+    val batchTokens = perDoc.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+    Curation.packOffsets(perDoc, "n", buckets)
+      .select((col("offset_tokens") + lit(base)).as("off"),
+        posexplode(split(col("docids"), ",")).as(Seq("k", "id")))
+      .withColumn("gpos", col("off") + col("k"))
+      .groupBy(expr(s"gpos DIV $seqLen").as("seq_id"))
+      .agg(min(col("gpos")).as("start"),
+        count(lit(1)).cast(IntegerType).as("n_tokens"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("gpos"), col("id")))),
+          x => x.getField("id"))).as("ids"))
+      .write.mode("overwrite").parquet(s"$outDir/frag/batch_id=$batchId")
+    writeState(spark, outDir, PackState(batchId, base, base + batchTokens))
+  }
+
+  def start(spark: SparkSession, inDir: String, outDir: String,
+      checkpoint: String, tokDir: String, seqLen: Int = 512,
+      buckets: Int = 32): StreamingQuery =
+    spark.readStream
+      .schema(Tables.documents)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, tokDir, outDir, seqLen, buckets)
+      }
+      .start()
+
+  /** Run one AvailableNow pass to completion (test / cron entry). */
+  def runOnce(spark: SparkSession, inDir: String, outDir: String,
+      checkpoint: String, tokDir: String, seqLen: Int = 512,
+      buckets: Int = 32): Unit =
+    start(spark, inDir, outDir, checkpoint, tokDir, seqLen, buckets)
+      .awaitTermination()
+
+  /** The packed sequences as of the last COMMITTED batch — fragments
+    * merged per seq_id in global-position order. Same output contract
+    * as [[Curation.packIds]]; an uncommitted fragment dir (crash after
+    * the write, before the state swap) is invisible until its replay
+    * commits it. */
+  def packed(spark: SparkSession, outDir: String): DataFrame = {
+    val st = readState(spark, outDir).getOrElse(throw new IllegalArgumentException(
+      s"PackStream: $outDir has no pack_state.json — run the stream first"))
+    spark.read
+      .schema("seq_id BIGINT, start BIGINT, n_tokens INT, ids STRING, batch_id BIGINT")
+      .parquet(s"$outDir/frag")
+      .filter(col("batch_id") <= st.batchId)
+      .groupBy(col("seq_id"))
+      .agg(sum(col("n_tokens")).cast(IntegerType).as("n_tokens"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("start"), col("ids")))),
+          x => x.getField("ids"))).as("ids"))
+  }
+
+  // ----------------------------------------------------------- declared
+  /** Stream-vs-batch parity, driver-oracled: the fixture lands as three
+    * doc_id-ordered drops (one AvailableNow pass each, one shared
+    * checkpoint and carry state — three real micro-batches through the
+    * incremental path), packed against the shared frozen `bpe-r8v256`
+    * tokenizer, and the merged fragment store must equal batch
+    * [[Curation.packIds]] — so the oracle IS `xc_pack_ids`'s SQL. The
+    * middle drop almost never ends on a 512 boundary, so the parity
+    * exercises the straddling-fragment merge, not just the carry. */
+  private def xsPackStream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tokDir = TokenizerStore.ensureTokenizerFor(spark,
+      s"$dir/documents.parquet", "bpe-r8v256",
+      d => TokenizerStore.trainBpe(docs, d, 8, 256))
+    val rootPath = java.nio.file.Files.createTempDirectory("xs-pack-stream")
+    // the returned DataFrame reads lazily from outDir — reap at JVM exit
+    graft.core.TempReaper.reapAtExit(rootPath)
+    val root = rootPath.toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * ((hi - lo) / 3)
+    val drops = Seq(
+      col("doc_id") <= cut1,
+      col("doc_id") > cut1 && col("doc_id") <= cut2,
+      col("doc_id") > cut2)
+    drops.zipWithIndex.foreach { case (cond, i) =>
+      docs.filter(cond).coalesce(2).write.parquet(s"$inDir/drop$i.parquet")
+      runOnce(spark, s"$inDir/*", outDir, s"$root/ck", tokDir)
+    }
+    packed(spark, outDir).orderBy(col("seq_id"))
+  }
+
+  val all: Seq[Declared] = Seq(
+    Declared("xs_pack_stream", xsPackStream, Some(Curation.xcPackIdsSql)))
+}

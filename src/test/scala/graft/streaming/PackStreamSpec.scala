@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.{Curation, TokenizerStore}
+
+class PackStreamSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, sf("sf0.001"), "documents")
+
+  /** Fresh tokenizer dir per test — the warehouse artifact is shared
+    * state across JVMs; specs train their own. */
+  private def trainTok(): String = {
+    val d = java.nio.file.Files.createTempDirectory("packstream-tok").toString
+    TokenizerStore.trainBpe(docs, d, 8, 256)
+    d
+  }
+
+  private def dropConds: Seq[Column] = {
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * ((hi - lo) / 3)
+    Seq(col("doc_id") <= cut1,
+      col("doc_id") > cut1 && col("doc_id") <= cut2,
+      col("doc_id") > cut2)
+  }
+
+  /** Drops must land one at a time (write, then stream) — writing them
+    * all upfront would hand AvailableNow one 3-drop batch. */
+  private def writeDrop(root: String, i: Int, cond: Column): String = {
+    val p = s"$root/in/drop$i.parquet"
+    docs.filter(cond).coalesce(2).write.parquet(p)
+    p
+  }
+
+  test("three ordered drops pack bit-identically to batch packIds, with a real straddle") {
+    val root = java.nio.file.Files.createTempDirectory("packstream").toString
+    val tok = trainTok()
+    dropConds.zipWithIndex.foreach { case (cond, i) =>
+      writeDrop(root, i, cond)
+      PackStream.runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", tok)
+    }
+    val streamed = PackStream.packed(spark, s"$root/out")
+      .orderBy(col("seq_id")).collect().toSeq
+    val batch = Curation.packIds(docs, tok)
+      .orderBy(col("seq_id")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // the parity must have exercised the carry across a batch boundary:
+    // some sequence straddles two batches (two fragments merged)
+    val straddled = spark.read
+      .schema("seq_id BIGINT, start BIGINT, n_tokens INT, ids STRING, batch_id BIGINT")
+      .parquet(s"$root/out/frag")
+      .groupBy(col("seq_id")).agg(countDistinct(col("batch_id")).as("nb"))
+      .filter(col("nb") > 1).count()
+    assert(straddled >= 1, "no sequence straddled a batch boundary — the carry went untested")
+  }
+
+  test("a replayed last batch recomputes from its original base and changes nothing") {
+    val root = java.nio.file.Files.createTempDirectory("packreplay").toString
+    val tok = trainTok()
+    val conds = dropConds
+    val drop0 = writeDrop(root, 0, conds(0))
+    PackStream.runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", tok)
+    val drop1 = writeDrop(root, 1, conds(1))
+    PackStream.runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", tok)
+    val before = PackStream.packed(spark, s"$root/out")
+      .orderBy(col("seq_id")).collect().toSeq
+    // replay batch 1 by hand — the only replay foreachBatch can produce
+    // (crash after the fragment write + state swap, before the
+    // checkpoint commit): must overwrite its own dir byte-identically
+    val batch1 = spark.read.schema(Tables.documents).parquet(drop1)
+    PackStream.processBatch(batch1, 1L, tok, s"$root/out", 512, 32)
+    val after = PackStream.packed(spark, s"$root/out")
+      .orderBy(col("seq_id")).collect().toSeq
+    assert(after == before)
+    // and an already-committed earlier batch no-ops
+    val batch0 = spark.read.schema(Tables.documents).parquet(drop0)
+    PackStream.processBatch(batch0, 0L, tok, s"$root/out", 512, 32)
+    assert(PackStream.packed(spark, s"$root/out")
+      .orderBy(col("seq_id")).collect().toSeq == before)
+  }
+
+  test("an uncommitted fragment dir is invisible; gaps and foreign checkpoints refuse") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("packcrash").toString
+    val tok = trainTok()
+    val conds = dropConds
+    writeDrop(root, 0, conds(0))
+    PackStream.runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", tok)
+    val committed = PackStream.packed(spark, s"$root/out")
+      .orderBy(col("seq_id")).collect().toSeq
+    // simulate a crash AFTER batch 1's fragment write, BEFORE its state
+    // swap: land fragments under batch_id=1 with no commit
+    Seq((99999L, 999999L, 3, "1,2,3"))
+      .toDF("seq_id", "start", "n_tokens", "ids")
+      .write.parquet(s"$root/out/frag/batch_id=1")
+    assert(PackStream.packed(spark, s"$root/out")
+      .orderBy(col("seq_id")).collect().toSeq == committed,
+      "readers saw fragments whose batch never committed")
+    // a batch beyond last+1 means a second writer's checkpoint — refuse
+    val drop2 = writeDrop(root, 2, conds(2))
+    val batch2 = spark.read.schema(Tables.documents).parquet(drop2)
+    val e = intercept[IllegalArgumentException] {
+      PackStream.processBatch(batch2, 2L, tok, s"$root/out", 512, 32)
+    }
+    assert(e.getMessage.contains("single writer"))
+    // and a fresh out dir refuses a non-zero first batch
+    val e2 = intercept[IllegalArgumentException] {
+      PackStream.processBatch(batch2, 3L, tok, s"$root/out2", 512, 32)
+    }
+    assert(e2.getMessage.contains("fresh"))
+  }
+}
