@@ -129,6 +129,18 @@ object PackStream {
     }
     val perDoc = Curation.perDocIds(batch, tokDir)
     val batchTokens = perDoc.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+    fragmentsOf(perDoc, base, seqLen, buckets)
+      .write.mode("overwrite").parquet(s"$outDir/frag/batch_id=$batchId")
+    writeState(spark, outDir, PackState(batchId, base, base + batchTokens))
+  }
+
+  /** The batch's sequence fragments from its [[Curation.perDocIds]]
+    * frame (shared with the caller's token-count agg via the
+    * localCheckpoint) — factored so the streaming-plan pin covers the
+    * exact frame every trigger builds: bucketed prefix sum (broadcast
+    * bucket-offset attach), ONE per-token exchange keyed on seq_id. */
+  private[graft] def fragmentsOf(perDoc: DataFrame, base: Long,
+      seqLen: Int, buckets: Int): DataFrame =
     Curation.packOffsets(perDoc, "n", buckets)
       .select((col("offset_tokens") + lit(base)).as("off"),
         posexplode(split(col("docids"), ",")).as(Seq("k", "id")))
@@ -139,9 +151,6 @@ object PackStream {
         concat_ws(",", transform(
           array_sort(collect_list(struct(col("gpos"), col("id")))),
           x => x.getField("id"))).as("ids"))
-      .write.mode("overwrite").parquet(s"$outDir/frag/batch_id=$batchId")
-    writeState(spark, outDir, PackState(batchId, base, base + batchTokens))
-  }
 
   def start(spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, tokDir: String, seqLen: Int = 512,

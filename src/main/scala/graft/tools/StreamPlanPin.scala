@@ -99,6 +99,27 @@ object StreamPlanPin {
     PlanPin.skeletonOf(gated.queryExecution.executedPlan)
   }
 
+  /** The xs_pack_stream per-batch core: the fragment frame
+    * `PackStream.processBatch` builds every trigger — per-doc id
+    * streams → bucketed prefix sum (the bucket-offset attach must stay
+    * a BROADCAST join) → ONE per-token exchange keyed on seq_id. A
+    * broadcast→shuffle flip on the offset attach, or a second
+    * per-token exchange, is the drift this pin catches. */
+  private def packBatchFragments(spark: SparkSession): String = {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "beta gamma delta epsilon"),
+      (3L, "gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pin-pack").toString
+    graft.operators.TokenizerStore.trainBpe(docs, dir, 8, 256)
+    val perDoc = graft.operators.Curation.perDocIds(docs, dir)
+    PlanPin.skeletonOf(
+      graft.streaming.PackStream.fragmentsOf(perDoc, 0L, 512, 32)
+        .queryExecution.executedPlan)
+  }
+
   def currentSkeletons(spark: SparkSession): Seq[(String, String)] = Seq(
     "s1_tumbling_window_microbatch" ->
       microBatchSkeleton(spark, EventStreams.tumbling, "complete"),
@@ -111,7 +132,8 @@ object StreamPlanPin {
     "s3_dedup_microbatch" ->
       microBatchSkeleton(spark, EventStreams.dedupStream, "append"),
     "xs_curate_batch_neardup" -> curateBatchNearDup(spark),
-    "xs_curate_batch_lmgate" -> curateBatchLmGate(spark))
+    "xs_curate_batch_lmgate" -> curateBatchLmGate(spark),
+    "xs_pack_batch_fragments" -> packBatchFragments(spark))
 }
 
 /** Regenerate STREAMPINS.txt after an intentional streaming-plan change. */
