@@ -725,9 +725,15 @@ object Curation {
     packIds(docs, tokDir).orderBy(col("seq_id"))
   }
 
-  private[graft] val xcPackIdsSql = {
+  /** The packIds oracle, parameterized the way [[packIds]] itself is
+    * reused: `prefix` prepends extra CTEs (must end with a trailing
+    * comma) and `encodeFrom` swaps the encode-side corpus —
+    * `xs_curate_pack` packs curation survivors against the same frozen
+    * tokenizer. */
+  private[graft] def packIdsSql(prefix: String = "",
+      encodeFrom: String = "documents"): String = {
     val rounds = 8
-    s"""WITH ${TextAnalysis.bpeIdsCtes(rounds, 256)},
+    s"""WITH $prefix${TextAnalysis.bpeIdsCtes(rounds, 256, encodeFrom)},
        |eos AS (SELECT 36 + COUNT(*) AS e FROM mvocab),
        |docids AS (
        |  SELECT doc_id,
@@ -750,6 +756,8 @@ object Curation {
        |FROM tok GROUP BY 1
        |ORDER BY seq_id""".stripMargin
   }
+
+  private[graft] val xcPackIdsSql = packIdsSql()
 
   private val xcPackSql =
     """SELECT doc_id, n_words, offset_tokens, offset_tokens // 512 AS seq_id

@@ -1431,8 +1431,13 @@ object TextAnalysis {
   /** Everything through the per-word encoded symbols (`f<rounds>`: one
     * row per gated word carrying doc_id/pos/word/sym) plus the derived
     * id vocabulary (`vocab`/`vm`): the shared oracle base for
-    * `xt_bpe_ids` and [[Curation]]'s `xc_pack_ids`. */
-  private[graft] def bpeIdsCtes(rounds: Int = 8, cap: Int = 256): String = {
+    * `xt_bpe_ids` and [[Curation]]'s `xc_pack_ids`. `encodeFrom`
+    * swaps the ENCODE-side corpus (e.g. a curation-survivors subquery
+    * for `xs_curate_pack`) while the training CTEs keep reading the
+    * full `documents` — the frozen-tokenizer contract: the artifact is
+    * trained once offline, then applied to whatever corpus flows by. */
+  private[graft] def bpeIdsCtes(rounds: Int = 8, cap: Int = 256,
+      encodeFrom: String = "documents"): String = {
     val encodeCtes = (0 until rounds).map { r =>
       s"""f${r + 1} AS (
          |  SELECT doc_id, pos, word, CASE WHEN m.pr IS NULL THEN sym ELSE
@@ -1452,7 +1457,7 @@ object TextAnalysis {
        |          unnest([{'p': i, 'w': w[i+1]} for i in range(len(w))]) AS u
        |        FROM (SELECT doc_id,
        |                string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
-       |              FROM documents))
+       |              FROM $encodeFrom))
        |  WHERE regexp_full_match(u['w'], '[a-z0-9]+')),
        |f0 AS (
        |  SELECT doc_id, pos, word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym FROM pw),

@@ -440,6 +440,55 @@ object CurateStream {
       .start()
   }
 
+  /** The COMPLETE streaming training-data loop — curate THEN pack
+    * inside one micro-batch: survivors land in the data store AND
+    * their frozen-tokenizer token ids extend the packed-sequence store
+    * ([[PackStream]] — batch-local offsets shifted by the cross-batch
+    * carry). [[startCurateAndIndex]] closes curation into RETRIEVAL;
+    * this closes it into TRAINING INPUT — crawl drops in, fixed-length
+    * token sequences out, O(new data) per drop, with no window where a
+    * rejected doc's tokens enter a training sequence (it never reaches
+    * the packer at all).
+    *
+    * The tokenizer is a FROZEN offline artifact (`tokDir`), not
+    * batch-0-trained like the index loop's codebooks: packed token ids
+    * must mean the same thing across every batch AND match the ids the
+    * model was built on, so in-stream training would be wrong even
+    * where it is convenient — retrain ⇒ re-encode ⇒ repack, a new
+    * pack store, by design.
+    *
+    * Replay-safe end to end with nothing new: curation writes
+    * overwrite per batch; the packer re-reads the batch partition
+    * those writes just (re)created and its own carry state decides
+    * replay-vs-advance ([[PackStream.processBatch]]'s watermark). */
+  def startCurateAndPack(spark: SparkSession, inDir: String,
+      outDir: String, checkpoint: String, tokDir: String,
+      seqLen: Int = 512, buckets: Int = 32, minWords: Int = 30,
+      maxDupWordFrac: Double = 0.5, compactEvery: Int = 0): StreamingQuery = {
+    val keysDir = s"$outDir/_keys"
+    val dataDir = s"$outDir/data"
+    val packDir = s"$outDir/pack"
+    spark.readStream
+      .schema(Tables.documents)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          Maintenance.compactBatchStore(spark, keysDir, upTo = batchId - 1)
+        processBatch(batch, batchId, keysDir, dataDir, minWords, maxDupWordFrac)
+        // this batch's survivors, re-read from the partition the write
+        // above just created (pruned schema: the packer needs only
+        // doc_id + text; inference is a job per batch)
+        PackStream.processBatch(
+          spark.read.schema("doc_id BIGINT, text STRING")
+            .parquet(s"$dataDir/batch_id=$batchId"),
+          batchId, tokDir, packDir, seqLen, buckets)
+      }
+      .start()
+  }
+
   // ----------------------------------------------------------- declared
   /** Stream-vs-batch parity, driver-oracled: the fixture lands as three
     * doc_id-ordered drops, one AvailableNow pass each (one shared
@@ -696,10 +745,52 @@ object CurateStream {
           "(SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT doc_id FROM cursurv))"),
       trainWhere = "WHERE vec_id <= (SELECT blo + (bhi - blo) // 3 FROM bounds)")
 
+  /** The training-data loop end to end, driver-oracled: three
+    * doc_id-ordered drops through [[startCurateAndPack]] (one shared
+    * checkpoint, key store, and pack carry — three real micro-batches),
+    * served as the merged packed sequences. Ordered drops make the
+    * stream's incremental keep-first coincide with batch curation AND
+    * the survivor concatenation order coincide with batch packing, so
+    * the oracle is exactly batch packIds over batch curation's
+    * survivors — against the same frozen full-corpus tokenizer. */
+  private def xsCuratePack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tokDir = graft.operators.TokenizerStore.ensureTokenizerFor(spark,
+      s"$dir/documents.parquet", "bpe-r8v256",
+      d => graft.operators.TokenizerStore.trainBpe(docs, d, 8, 256))
+    val rootPath = java.nio.file.Files.createTempDirectory("xs-curate-pack")
+    graft.core.TempReaper.reapAtExit(rootPath)
+    val root = rootPath.toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * ((hi - lo) / 3)
+    val drops = Seq(
+      col("doc_id") <= cut1,
+      col("doc_id") > cut1 && col("doc_id") <= cut2,
+      col("doc_id") > cut2)
+    drops.zipWithIndex.foreach { case (cond, i) =>
+      docs.filter(cond).coalesce(2).write.parquet(s"$inDir/drop$i.parquet")
+      startCurateAndPack(spark, s"$inDir/*", outDir, s"$root/ck", tokDir)
+        .awaitTermination()
+    }
+    PackStream.packed(spark, s"$outDir/pack").orderBy(col("seq_id"))
+  }
+
+  /** Batch packIds over batch curation's survivors ([[curSurvCtes]]),
+    * training CTEs untouched (the tokenizer is frozen on the FULL
+    * corpus). */
+  private val xsCuratePackSql = graft.operators.Curation.packIdsSql(
+    prefix = curSurvCtes,
+    encodeFrom =
+      "(SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT doc_id FROM cursurv))")
+
   val all: Seq[Declared] = Seq(
     Declared("xs_curate_stream", xsCurateStream, Some(xsCurateStreamSql)),
     Declared("xs_curate_lm_gate", xsCurateLmGate, Some(xsCurateLmGateSql)),
     Declared("xs_curate_stream_neardup", xsCurateStreamNeardup, Some(xsCurateStreamNeardupSql)),
     Declared("xs_curate_index", xsCurateIndex, Some(xsCurateIndexSql)),
-    Declared("xs_curate_to_index", xsCurateToIndex, Some(xsCurateToIndexSql)))
+    Declared("xs_curate_to_index", xsCurateToIndex, Some(xsCurateToIndexSql)),
+    Declared("xs_curate_pack", xsCuratePack, Some(xsCuratePackSql)))
 }
