@@ -475,8 +475,10 @@ object CurateStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
           Maintenance.compactBatchStore(spark, keysDir, upTo = batchId - 1)
+          PackStream.compact(spark, packDir, upTo = batchId - 1)
+        }
         processBatch(batch, batchId, keysDir, dataDir, minWords, maxDupWordFrac)
         // this batch's survivors, re-read from the partition the write
         // above just created (pruned schema: the packer needs only

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
@@ -159,9 +159,17 @@ object Maintenance {
     * [[CurateStream]] batches fail loudly instead of reading a
     * half-swapped store, and (b) lets the next invocation finish the
     * plan deterministically — every key is in tmp from before the
-    * marker existed, so no crash point loses keys. */
+    * marker existed, so no crash point loses keys.
+    *
+    * `fold` rewrites the unioned rows before the write — for stores
+    * whose rows REDUCE under compaction (e.g. [[PackStream]]'s
+    * sequence fragments pre-merge per seq_id); it must be a pure
+    * function of the union (re-running it on recovery is not possible:
+    * the tmp is already folded), which the fully-written-before-marker
+    * ordering guarantees is never needed. */
   def compactBatchStore(spark: SparkSession, storeDir: String, upTo: Long,
-      targetFiles: Int = 1): Long = {
+      targetFiles: Int = 1,
+      fold: DataFrame => DataFrame = identity): Long = {
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(root, CompactMarker)
@@ -195,7 +203,7 @@ object Maintenance {
       .sortBy(_._2)
     if (srcs.length <= 1) return -1L
     fs.delete(tmp, true)
-    spark.read.parquet(srcs.map { case (n, _) => s"$storeDir/$n" }.toIndexedSeq: _*)
+    fold(spark.read.parquet(srcs.map { case (n, _) => s"$storeDir/$n" }.toIndexedSeq: _*))
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     val out = fs.create(marker, true)

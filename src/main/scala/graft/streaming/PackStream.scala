@@ -152,9 +152,41 @@ object PackStream {
           array_sort(collect_list(struct(col("gpos"), col("id")))),
           x => x.getField("id"))).as("ids"))
 
+  /** Fold every fragment partition `batch_id ≤ upTo` into ONE
+    * pre-MERGED partition — [[Maintenance.compactBatchStore]]'s
+    * crash-safe fold with packing's reduction: fragments of the same
+    * seq_id concatenate in global-position order NOW instead of at
+    * every [[packed]] call, so a long-lived store serves each old
+    * sequence as one row and the per-drop directory count stops
+    * growing. Semantically transparent — a pre-merged row re-merges
+    * with any later fragment of the same sequence exactly as its
+    * parts would (start = min carries the sort key). `upTo` must be
+    * committed (≤ the state watermark): folding an uncommitted
+    * crash-debris dir would make its phantom tokens visible. Returns
+    * the folded partition's row count, or -1 with nothing to fold. */
+  def compact(spark: SparkSession, outDir: String, upTo: Long): Long = {
+    val st = readState(spark, outDir)
+    require(st.exists(_.batchId >= upTo),
+      s"PackStream: compact upTo=$upTo but $outDir is committed through " +
+        s"${st.map(_.batchId).getOrElse(-1L)} — an uncommitted fragment dir " +
+        "must never fold into the visible store")
+    Maintenance.compactBatchStore(spark, s"$outDir/frag", upTo,
+      fold = _.groupBy(col("seq_id"))
+        .agg(min(col("start")).as("start"),
+          sum(col("n_tokens")).cast(IntegerType).as("n_tokens"),
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("start"), col("ids")))),
+            x => x.getField("ids"))).as("ids")))
+  }
+
+  /** `compactEvery` > 0 folds the fragment store every that many
+    * batches, INSIDE the stream before the batch's own work (the
+    * [[CurateStream]] maintenance discipline: `upTo = batchId − 1` is
+    * committed and can never replay, and a crashed fold is finished by
+    * the replayed batch's own pre-work compaction call). */
   def start(spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, tokDir: String, seqLen: Int = 512,
-      buckets: Int = 32): StreamingQuery =
+      buckets: Int = 32, compactEvery: Int = 0): StreamingQuery =
     spark.readStream
       .schema(Tables.documents)
       .parquet(inDir)
@@ -162,6 +194,8 @@ object PackStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compact(spark, outDir, upTo = batchId - 1)
         processBatch(batch, batchId, tokDir, outDir, seqLen, buckets)
       }
       .start()
@@ -169,8 +203,8 @@ object PackStream {
   /** Run one AvailableNow pass to completion (test / cron entry). */
   def runOnce(spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, tokDir: String, seqLen: Int = 512,
-      buckets: Int = 32): Unit =
-    start(spark, inDir, outDir, checkpoint, tokDir, seqLen, buckets)
+      buckets: Int = 32, compactEvery: Int = 0): Unit =
+    start(spark, inDir, outDir, checkpoint, tokDir, seqLen, buckets, compactEvery)
       .awaitTermination()
 
   /** The packed sequences as of the last COMMITTED batch — fragments
@@ -181,6 +215,12 @@ object PackStream {
   def packed(spark: SparkSession, outDir: String): DataFrame = {
     val st = readState(spark, outDir).getOrElse(throw new IllegalArgumentException(
       s"PackStream: $outDir has no pack_state.json — run the stream first"))
+    val marker = new Path(s"$outDir/frag/${Maintenance.CompactMarker}")
+    require(!marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(marker),
+      s"PackStream: $outDir/frag is mid-compaction (crashed fold) — re-invoke " +
+        "compact (or replay the stream, whose pre-work compaction finishes the " +
+        "plan) before serving")
     spark.read
       .schema("seq_id BIGINT, start BIGINT, n_tokens INT, ids STRING, batch_id BIGINT")
       .parquet(s"$outDir/frag")

@@ -84,6 +84,42 @@ class PackStreamSpec extends SparkSpec {
       .orderBy(col("seq_id")).collect().toSeq == before)
   }
 
+  test("in-stream fragment compaction pre-merges without changing the served sequences") {
+    val root = java.nio.file.Files.createTempDirectory("packcompact").toString
+    val tok = trainTok()
+    dropConds.zipWithIndex.foreach { case (cond, i) =>
+      writeDrop(root, i, cond)
+      PackStream.runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", tok,
+        compactEvery = 2)
+    }
+    val batch = Curation.packIds(docs, tok)
+      .orderBy(col("seq_id")).collect().toSeq
+    assert(PackStream.packed(spark, s"$root/out")
+      .orderBy(col("seq_id")).collect().toSeq == batch)
+    // the fold ran at batch 2: dirs 0,1 collapsed into the fold (id 1)
+    val dirs = new java.io.File(s"$root/out/frag").list()
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs == Seq("batch_id=1", "batch_id=2"), dirs.toString)
+    // and it PRE-MERGED: one row per sequence inside the fold
+    val fold = spark.read.parquet(s"$root/out/frag/batch_id=1")
+    assert(fold.count() == fold.select("seq_id").distinct().count())
+    // an uncommitted upTo must refuse (phantom-token hazard)
+    val e = intercept[IllegalArgumentException] {
+      PackStream.compact(spark, s"$root/out", 99L)
+    }
+    assert(e.getMessage.contains("uncommitted"))
+    // a crashed fold's marker blocks serving until compaction finishes
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/out/frag/_compact_inprogress"), "batch_id=1")
+    val e2 = intercept[IllegalArgumentException] {
+      PackStream.packed(spark, s"$root/out").collect()
+    }
+    assert(e2.getMessage.contains("mid-compaction"))
+    PackStream.compact(spark, s"$root/out", 2L)
+    assert(PackStream.packed(spark, s"$root/out")
+      .orderBy(col("seq_id")).collect().toSeq == batch)
+  }
+
   test("curate-and-pack equals batch packIds over batch curation's survivors") {
     val root = java.nio.file.Files.createTempDirectory("curatepack").toString
     val tok = trainTok()
