@@ -730,10 +730,12 @@ object Curation {
     * comma) and `encodeFrom` swaps the encode-side corpus —
     * `xs_curate_pack` packs curation survivors against the same frozen
     * tokenizer. */
-  private[graft] def packIdsSql(prefix: String = "",
-      encodeFrom: String = "documents"): String = {
+  /** Through the per-doc id lists with their global offsets (`offs`:
+    * doc_id, ids, o) — shared by the packing oracle and the
+    * doc-boundary oracle. */
+  private def packOffsCtes(prefix: String, encodeFrom: String): String = {
     val rounds = 8
-    s"""WITH $prefix${TextAnalysis.bpeIdsCtes(rounds, 256, encodeFrom)},
+    s"""$prefix${TextAnalysis.bpeIdsCtes(rounds, 256, encodeFrom)},
        |eos AS (SELECT 36 + COUNT(*) AS e FROM mvocab),
        |docids AS (
        |  SELECT doc_id,
@@ -745,7 +747,12 @@ object Curation {
        |  SELECT doc_id, ids,
        |    COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
-       |  FROM docids),
+       |  FROM docids)""".stripMargin
+  }
+
+  private[graft] def packIdsSql(prefix: String = "",
+      encodeFrom: String = "documents"): String =
+    s"""WITH ${packOffsCtes(prefix, encodeFrom)},
        |tok AS (
        |  SELECT o + u['i'] AS gpos, u['v'] AS id
        |  FROM (SELECT o, unnest([{'i': i, 'v': ids[i+1]} for i in range(len(ids))]) AS u
@@ -755,9 +762,48 @@ object Curation {
        |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY gpos) AS ids
        |FROM tok GROUP BY 1
        |ORDER BY seq_id""".stripMargin
-  }
 
   private[graft] val xcPackIdsSql = packIdsSql()
+
+  /** Per packed sequence, the LOCAL positions where documents START —
+    * the metadata a trainer turns into block-diagonal attention masks
+    * over [[packIds]]'s sequences (tokens must not attend across an
+    * EOS into the previous document). A sequence fully inside one long
+    * document gets no row (its position 0 continues the spanning doc).
+    * Doc-level, not token-level: each boundary is pure arithmetic on
+    * the doc's global offset (DIV/MOD seqLen), so the operator is the
+    * SAME bucketed prefix sum as [[pack]] plus one doc-count-sized
+    * aggregation — no per-token explode, which is why it ships as its
+    * own row instead of a column on the (token-shuffling) [[packIds]]
+    * output: masks cost a doc pass, sequences cost the token pass. */
+  def packBounds(docs: DataFrame, tokDir: String, seqLen: Int = 512,
+      buckets: Int = 32): DataFrame = {
+    val perDoc = perDocIds(docs, tokDir)
+    packOffsets(perDoc, "n", buckets)
+      .select(expr(s"offset_tokens DIV $seqLen").as("seq_id"),
+        (col("offset_tokens") % seqLen).cast(IntegerType).as("p"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        concat_ws(",", transform(
+          array_sort(collect_list(col("p"))),
+          x => x.cast(StringType))).as("doc_starts"))
+  }
+
+  private def xcPackBounds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tokDir = TokenizerStore.ensureTokenizerFor(spark,
+      s"$dir/documents.parquet", "bpe-r8v256",
+      d => TokenizerStore.trainBpe(docs, d, 8, 256))
+    packBounds(docs, tokDir).orderBy(col("seq_id"))
+  }
+
+  private val xcPackBoundsSql =
+    s"""WITH ${packOffsCtes("", "documents")}
+       |SELECT CAST(o // 512 AS BIGINT) AS seq_id,
+       |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+       |  string_agg(CAST(o % 512 AS VARCHAR), ',' ORDER BY o) AS doc_starts
+       |FROM offs GROUP BY 1
+       |ORDER BY seq_id""".stripMargin
 
   private val xcPackSql =
     """SELECT doc_id, n_words, offset_tokens, offset_tokens // 512 AS seq_id
@@ -1302,6 +1348,7 @@ object Curation {
     Declared("xc_quantize", xcQuantize, Some(xcQuantizeSql)),
     Declared("xc_pack", xcPack, Some(xcPackSql)),
     Declared("xc_pack_ids", xcPackIds, Some(xcPackIdsSql)),
+    Declared("xc_pack_bounds", xcPackBounds, Some(xcPackBoundsSql)),
     Declared("xc_shard", xcShard, Some(xcShardSql)),
     Declared("xc_keep_best", xcKeepBest, Some(xcKeepBestSql)),
     Declared("xc_substring_keep_best", xcSubstringKeepBest, Some(xcSubstringKeepBestSql)),

@@ -418,6 +418,38 @@ class CurationSpec extends SparkSpec {
     assert(seqs.head._3.startsWith(firstWordIds))
   }
 
+  test("packBounds' doc starts are exactly the EOS-successor positions of the packed stream") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val dir = java.nio.file.Files.createTempDirectory("tok-bounds").toString
+    TokenizerStore.trainBpe(docs, dir, 8, 256)
+    val seqLen = 512
+    val bounds = Curation.packBounds(docs, dir, seqLen)
+      .select($"seq_id", $"n_docs", $"doc_starts")
+      .as[(Long, Int, String)].collect()
+    assert(bounds.nonEmpty)
+    // every doc with gated words starts exactly once, at a local
+    // position inside the sequence
+    val starts = bounds.flatMap { case (sid, n, ps) =>
+      val p = ps.split(",").map(_.toInt)
+      assert(p.length == n && p.forall(x => x >= 0 && x < seqLen))
+      assert(p.toSeq == p.sorted.toSeq && p.distinct.length == p.length)
+      p.map(sid * seqLen + _)
+    }
+    val nDocs = TokenizerStore.encodeBpe(docs, dir).count()
+    assert(starts.length.toLong == nDocs)
+    // cross-check against the packed TOKEN stream: a doc starts at
+    // global position 0 and right after every non-trailing EOS — the
+    // mask metadata must agree with the sequences it will mask
+    val eos = (36 + TokenizerStore.loadMerges(spark, dir).size).toString
+    val ids = Curation.packIds(docs, dir, seqLen).orderBy($"seq_id")
+      .select($"ids").as[String].collect().flatMap(_.split(","))
+    val fromIds = 0L +: ids.zipWithIndex
+      .collect { case (t, i) if t == eos && i + 1 < ids.length => (i + 1).toLong }
+    assert(starts.sorted.toSeq == fromIds.sorted.toSeq)
+  }
+
   test("perplexityBuckets partitions every scored doc into exactly one CCNet bucket") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
