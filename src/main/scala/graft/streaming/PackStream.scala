@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 import graft.core.Tables
 import graft.operators.{Curation, Declared, TokenizerStore}
@@ -129,20 +129,25 @@ object PackStream {
     }
     val perDoc = Curation.perDocIds(batch, tokDir)
     val batchTokens = perDoc.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
-    fragmentsOf(perDoc, base, seqLen, buckets)
+    // offsets computed once (packOffsets runs its quantile + totals
+    // jobs at construction); the two consumers below share the frame —
+    // only the doc-level window shuffle recomputes, never the encode
+    val withOff = Curation.packOffsets(perDoc, "n", buckets)
+      .withColumn("off", col("offset_tokens") + lit(base))
+    fragmentsOf(withOff, seqLen)
       .write.mode("overwrite").parquet(s"$outDir/frag/batch_id=$batchId")
+    boundsOf(withOff, seqLen)
+      .write.mode("overwrite").parquet(s"$outDir/bnd/batch_id=$batchId")
     writeState(spark, outDir, PackState(batchId, base, base + batchTokens))
   }
 
-  /** The batch's sequence fragments from its [[Curation.perDocIds]]
-    * frame (shared with the caller's token-count agg via the
-    * localCheckpoint) — factored so the streaming-plan pin covers the
-    * exact frame every trigger builds: bucketed prefix sum (broadcast
-    * bucket-offset attach), ONE per-token exchange keyed on seq_id. */
-  private[graft] def fragmentsOf(perDoc: DataFrame, base: Long,
-      seqLen: Int, buckets: Int): DataFrame =
-    Curation.packOffsets(perDoc, "n", buckets)
-      .select((col("offset_tokens") + lit(base)).as("off"),
+  /** The batch's sequence fragments from its globally-shifted offsets
+    * frame — factored so the streaming-plan pin covers the exact frame
+    * every trigger builds: bucketed prefix sum (broadcast bucket-offset
+    * attach), ONE per-token exchange keyed on seq_id. */
+  private[graft] def fragmentsOf(withOff: DataFrame, seqLen: Int): DataFrame =
+    withOff
+      .select(col("off"),
         posexplode(split(col("docids"), ",")).as(Seq("k", "id")))
       .withColumn("gpos", col("off") + col("k"))
       .groupBy(expr(s"gpos DIV $seqLen").as("seq_id"))
@@ -151,6 +156,23 @@ object PackStream {
         concat_ws(",", transform(
           array_sort(collect_list(struct(col("gpos"), col("id")))),
           x => x.getField("id"))).as("ids"))
+
+  /** The batch's doc-boundary fragments ([[Curation.packBounds]]'s
+    * attention-mask metadata, incrementally): each doc's global start
+    * offset DIV/MOD seqLen — doc-level arithmetic on the SAME offsets
+    * frame, no token explode. Fragment shape mirrors [[fragmentsOf]]
+    * (`start` = min global start carries the merge order), so serving
+    * and compaction reuse the one merge discipline. */
+  private[graft] def boundsOf(withOff: DataFrame, seqLen: Int): DataFrame =
+    withOff
+      .select(expr(s"off DIV $seqLen").as("seq_id"), col("off"),
+        (col("off") % seqLen).cast(IntegerType).as("p"))
+      .groupBy(col("seq_id"))
+      .agg(min(col("off")).as("start"),
+        count(lit(1)).cast(IntegerType).as("n_docs"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("off"), col("p")))),
+          x => x.getField("p").cast(StringType))).as("doc_starts"))
 
   /** Fold every fragment partition `batch_id ≤ upTo` into ONE
     * pre-MERGED partition — [[Maintenance.compactBatchStore]]'s
@@ -164,19 +186,33 @@ object PackStream {
     * committed (≤ the state watermark): folding an uncommitted
     * crash-debris dir would make its phantom tokens visible. Returns
     * the folded partition's row count, or -1 with nothing to fold. */
+  /** Merge fragments of one sequence in global-position order — the
+    * ONE reduction both serving and compaction apply (`start` = min
+    * carries the sort key through re-merges), per store. */
+  private def mergeFrags(df: DataFrame): DataFrame =
+    df.groupBy(col("seq_id"))
+      .agg(min(col("start")).as("start"),
+        sum(col("n_tokens")).cast(IntegerType).as("n_tokens"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("start"), col("ids")))),
+          x => x.getField("ids"))).as("ids"))
+
+  private def mergeBounds(df: DataFrame): DataFrame =
+    df.groupBy(col("seq_id"))
+      .agg(min(col("start")).as("start"),
+        sum(col("n_docs")).cast(IntegerType).as("n_docs"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("start"), col("doc_starts")))),
+          x => x.getField("doc_starts"))).as("doc_starts"))
+
   def compact(spark: SparkSession, outDir: String, upTo: Long): Long = {
     val st = readState(spark, outDir)
     require(st.exists(_.batchId >= upTo),
       s"PackStream: compact upTo=$upTo but $outDir is committed through " +
         s"${st.map(_.batchId).getOrElse(-1L)} — an uncommitted fragment dir " +
         "must never fold into the visible store")
-    Maintenance.compactBatchStore(spark, s"$outDir/frag", upTo,
-      fold = _.groupBy(col("seq_id"))
-        .agg(min(col("start")).as("start"),
-          sum(col("n_tokens")).cast(IntegerType).as("n_tokens"),
-          concat_ws(",", transform(
-            array_sort(collect_list(struct(col("start"), col("ids")))),
-            x => x.getField("ids"))).as("ids")))
+    Maintenance.compactBatchStore(spark, s"$outDir/bnd", upTo, fold = mergeBounds)
+    Maintenance.compactBatchStore(spark, s"$outDir/frag", upTo, fold = mergeFrags)
   }
 
   /** `compactEvery` > 0 folds the fragment store every that many
@@ -212,25 +248,31 @@ object PackStream {
     * as [[Curation.packIds]]; an uncommitted fragment dir (crash after
     * the write, before the state swap) is invisible until its replay
     * commits it. */
-  def packed(spark: SparkSession, outDir: String): DataFrame = {
+  private def served(spark: SparkSession, outDir: String, store: String,
+      dataCols: String, merge: DataFrame => DataFrame): DataFrame = {
     val st = readState(spark, outDir).getOrElse(throw new IllegalArgumentException(
       s"PackStream: $outDir has no pack_state.json — run the stream first"))
-    val marker = new Path(s"$outDir/frag/${Maintenance.CompactMarker}")
+    val marker = new Path(s"$outDir/$store/${Maintenance.CompactMarker}")
     require(!marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(marker),
-      s"PackStream: $outDir/frag is mid-compaction (crashed fold) — re-invoke " +
+      s"PackStream: $outDir/$store is mid-compaction (crashed fold) — re-invoke " +
         "compact (or replay the stream, whose pre-work compaction finishes the " +
         "plan) before serving")
-    spark.read
-      .schema("seq_id BIGINT, start BIGINT, n_tokens INT, ids STRING, batch_id BIGINT")
-      .parquet(s"$outDir/frag")
-      .filter(col("batch_id") <= st.batchId)
-      .groupBy(col("seq_id"))
-      .agg(sum(col("n_tokens")).cast(IntegerType).as("n_tokens"),
-        concat_ws(",", transform(
-          array_sort(collect_list(struct(col("start"), col("ids")))),
-          x => x.getField("ids"))).as("ids"))
+    merge(spark.read
+      .schema(s"seq_id BIGINT, start BIGINT, $dataCols, batch_id BIGINT")
+      .parquet(s"$outDir/$store")
+      .filter(col("batch_id") <= st.batchId))
+      .drop("start")
   }
+
+  def packed(spark: SparkSession, outDir: String): DataFrame =
+    served(spark, outDir, "frag", "n_tokens INT, ids STRING", mergeFrags)
+
+  /** The attention-mask metadata as of the last committed batch —
+    * [[Curation.packBounds]]'s contract, served from the incremental
+    * bounds store under the same commit gate as [[packed]]. */
+  def packedBounds(spark: SparkSession, outDir: String): DataFrame =
+    served(spark, outDir, "bnd", "n_docs INT, doc_starts STRING", mergeBounds)
 
   // ----------------------------------------------------------- declared
   /** Stream-vs-batch parity, driver-oracled: the fixture lands as three

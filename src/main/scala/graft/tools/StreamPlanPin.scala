@@ -115,8 +115,10 @@ object StreamPlanPin {
     val dir = java.nio.file.Files.createTempDirectory("pin-pack").toString
     graft.operators.TokenizerStore.trainBpe(docs, dir, 8, 256)
     val perDoc = graft.operators.Curation.perDocIds(docs, dir)
+    val withOff = graft.operators.Curation.packOffsets(perDoc, "n", 32)
+      .withColumn("off", col("offset_tokens") + lit(0L))
     PlanPin.skeletonOf(
-      graft.streaming.PackStream.fragmentsOf(perDoc, 0L, 512, 32)
+      graft.streaming.PackStream.fragmentsOf(withOff, 512)
         .queryExecution.executedPlan)
   }
 

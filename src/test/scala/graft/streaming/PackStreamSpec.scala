@@ -49,6 +49,12 @@ class PackStreamSpec extends SparkSpec {
     val batch = Curation.packIds(docs, tok)
       .orderBy(col("seq_id")).collect().toSeq
     assert(streamed.nonEmpty && streamed == batch)
+    // the mask metadata rides the same carry and commit: streamed
+    // bounds must equal batch packBounds bit-for-bit too
+    assert(PackStream.packedBounds(spark, s"$root/out")
+      .orderBy(col("seq_id")).collect().toSeq ==
+      Curation.packBounds(docs, tok)
+        .orderBy(col("seq_id")).collect().toSeq)
     // the parity must have exercised the carry across a batch boundary:
     // some sequence straddles two batches (two fragments merged)
     val straddled = spark.read
@@ -96,6 +102,13 @@ class PackStreamSpec extends SparkSpec {
       .orderBy(col("seq_id")).collect().toSeq
     assert(PackStream.packed(spark, s"$root/out")
       .orderBy(col("seq_id")).collect().toSeq == batch)
+    // both stores fold; bounds still serve their batch contract
+    assert(PackStream.packedBounds(spark, s"$root/out")
+      .orderBy(col("seq_id")).collect().toSeq ==
+      Curation.packBounds(docs, tok)
+        .orderBy(col("seq_id")).collect().toSeq)
+    assert(new java.io.File(s"$root/out/bnd").list()
+      .count(_.startsWith("batch_id=")) == 2)
     // the fold ran at batch 2: dirs 0,1 collapsed into the fold (id 1)
     val dirs = new java.io.File(s"$root/out/frag").list()
       .filter(_.startsWith("batch_id=")).sorted.toSeq
@@ -135,6 +148,10 @@ class PackStreamSpec extends SparkSpec {
     val batch = Curation.packIds(survivors, tok)
       .orderBy(col("seq_id")).collect().toSeq
     assert(streamed.nonEmpty && streamed == batch)
+    assert(PackStream.packedBounds(spark, s"$root/out/pack")
+      .orderBy(col("seq_id")).collect().toSeq ==
+      Curation.packBounds(survivors, tok)
+        .orderBy(col("seq_id")).collect().toSeq)
     // curation actually gated something, or the composition is untested
     assert(survivors.count() < docs.count(),
       "fixture has no rejects — the curate stage was a no-op")
