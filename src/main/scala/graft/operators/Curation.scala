@@ -606,10 +606,17 @@ object Curation {
     * via a `buckets`-row collect. Returns the input plus
     * `offset_tokens` (empty input → empty output, schema preserved). */
   private[graft] def packOffsets(d: DataFrame, nCol: String,
-      buckets: Int): DataFrame = {
+      buckets: Int): DataFrame = packOffsetsWithTotal(d, nCol, buckets)._1
+
+  /** [[packOffsets]] plus the grand total of `nCol` — already known
+    * driver-side from the bucket-totals collect, so callers that need
+    * it ([[graft.streaming.PackStream]]'s carry advance) get it for
+    * free instead of paying a separate aggregation job per call. */
+  private[graft] def packOffsetsWithTotal(d: DataFrame, nCol: String,
+      buckets: Int): (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     val cuts = packCuts(d, buckets)
-    if (cuts.isEmpty) return d.limit(0).withColumn("offset_tokens", lit(0L))
+    if (cuts.isEmpty) return (d.limit(0).withColumn("offset_tokens", lit(0L)), 0L)
     // bucket id = number of boundary cuts strictly below doc_id: a chain
     // of `buckets`−1 codegen'd comparisons, no division, no overflow.
     val db = d.withColumn("_b",
@@ -625,10 +632,11 @@ object Curation {
     val offDf = offs.toDF("_b", "_boff")
     val w = Window.partitionBy(col("_b")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    db.join(broadcast(offDf), Seq("_b"))
+    (db.join(broadcast(offDf), Seq("_b"))
       .withColumn("offset_tokens",
         col("_boff") + coalesce(sum(col(nCol)).over(w), lit(0L)))
-      .drop("_b", "_boff")
+      .drop("_b", "_boff"),
+      totals.map(_._2).sum)
   }
 
   /** Interior bucket boundaries for [[pack]]: the 1/b … (b−1)/b doc_id

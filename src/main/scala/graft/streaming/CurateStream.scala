@@ -477,7 +477,7 @@ object CurateStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
           Maintenance.compactBatchStore(spark, keysDir, upTo = batchId - 1)
-          PackStream.compact(spark, packDir, upTo = batchId - 1)
+          PackStream.compactAt(spark, packDir, upTo = batchId - 1)
         }
         processBatch(batch, batchId, keysDir, dataDir, minWords, maxDupWordFrac)
         // this batch's survivors, re-read from the partition the write
@@ -492,43 +492,54 @@ object CurateStream {
   }
 
   // ----------------------------------------------------------- declared
-  /** Stream-vs-batch parity, driver-oracled: the fixture lands as three
-    * doc_id-ordered drops, one AvailableNow pass each (one shared
-    * checkpoint and key store — three real micro-batches through the
-    * incremental path), and the accumulated curated output is returned
-    * per-doc. Because the drops are doc_id-ordered, the stream's
-    * keep-first (min doc_id within a batch, earliest batch across
-    * batches) coincides with batch [[Curation.curate]]'s global
-    * min-doc_id keep-first, so DuckDB's batch curation SQL is an exact
-    * oracle for the incremental pipeline. The min/max collect is one
-    * row (drop-boundary arithmetic); parity holds for ANY ordered
-    * cut, so boundary choice affects batch sizes, never the result. */
+  /** The xs-family harness, shared by every declared streaming row:
+    * land `docs` as three doc_id-ordered drops under `<root>/in/`,
+    * invoking `pass(root)` after each (one AvailableNow pass over the
+    * in-dir glob — three real micro-batches through whatever
+    * stream the row starts, with its checkpoint/outputs under the same
+    * root). Returns the scratch root; outputs under it are read lazily,
+    * so the tree is reaped at JVM exit via the SHARED hook (one per
+    * JVM, not one hook thread per invocation; ADVICE r11). The min/max
+    * collect is one row (drop-boundary arithmetic); stream-vs-batch
+    * parity holds for ANY ordered cut, so the boundary choice affects
+    * batch sizes, never results. */
+  private[streaming] def threeOrderedDrops(docs: DataFrame, prefix: String)(
+      pass: String => Unit): String = {
+    val rootPath = java.nio.file.Files.createTempDirectory(prefix)
+    graft.core.TempReaper.reapAtExit(rootPath)
+    val root = rootPath.toString
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * ((hi - lo) / 3)
+    Seq(
+      col("doc_id") <= cut1,
+      col("doc_id") > cut1 && col("doc_id") <= cut2,
+      col("doc_id") > cut2).zipWithIndex.foreach { case (cond, i) =>
+      docs.filter(cond).coalesce(2).write.parquet(s"$root/in/drop$i.parquet")
+      pass(root)
+    }
+    root
+  }
+
+  /** Stream-vs-batch parity, driver-oracled: [[threeOrderedDrops]]
+    * through [[start]] (one shared checkpoint and key store), the
+    * accumulated curated output returned per-doc. Because the drops
+    * are doc_id-ordered, the stream's keep-first (min doc_id within a
+    * batch, earliest batch across batches) coincides with batch
+    * [[Curation.curate]]'s global min-doc_id keep-first, so DuckDB's
+    * batch curation SQL is an exact oracle for the incremental
+    * pipeline. */
   private def runThreeDrops(spark: SparkSession, dir: String,
       nearDupJaccard: Option[Double],
       tombstoneIndex: Option[String] = None,
       lmGate: Option[(String, Double)] = None): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val rootPath = java.nio.file.Files.createTempDirectory("xs-curate-stream")
-    // the returned DataFrame reads lazily from outDir, so the scratch
-    // tree must outlive this call — reap it at JVM exit via the SHARED
-    // hook (one per JVM, not one hook thread per invocation; ADVICE r11)
-    graft.core.TempReaper.reapAtExit(rootPath)
-    val root = rootPath.toString
-    val inDir = s"$root/in"; val outDir = s"$root/out"
-    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val cut1 = lo + (hi - lo) / 3
-    val cut2 = lo + 2 * ((hi - lo) / 3)
-    val drops = Seq(
-      col("doc_id") <= cut1,
-      col("doc_id") > cut1 && col("doc_id") <= cut2,
-      col("doc_id") > cut2)
-    drops.zipWithIndex.foreach { case (cond, i) =>
-      docs.filter(cond).coalesce(2).write.parquet(s"$inDir/drop$i.parquet")
-      runOnce(spark, s"$inDir/*", outDir, s"$root/ck", nearDupJaccard,
+    val root = threeOrderedDrops(docs, "xs-curate-stream") { root =>
+      runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", nearDupJaccard,
         tombstoneIndex = tombstoneIndex, lmGate = lmGate)
     }
-    spark.read.parquet(s"$outDir/data")
+    spark.read.parquet(s"$root/out/data")
       .select(col("doc_id"), col("lang"), col("n_words"), col("split"))
       .orderBy(col("doc_id"))
   }
@@ -709,26 +720,14 @@ object CurateStream {
     * serving path are all value-checked in one row. */
   private def xsCurateToIndex(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val rootPath = java.nio.file.Files.createTempDirectory("xs-curate-to-index")
-    graft.core.TempReaper.reapAtExit(rootPath)
-    val root = rootPath.toString
-    val inDir = s"$root/in"; val outDir = s"$root/out"; val ixDir = s"$root/ix"
-    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val cut1 = lo + (hi - lo) / 3
-    val cut2 = lo + 2 * ((hi - lo) / 3)
-    val drops = Seq(
-      col("doc_id") <= cut1,
-      col("doc_id") > cut1 && col("doc_id") <= cut2,
-      col("doc_id") > cut2)
-    drops.zipWithIndex.foreach { case (cond, i) =>
-      docs.filter(cond).coalesce(2).write.parquet(s"$inDir/drop$i.parquet")
-      startCurateAndIndex(spark, s"$inDir/*", outDir, s"$root/ck", ixDir)
-        .awaitTermination()
+    val root = threeOrderedDrops(docs, "xs-curate-to-index") { root =>
+      startCurateAndIndex(spark, s"$root/in/*", s"$root/out", s"$root/ck",
+        s"$root/ix").awaitTermination()
     }
+    val ixDir = s"$root/ix"
     val probes = graft.operators.TextAnalysis.hashVectors(
         spark.read.schema("doc_id BIGINT, text STRING, batch_id BIGINT")
-          .parquet(s"$outDir/data").filter(col("doc_id") < 10)
+          .parquet(s"$root/out/data").filter(col("doc_id") < 10)
           .select(col("doc_id"), col("text")))
       .filter(col("l2") > 0)
       .select(col("doc_id").as("vec_id"),
@@ -760,24 +759,11 @@ object CurateStream {
     val tokDir = graft.operators.TokenizerStore.ensureTokenizerFor(spark,
       s"$dir/documents.parquet", "bpe-r8v256",
       d => graft.operators.TokenizerStore.trainBpe(docs, d, 8, 256))
-    val rootPath = java.nio.file.Files.createTempDirectory("xs-curate-pack")
-    graft.core.TempReaper.reapAtExit(rootPath)
-    val root = rootPath.toString
-    val inDir = s"$root/in"; val outDir = s"$root/out"
-    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val cut1 = lo + (hi - lo) / 3
-    val cut2 = lo + 2 * ((hi - lo) / 3)
-    val drops = Seq(
-      col("doc_id") <= cut1,
-      col("doc_id") > cut1 && col("doc_id") <= cut2,
-      col("doc_id") > cut2)
-    drops.zipWithIndex.foreach { case (cond, i) =>
-      docs.filter(cond).coalesce(2).write.parquet(s"$inDir/drop$i.parquet")
-      startCurateAndPack(spark, s"$inDir/*", outDir, s"$root/ck", tokDir)
-        .awaitTermination()
+    val root = threeOrderedDrops(docs, "xs-curate-pack") { root =>
+      startCurateAndPack(spark, s"$root/in/*", s"$root/out", s"$root/ck",
+        tokDir).awaitTermination()
     }
-    PackStream.packed(spark, s"$outDir/pack").orderBy(col("seq_id"))
+    PackStream.packed(spark, s"$root/out/pack").orderBy(col("seq_id"))
   }
 
   /** Batch packIds over batch curation's survivors ([[curSurvCtes]]),

@@ -47,8 +47,11 @@ import graft.operators.{Curation, Declared, TokenizerStore}
   * records (last committed batch, its base offset, total after it), so
   * a foreachBatch replay of the last batch — the only replay Spark's
   * checkpoint can produce — recomputes from its original base and
-  * overwrites its own fragment dir, byte-identical; batches at-or-below
-  * the watermark no-op entirely. A crash between the fragment write
+  * overwrites its own fragment dir, byte-identical; a batch strictly
+  * below the watermark can only come from a second or rewound
+  * checkpoint and refuses loudly (its files would otherwise be marked
+  * processed with their tokens never packed). A crash between the
+  * fragment write
   * and the state swap leaves an uncommitted fragment dir that readers
   * never see ([[packed]] reads only `batch_id ≤` the state watermark)
   * and the replay overwrites. Like every store here: one stream is the
@@ -57,14 +60,18 @@ import graft.operators.{Curation, Declared, TokenizerStore}
   * 100 TB shape: per batch, one corpus-of-the-batch shuffle for the
   * per-doc stage, a `buckets`-row collect for offsets, one per-token
   * shuffle keyed on seq_id (the honest cost of materializing training
-  * sequences), and one 3-long-int state file — no driver-side model,
+  * sequences), and one tiny state file — no driver-side model,
   * no O(history) work, no global sort ever.
   */
 object PackStream {
 
-  /** Last committed batch, the global offset it started at, and the
-    * total token count after it (= the next batch's base). */
-  private case class PackState(batchId: Long, base: Long, total: Long)
+  /** Last committed batch, the global offset it started at, the total
+    * token count after it (= the next batch's base), and the store's
+    * seqLen — part of the layout: fragments cut at a different seqLen
+    * land under colliding seq_ids and merge into garbage, so a restart
+    * with a changed seqLen must refuse, not corrupt. */
+  private case class PackState(batchId: Long, base: Long, total: Long,
+      seqLen: Int)
 
   private def statePath(outDir: String) = new Path(s"$outDir/pack_state.json")
 
@@ -78,7 +85,7 @@ object PackStream {
       try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
         Some(PackState(root.get("batch_id").asLong(), root.get("base").asLong(),
-          root.get("total").asLong()))
+          root.get("total").asLong(), root.get("seq_len").asInt()))
       } catch {
         case e: Exception => throw new IllegalStateException(
           s"PackStream: $p is unparseable (${e.getMessage}) — external corruption; " +
@@ -97,7 +104,8 @@ object PackStream {
     val tmp = new Path(s"$outDir/.pack_state.json.tmp")
     val fc = FileContext.getFileContext(dst.toUri,
       spark.sparkContext.hadoopConfiguration)
-    val json = s"""{"batch_id":${st.batchId},"base":${st.base},"total":${st.total}}"""
+    val json = s"""{"batch_id":${st.batchId},"base":${st.base},""" +
+      s""""total":${st.total},"seq_len":${st.seqLen}}"""
     val out = fc.create(tmp,
       java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
       org.apache.hadoop.fs.Options.CreateOpts.createParent())
@@ -112,7 +120,12 @@ object PackStream {
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
       tokDir: String, outDir: String, seqLen: Int, buckets: Int): Unit = {
     val spark = batch.sparkSession
-    val base = readState(spark, outDir) match {
+    val st = readState(spark, outDir)
+    st.foreach(s => require(s.seqLen == seqLen,
+      s"PackStream: $outDir was packed at seqLen=${s.seqLen}, this stream says " +
+        s"$seqLen — fragments at mixed cut lengths merge into garbage under " +
+        "colliding seq_ids; repack into a fresh store to change seqLen"))
+    val base = st match {
       case None =>
         require(batchId == 0L,
           s"PackStream: $outDir has no pack_state.json but batch $batchId arrived — " +
@@ -121,24 +134,31 @@ object PackStream {
         0L
       case Some(s) if batchId == s.batchId + 1 => s.total
       case Some(s) if batchId == s.batchId => s.base // checkpoint replay
-      case Some(s) if batchId < s.batchId => return // committed long ago; no-op
+      // Spark replays only the LAST batch, and the state advances past N
+      // only inside batch N+1 — which runs only after N's checkpoint
+      // commit. So a batch strictly below the watermark can NEVER be this
+      // store's own replay; it is a rewound/recreated checkpoint, whose
+      // batch 0 would bundle never-packed new drops and mark them
+      // processed forever if we silently no-opped here.
       case Some(s) => throw new IllegalArgumentException(
         s"PackStream: batch $batchId arrived but $outDir is committed through " +
-          s"${s.batchId} — a second checkpoint is interleaving with this store's " +
-          "single writer")
+          s"${s.batchId} — a second (or rewound) checkpoint is interleaving " +
+          "with this store's single writer; its data is NOT in the store")
     }
     val perDoc = Curation.perDocIds(batch, tokDir)
-    val batchTokens = perDoc.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
     // offsets computed once (packOffsets runs its quantile + totals
-    // jobs at construction); the two consumers below share the frame —
-    // only the doc-level window shuffle recomputes, never the encode
-    val withOff = Curation.packOffsets(perDoc, "n", buckets)
-      .withColumn("off", col("offset_tokens") + lit(base))
+    // jobs at construction; the batch token total rides that collect —
+    // no separate aggregation job); the two consumers below share the
+    // frame — only the doc-level window shuffle recomputes, never the
+    // encode
+    val (offsets, batchTokens) =
+      Curation.packOffsetsWithTotal(perDoc, "n", buckets)
+    val withOff = offsets.withColumn("off", col("offset_tokens") + lit(base))
     fragmentsOf(withOff, seqLen)
       .write.mode("overwrite").parquet(s"$outDir/frag/batch_id=$batchId")
     boundsOf(withOff, seqLen)
       .write.mode("overwrite").parquet(s"$outDir/bnd/batch_id=$batchId")
-    writeState(spark, outDir, PackState(batchId, base, base + batchTokens))
+    writeState(spark, outDir, PackState(batchId, base, base + batchTokens, seqLen))
   }
 
   /** The batch's sequence fragments from its globally-shifted offsets
@@ -174,18 +194,6 @@ object PackStream {
           array_sort(collect_list(struct(col("off"), col("p")))),
           x => x.getField("p").cast(StringType))).as("doc_starts"))
 
-  /** Fold every fragment partition `batch_id ≤ upTo` into ONE
-    * pre-MERGED partition — [[Maintenance.compactBatchStore]]'s
-    * crash-safe fold with packing's reduction: fragments of the same
-    * seq_id concatenate in global-position order NOW instead of at
-    * every [[packed]] call, so a long-lived store serves each old
-    * sequence as one row and the per-drop directory count stops
-    * growing. Semantically transparent — a pre-merged row re-merges
-    * with any later fragment of the same sequence exactly as its
-    * parts would (start = min carries the sort key). `upTo` must be
-    * committed (≤ the state watermark): folding an uncommitted
-    * crash-debris dir would make its phantom tokens visible. Returns
-    * the folded partition's row count, or -1 with nothing to fold. */
   /** Merge fragments of one sequence in global-position order — the
     * ONE reduction both serving and compaction apply (`start` = min
     * carries the sort key through re-merges), per store. */
@@ -205,12 +213,40 @@ object PackStream {
           array_sort(collect_list(struct(col("start"), col("doc_starts")))),
           x => x.getField("doc_starts"))).as("doc_starts"))
 
+  /** Fold every fragment partition `batch_id ≤ upTo` (of BOTH stores)
+    * into ONE pre-MERGED partition each — [[Maintenance.compactBatchStore]]'s
+    * crash-safe fold with packing's reduction: fragments of the same
+    * seq_id concatenate in global-position order NOW instead of at
+    * every [[packed]] call, so a long-lived store serves each old
+    * sequence as one row and the per-drop directory count stops
+    * growing. Semantically transparent — a pre-merged row re-merges
+    * with any later fragment of the same sequence exactly as its
+    * parts would (start = min carries the sort key). Returns the folded
+    * fragment partition's row count, or -1 with nothing to fold.
+    *
+    * `upTo` must be STRICTLY below the state watermark. `≤` would not
+    * do: the watermark batch's state swap precedes its checkpoint
+    * commit, so in that crash window the batch can still REPLAY — and
+    * the replay overwrites `frag/batch_id=N`, which after a fold at
+    * `upTo = N` holds every earlier batch's fragments. (Folding an
+    * UNCOMMITTED dir — upTo beyond the watermark — would make phantom
+    * tokens visible; refused for the same reason.) The in-stream
+    * cadence may fold AT its watermark via [[compactAt]] because
+    * delivery of batch N proves batch N−1's checkpoint commit. */
   def compact(spark: SparkSession, outDir: String, upTo: Long): Long = {
     val st = readState(spark, outDir)
-    require(st.exists(_.batchId >= upTo),
+    require(st.exists(_.batchId > upTo),
       s"PackStream: compact upTo=$upTo but $outDir is committed through " +
-        s"${st.map(_.batchId).getOrElse(-1L)} — an uncommitted fragment dir " +
-        "must never fold into the visible store")
+        s"${st.map(_.batchId).getOrElse(-1L)} — batches at or beyond the " +
+        "watermark can still replay (the state swap precedes the checkpoint " +
+        "commit) or are uncommitted debris; fold strictly below it, or let " +
+        "the stream's own compactEvery cadence fold the head batch")
+    compactAt(spark, outDir, upTo)
+  }
+
+  /** The fold itself, guard-free — callable at the watermark ONLY from
+    * inside `foreachBatch` of a later batch (see [[compact]]). */
+  private[streaming] def compactAt(spark: SparkSession, outDir: String, upTo: Long): Long = {
     Maintenance.compactBatchStore(spark, s"$outDir/bnd", upTo, fold = mergeBounds)
     Maintenance.compactBatchStore(spark, s"$outDir/frag", upTo, fold = mergeFrags)
   }
@@ -231,7 +267,7 @@ object PackStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          compact(spark, outDir, upTo = batchId - 1)
+          compactAt(spark, outDir, upTo = batchId - 1)
         processBatch(batch, batchId, tokDir, outDir, seqLen, buckets)
       }
       .start()
@@ -288,24 +324,10 @@ object PackStream {
     val tokDir = TokenizerStore.ensureTokenizerFor(spark,
       s"$dir/documents.parquet", "bpe-r8v256",
       d => TokenizerStore.trainBpe(docs, d, 8, 256))
-    val rootPath = java.nio.file.Files.createTempDirectory("xs-pack-stream")
-    // the returned DataFrame reads lazily from outDir — reap at JVM exit
-    graft.core.TempReaper.reapAtExit(rootPath)
-    val root = rootPath.toString
-    val inDir = s"$root/in"; val outDir = s"$root/out"
-    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val cut1 = lo + (hi - lo) / 3
-    val cut2 = lo + 2 * ((hi - lo) / 3)
-    val drops = Seq(
-      col("doc_id") <= cut1,
-      col("doc_id") > cut1 && col("doc_id") <= cut2,
-      col("doc_id") > cut2)
-    drops.zipWithIndex.foreach { case (cond, i) =>
-      docs.filter(cond).coalesce(2).write.parquet(s"$inDir/drop$i.parquet")
-      runOnce(spark, s"$inDir/*", outDir, s"$root/ck", tokDir)
+    val root = CurateStream.threeOrderedDrops(docs, "xs-pack-stream") { root =>
+      runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", tokDir)
     }
-    packed(spark, outDir).orderBy(col("seq_id"))
+    packed(spark, s"$root/out").orderBy(col("seq_id"))
   }
 
   val all: Seq[Declared] = Seq(

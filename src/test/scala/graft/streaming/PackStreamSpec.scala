@@ -83,9 +83,20 @@ class PackStreamSpec extends SparkSpec {
     val after = PackStream.packed(spark, s"$root/out")
       .orderBy(col("seq_id")).collect().toSeq
     assert(after == before)
-    // and an already-committed earlier batch no-ops
+    // a batch strictly below the watermark can only be a rewound or
+    // second checkpoint (Spark replays only the LAST batch): refuse —
+    // a silent no-op would mark its files processed with tokens unpacked
     val batch0 = spark.read.schema(Tables.documents).parquet(drop0)
-    PackStream.processBatch(batch0, 0L, tok, s"$root/out", 512, 32)
+    val eRewound = intercept[IllegalArgumentException] {
+      PackStream.processBatch(batch0, 0L, tok, s"$root/out", 512, 32)
+    }
+    assert(eRewound.getMessage.contains("rewound"))
+    // and a changed seqLen against an existing store refuses (fragments
+    // at mixed cut lengths would merge into garbage)
+    val eLen = intercept[IllegalArgumentException] {
+      PackStream.processBatch(batch1, 2L, tok, s"$root/out", 256, 32)
+    }
+    assert(eLen.getMessage.contains("seqLen"))
     assert(PackStream.packed(spark, s"$root/out")
       .orderBy(col("seq_id")).collect().toSeq == before)
   }
@@ -116,11 +127,17 @@ class PackStreamSpec extends SparkSpec {
     // and it PRE-MERGED: one row per sequence inside the fold
     val fold = spark.read.parquet(s"$root/out/frag/batch_id=1")
     assert(fold.count() == fold.select("seq_id").distinct().count())
-    // an uncommitted upTo must refuse (phantom-token hazard)
+    // an uncommitted upTo must refuse (phantom-token hazard), and so
+    // must the watermark itself: its state swap precedes the checkpoint
+    // commit, so that batch can still replay and would overwrite a fold
     val e = intercept[IllegalArgumentException] {
       PackStream.compact(spark, s"$root/out", 99L)
     }
-    assert(e.getMessage.contains("uncommitted"))
+    assert(e.getMessage.contains("replay"))
+    val eWm = intercept[IllegalArgumentException] {
+      PackStream.compact(spark, s"$root/out", 2L)
+    }
+    assert(eWm.getMessage.contains("replay"))
     // a crashed fold's marker blocks serving until compaction finishes
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/out/frag/_compact_inprogress"), "batch_id=1")
@@ -128,7 +145,7 @@ class PackStreamSpec extends SparkSpec {
       PackStream.packed(spark, s"$root/out").collect()
     }
     assert(e2.getMessage.contains("mid-compaction"))
-    PackStream.compact(spark, s"$root/out", 2L)
+    PackStream.compact(spark, s"$root/out", 1L)
     assert(PackStream.packed(spark, s"$root/out")
       .orderBy(col("seq_id")).collect().toSeq == batch)
   }
