@@ -58,7 +58,11 @@ object PlanPin {
     // reads (broadcast joins against vocabulary-bounded tables, the
     // codegen replace-chain encode) with NO training lineage
     "xt_bigram_lm_persisted", "xt_bpe_encode_persisted",
-    "xc_perplexity_bucket")
+    "xc_perplexity_bucket",
+    // the packing tier's cost split, as tripwires: the sequence row
+    // must pay exactly ONE Generate (the per-token explode) and the
+    // mask row NONE (doc-level offset arithmetic only)
+    "xc_pack_ids", "xc_pack_bounds")
 
   val pinFile = "PLANPINS.txt"
   val sfDir = "/root/testdata/sf0.001"
