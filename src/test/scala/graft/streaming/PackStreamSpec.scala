@@ -174,6 +174,79 @@ class PackStreamSpec extends SparkSpec {
       "fixture has no rejects — the curate stage was a no-op")
   }
 
+  test("protocol property: random advance/replay/fold with crash debris always serves exactly the committed stream") {
+    import spark.implicits._
+    // model-based check of the WHOLE pack protocol (the IndexStoreSpec
+    // discipline): the model is simply "the committed prefix of the
+    // doc_id-ordered stream", and after every operation — advances with
+    // and without the in-stream pre-fold, last-batch replays, empty
+    // batches, uncommitted crash debris, a crashed-fold marker — the
+    // served sequences AND bounds must equal batch packing over that
+    // prefix bit-for-bit. Seeded so failures reproduce.
+    val rnd = new scala.util.Random(20260815L)
+    val tok = trainTok()
+    val allIds = docs.select($"doc_id").orderBy($"doc_id").as[Long].collect()
+    val root = java.nio.file.Files.createTempDirectory("packmodel").toString
+    val out = s"$root/out"
+    var consumed = 0
+    var nextId = 0L
+    // (batchId, fromIdx, untilIdx) of the newest committed batch
+    var last: (Long, Int, Int) = (0L, 0, 0)
+    def slice(from: Int, until: Int) =
+      if (from == until) docs.limit(0)
+      else docs.filter($"doc_id".between(allIds(from), allIds(until - 1)))
+    def advance(preFold: Boolean, empty: Boolean): String = {
+      val until =
+        if (empty) consumed
+        else math.min(consumed + 20 + rnd.nextInt(60), allIds.length)
+      // the in-stream cadence: fold AT the watermark, legal exactly here
+      // because delivering batch nextId proves nextId-1 committed
+      if (preFold && nextId > 0) PackStream.compactAt(spark, out, nextId - 1)
+      PackStream.processBatch(slice(consumed, until), nextId, tok, out, 512, 32)
+      last = (nextId, consumed, until); consumed = until; nextId += 1
+      if (empty) "advance(empty)" else s"advance(${until - last._2})"
+    }
+    def check(what: String): Unit = {
+      val union = docs.filter($"doc_id" <= allIds(consumed - 1))
+      assert(PackStream.packed(spark, out).orderBy($"seq_id").collect().toSeq ==
+        Curation.packIds(union, tok).orderBy($"seq_id").collect().toSeq, what)
+      assert(PackStream.packedBounds(spark, out).orderBy($"seq_id").collect().toSeq ==
+        Curation.packBounds(union, tok).orderBy($"seq_id").collect().toSeq, what)
+    }
+    advance(preFold = false, empty = false)
+    check("post-first")
+    for (step <- 0 until 10) {
+      val what = rnd.nextInt(6) match {
+        case 0 | 1 => advance(rnd.nextBoolean(), empty = false)
+        case 2 => // replay the newest batch (the only replay Spark produces)
+          PackStream.processBatch(slice(last._2, last._3), last._1, tok, out, 512, 32)
+          s"replay(${last._1})"
+        case 3 => // crash between the fragment writes and the state swap:
+          // uncommitted debris under the NEXT batch id, invisible until
+          // its real delivery overwrites it
+          Seq((99999L + step, 9999999L, 3, "1,2,3"))
+            .toDF("seq_id", "start", "n_tokens", "ids")
+            .write.mode("overwrite").parquet(s"$out/frag/batch_id=$nextId")
+          Seq((99999L + step, 9999999L, 1, "0"))
+            .toDF("seq_id", "start", "n_docs", "doc_starts")
+            .write.mode("overwrite").parquet(s"$out/bnd/batch_id=$nextId")
+          "crash-debris"
+        case 4 => // crashed fold: the marker blocks serving until some
+          // compaction call finishes the plan
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$out/frag/_compact_inprogress"),
+            s"batch_id=${nextId - 1}")
+          intercept[IllegalArgumentException] {
+            PackStream.packed(spark, out).collect()
+          }
+          PackStream.compact(spark, out, nextId - 2)
+          "fold-crash+recover"
+        case 5 => advance(preFold = rnd.nextBoolean(), empty = true)
+      }
+      check(s"step $step: $what")
+    }
+  }
+
   test("an uncommitted fragment dir is invisible; gaps and foreign checkpoints refuse") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("packcrash").toString
