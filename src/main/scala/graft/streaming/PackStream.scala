@@ -23,9 +23,12 @@ import graft.operators.{Curation, Declared, TokenizerStore}
   * doc), computes batch-local offsets with the same bucketed prefix
   * sum ([[Curation.packOffsets]] — no global sort), shifts them by the
   * carried total, and lands the batch's sequence FRAGMENTS under
-  * `frag/batch_id=N/`. A sequence that straddles a batch boundary gets
-  * one fragment per batch; [[packed]] merges fragments by seq_id in
-  * global-position order. Emitting fragments instead of holding the
+  * `frag/batch_id=N/` (and the attention-mask metadata — doc-start
+  * positions, [[Curation.packBounds]]'s contract — as doc-level bounds
+  * fragments under `bnd/batch_id=N/`). A sequence that straddles a
+  * batch boundary gets one fragment per batch; [[packed]] /
+  * [[packedBounds]] merge fragments by seq_id in global-position
+  * order. Emitting fragments instead of holding the
   * partial tail sequence in operator state keeps the operator fully
   * distributed — a tail held in `flatMapGroupsWithState` would funnel
   * every batch through one grouping key, a single-task bottleneck at
@@ -51,11 +54,10 @@ import graft.operators.{Curation, Declared, TokenizerStore}
   * below the watermark can only come from a second or rewound
   * checkpoint and refuses loudly (its files would otherwise be marked
   * processed with their tokens never packed). A crash between the
-  * fragment write
-  * and the state swap leaves an uncommitted fragment dir that readers
-  * never see ([[packed]] reads only `batch_id ≤` the state watermark)
-  * and the replay overwrites. Like every store here: one stream is the
-  * dir's single writer.
+  * fragment writes and the state swap leaves uncommitted fragment dirs
+  * that readers never see ([[packed]] reads only `batch_id ≤` the
+  * state watermark) and the replay overwrites. Like every store here:
+  * one stream is the dir's single writer.
   *
   * 100 TB shape: per batch, one corpus-of-the-batch shuffle for the
   * per-doc stage, a `buckets`-row collect for offsets, one per-token
