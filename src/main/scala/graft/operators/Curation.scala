@@ -608,15 +608,17 @@ object Curation {
   private[graft] def packOffsets(d: DataFrame, nCol: String,
       buckets: Int): DataFrame = packOffsetsWithTotal(d, nCol, buckets)._1
 
-  /** [[packOffsets]] plus the grand total of `nCol` — already known
-    * driver-side from the bucket-totals collect, so callers that need
-    * it ([[graft.streaming.PackStream]]'s carry advance) get it for
-    * free instead of paying a separate aggregation job per call. */
+  /** [[packOffsets]] plus the grand total of `nCol` and the row count
+    * — both already known driver-side from the bucket-totals collect,
+    * so callers that need them ([[graft.streaming.PackStream]]'s carry
+    * advance and per-batch stats) get them for free instead of paying
+    * separate aggregation jobs per call. */
   private[graft] def packOffsetsWithTotal(d: DataFrame, nCol: String,
-      buckets: Int): (DataFrame, Long) = {
+      buckets: Int, wordsCol: Option[String] = None): (DataFrame, Long, Long, Long) = {
     import org.apache.spark.sql.expressions.Window
     val cuts = packCuts(d, buckets)
-    if (cuts.isEmpty) return (d.limit(0).withColumn("offset_tokens", lit(0L)), 0L)
+    if (cuts.isEmpty)
+      return (d.limit(0).withColumn("offset_tokens", lit(0L)), 0L, 0L, 0L)
     // bucket id = number of boundary cuts strictly below doc_id: a chain
     // of `buckets`−1 codegen'd comparisons, no division, no overflow.
     val db = d.withColumn("_b",
@@ -624,10 +626,12 @@ object Curation {
         .reduceOption(_ + _).getOrElse(lit(0L)).cast(LongType))
     val spark = d.sparkSession
     import spark.implicits._
-    val totals = db.groupBy(col("_b")).agg(sum(col(nCol)).as("t"))
-      .as[(Long, Long)].collect().sortBy(_._1)
+    val totals = db.groupBy(col("_b"))
+      .agg(sum(col(nCol)).as("t"), count(lit(1)).as("c"),
+        sum(wordsCol.map(col).getOrElse(lit(0L))).as("w"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
     val offs = totals.scanLeft((-1L, 0L)) {
-      case ((_, acc), (b, t)) => (b, acc + t)
+      case ((_, acc), (b, t, _, _)) => (b, acc + t)
     }.sliding(2).map { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
     val offDf = offs.toDF("_b", "_boff")
     val w = Window.partitionBy(col("_b")).orderBy(col("doc_id"))
@@ -636,7 +640,7 @@ object Curation {
       .withColumn("offset_tokens",
         col("_boff") + coalesce(sum(col(nCol)).over(w), lit(0L)))
       .drop("_b", "_boff"),
-      totals.map(_._2).sum)
+      totals.map(_._2).sum, totals.map(_._3).sum, totals.map(_._4).sum)
   }
 
   /** Interior bucket boundaries for [[pack]]: the 1/b … (b−1)/b doc_id
@@ -684,7 +688,8 @@ object Curation {
         concat_ws(",", transform(
           array_sort(collect_list(struct(col("pos"), col("ids")))),
           x => x.getField("ids"))).as("docids"),
-        (sum(col("n_sym")) + 1L).as("n"))
+        (sum(col("n_sym")) + 1L).as("n"),
+        count(lit(1)).as("n_words"))
       .withColumn("docids", concat(col("docids"), lit(s",$eos")))
       .localCheckpoint()
   }
@@ -749,7 +754,8 @@ object Curation {
        |  SELECT doc_id,
        |    list_append(flatten(list(
        |      list_transform(string_split(trim(sym), ' '), t -> map_extract(vm.m, t)[1])
-       |      ORDER BY pos)), (SELECT e FROM eos)) AS ids
+       |      ORDER BY pos)), (SELECT e FROM eos)) AS ids,
+       |    COUNT(*) AS nw
        |  FROM f$rounds CROSS JOIN vm GROUP BY doc_id),
        |offs AS (
        |  SELECT doc_id, ids,
@@ -772,6 +778,27 @@ object Curation {
        |ORDER BY seq_id""".stripMargin
 
   private[graft] val xcPackIdsSql = packIdsSql()
+
+  /** Per-drop pricing stats for [[graft.streaming.PackStream]]'s
+    * `xs_pack_stats` oracle: each doc's token count (incl. EOS) from
+    * the shared bpe CTEs, bucketed into the doc_id-range thirds the
+    * three-drop harness cuts, counted and summed per drop. */
+  private[graft] def packStatsSql(prefix: String = "",
+      encodeFrom: String = "documents"): String =
+    s"""WITH ${packOffsCtes(prefix, encodeFrom)},
+       |bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+       |b AS (
+       |  SELECT CASE WHEN doc_id <= lo + (hi - lo) // 3 THEN 0
+       |              WHEN doc_id <= lo + 2 * ((hi - lo) // 3) THEN 1
+       |              ELSE 2 END AS batch_id,
+       |    len(ids) AS n, nw
+       |  FROM docids CROSS JOIN bounds)
+       |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+       |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+       |  CAST(SUM(nw) AS BIGINT) AS n_words,
+       |  CAST(SUM(n) AS BIGINT) AS n_tokens
+       |FROM b GROUP BY 1
+       |ORDER BY batch_id""".stripMargin
 
   /** Per packed sequence, the LOCAL positions where documents START —
     * the metadata a trainer turns into block-diagonal attention masks

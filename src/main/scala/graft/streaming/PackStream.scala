@@ -120,7 +120,8 @@ object PackStream {
     * then the state swap that makes them visible. Idempotent per the
     * replay discipline above. */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
-      tokDir: String, outDir: String, seqLen: Int, buckets: Int): Unit = {
+      tokDir: String, outDir: String, seqLen: Int, buckets: Int,
+      staleWhen: Double = 0.0): Unit = {
     val spark = batch.sparkSession
     val st = readState(spark, outDir)
     st.foreach(s => require(s.seqLen == seqLen,
@@ -153,14 +154,88 @@ object PackStream {
     // no separate aggregation job); the two consumers below share the
     // frame — only the doc-level window shuffle recomputes, never the
     // encode
-    val (offsets, batchTokens) =
-      Curation.packOffsetsWithTotal(perDoc, "n", buckets)
+    val (offsets, batchTokens, batchDocs, batchWords) =
+      Curation.packOffsetsWithTotal(perDoc, "n", buckets, Some("n_words"))
+    // the staleness tripwire, BEFORE anything lands: rising BPE
+    // fertility (tokens per word, EOS excluded) against the batch-0
+    // baseline means the frozen merges no longer fit the data
+    // (unmergeable words fall back toward character level) — packing
+    // on would silently bake a stale vocabulary into training input,
+    // and retrain ⇒ re-encode ⇒ repack is a NEW store by design, so
+    // the only honest in-stream action is to refuse and stop (the
+    // checkpoint replays this batch into the same refusal until an
+    // operator decides)
+    if (staleWhen > 0 && batchId > 0 && batchWords > 0) {
+      val b0 = statsFor(spark, outDir, 0L)
+      val tpw = (batchTokens - batchDocs).toDouble / batchWords
+      val baseline = if (b0.nWords == 0) 0.0
+        else (b0.nTokens - b0.nDocs).toDouble / b0.nWords
+      require(baseline == 0.0 || tpw < staleWhen * baseline,
+        f"PackStream: batch $batchId prices at $tpw%.2f tokens/word vs the " +
+          f"batch-0 baseline $baseline%.2f — beyond the staleWhen=$staleWhen " +
+          "tripwire. The frozen tokenizer no longer fits the data: retrain it " +
+          "and repack into a fresh store, or raise the threshold")
+    }
     val withOff = offsets.withColumn("off", col("offset_tokens") + lit(base))
     fragmentsOf(withOff, seqLen)
       .write.mode("overwrite").parquet(s"$outDir/frag/batch_id=$batchId")
     boundsOf(withOff, seqLen)
       .write.mode("overwrite").parquet(s"$outDir/bnd/batch_id=$batchId")
+    writeStats(spark, outDir, batchId, batchDocs, batchWords, batchTokens)
     writeState(spark, outDir, PackState(batchId, base, base + batchTokens, seqLen))
+  }
+
+  private case class BatchStats(nDocs: Long, nWords: Long, nTokens: Long)
+
+  /** One JSON line per committed batch under `stats/batch_id=N/` (the
+    * [[graft.operators.IndexStore]] stats-artifact shape) — the numbers
+    * are free (they ride the offsets collect), and together they give a
+    * pack deployment its pricing telemetry: tokens-per-doc per drop is
+    * the tokenizer-staleness signal [[start]]'s `staleWhen` acts on. */
+  private def writeStats(spark: SparkSession, outDir: String, batchId: Long,
+      nDocs: Long, nWords: Long, nTokens: Long): Unit = {
+    import org.apache.hadoop.fs.{CreateFlag, FileContext, Options}
+    val dst = new Path(s"$outDir/stats/batch_id=$batchId/stats.json")
+    val tmp = new Path(s"$outDir/stats/batch_id=$batchId/.stats.json.tmp")
+    val fc = FileContext.getFileContext(dst.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write(
+      (s"""{"n_docs":$nDocs,"n_words":$nWords,"n_tokens":$nTokens}""" + "\n")
+        .getBytes("UTF-8"))
+    finally out.close()
+    fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+
+  /** One driver-side file read — no Spark job (the staleWhen check's
+    * entire cost, the [[IndexStream]] drift-decision discipline). */
+  private def statsFor(spark: SparkSession, outDir: String,
+      batchId: Long): BatchStats = {
+    val p = new Path(s"$outDir/stats/batch_id=$batchId/stats.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"PackStream: $p is missing — the baseline batch never committed stats")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    BatchStats(root.get("n_docs").asLong(), root.get("n_words").asLong(),
+      root.get("n_tokens").asLong())
+  }
+
+  /** The per-batch pricing telemetry as a frame (committed batches
+    * only): batch_id, n_docs (docs with gated words), n_words (gated
+    * words), n_tokens (incl. one EOS per doc) — (n_tokens − n_docs) /
+    * n_words is the BPE fertility the staleness tripwire watches. */
+  def packStats(spark: SparkSession, outDir: String): DataFrame = {
+    val st = readState(spark, outDir).getOrElse(throw new IllegalArgumentException(
+      s"PackStream: $outDir has no pack_state.json — run the stream first"))
+    spark.read
+      .schema("n_docs INT, n_words BIGINT, n_tokens BIGINT, batch_id BIGINT")
+      .json(s"$outDir/stats")
+      .filter(col("batch_id") <= st.batchId)
+      .select(col("batch_id"), col("n_docs"), col("n_words"), col("n_tokens"))
   }
 
   /** The batch's sequence fragments from its globally-shifted offsets
@@ -258,9 +333,15 @@ object PackStream {
     * [[CurateStream]] maintenance discipline: `upTo = batchId − 1` is
     * committed and can never replay, and a crashed fold is finished by
     * the replayed batch's own pre-work compaction call). */
+  /** `staleWhen` > 0 arms the tokenizer-staleness tripwire: a batch
+    * whose tokens-per-doc is ≥ that multiple of batch 0's refuses (see
+    * [[processBatch]]'s rationale — the frozen-tokenizer complement of
+    * [[IndexStream]]'s rebuildWhen, whose in-stream rebuild is exactly
+    * what a tokenizer must NOT do). */
   def start(spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, tokDir: String, seqLen: Int = 512,
-      buckets: Int = 32, compactEvery: Int = 0): StreamingQuery =
+      buckets: Int = 32, compactEvery: Int = 0,
+      staleWhen: Double = 0.0): StreamingQuery =
     spark.readStream
       .schema(Tables.documents)
       .parquet(inDir)
@@ -270,15 +351,17 @@ object PackStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactAt(spark, outDir, upTo = batchId - 1)
-        processBatch(batch, batchId, tokDir, outDir, seqLen, buckets)
+        processBatch(batch, batchId, tokDir, outDir, seqLen, buckets, staleWhen)
       }
       .start()
 
   /** Run one AvailableNow pass to completion (test / cron entry). */
   def runOnce(spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, tokDir: String, seqLen: Int = 512,
-      buckets: Int = 32, compactEvery: Int = 0): Unit =
-    start(spark, inDir, outDir, checkpoint, tokDir, seqLen, buckets, compactEvery)
+      buckets: Int = 32, compactEvery: Int = 0,
+      staleWhen: Double = 0.0): Unit =
+    start(spark, inDir, outDir, checkpoint, tokDir, seqLen, buckets,
+      compactEvery, staleWhen)
       .awaitTermination()
 
   /** The packed sequences as of the last COMMITTED batch — fragments
@@ -332,6 +415,26 @@ object PackStream {
     packed(spark, s"$root/out").orderBy(col("seq_id"))
   }
 
+  /** The pricing telemetry oracled: three drops through the stream,
+    * then the committed per-batch stats — n_docs and n_tokens per drop
+    * must equal SQL pricing each doc with the same frozen-tokenizer
+    * CTEs and bucketing by the same doc_id-range thirds the harness
+    * cuts. */
+  private def xsPackStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tokDir = TokenizerStore.ensureTokenizerFor(spark,
+      s"$dir/documents.parquet", "bpe-r8v256",
+      d => TokenizerStore.trainBpe(docs, d, 8, 256))
+    val root = CurateStream.threeOrderedDrops(docs, "xs-pack-stats") { root =>
+      // tripwire ARMED (far from tripping on the fixture): the oracled
+      // composition exercises the baseline read + fertility comparison
+      runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", tokDir,
+        staleWhen = 100.0)
+    }
+    packStats(spark, s"$root/out").orderBy(col("batch_id"))
+  }
+
   val all: Seq[Declared] = Seq(
-    Declared("xs_pack_stream", xsPackStream, Some(Curation.xcPackIdsSql)))
+    Declared("xs_pack_stream", xsPackStream, Some(Curation.xcPackIdsSql)),
+    Declared("xs_pack_stats", xsPackStats, Some(Curation.packStatsSql())))
 }

@@ -247,6 +247,39 @@ class PackStreamSpec extends SparkSpec {
     }
   }
 
+  test("the staleness tripwire refuses a corpus the frozen tokenizer no longer fits") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("packstale").toString
+    val tok = trainTok()
+    writeDrop(root, 0, dropConds(0))
+    PackStream.runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", tok,
+      staleWhen = 2.0)
+    val before = PackStream.packed(spark, s"$root/out")
+      .orderBy(col("seq_id")).collect().toSeq
+    val stats0 = PackStream.packStats(spark, s"$root/out").head
+    assert(stats0.getInt(1) > 0 && stats0.getLong(2) > 0)
+    // gibberish the learned merges cannot compress: 16-char random
+    // words price at ~16 tokens/word vs English's low single digits
+    val rnd = new scala.util.Random(7)
+    def gib() = Seq.fill(40)(
+      Seq.fill(16)(('a' + rnd.nextInt(26)).toChar).mkString).mkString(" ")
+    val junk = (0 until 50).map(i => (1000000L + i, gib()))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      PackStream.processBatch(junk, 1L, tok, s"$root/out", 512, 32,
+        staleWhen = 2.0)
+    }
+    assert(e.getMessage.contains("tokens/word") &&
+      e.getMessage.contains("retrain"))
+    // the refusal landed NOTHING: serving and state are untouched
+    assert(PackStream.packed(spark, s"$root/out")
+      .orderBy(col("seq_id")).collect().toSeq == before)
+    assert(PackStream.packStats(spark, s"$root/out").count() == 1)
+    // the operator's escape hatch (raise/disarm the threshold) packs it
+    PackStream.processBatch(junk, 1L, tok, s"$root/out", 512, 32)
+    assert(PackStream.packStats(spark, s"$root/out").count() == 2)
+  }
+
   test("an uncommitted fragment dir is invisible; gaps and foreign checkpoints refuse") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("packcrash").toString
