@@ -794,7 +794,7 @@ object Curation {
        |    len(ids) AS n, nw
        |  FROM docids CROSS JOIN bounds)
        |SELECT CAST(batch_id AS BIGINT) AS batch_id,
-       |  CAST(COUNT(*) AS INTEGER) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(nw) AS BIGINT) AS n_words,
        |  CAST(SUM(n) AS BIGINT) AS n_tokens
        |FROM b GROUP BY 1

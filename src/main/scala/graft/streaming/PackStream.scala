@@ -73,7 +73,12 @@ object PackStream {
     * land under colliding seq_ids and merge into garbage, so a restart
     * with a changed seqLen must refuse, not corrupt. */
   private case class PackState(batchId: Long, base: Long, total: Long,
-      seqLen: Int)
+      seqLen: Int, blDocs: Long, blWords: Long, blTokens: Long) {
+    /** BPE fertility of the baseline batch (tokens per word, EOS
+      * excluded); 0 while no non-empty batch has committed. */
+    def baselineTpw: Double =
+      if (blWords == 0) 0.0 else (blTokens - blDocs).toDouble / blWords
+  }
 
   private def statePath(outDir: String) = new Path(s"$outDir/pack_state.json")
 
@@ -87,7 +92,9 @@ object PackStream {
       try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
         Some(PackState(root.get("batch_id").asLong(), root.get("base").asLong(),
-          root.get("total").asLong(), root.get("seq_len").asInt()))
+          root.get("total").asLong(), root.get("seq_len").asInt(),
+          root.get("bl_docs").asLong(), root.get("bl_words").asLong(),
+          root.get("bl_tokens").asLong()))
       } catch {
         case e: Exception => throw new IllegalStateException(
           s"PackStream: $p is unparseable (${e.getMessage}) — external corruption; " +
@@ -99,21 +106,28 @@ object PackStream {
 
   /** Dot-prefixed temp + `FileContext.rename(OVERWRITE)` — the
     * [[graft.operators.IndexStore]] manifest-swap idiom (checksum-free,
-    * atomic on POSIX/HDFS; an S3-class store needs a conditional PUT). */
-  private def writeState(spark: SparkSession, outDir: String, st: PackState): Unit = {
+    * atomic on POSIX/HDFS; an S3-class store needs a conditional PUT).
+    * Shared by the state swap and the per-batch stats artifact so the
+    * idiom cannot drift between them. */
+  private def atomicWriteJson(spark: SparkSession, dst: Path,
+      tmp: Path, json: String): Unit = {
     import org.apache.hadoop.fs.{CreateFlag, FileContext, Options}
-    val dst = statePath(outDir)
-    val tmp = new Path(s"$outDir/.pack_state.json.tmp")
     val fc = FileContext.getFileContext(dst.toUri,
       spark.sparkContext.hadoopConfiguration)
-    val json = s"""{"batch_id":${st.batchId},"base":${st.base},""" +
-      s""""total":${st.total},"seq_len":${st.seqLen}}"""
     val out = fc.create(tmp,
       java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
       org.apache.hadoop.fs.Options.CreateOpts.createParent())
     try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
     fc.rename(tmp, dst, Options.Rename.OVERWRITE)
   }
+
+  private def writeState(spark: SparkSession, outDir: String, st: PackState): Unit =
+    atomicWriteJson(spark, statePath(outDir),
+      new Path(s"$outDir/.pack_state.json.tmp"),
+      s"""{"batch_id":${st.batchId},"base":${st.base},""" +
+        s""""total":${st.total},"seq_len":${st.seqLen},""" +
+        s""""bl_docs":${st.blDocs},"bl_words":${st.blWords},""" +
+        s""""bl_tokens":${st.blTokens}}""")
 
   /** Pack one micro-batch: per-doc id streams, batch-local offsets
     * shifted by the carried base, fragments landed under the batch dir,
@@ -157,24 +171,29 @@ object PackStream {
     val (offsets, batchTokens, batchDocs, batchWords) =
       Curation.packOffsetsWithTotal(perDoc, "n", buckets, Some("n_words"))
     // the staleness tripwire, BEFORE anything lands: rising BPE
-    // fertility (tokens per word, EOS excluded) against the batch-0
-    // baseline means the frozen merges no longer fit the data
-    // (unmergeable words fall back toward character level) — packing
-    // on would silently bake a stale vocabulary into training input,
-    // and retrain ⇒ re-encode ⇒ repack is a NEW store by design, so
-    // the only honest in-stream action is to refuse and stop (the
-    // checkpoint replays this batch into the same refusal until an
-    // operator decides)
-    if (staleWhen > 0 && batchId > 0 && batchWords > 0) {
-      val b0 = statsFor(spark, outDir, 0L)
-      val tpw = (batchTokens - batchDocs).toDouble / batchWords
-      val baseline = if (b0.nWords == 0) 0.0
-        else (b0.nTokens - b0.nDocs).toDouble / b0.nWords
-      require(baseline == 0.0 || tpw < staleWhen * baseline,
-        f"PackStream: batch $batchId prices at $tpw%.2f tokens/word vs the " +
-          f"batch-0 baseline $baseline%.2f — beyond the staleWhen=$staleWhen " +
-          "tripwire. The frozen tokenizer no longer fits the data: retrain it " +
-          "and repack into a fresh store, or raise the threshold")
+    // fertility (tokens per word, EOS excluded) against the baseline —
+    // the FIRST non-empty committed batch, carried in the state so an
+    // empty seed drop cannot silently disarm it — means the frozen
+    // merges no longer fit the data (unmergeable words fall back
+    // toward character level). Packing on would silently bake a stale
+    // vocabulary into training input, and retrain ⇒ re-encode ⇒ repack
+    // is a NEW store by design, so the only honest in-stream action is
+    // to refuse and stop (the checkpoint replays this batch into the
+    // same refusal until an operator decides). Decision cost: zero —
+    // the baseline rides the state read every batch already pays.
+    // ADVANCING batches only: a replay's data is already committed and
+    // served, so refusing it (e.g. after restarting with a tightened
+    // threshold) could wedge the stream on data it cannot retract.
+    val advancing = st.forall(batchId == _.batchId + 1)
+    if (staleWhen > 0 && advancing && batchWords > 0) {
+      st.filter(_.blWords > 0).foreach { s =>
+        val tpw = (batchTokens - batchDocs).toDouble / batchWords
+        require(tpw < staleWhen * s.baselineTpw,
+          f"PackStream: batch $batchId prices at $tpw%.2f tokens/word vs the " +
+            f"baseline ${s.baselineTpw}%.2f — beyond the staleWhen=$staleWhen " +
+            "tripwire. The frozen tokenizer no longer fits the data: retrain it " +
+            "and repack into a fresh store, or raise the threshold")
+      }
     }
     val withOff = offsets.withColumn("off", col("offset_tokens") + lit(base))
     fragmentsOf(withOff, seqLen)
@@ -182,47 +201,28 @@ object PackStream {
     boundsOf(withOff, seqLen)
       .write.mode("overwrite").parquet(s"$outDir/bnd/batch_id=$batchId")
     writeStats(spark, outDir, batchId, batchDocs, batchWords, batchTokens)
-    writeState(spark, outDir, PackState(batchId, base, base + batchTokens, seqLen))
+    // the baseline is the first committed batch WITH words; replays
+    // recompute the same numbers, so the carry is replay-stable
+    val bl = st.filter(_.blWords > 0)
+      .map(s => (s.blDocs, s.blWords, s.blTokens))
+      .getOrElse(if (batchWords > 0) (batchDocs, batchWords, batchTokens)
+        else (0L, 0L, 0L))
+    writeState(spark, outDir, PackState(batchId, base, base + batchTokens,
+      seqLen, bl._1, bl._2, bl._3))
   }
-
-  private case class BatchStats(nDocs: Long, nWords: Long, nTokens: Long)
 
   /** One JSON line per committed batch under `stats/batch_id=N/` (the
     * [[graft.operators.IndexStore]] stats-artifact shape) — the numbers
-    * are free (they ride the offsets collect), and together they give a
-    * pack deployment its pricing telemetry: tokens-per-doc per drop is
-    * the tokenizer-staleness signal [[start]]'s `staleWhen` acts on. */
+    * are free (they ride the offsets collect) and give a pack
+    * deployment its pricing telemetry; the tokens-per-WORD fertility
+    * derived from them is the staleness signal [[start]]'s `staleWhen`
+    * acts on (via the state-carried baseline, not a re-read). */
   private def writeStats(spark: SparkSession, outDir: String, batchId: Long,
-      nDocs: Long, nWords: Long, nTokens: Long): Unit = {
-    import org.apache.hadoop.fs.{CreateFlag, FileContext, Options}
-    val dst = new Path(s"$outDir/stats/batch_id=$batchId/stats.json")
-    val tmp = new Path(s"$outDir/stats/batch_id=$batchId/.stats.json.tmp")
-    val fc = FileContext.getFileContext(dst.toUri,
-      spark.sparkContext.hadoopConfiguration)
-    val out = fc.create(tmp,
-      java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
-      org.apache.hadoop.fs.Options.CreateOpts.createParent())
-    try out.write(
-      (s"""{"n_docs":$nDocs,"n_words":$nWords,"n_tokens":$nTokens}""" + "\n")
-        .getBytes("UTF-8"))
-    finally out.close()
-    fc.rename(tmp, dst, Options.Rename.OVERWRITE)
-  }
-
-  /** One driver-side file read — no Spark job (the staleWhen check's
-    * entire cost, the [[IndexStream]] drift-decision discipline). */
-  private def statsFor(spark: SparkSession, outDir: String,
-      batchId: Long): BatchStats = {
-    val p = new Path(s"$outDir/stats/batch_id=$batchId/stats.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p),
-      s"PackStream: $p is missing — the baseline batch never committed stats")
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-    BatchStats(root.get("n_docs").asLong(), root.get("n_words").asLong(),
-      root.get("n_tokens").asLong())
-  }
+      nDocs: Long, nWords: Long, nTokens: Long): Unit =
+    atomicWriteJson(spark,
+      new Path(s"$outDir/stats/batch_id=$batchId/stats.json"),
+      new Path(s"$outDir/stats/batch_id=$batchId/.stats.json.tmp"),
+      s"""{"n_docs":$nDocs,"n_words":$nWords,"n_tokens":$nTokens}""")
 
   /** The per-batch pricing telemetry as a frame (committed batches
     * only): batch_id, n_docs (docs with gated words), n_words (gated
@@ -232,7 +232,7 @@ object PackStream {
     val st = readState(spark, outDir).getOrElse(throw new IllegalArgumentException(
       s"PackStream: $outDir has no pack_state.json — run the stream first"))
     spark.read
-      .schema("n_docs INT, n_words BIGINT, n_tokens BIGINT, batch_id BIGINT")
+      .schema("n_docs BIGINT, n_words BIGINT, n_tokens BIGINT, batch_id BIGINT")
       .json(s"$outDir/stats")
       .filter(col("batch_id") <= st.batchId)
       .select(col("batch_id"), col("n_docs"), col("n_words"), col("n_tokens"))
@@ -328,16 +328,17 @@ object PackStream {
     Maintenance.compactBatchStore(spark, s"$outDir/frag", upTo, fold = mergeFrags)
   }
 
-  /** `compactEvery` > 0 folds the fragment store every that many
+  /** `compactEvery` > 0 folds the fragment stores every that many
     * batches, INSIDE the stream before the batch's own work (the
     * [[CurateStream]] maintenance discipline: `upTo = batchId − 1` is
     * committed and can never replay, and a crashed fold is finished by
-    * the replayed batch's own pre-work compaction call). */
-  /** `staleWhen` > 0 arms the tokenizer-staleness tripwire: a batch
-    * whose tokens-per-doc is ≥ that multiple of batch 0's refuses (see
-    * [[processBatch]]'s rationale — the frozen-tokenizer complement of
-    * [[IndexStream]]'s rebuildWhen, whose in-stream rebuild is exactly
-    * what a tokenizer must NOT do). */
+    * the replayed batch's own pre-work compaction call). `staleWhen`
+    * > 0 arms the tokenizer-staleness tripwire: an advancing batch
+    * whose tokens-per-WORD fertility is ≥ that multiple of the
+    * first-non-empty-batch baseline refuses (see [[processBatch]]'s
+    * rationale — the frozen-tokenizer complement of [[IndexStream]]'s
+    * rebuildWhen, whose in-stream rebuild is exactly what a tokenizer
+    * must NOT do). */
   def start(spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, tokDir: String, seqLen: Int = 512,
       buckets: Int = 32, compactEvery: Int = 0,
@@ -427,11 +428,15 @@ object PackStream {
       d => TokenizerStore.trainBpe(docs, d, 8, 256))
     val root = CurateStream.threeOrderedDrops(docs, "xs-pack-stats") { root =>
       // tripwire ARMED (far from tripping on the fixture): the oracled
-      // composition exercises the baseline read + fertility comparison
+      // composition exercises the baseline carry + fertility comparison
       runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", tokDir,
         staleWhen = 100.0)
     }
-    packStats(spark, s"$root/out").orderBy(col("batch_id"))
+    // pricing rows only: the oracle prices docs, so a drop whose third
+    // of the doc_id range holds no gated docs has no SQL row — the
+    // stream's zeros row for an empty batch is telemetry, not pricing
+    packStats(spark, s"$root/out").filter(col("n_docs") > 0)
+      .orderBy(col("batch_id"))
   }
 
   val all: Seq[Declared] = Seq(

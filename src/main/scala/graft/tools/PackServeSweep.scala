@@ -29,6 +29,8 @@ object PackServeSweep {
       d => TokenizerStore.trainBpe(docs, d, 8, 256))
     val nBatches = args.headOption.map(_.toInt).getOrElse(12)
     val ids = docs.select($"doc_id").orderBy($"doc_id").as[Long].collect()
+    require(nBatches >= 1 && nBatches <= ids.length,
+      s"nBatches $nBatches out of range (corpus has ${ids.length} docs)")
     val per = math.max(1, ids.length / nBatches)
     val root = java.nio.file.Files.createTempDirectory("pack-sweep").toString
     val out = s"$root/out"

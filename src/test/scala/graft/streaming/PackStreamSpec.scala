@@ -257,7 +257,7 @@ class PackStreamSpec extends SparkSpec {
     val before = PackStream.packed(spark, s"$root/out")
       .orderBy(col("seq_id")).collect().toSeq
     val stats0 = PackStream.packStats(spark, s"$root/out").head
-    assert(stats0.getInt(1) > 0 && stats0.getLong(2) > 0)
+    assert(stats0.getLong(1) > 0 && stats0.getLong(2) > 0)
     // gibberish the learned merges cannot compress: 16-char random
     // words price at ~16 tokens/word vs English's low single digits
     val rnd = new scala.util.Random(7)
