@@ -606,19 +606,26 @@ object Curation {
     * via a `buckets`-row collect. Returns the input plus
     * `offset_tokens` (empty input → empty output, schema preserved). */
   private[graft] def packOffsets(d: DataFrame, nCol: String,
-      buckets: Int): DataFrame = packOffsetsWithTotal(d, nCol, buckets)._1
+      buckets: Int): DataFrame = packOffsetsWithTotal(d, nCol, buckets).offsets
 
-  /** [[packOffsets]] plus the grand total of `nCol` and the row count
-    * — both already known driver-side from the bucket-totals collect,
-    * so callers that need them ([[graft.streaming.PackStream]]'s carry
-    * advance and per-batch stats) get them for free instead of paying
-    * separate aggregation jobs per call. */
+  /** [[packOffsetsWithTotal]]'s driver-side by-products: the offsets
+    * frame plus the batch's token/doc/word totals and its doc_id range
+    * — all read off the one bucket-totals collect, so callers that
+    * need them ([[graft.streaming.PackStream]]'s carry advance,
+    * per-batch stats, and ordered-ingest tripwire) pay zero extra
+    * aggregation jobs. `minDoc`/`maxDoc` are `Long.MaxValue`/
+    * `Long.MinValue` on an empty input. */
+  private[graft] case class PackTotals(offsets: DataFrame, tokens: Long,
+      docs: Long, words: Long, minDoc: Long, maxDoc: Long)
+
+  /** [[packOffsets]] plus the totals/range by-products above. */
   private[graft] def packOffsetsWithTotal(d: DataFrame, nCol: String,
-      buckets: Int, wordsCol: Option[String] = None): (DataFrame, Long, Long, Long) = {
+      buckets: Int, wordsCol: Option[String] = None): PackTotals = {
     import org.apache.spark.sql.expressions.Window
     val cuts = packCuts(d, buckets)
     if (cuts.isEmpty)
-      return (d.limit(0).withColumn("offset_tokens", lit(0L)), 0L, 0L, 0L)
+      return PackTotals(d.limit(0).withColumn("offset_tokens", lit(0L)),
+        0L, 0L, 0L, Long.MaxValue, Long.MinValue)
     // bucket id = number of boundary cuts strictly below doc_id: a chain
     // of `buckets`−1 codegen'd comparisons, no division, no overflow.
     val db = d.withColumn("_b",
@@ -628,19 +635,21 @@ object Curation {
     import spark.implicits._
     val totals = db.groupBy(col("_b"))
       .agg(sum(col(nCol)).as("t"), count(lit(1)).as("c"),
-        sum(wordsCol.map(col).getOrElse(lit(0L))).as("w"))
-      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+        sum(wordsCol.map(col).getOrElse(lit(0L))).as("w"),
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
     val offs = totals.scanLeft((-1L, 0L)) {
-      case ((_, acc), (b, t, _, _)) => (b, acc + t)
+      case ((_, acc), (b, t, _, _, _, _)) => (b, acc + t)
     }.sliding(2).map { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
     val offDf = offs.toDF("_b", "_boff")
     val w = Window.partitionBy(col("_b")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    (db.join(broadcast(offDf), Seq("_b"))
+    PackTotals(db.join(broadcast(offDf), Seq("_b"))
       .withColumn("offset_tokens",
         col("_boff") + coalesce(sum(col(nCol)).over(w), lit(0L)))
       .drop("_b", "_boff"),
-      totals.map(_._2).sum, totals.map(_._3).sum, totals.map(_._4).sum)
+      totals.map(_._2).sum, totals.map(_._3).sum, totals.map(_._4).sum,
+      totals.map(_._5).min, totals.map(_._6).max)
   }
 
   /** Interior bucket boundaries for [[pack]]: the 1/b … (b−1)/b doc_id
@@ -839,6 +848,74 @@ object Curation {
        |  string_agg(CAST(o % 512 AS VARCHAR), ',' ORDER BY o) AS doc_starts
        |FROM offs GROUP BY 1
        |ORDER BY seq_id""".stripMargin
+
+  /** Lay [[packIds]]'s SEQUENCES out into deterministic, size-balanced
+    * training shards — the last mile to a training loader: each packed
+    * sequence gets a shard (salted-md5 of seq_id mod `nShards`; salt
+    * `packshard:` is independent of the [[shardAssign]] / [[hashSplit]]
+    * / [[sampleByWeight]] salts, so the four decisions stay mutually
+    * pseudo-random) and a dense within-shard position ordered by the
+    * hash itself — a replay-identical permutation of the sequence
+    * stream, which is exactly the "global shuffle" a loader wants
+    * without any engine ever paying a global sort. [[shardAssign]]
+    * shards DOCUMENTS (the corpus-management unit); this shards the
+    * post-packing SEQUENCES (the training unit) — after packing, doc
+    * boundaries no longer align with rows, so a loader-facing shuffle
+    * must key on seq_id.
+    *
+    * Scale: one shuffle partitioned BY SHARD with an in-partition sort
+    * (`row_number` over `partitionBy(shard)`) — shards order-assign in
+    * parallel, no global sort, no single-partition window; since every
+    * sequence but the tail is exactly seqLen tokens, uniform hashing
+    * makes the shards size-balanced by construction. `n_tokens` rides
+    * along so a loader can size batches without re-reading content
+    * (`ids` joins back by seq_id when needed — the heavy column stays
+    * out of the permutation exchange). */
+  def shardPacked(packed: DataFrame, nShards: Int): DataFrame = {
+    val h = md5(concat(lit("packshard:"), col("seq_id").cast(StringType)).cast(BinaryType))
+    packed
+      .select(col("seq_id"), col("n_tokens"), h.as("_h"))
+      .withColumn("shard",
+        (conv(substring(col("_h"), 1, 6), 16, 10).cast(LongType) % nShards)
+          .cast(IntegerType))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("_h"), col("seq_id"))))
+      .select(col("seq_id"), col("shard"), col("pos"), col("n_tokens"))
+  }
+
+  private def xcPackShard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tokDir = TokenizerStore.ensureTokenizerFor(spark,
+      s"$dir/documents.parquet", "bpe-r8v256",
+      d => TokenizerStore.trainBpe(docs, d, 8, 256))
+    shardPacked(packIds(docs, tokDir), 8)
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** The packIds replay as a derived table, then the same salted-md5
+    * shard + per-shard row_number the [[xcShardSql]] oracle uses. */
+  private val xcPackShardSql =
+    """WITH p AS (SELECT seq_id, n_tokens FROM (PACK_IDS_SQL)),
+      |h AS (
+      |  SELECT seq_id, n_tokens,
+      |    md5('packshard:' || CAST(seq_id AS VARCHAR)) AS _h
+      |  FROM p),
+      |s AS (
+      |  SELECT seq_id, n_tokens, _h,
+      |    CAST((SALTED_H6) % 8 AS INTEGER) AS shard
+      |  FROM h)
+      |SELECT seq_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY _h, seq_id) AS INTEGER) AS pos,
+      |  n_tokens
+      |FROM s
+      |ORDER BY shard, pos""".stripMargin
+      .replace("PACK_IDS_SQL", packIdsSql())
+      .replace("SALTED_H6",
+        (0 until 6).map { i =>
+          val pv = math.pow(16, 5 - i).toLong
+          s"(strpos('0123456789abcdef', substr(_h, ${i + 1}, 1)) - 1) * $pv"
+        }.mkString("(", " + ", ")"))
 
   private val xcPackSql =
     """SELECT doc_id, n_words, offset_tokens, offset_tokens // 512 AS seq_id
@@ -1384,6 +1461,7 @@ object Curation {
     Declared("xc_pack", xcPack, Some(xcPackSql)),
     Declared("xc_pack_ids", xcPackIds, Some(xcPackIdsSql)),
     Declared("xc_pack_bounds", xcPackBounds, Some(xcPackBoundsSql)),
+    Declared("xc_pack_shard", xcPackShard, Some(xcPackShardSql)),
     Declared("xc_shard", xcShard, Some(xcShardSql)),
     Declared("xc_keep_best", xcKeepBest, Some(xcKeepBestSql)),
     Declared("xc_substring_keep_best", xcSubstringKeepBest, Some(xcSubstringKeepBestSql)),

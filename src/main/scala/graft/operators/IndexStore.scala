@@ -382,9 +382,17 @@ object IndexStore {
     * Run at the START of compaction (never on the append hot path):
     * orphans are invisible to readers by construction, so reclaiming
     * them is pure hygiene and can wait for maintenance. */
-  private def gcOrphans(spark: SparkSession, dir: String, man: Manifest): Unit = {
+  private def gcOrphans(spark: SparkSession, dir: String, man: Manifest,
+      minAgeMs: Long = 0L): Unit = {
     val fs = manifestPath(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the retention gate ([[expireSnapshots]]'s olderThan): an orphan
+    // younger than the floor is spared this pass — it may still be
+    // inside a concurrent reader's snapshot grace window
+    val cutoff =
+      if (minAgeMs <= 0) Long.MaxValue else System.currentTimeMillis() - minAgeMs
+    def oldEnough(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      st.getModificationTime <= cutoff
     def sweep(table: String, live: Set[Long]): Unit = {
       val root = new org.apache.hadoop.fs.Path(s"$dir/$table")
       if (fs.exists(root)) {
@@ -392,6 +400,7 @@ object IndexStore {
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
           .filterNot(st => live.contains(
             st.getPath.getName.stripPrefix("batch_id=").toLong))
+          .filter(oldEnough)
           .foreach(st => fs.delete(st.getPath, true))
         if (live.isEmpty &&
             !fs.listStatus(root).exists(_.getPath.getName.startsWith("batch_id=")))
@@ -407,6 +416,7 @@ object IndexStore {
     if (fs.exists(stateRoot))
       fs.listStatus(stateRoot)
         .filter(st => st.isDirectory && st.getPath.getName != man.nonce)
+        .filter(oldEnough)
         .foreach(st => fs.delete(st.getPath, true))
   }
 
@@ -425,9 +435,18 @@ object IndexStore {
     * stale manifest older than the last commit. Orphans are invisible
     * to every CURRENT-manifest reader by construction, so beyond that
     * grace trade-off this is pure hygiene, idempotent, and never
-    * touches the manifest itself. */
-  def expireSnapshots(spark: SparkSession, dir: String): Unit =
-    gcOrphans(spark, dir, readManifest(spark, dir))
+    * touches the manifest itself.
+    *
+    * `minAgeMs` > 0 BOUNDS the collapse instead of relying on
+    * out-of-band coordination (Iceberg's `olderThan` threshold,
+    * ADVICE r14): only orphan dirs whose modification time is at
+    * least that old are reclaimed, so "no reader holds a manifest
+    * older than X" becomes a retention setting rather than an
+    * operator promise. Spared orphans stay invisible and are
+    * reclaimed by a later pass once they age past the floor. */
+  def expireSnapshots(spark: SparkSession, dir: String,
+      minAgeMs: Long = 0L): Unit =
+    gcOrphans(spark, dir, readManifest(spark, dir), minAgeMs)
 
   /** Logical delete — the tombstone half of index maintenance (SemDeDup
     * pipelines delete aggressively, and a 100 TB index cannot rewrite

@@ -460,11 +460,26 @@ object CurateStream {
     * Replay-safe end to end with nothing new: curation writes
     * overwrite per batch; the packer re-reads the batch partition
     * those writes just (re)created and its own carry state decides
-    * replay-vs-advance ([[PackStream.processBatch]]'s watermark). */
+    * replay-vs-advance ([[PackStream.processBatch]]'s watermark).
+    *
+    * The loop composes EVERY gate the curation pipeline owns, exactly
+    * as [[start]] and [[startCurateAndIndex]] do — a production corpus
+    * build runs near-dup elimination and the CCNet perplexity gate IN
+    * the training loop, not beside it: `nearDupJaccard` arms the
+    * minhash-LSH near-dup eliminator (within- and cross-batch, band
+    * store and all), `lmGate` the frozen bigram-LM quality gate, and
+    * `staleWhen` / `staleTpwAbs` / `requireOrdered` the packer's
+    * tokenizer-staleness and ordered-ingest tripwires. All stages are
+    * individually replay-safe, so the composition is too. */
   def startCurateAndPack(spark: SparkSession, inDir: String,
       outDir: String, checkpoint: String, tokDir: String,
       seqLen: Int = 512, buckets: Int = 32, minWords: Int = 30,
-      maxDupWordFrac: Double = 0.5, compactEvery: Int = 0): StreamingQuery = {
+      maxDupWordFrac: Double = 0.5,
+      nearDupJaccard: Option[Double] = None,
+      lmGate: Option[(String, Double)] = None,
+      compactEvery: Int = 0, staleWhen: Double = 0.0,
+      staleTpwAbs: Double = 0.0,
+      requireOrdered: Boolean = false): StreamingQuery = {
     val keysDir = s"$outDir/_keys"
     val dataDir = s"$outDir/data"
     val packDir = s"$outDir/pack"
@@ -477,16 +492,19 @@ object CurateStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
           Maintenance.compactBatchStore(spark, keysDir, upTo = batchId - 1)
+          Maintenance.compactBatchStore(spark, bandsDirOf(dataDir), upTo = batchId - 1)
           PackStream.compactAt(spark, packDir, upTo = batchId - 1)
         }
-        processBatch(batch, batchId, keysDir, dataDir, minWords, maxDupWordFrac)
+        processBatch(batch, batchId, keysDir, dataDir, minWords, maxDupWordFrac,
+          nearDupJaccard, lmGate = lmGate)
         // this batch's survivors, re-read from the partition the write
         // above just created (pruned schema: the packer needs only
         // doc_id + text; inference is a job per batch)
         PackStream.processBatch(
           spark.read.schema("doc_id BIGINT, text STRING")
             .parquet(s"$dataDir/batch_id=$batchId"),
-          batchId, tokDir, packDir, seqLen, buckets)
+          batchId, tokDir, packDir, seqLen, buckets,
+          staleWhen, staleTpwAbs, requireOrdered)
       }
       .start()
   }
@@ -774,11 +792,72 @@ object CurateStream {
     encodeFrom =
       "(SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT doc_id FROM cursurv))")
 
+  /** The training-data loop with EVERY gate armed, driver-oracled:
+    * three ordered drops through [[startCurateAndPack]] with near-dup
+    * elimination (J ≥ 0.8), the frozen bigram-LM perplexity gate
+    * (cross-entropy < 3.41 — the `xc_perplexity_bucket` tail cutoff),
+    * and both packer tripwires (staleness + ordered ingest) — the
+    * composition a production corpus build actually runs, where
+    * `xs_curate_pack` is the minimal loop. The oracle packs exactly
+    * the batch-gated pool: curation survivors ∩ LM gate, minus docs
+    * with a smaller-id near-dup WITHIN that pool (the stream gates
+    * quality before near-dup, so a quality-rejected doc never
+    * suppresses anything — stage order is part of the contract).
+    * Parity legs: LM is exact (`xs_curate_lm_gate`'s argument),
+    * near-dup is clique-conditional (`xs_curate_stream_neardup`'s,
+    * fixture-verified), ordered drops align keep-first and
+    * concatenation order with the batch run. */
+  private def xsCuratePackGated(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val packTok = graft.operators.TokenizerStore.ensureTokenizerFor(spark,
+      s"$dir/documents.parquet", "bpe-r8v256",
+      d => graft.operators.TokenizerStore.trainBpe(docs, d, 8, 256))
+    val lmTok = graft.operators.TokenizerStore.ensureTokenizerFor(spark,
+      s"$dir/documents.parquet", "biglm-a1-cd",
+      d => graft.operators.TokenizerStore.trainBigramLm(docs, d))
+    val root = threeOrderedDrops(docs, "xs-curate-pack-gated") { root =>
+      startCurateAndPack(spark, s"$root/in/*", s"$root/out", s"$root/ck",
+        packTok, nearDupJaccard = Some(0.8), lmGate = Some((lmTok, 3.41)),
+        staleWhen = 100.0, staleTpwAbs = 100.0, requireOrdered = true)
+        .awaitTermination()
+    }
+    PackStream.packed(spark, s"$root/out/pack").orderBy(col("seq_id"))
+  }
+
+  /** [[curSurvCtes]] ∩ the LM gate, minus smaller-id near-dups within
+    * that pool — the gated pool [[xsCuratePackGated]] packs. */
+  private val gatedPoolCtes = curSurvCtes +
+    s"""lmok AS (
+       |  SELECT doc_id FROM (${graft.operators.TextAnalysis.bigramLmScoreSql})
+       |  WHERE cross_entropy < 3.41),
+       |pool AS (
+       |  SELECT doc_id FROM cursurv WHERE doc_id IN (SELECT doc_id FROM lmok)),
+       |ndw AS (
+       |  SELECT doc_id, string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+       |  FROM documents WHERE doc_id IN (SELECT doc_id FROM pool)),
+       |nds AS (
+       |  SELECT doc_id, CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+       |    ELSE list_distinct([array_to_string(w[i+1:i+5], ' ') for i in range(len(w)-4)]) END AS sh
+       |  FROM ndw),
+       |nd AS (
+       |  SELECT DISTINCT b.doc_id FROM nds a JOIN nds b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+       |gated AS (
+       |  SELECT doc_id FROM pool WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+       |""".stripMargin
+
+  private val xsCuratePackGatedSql = graft.operators.Curation.packIdsSql(
+    prefix = gatedPoolCtes,
+    encodeFrom =
+      "(SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT doc_id FROM gated))")
+
   val all: Seq[Declared] = Seq(
     Declared("xs_curate_stream", xsCurateStream, Some(xsCurateStreamSql)),
     Declared("xs_curate_lm_gate", xsCurateLmGate, Some(xsCurateLmGateSql)),
     Declared("xs_curate_stream_neardup", xsCurateStreamNeardup, Some(xsCurateStreamNeardupSql)),
     Declared("xs_curate_index", xsCurateIndex, Some(xsCurateIndexSql)),
     Declared("xs_curate_to_index", xsCurateToIndex, Some(xsCurateToIndexSql)),
-    Declared("xs_curate_pack", xsCuratePack, Some(xsCuratePackSql)))
+    Declared("xs_curate_pack", xsCuratePack, Some(xsCuratePackSql)),
+    Declared("xs_curate_pack_gated", xsCuratePackGated, Some(xsCuratePackGatedSql)))
 }

@@ -71,13 +71,27 @@ object PackStream {
     * token count after it (= the next batch's base), and the store's
     * seqLen — part of the layout: fragments cut at a different seqLen
     * land under colliding seq_ids and merge into garbage, so a restart
-    * with a changed seqLen must refuse, not corrupt. */
+    * with a changed seqLen must refuse, not corrupt. `maxDoc` is the
+    * largest doc_id that has contributed tokens (−1 while none has) —
+    * the ordered-ingest tripwire's watermark. */
   private case class PackState(batchId: Long, base: Long, total: Long,
-      seqLen: Int, blDocs: Long, blWords: Long, blTokens: Long) {
+      seqLen: Int, blDocs: Long, blWords: Long, blTokens: Long,
+      maxDoc: Long = -1L) {
     /** BPE fertility of the baseline batch (tokens per word, EOS
       * excluded); 0 while no non-empty batch has committed. */
     def baselineTpw: Double =
       if (blWords == 0) 0.0 else (blTokens - blDocs).toDouble / blWords
+    /** Torn-write detector over every field, in declaration order —
+      * `rename(OVERWRITE)` is atomic on POSIX/HDFS but an S3-class
+      * store can tear the swap, and a torn carry silently re-bases
+      * every later offset. Cheap (16 B per state write) and
+      * format-independent, unlike a fail-fast on the filesystem
+      * scheme. */
+    def crc: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"$batchId|$base|$total|$seqLen|$blDocs|$blWords|$blTokens|$maxDoc"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
   }
 
   private def statePath(outDir: String) = new Path(s"$outDir/pack_state.json")
@@ -89,18 +103,30 @@ object PackStream {
     else {
       val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      try {
+      val st = try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-        Some(PackState(root.get("batch_id").asLong(), root.get("base").asLong(),
+        val s = PackState(root.get("batch_id").asLong(), root.get("base").asLong(),
           root.get("total").asLong(), root.get("seq_len").asInt(),
           root.get("bl_docs").asLong(), root.get("bl_words").asLong(),
-          root.get("bl_tokens").asLong()))
+          root.get("bl_tokens").asLong(), root.path("max_doc").asLong(-1L))
+        // crc-carrying states verify; a state that predates the field
+        // is accepted as-is (the write path below always stamps one)
+        (s, Option(root.get("crc")).map(_.asText()))
       } catch {
         case e: Exception => throw new IllegalStateException(
           s"PackStream: $p is unparseable (${e.getMessage}) — external corruption; " +
             "restore it, or delete the whole pack store and replay the stream " +
             "from a fresh checkpoint (offsets are derivable only from history)", e)
       }
+      st._2.filter(_ != st._1.crc).foreach { bad =>
+        throw new IllegalStateException(
+          s"PackStream: $p fails its checksum (recorded $bad, computed ${st._1.crc}) " +
+            "— a torn or tampered state write (non-atomic rename on this " +
+            "filesystem?); restore the file, or delete the whole pack store and " +
+            "replay the stream from a fresh checkpoint (every offset derives " +
+            "from this carry)")
+      }
+      Some(st._1)
     }
   }
 
@@ -127,7 +153,8 @@ object PackStream {
       s"""{"batch_id":${st.batchId},"base":${st.base},""" +
         s""""total":${st.total},"seq_len":${st.seqLen},""" +
         s""""bl_docs":${st.blDocs},"bl_words":${st.blWords},""" +
-        s""""bl_tokens":${st.blTokens}}""")
+        s""""bl_tokens":${st.blTokens},"max_doc":${st.maxDoc},""" +
+        s""""crc":"${st.crc}"}""")
 
   /** Pack one micro-batch: per-doc id streams, batch-local offsets
     * shifted by the carried base, fragments landed under the batch dir,
@@ -135,7 +162,8 @@ object PackStream {
     * replay discipline above. */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
       tokDir: String, outDir: String, seqLen: Int, buckets: Int,
-      staleWhen: Double = 0.0): Unit = {
+      staleWhen: Double = 0.0, staleTpwAbs: Double = 0.0,
+      requireOrdered: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val st = readState(spark, outDir)
     st.foreach(s => require(s.seqLen == seqLen,
@@ -164,12 +192,38 @@ object PackStream {
     }
     val perDoc = Curation.perDocIds(batch, tokDir)
     // offsets computed once (packOffsets runs its quantile + totals
-    // jobs at construction; the batch token total rides that collect —
-    // no separate aggregation job); the two consumers below share the
-    // frame — only the doc-level window shuffle recomputes, never the
-    // encode
+    // jobs at construction; the batch token/doc-range totals ride that
+    // collect — no separate aggregation jobs); the consumers below
+    // share the frame — only the doc-level window shuffle recomputes,
+    // never the encode
+    val totals = Curation.packOffsetsWithTotal(perDoc, "n", buckets, Some("n_words"))
     val (offsets, batchTokens, batchDocs, batchWords) =
-      Curation.packOffsetsWithTotal(perDoc, "n", buckets, Some("n_words"))
+      (totals.offsets, totals.tokens, totals.docs, totals.words)
+    val advancing = st.forall(batchId == _.batchId + 1)
+    // the ordered-ingest tripwire (opt-in, the staleWhen pattern):
+    // sequence CONTENTS are a function of doc concatenation order, so
+    // an out-of-order drop packs every token exactly once but silently
+    // diverges from the batch-run layout. Armed, an ADVANCING batch
+    // whose smallest contributing doc_id does not exceed the largest
+    // ever packed refuses with the remedy — the seqLen-refusal
+    // discipline applied to the ordering half of the layout contract.
+    // Replays are exempt (their data is committed — the batch contains
+    // its own ids, which necessarily precede the carried max), and the
+    // comparison rides the min/max the offsets collect already
+    // computed: zero extra reads. Docs with no gated words contribute
+    // no tokens and so cannot move sequence contents — they are
+    // correctly invisible here.
+    if (requireOrdered && advancing && batchDocs > 0) {
+      st.filter(_.maxDoc >= 0).foreach { s =>
+        require(totals.minDoc > s.maxDoc,
+          s"PackStream: batch $batchId contains doc_id ${totals.minDoc} but " +
+            s"$outDir has already packed through doc_id ${s.maxDoc} — an " +
+            "out-of-order (or duplicate-id) drop would make sequence contents " +
+            "silently diverge from the batch-run layout. Ingest drops in " +
+            "doc_id order, route stragglers to a fresh store, or disarm " +
+            "requireOrdered to accept arrival-order packing")
+      }
+    }
     // the staleness tripwire, BEFORE anything lands: rising BPE
     // fertility (tokens per word, EOS excluded) against the baseline —
     // the FIRST non-empty committed batch, carried in the state so an
@@ -184,15 +238,29 @@ object PackStream {
     // ADVANCING batches only: a replay's data is already committed and
     // served, so refusing it (e.g. after restarting with a tightened
     // threshold) could wedge the stream on data it cannot retract.
-    val advancing = st.forall(batchId == _.batchId + 1)
-    if (staleWhen > 0 && advancing && batchWords > 0) {
-      st.filter(_.blWords > 0).foreach { s =>
-        val tpw = (batchTokens - batchDocs).toDouble / batchWords
-        require(tpw < staleWhen * s.baselineTpw,
-          f"PackStream: batch $batchId prices at $tpw%.2f tokens/word vs the " +
-            f"baseline ${s.baselineTpw}%.2f — beyond the staleWhen=$staleWhen " +
-            "tripwire. The frozen tokenizer no longer fits the data: retrain it " +
-            "and repack into a fresh store, or raise the threshold")
+    // `staleTpwAbs` is the relative tripwire's absolute complement: a
+    // tokens-per-word CEILING from the tokenizer's training-time
+    // pricing, which catches the case the baseline cannot — the very
+    // FIRST drop already encoded against the wrong/stale tokenizer,
+    // which would otherwise install a garbage baseline that later
+    // batches compare against forever.
+    if (advancing && batchWords > 0) {
+      val tpw = (batchTokens - batchDocs).toDouble / batchWords
+      if (staleTpwAbs > 0)
+        require(tpw < staleTpwAbs,
+          f"PackStream: batch $batchId prices at $tpw%.2f tokens/word, at or " +
+            f"beyond the absolute staleTpwAbs=$staleTpwAbs%.2f ceiling. The " +
+            "frozen tokenizer does not fit this data (wrong artifact, or " +
+            "drifted before the stream ever started): retrain it and repack " +
+            "into a fresh store, or raise the ceiling")
+      if (staleWhen > 0) {
+        st.filter(_.blWords > 0).foreach { s =>
+          require(tpw < staleWhen * s.baselineTpw,
+            f"PackStream: batch $batchId prices at $tpw%.2f tokens/word vs the " +
+              f"baseline ${s.baselineTpw}%.2f — beyond the staleWhen=$staleWhen " +
+              "tripwire. The frozen tokenizer no longer fits the data: retrain it " +
+              "and repack into a fresh store, or raise the threshold")
+        }
       }
     }
     val withOff = offsets.withColumn("off", col("offset_tokens") + lit(base))
@@ -202,13 +270,16 @@ object PackStream {
       .write.mode("overwrite").parquet(s"$outDir/bnd/batch_id=$batchId")
     writeStats(spark, outDir, batchId, batchDocs, batchWords, batchTokens)
     // the baseline is the first committed batch WITH words; replays
-    // recompute the same numbers, so the carry is replay-stable
+    // recompute the same numbers, so the carry is replay-stable (and so
+    // is max_doc: max() over a replay's own ids is a no-op)
     val bl = st.filter(_.blWords > 0)
       .map(s => (s.blDocs, s.blWords, s.blTokens))
       .getOrElse(if (batchWords > 0) (batchDocs, batchWords, batchTokens)
         else (0L, 0L, 0L))
+    val maxDoc = math.max(st.map(_.maxDoc).getOrElse(-1L),
+      if (batchDocs > 0) totals.maxDoc else -1L)
     writeState(spark, outDir, PackState(batchId, base, base + batchTokens,
-      seqLen, bl._1, bl._2, bl._3))
+      seqLen, bl._1, bl._2, bl._3, maxDoc))
   }
 
   /** One JSON line per committed batch under `stats/batch_id=N/` (the
@@ -216,26 +287,96 @@ object PackStream {
     * are free (they ride the offsets collect) and give a pack
     * deployment its pricing telemetry; the tokens-per-WORD fertility
     * derived from them is the staleness signal [[start]]'s `staleWhen`
-    * acts on (via the state-carried baseline, not a re-read). */
+    * acts on (via the state-carried baseline, not a re-read). The line
+    * also records its own batch id (`bid` — so fold survival does not
+    * depend on the partition directory) and the fragment-store
+    * directory count after this batch's write (`n_frag_dirs`, one
+    * driver-side listing, no Spark job) — the fold-cadence signal: a
+    * long-lived deployment watches it grow between compactions the way
+    * the index tier watches its stats rows, and sizes `compactEvery`
+    * from the measured serve cost (PackServeSweep: serving stays flat
+    * ~0.28 s folded vs 0.55 s and growing at 48 unfolded drops). */
   private def writeStats(spark: SparkSession, outDir: String, batchId: Long,
-      nDocs: Long, nWords: Long, nTokens: Long): Unit =
+      nDocs: Long, nWords: Long, nTokens: Long): Unit = {
+    val frag = new Path(s"$outDir/frag")
+    val fs = frag.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFragDirs =
+      if (!fs.exists(frag)) 0
+      else fs.listStatus(frag).count(_.getPath.getName.startsWith("batch_id="))
     atomicWriteJson(spark,
       new Path(s"$outDir/stats/batch_id=$batchId/stats.json"),
       new Path(s"$outDir/stats/batch_id=$batchId/.stats.json.tmp"),
-      s"""{"n_docs":$nDocs,"n_words":$nWords,"n_tokens":$nTokens}""")
+      s"""{"n_docs":$nDocs,"n_words":$nWords,"n_tokens":$nTokens,""" +
+        s""""n_frag_dirs":$nFragDirs,"bid":$batchId}""")
+  }
+
+  /** Fold every `stats/batch_id=N` partition with N ≤ `upTo` into ONE
+    * multi-line file under `batch_id=upTo` — without it the stats
+    * store accretes a directory per micro-batch forever and
+    * [[packStats]]'s listing cost grows O(drops) even after the
+    * fragment folds collapse frag/ and bnd/ (ADVICE r14). Runs on the
+    * same cadence as the fragment folds ([[compactAt]]).
+    *
+    * Crash posture — install-first, delete-after, NO marker: each line
+    * carries its own `bid` (injected here for lines that predate the
+    * field), the merged file is fully written and atomically renamed
+    * over the target BEFORE any source is deleted, and a crash
+    * mid-delete leaves only byte-identical duplicate lines (a folded
+    * line and its surviving source — stats are deterministic and
+    * folded batches can never replay), which [[packStats]]'s distinct
+    * collapses. No crash point loses a line or needs recovery. */
+  private def compactStats(spark: SparkSession, outDir: String, upTo: Long): Unit = {
+    val root = new Path(s"$outDir/stats")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val srcs = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(n => n -> n.stripPrefix("batch_id=").toLong)
+      .filter(_._2 <= upTo)
+      .sortBy(_._2)
+    if (srcs.length <= 1) return
+    val lines = srcs.toSeq.flatMap { case (n, b) =>
+      val f = new Path(root, s"$n/stats.json")
+      if (!fs.exists(f)) Seq.empty[String]
+      else {
+        val in = fs.open(f)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        txt.split('\n').toSeq.filter(_.nonEmpty).map { l =>
+          if (l.contains("\"bid\":")) l
+          else l.stripSuffix("}") + s""","bid":$b}"""
+        }
+      }
+    }.distinct
+    atomicWriteJson(spark, new Path(root, s"batch_id=$upTo/stats.json"),
+      new Path(root, ".stats-compact-tmp"), lines.mkString("\n"))
+    srcs.filter(_._2 != upTo).foreach { case (n, _) =>
+      fs.delete(new Path(root, n), true)
+    }
+  }
 
   /** The per-batch pricing telemetry as a frame (committed batches
     * only): batch_id, n_docs (docs with gated words), n_words (gated
     * words), n_tokens (incl. one EOS per doc) — (n_tokens − n_docs) /
-    * n_words is the BPE fertility the staleness tripwire watches. */
+    * n_words is the BPE fertility the staleness tripwire watches —
+    * plus n_frag_dirs, the fragment-directory count right after that
+    * batch landed (the fold-cadence signal; null on stores written
+    * before the field existed). */
   def packStats(spark: SparkSession, outDir: String): DataFrame = {
     val st = readState(spark, outDir).getOrElse(throw new IllegalArgumentException(
       s"PackStream: $outDir has no pack_state.json — run the stream first"))
     spark.read
-      .schema("n_docs BIGINT, n_words BIGINT, n_tokens BIGINT, batch_id BIGINT")
+      .schema("n_docs BIGINT, n_words BIGINT, n_tokens BIGINT, " +
+        "n_frag_dirs BIGINT, bid BIGINT, batch_id BIGINT")
       .json(s"$outDir/stats")
+      // partition filter = the commit gate (an uncommitted stats dir is
+      // beyond the state watermark); folded lines live under their
+      // fold's partition but carry their own bid
       .filter(col("batch_id") <= st.batchId)
-      .select(col("batch_id"), col("n_docs"), col("n_words"), col("n_tokens"))
+      .select(coalesce(col("bid"), col("batch_id")).as("batch_id"),
+        col("n_docs"), col("n_words"), col("n_tokens"), col("n_frag_dirs"))
+      // collapses the byte-identical duplicates a crash between
+      // compactStats's install and its source deletes can leave
+      .distinct()
   }
 
   /** The batch's sequence fragments from its globally-shifted offsets
@@ -322,8 +463,11 @@ object PackStream {
   }
 
   /** The fold itself, guard-free — callable at the watermark ONLY from
-    * inside `foreachBatch` of a later batch (see [[compact]]). */
+    * inside `foreachBatch` of a later batch (see [[compact]]). The
+    * stats store folds on the same cadence (its own install-first
+    * discipline — see [[compactStats]]). */
   private[streaming] def compactAt(spark: SparkSession, outDir: String, upTo: Long): Long = {
+    compactStats(spark, outDir, upTo)
     Maintenance.compactBatchStore(spark, s"$outDir/bnd", upTo, fold = mergeBounds)
     Maintenance.compactBatchStore(spark, s"$outDir/frag", upTo, fold = mergeFrags)
   }
@@ -338,11 +482,17 @@ object PackStream {
     * first-non-empty-batch baseline refuses (see [[processBatch]]'s
     * rationale — the frozen-tokenizer complement of [[IndexStream]]'s
     * rebuildWhen, whose in-stream rebuild is exactly what a tokenizer
-    * must NOT do). */
+    * must NOT do); `staleTpwAbs` > 0 adds the absolute tokens-per-word
+    * ceiling that also guards the FIRST batch (a baseline cannot).
+    * `requireOrdered` arms the ordered-ingest tripwire: an advancing
+    * batch whose smallest contributing doc_id does not exceed the
+    * largest ever packed refuses instead of silently diverging from
+    * the batch-run sequence layout. */
   def start(spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, tokDir: String, seqLen: Int = 512,
       buckets: Int = 32, compactEvery: Int = 0,
-      staleWhen: Double = 0.0): StreamingQuery =
+      staleWhen: Double = 0.0, staleTpwAbs: Double = 0.0,
+      requireOrdered: Boolean = false): StreamingQuery =
     spark.readStream
       .schema(Tables.documents)
       .parquet(inDir)
@@ -352,7 +502,8 @@ object PackStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactAt(spark, outDir, upTo = batchId - 1)
-        processBatch(batch, batchId, tokDir, outDir, seqLen, buckets, staleWhen)
+        processBatch(batch, batchId, tokDir, outDir, seqLen, buckets,
+          staleWhen, staleTpwAbs, requireOrdered)
       }
       .start()
 
@@ -360,9 +511,10 @@ object PackStream {
   def runOnce(spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, tokDir: String, seqLen: Int = 512,
       buckets: Int = 32, compactEvery: Int = 0,
-      staleWhen: Double = 0.0): Unit =
+      staleWhen: Double = 0.0, staleTpwAbs: Double = 0.0,
+      requireOrdered: Boolean = false): Unit =
     start(spark, inDir, outDir, checkpoint, tokDir, seqLen, buckets,
-      compactEvery, staleWhen)
+      compactEvery, staleWhen, staleTpwAbs, requireOrdered)
       .awaitTermination()
 
   /** The packed sequences as of the last COMMITTED batch — fragments
@@ -411,7 +563,10 @@ object PackStream {
       s"$dir/documents.parquet", "bpe-r8v256",
       d => TokenizerStore.trainBpe(docs, d, 8, 256))
     val root = CurateStream.threeOrderedDrops(docs, "xs-pack-stream") { root =>
-      runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", tokDir)
+      // ordered-ingest tripwire ARMED (the drops are doc_id-ordered by
+      // construction, so arming must be invisible — which is the claim)
+      runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", tokDir,
+        requireOrdered = true)
     }
     packed(spark, s"$root/out").orderBy(col("seq_id"))
   }
@@ -427,15 +582,18 @@ object PackStream {
       s"$dir/documents.parquet", "bpe-r8v256",
       d => TokenizerStore.trainBpe(docs, d, 8, 256))
     val root = CurateStream.threeOrderedDrops(docs, "xs-pack-stats") { root =>
-      // tripwire ARMED (far from tripping on the fixture): the oracled
-      // composition exercises the baseline carry + fertility comparison
+      // tripwires ARMED (far from tripping on the fixture): the oracled
+      // composition exercises the baseline carry + fertility comparison,
+      // the absolute ceiling, and the ordered-ingest watermark
       runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", tokDir,
-        staleWhen = 100.0)
+        staleWhen = 100.0, staleTpwAbs = 100.0, requireOrdered = true)
     }
     // pricing rows only: the oracle prices docs, so a drop whose third
     // of the doc_id range holds no gated docs has no SQL row — the
     // stream's zeros row for an empty batch is telemetry, not pricing
+    // (n_frag_dirs likewise: fold-cadence telemetry, not priceable)
     packStats(spark, s"$root/out").filter(col("n_docs") > 0)
+      .select(col("batch_id"), col("n_docs"), col("n_words"), col("n_tokens"))
       .orderBy(col("batch_id"))
   }
 

@@ -124,6 +124,19 @@ class PackStreamSpec extends SparkSpec {
     val dirs = new java.io.File(s"$root/out/frag").list()
       .filter(_.startsWith("batch_id=")).sorted.toSeq
     assert(dirs == Seq("batch_id=1", "batch_id=2"), dirs.toString)
+    // the stats store folded on the same cadence (ADVICE r14: without
+    // this it accretes a directory per drop forever) — and no pricing
+    // line was lost: every batch still reports, under its own bid
+    val statDirs = new java.io.File(s"$root/out/stats").list()
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(statDirs == Seq("batch_id=1", "batch_id=2"), statDirs.toString)
+    val stats = PackStream.packStats(spark, s"$root/out")
+      .orderBy(col("batch_id")).collect().toSeq
+    assert(stats.map(_.getLong(0)) == Seq(0L, 1L, 2L))
+    // n_frag_dirs telemetry: counted right after each batch's write —
+    // 1 and 2 unfolded, then the fold collapsed 0-1 before batch 2
+    // landed beside it (the fold-cadence signal a deployment watches)
+    assert(stats.map(_.getLong(4)) == Seq(1L, 2L, 2L), stats.toString)
     // and it PRE-MERGED: one row per sequence inside the fold
     val fold = spark.read.parquet(s"$root/out/frag/batch_id=1")
     assert(fold.count() == fold.select("seq_id").distinct().count())
@@ -278,6 +291,103 @@ class PackStreamSpec extends SparkSpec {
     // the operator's escape hatch (raise/disarm the threshold) packs it
     PackStream.processBatch(junk, 1L, tok, s"$root/out", 512, 32)
     assert(PackStream.packStats(spark, s"$root/out").count() == 2)
+  }
+
+  test("the ordered-ingest tripwire refuses an out-of-order advancing drop; replays and disarmed streams are unaffected") {
+    val root = java.nio.file.Files.createTempDirectory("packorder").toString
+    val tok = trainTok()
+    val conds = dropConds
+    // ingest the MIDDLE third first — legal while nothing precedes it
+    val drop1 = writeDrop(root, 1, conds(1))
+    PackStream.runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", tok,
+      requireOrdered = true)
+    val before = PackStream.packed(spark, s"$root/out")
+      .orderBy(col("seq_id")).collect().toSeq
+    // a replay of the committed batch must stay exempt (its ids
+    // necessarily precede the carried max — refusing would wedge the
+    // stream on data it cannot retract)
+    val batch1 = spark.read.schema(Tables.documents).parquet(drop1)
+    PackStream.processBatch(batch1, 0L, tok, s"$root/out", 512, 32,
+      requireOrdered = true)
+    assert(PackStream.packed(spark, s"$root/out")
+      .orderBy(col("seq_id")).collect().toSeq == before)
+    // now the FIRST third arrives late: an advancing batch whose min
+    // doc_id precedes the packed watermark — armed, it refuses with the
+    // remedy instead of silently diverging from the batch-run layout
+    val drop0 = writeDrop(root, 0, conds(0))
+    val batch0 = spark.read.schema(Tables.documents).parquet(drop0)
+    val e = intercept[IllegalArgumentException] {
+      PackStream.processBatch(batch0, 1L, tok, s"$root/out", 512, 32,
+        requireOrdered = true)
+    }
+    assert(e.getMessage.contains("out-of-order") &&
+      e.getMessage.contains("doc_id order"))
+    // the refusal landed NOTHING
+    assert(PackStream.packed(spark, s"$root/out")
+      .orderBy(col("seq_id")).collect().toSeq == before)
+    // disarmed (the documented arrival-order mode), the same batch packs:
+    // every token exactly once, contents in arrival order
+    PackStream.processBatch(batch0, 1L, tok, s"$root/out", 512, 32)
+    val docs01 = docs.filter(dropConds(0) || dropConds(1))
+    val nTok = PackStream.packed(spark, s"$root/out")
+      .agg(sum(col("n_tokens"))).head.getLong(0)
+    val nBatch = Curation.packIds(docs01, tok)
+      .agg(sum(col("n_tokens"))).head.getLong(0)
+    assert(nTok == nBatch, "arrival-order packing lost or duplicated tokens")
+  }
+
+  test("the absolute fertility ceiling catches a stale tokenizer on the FIRST drop, where no baseline exists yet") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("packabs").toString
+    val tok = trainTok()
+    // gibberish the learned merges cannot compress, as batch 0: the
+    // relative tripwire is blind here (it would INSTALL this as the
+    // baseline — the ADVICE r14 garbage-baseline hazard), the absolute
+    // ceiling is not
+    val rnd = new scala.util.Random(11)
+    def gib() = Seq.fill(40)(
+      Seq.fill(16)(('a' + rnd.nextInt(26)).toChar).mkString).mkString(" ")
+    val junk = (0 until 50).map(i => (i.toLong, gib())).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      PackStream.processBatch(junk, 0L, tok, s"$root/out", 512, 32,
+        staleWhen = 2.0, staleTpwAbs = 8.0)
+    }
+    assert(e.getMessage.contains("absolute") && e.getMessage.contains("retrain"))
+    // nothing committed — not even a garbage baseline
+    assert(!new java.io.File(s"$root/out/pack_state.json").exists())
+    // the same ceiling passes ordinary text (fixture prices in low
+    // single digits against its own tokenizer)
+    writeDrop(root, 0, dropConds(0))
+    PackStream.runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", tok,
+      staleWhen = 2.0, staleTpwAbs = 8.0)
+    assert(PackStream.packStats(spark, s"$root/out").count() == 1)
+  }
+
+  test("a torn pack_state.json fails its checksum; a legacy state without one is accepted") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("packcrc").toString
+    val tok = trainTok()
+    writeDrop(root, 0, dropConds(0))
+    PackStream.runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", tok)
+    val stPath = java.nio.file.Paths.get(s"$root/out/pack_state.json")
+    val good = java.nio.file.Files.readString(stPath)
+    val total = "\"total\":(\\d+)".r.findFirstMatchIn(good).get.group(1).toLong
+    // a torn/tampered carry: one field flipped, recorded crc left alone
+    // (rename(OVERWRITE) is atomic on POSIX/HDFS, but an S3-class store
+    // can tear the swap — ADVICE r14; every offset derives from this)
+    java.nio.file.Files.writeString(stPath,
+      good.replace(s""""total":$total""", s""""total":${total + 512}"""))
+    val e = intercept[IllegalStateException] {
+      PackStream.packed(spark, s"$root/out").collect()
+    }
+    assert(e.getMessage.contains("checksum"))
+    // a state written before the crc field existed is accepted as-is
+    java.nio.file.Files.writeString(stPath,
+      good.replaceAll(""","crc":"[0-9a-f]+"""", ""))
+    assert(PackStream.packed(spark, s"$root/out").count() > 0)
+    // and the repaired original still verifies
+    java.nio.file.Files.writeString(stPath, good)
+    assert(PackStream.packed(spark, s"$root/out").count() > 0)
   }
 
   test("an uncommitted fragment dir is invisible; gaps and foreign checkpoints refuse") {
