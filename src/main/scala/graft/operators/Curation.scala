@@ -872,6 +872,8 @@ object Curation {
     * (`ids` joins back by seq_id when needed — the heavy column stays
     * out of the permutation exchange). */
   def shardPacked(packed: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"shardPacked: nShards must be positive, got $nShards " +
+      "(a non-positive count would surface as an opaque modulo failure in tasks)")
     val h = md5(concat(lit("packshard:"), col("seq_id").cast(StringType)).cast(BinaryType))
     packed
       .select(col("seq_id"), col("n_tokens"), h.as("_h"))

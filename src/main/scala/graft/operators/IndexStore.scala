@@ -386,13 +386,35 @@ object IndexStore {
       minAgeMs: Long = 0L): Unit = {
     val fs = manifestPath(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the retention gate ([[expireSnapshots]]'s olderThan): an orphan
-    // younger than the floor is spared this pass — it may still be
-    // inside a concurrent reader's snapshot grace window
-    val cutoff =
-      if (minAgeMs <= 0) Long.MaxValue else System.currentTimeMillis() - minAgeMs
-    def oldEnough(st: org.apache.hadoop.fs.FileStatus): Boolean =
-      st.getModificationTime <= cutoff
+    // The retention gate ([[expireSnapshots]]'s olderThan) keys on
+    // ORPHANING time, not write time (ADVICE r15): a generation
+    // superseded by a compaction that committed seconds ago has an
+    // OLD mtime, so an mtime cutoff would reclaim it immediately and
+    // the floor would not protect the primary supersede scenario.
+    // Instead, the first GC pass that SIGHTS an orphan stamps a
+    // `_GC_SIGHTED` marker inside it (orphans are invisible to
+    // current-manifest readers, and the `_` prefix hides the file
+    // from Hadoop globs regardless) and spares it; a later pass
+    // reclaims it once the SIGHTING is at least minAgeMs old —
+    // Iceberg's olderThan, keyed on when the snapshot stopped being
+    // current. The clock is filesystem-derived (a probe file's mtime
+    // on the same store) so driver/remote-store clock skew cannot
+    // widen or collapse the floor.
+    val useFloor = minAgeMs > 0
+    lazy val fsNow: Long = {
+      val probe = new org.apache.hadoop.fs.Path(s"$dir/._gc_clock_probe")
+      fs.create(probe, true).close()
+      val t = fs.getFileStatus(probe).getModificationTime
+      fs.delete(probe, false)
+      t
+    }
+    def reclaimable(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      !useFloor || {
+        val marker = new org.apache.hadoop.fs.Path(st.getPath, "_GC_SIGHTED")
+        if (fs.exists(marker))
+          fs.getFileStatus(marker).getModificationTime <= fsNow - minAgeMs
+        else { fs.create(marker, true).close(); false } // sighted; spare this pass
+      }
     def sweep(table: String, live: Set[Long]): Unit = {
       val root = new org.apache.hadoop.fs.Path(s"$dir/$table")
       if (fs.exists(root)) {
@@ -400,7 +422,7 @@ object IndexStore {
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
           .filterNot(st => live.contains(
             st.getPath.getName.stripPrefix("batch_id=").toLong))
-          .filter(oldEnough)
+          .filter(reclaimable)
           .foreach(st => fs.delete(st.getPath, true))
         if (live.isEmpty &&
             !fs.listStatus(root).exists(_.getPath.getName.startsWith("batch_id=")))
@@ -416,7 +438,7 @@ object IndexStore {
     if (fs.exists(stateRoot))
       fs.listStatus(stateRoot)
         .filter(st => st.isDirectory && st.getPath.getName != man.nonce)
-        .filter(oldEnough)
+        .filter(reclaimable)
         .foreach(st => fs.delete(st.getPath, true))
   }
 
@@ -439,11 +461,16 @@ object IndexStore {
     *
     * `minAgeMs` > 0 BOUNDS the collapse instead of relying on
     * out-of-band coordination (Iceberg's `olderThan` threshold,
-    * ADVICE r14): only orphan dirs whose modification time is at
-    * least that old are reclaimed, so "no reader holds a manifest
+    * ADVICE r14): an orphan is reclaimed only once at least that long
+    * has passed since a GC pass FIRST SIGHTED it as an orphan (a
+    * `_GC_SIGHTED` marker stamped on first sighting — orphaning time,
+    * not dir write time, which for a just-superseded generation is
+    * arbitrarily old; ADVICE r15), so "no reader holds a manifest
     * older than X" becomes a retention setting rather than an
     * operator promise. Spared orphans stay invisible and are
-    * reclaimed by a later pass once they age past the floor. */
+    * reclaimed by a later pass once the sighting ages past the
+    * floor — so a bounded expiry needs TWO passes at least minAgeMs
+    * apart, matching Iceberg's cadence-driven maintenance. */
   def expireSnapshots(spark: SparkSession, dir: String,
       minAgeMs: Long = 0L): Unit =
     gcOrphans(spark, dir, readManifest(spark, dir), minAgeMs)

@@ -67,6 +67,11 @@ import graft.operators.{Curation, Declared, TokenizerStore}
   */
 object PackStream {
 
+  /** `pack_state.json` format version. Bump when the checksummed field
+    * set changes; readers refuse newer states with a version message
+    * instead of misreporting them as torn (ADVICE r15). */
+  private val StateFormatVersion = 1
+
   /** Last committed batch, the global offset it started at, the total
     * token count after it (= the next batch's base), and the store's
     * seqLen — part of the layout: fragments cut at a different seqLen
@@ -86,8 +91,11 @@ object PackStream {
       * store can tear the swap, and a torn carry silently re-bases
       * every later offset. Cheap (16 B per state write) and
       * format-independent, unlike a fail-fast on the filesystem
-      * scheme. */
-    def crc: String = {
+      * scheme. Stored as `"checksum"` alongside a `"v"` format-version
+      * field so a future writer with extra checksummed fields fails
+      * old readers with a version message, not a tamper accusation
+      * (ADVICE r15). */
+    def checksum: String = {
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(s"$batchId|$base|$total|$seqLen|$blDocs|$blWords|$blTokens|$maxDoc"
         .getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -105,22 +113,32 @@ object PackStream {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       val st = try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+        // a state stamped by a FUTURE format (extra checksummed fields)
+        // must fail with a version message, not a tamper accusation
+        val v = root.path("v").asInt(1)
+        if (v > StateFormatVersion) throw new IllegalStateException(
+          s"PackStream: $p was written by state-format v$v; this reader " +
+            s"understands up to v$StateFormatVersion — upgrade the reader " +
+            "(the state is intact, not torn)")
         val s = PackState(root.get("batch_id").asLong(), root.get("base").asLong(),
           root.get("total").asLong(), root.get("seq_len").asInt(),
           root.get("bl_docs").asLong(), root.get("bl_words").asLong(),
           root.get("bl_tokens").asLong(), root.path("max_doc").asLong(-1L))
-        // crc-carrying states verify; a state that predates the field
-        // is accepted as-is (the write path below always stamps one)
-        (s, Option(root.get("crc")).map(_.asText()))
+        // checksum-carrying states verify ("crc" accepted as the r15
+        // legacy spelling); a state that predates the field is accepted
+        // as-is (the write path below always stamps one)
+        (s, Option(root.get("checksum")).orElse(Option(root.get("crc")))
+          .map(_.asText()))
       } catch {
+        case e: IllegalStateException => throw e // version refusal above
         case e: Exception => throw new IllegalStateException(
           s"PackStream: $p is unparseable (${e.getMessage}) — external corruption; " +
             "restore it, or delete the whole pack store and replay the stream " +
             "from a fresh checkpoint (offsets are derivable only from history)", e)
       }
-      st._2.filter(_ != st._1.crc).foreach { bad =>
+      st._2.filter(_ != st._1.checksum).foreach { bad =>
         throw new IllegalStateException(
-          s"PackStream: $p fails its checksum (recorded $bad, computed ${st._1.crc}) " +
+          s"PackStream: $p fails its checksum (recorded $bad, computed ${st._1.checksum}) " +
             "— a torn or tampered state write (non-atomic rename on this " +
             "filesystem?); restore the file, or delete the whole pack store and " +
             "replay the stream from a fresh checkpoint (every offset derives " +
@@ -150,11 +168,12 @@ object PackStream {
   private def writeState(spark: SparkSession, outDir: String, st: PackState): Unit =
     atomicWriteJson(spark, statePath(outDir),
       new Path(s"$outDir/.pack_state.json.tmp"),
-      s"""{"batch_id":${st.batchId},"base":${st.base},""" +
+      s"""{"v":$StateFormatVersion,""" +
+        s""""batch_id":${st.batchId},"base":${st.base},""" +
         s""""total":${st.total},"seq_len":${st.seqLen},""" +
         s""""bl_docs":${st.blDocs},"bl_words":${st.blWords},""" +
         s""""bl_tokens":${st.blTokens},"max_doc":${st.maxDoc},""" +
-        s""""crc":"${st.crc}"}""")
+        s""""checksum":"${st.checksum}"}""")
 
   /** Pack one micro-batch: per-doc id streams, batch-local offsets
     * shifted by the carried base, fragments landed under the batch dir,

@@ -588,4 +588,40 @@ class IndexStoreSpec extends SparkSpec {
     IndexStore.expireSnapshots(spark, dir)
     assert(search() == cur)
   }
+
+  test("expireSnapshots minAgeMs floors on ORPHANING time: first sighting spares, " +
+      "a pass after the floor reclaims") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-floor").toString
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val n = emb.count()
+    IndexStore.buildIvfPq(emb.filter(col("vec_id") < n / 2), dir, 16, 4, 16, 1)
+    val oldNonce = IndexStore.readManifest(spark, dir).nonce
+    val oldGen = new java.io.File(s"$dir/state/$oldNonce")
+    // age the generation's files WELL past the floor before superseding
+    // it — under the r15 mtime gate this made it instantly reclaimable,
+    // which is exactly the bug (ADVICE r15): it was orphaned only now
+    def ageTree(f: java.io.File): Unit = {
+      f.setLastModified(System.currentTimeMillis() - 3600L * 1000)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(ageTree)
+    }
+    ageTree(oldGen)
+    IndexStore.buildIvfPq(emb, dir, 16, 4, 16, 1) // supersedes gen 1 NOW
+    assert(oldGen.exists())
+    // pass 1: sights the day-old-mtime orphan, stamps the marker, spares it
+    IndexStore.expireSnapshots(spark, dir, minAgeMs = 150L)
+    assert(oldGen.exists(),
+      "a generation orphaned moments ago was reclaimed inside the floor " +
+        "— the gate keyed on write time, not orphaning time")
+    assert(new java.io.File(oldGen, "_GC_SIGHTED").exists(), "sighting marker missing")
+    // pass 2 inside the floor: still spared
+    IndexStore.expireSnapshots(spark, dir, minAgeMs = 150L)
+    assert(oldGen.exists(), "reclaimed before the sighting aged past the floor")
+    // pass after the sighting ages past the floor: reclaimed
+    Thread.sleep(300L)
+    IndexStore.expireSnapshots(spark, dir, minAgeMs = 150L)
+    assert(!oldGen.exists(), "orphan not reclaimed after the floor elapsed")
+    // the current generation is untouched throughout
+    val man = IndexStore.readManifest(spark, dir)
+    assert(new java.io.File(s"$dir/state/${man.nonce}").exists())
+  }
 }

@@ -370,23 +370,39 @@ class PackStreamSpec extends SparkSpec {
     writeDrop(root, 0, dropConds(0))
     PackStream.runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", tok)
     val stPath = java.nio.file.Paths.get(s"$root/out/pack_state.json")
+    // Hadoop LocalFileSystem keeps a `.pack_state.json.crc` checksum
+    // sidecar next to files written through `fs.create`; a java.nio
+    // tamper leaves it stale and `fs.open` throws ChecksumException
+    // BEFORE the product's own checksum runs (the documented round-12
+    // sidecar trap — IndexStoreSpec does the same). Drop it per tamper.
+    def tamper(txt: String): Unit = {
+      java.nio.file.Files.writeString(stPath, txt)
+      java.nio.file.Files.deleteIfExists(
+        stPath.resolveSibling(".pack_state.json.crc"))
+    }
     val good = java.nio.file.Files.readString(stPath)
     val total = "\"total\":(\\d+)".r.findFirstMatchIn(good).get.group(1).toLong
-    // a torn/tampered carry: one field flipped, recorded crc left alone
-    // (rename(OVERWRITE) is atomic on POSIX/HDFS, but an S3-class store
-    // can tear the swap — ADVICE r14; every offset derives from this)
-    java.nio.file.Files.writeString(stPath,
-      good.replace(s""""total":$total""", s""""total":${total + 512}"""))
+    // a torn/tampered carry: one field flipped, recorded checksum left
+    // alone (rename(OVERWRITE) is atomic on POSIX/HDFS, but an S3-class
+    // store can tear the swap — ADVICE r14; every offset derives from this)
+    tamper(good.replace(s""""total":$total""", s""""total":${total + 512}"""))
     val e = intercept[IllegalStateException] {
       PackStream.packed(spark, s"$root/out").collect()
     }
     assert(e.getMessage.contains("checksum"))
-    // a state written before the crc field existed is accepted as-is
-    java.nio.file.Files.writeString(stPath,
-      good.replaceAll(""","crc":"[0-9a-f]+"""", ""))
+    // a state written before the checksum field existed is accepted
+    // as-is (incl. the r15 "crc" spelling — same acceptance path)
+    tamper(good.replaceAll(""","checksum":"[0-9a-f]+"""", ""))
     assert(PackStream.packed(spark, s"$root/out").count() > 0)
+    // a FUTURE format version refuses with a version message, not a
+    // tamper accusation (ADVICE r15)
+    tamper(good.replace(""""v":1""", """"v":2"""))
+    val ev = intercept[IllegalStateException] {
+      PackStream.packed(spark, s"$root/out").collect()
+    }
+    assert(ev.getMessage.contains("state-format v2"), ev.getMessage)
     // and the repaired original still verifies
-    java.nio.file.Files.writeString(stPath, good)
+    tamper(good)
     assert(PackStream.packed(spark, s"$root/out").count() > 0)
   }
 
