@@ -315,13 +315,19 @@ object PackStream {
     * the index tier watches its stats rows, and sizes `compactEvery`
     * from the measured serve cost (PackServeSweep: serving stays flat
     * ~0.28 s folded vs 0.55 s and growing at 48 unfolded drops). */
-  private def writeStats(spark: SparkSession, outDir: String, batchId: Long,
-      nDocs: Long, nWords: Long, nTokens: Long): Unit = {
+  /** Fragment-store directory count — one driver-side listing, no Spark
+    * job. The fold-cadence signal: [[writeStats]] reports it per batch
+    * and [[start]]'s `autoCompactFragDirs` acts on it. */
+  private def fragDirCount(spark: SparkSession, outDir: String): Int = {
     val frag = new Path(s"$outDir/frag")
     val fs = frag.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nFragDirs =
-      if (!fs.exists(frag)) 0
-      else fs.listStatus(frag).count(_.getPath.getName.startsWith("batch_id="))
+    if (!fs.exists(frag)) 0
+    else fs.listStatus(frag).count(_.getPath.getName.startsWith("batch_id="))
+  }
+
+  private def writeStats(spark: SparkSession, outDir: String, batchId: Long,
+      nDocs: Long, nWords: Long, nTokens: Long): Unit = {
+    val nFragDirs = fragDirCount(spark, outDir)
     atomicWriteJson(spark,
       new Path(s"$outDir/stats/batch_id=$batchId/stats.json"),
       new Path(s"$outDir/stats/batch_id=$batchId/.stats.json.tmp"),
@@ -491,11 +497,29 @@ object PackStream {
     Maintenance.compactBatchStore(spark, s"$outDir/frag", upTo, fold = mergeFrags)
   }
 
+  /** Default `autoCompactFragDirs`: fold once the fragment store holds
+    * this many batch directories. Sized from PackServeSweep's measured
+    * serve costs (sf0.01 warm mins: ~0.28 s folded and FLAT vs 0.55 s
+    * and GROWING at 48 unfolded drops; at ~16 dirs the unfolded serve
+    * is still within ~1.2× of folded) — folding at 16 keeps serving in
+    * the flat band while paying the fold at most once per 15 drops.
+    * Set 0 to disable, or use `compactEvery` for an explicit cadence. */
+  val DefaultAutoFoldFragDirs = 16
+
   /** `compactEvery` > 0 folds the fragment stores every that many
     * batches, INSIDE the stream before the batch's own work (the
     * [[CurateStream]] maintenance discipline: `upTo = batchId − 1` is
     * committed and can never replay, and a crashed fold is finished by
-    * the replayed batch's own pre-work compaction call). `staleWhen`
+    * the replayed batch's own pre-work compaction call).
+    * `autoCompactFragDirs` > 0 (ON by default at
+    * [[DefaultAutoFoldFragDirs]]) is the LOAD-BASED cadence: before an
+    * advancing batch, if the fragment store has grown to that many
+    * batch directories the stream folds first — the `n_frag_dirs`
+    * telemetry acted on automatically, so a deployment that never
+    * tunes anything still serves from the flat cost band. The
+    * threshold check is one driver-side listing (the same one
+    * [[writeStats]] pays); both cadences share [[compactAt]] and are
+    * idempotent, so enabling both is safe. `staleWhen`
     * > 0 arms the tokenizer-staleness tripwire: an advancing batch
     * whose tokens-per-WORD fertility is ≥ that multiple of the
     * first-non-empty-batch baseline refuses (see [[processBatch]]'s
@@ -511,7 +535,8 @@ object PackStream {
       checkpoint: String, tokDir: String, seqLen: Int = 512,
       buckets: Int = 32, compactEvery: Int = 0,
       staleWhen: Double = 0.0, staleTpwAbs: Double = 0.0,
-      requireOrdered: Boolean = false): StreamingQuery =
+      requireOrdered: Boolean = false,
+      autoCompactFragDirs: Int = DefaultAutoFoldFragDirs): StreamingQuery =
     spark.readStream
       .schema(Tables.documents)
       .parquet(inDir)
@@ -519,7 +544,10 @@ object PackStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        if (batchId > 0 &&
+            ((compactEvery > 0 && batchId % compactEvery == 0) ||
+              (autoCompactFragDirs > 0 &&
+                fragDirCount(spark, outDir) >= autoCompactFragDirs)))
           compactAt(spark, outDir, upTo = batchId - 1)
         processBatch(batch, batchId, tokDir, outDir, seqLen, buckets,
           staleWhen, staleTpwAbs, requireOrdered)
@@ -531,9 +559,11 @@ object PackStream {
       checkpoint: String, tokDir: String, seqLen: Int = 512,
       buckets: Int = 32, compactEvery: Int = 0,
       staleWhen: Double = 0.0, staleTpwAbs: Double = 0.0,
-      requireOrdered: Boolean = false): Unit =
+      requireOrdered: Boolean = false,
+      autoCompactFragDirs: Int = DefaultAutoFoldFragDirs): Unit =
     start(spark, inDir, outDir, checkpoint, tokDir, seqLen, buckets,
-      compactEvery, staleWhen, staleTpwAbs, requireOrdered)
+      compactEvery, staleWhen, staleTpwAbs, requireOrdered,
+      autoCompactFragDirs)
       .awaitTermination()
 
   /** The packed sequences as of the last COMMITTED batch — fragments

@@ -62,7 +62,11 @@ object PlanPin {
     // the packing tier's cost split, as tripwires: the sequence row
     // must pay exactly ONE Generate (the per-token explode) and the
     // mask row NONE (doc-level offset arithmetic only)
-    "xc_pack_ids", "xc_pack_bounds")
+    "xc_pack_ids", "xc_pack_bounds",
+    // the loader permutation: one shard-keyed exchange + per-shard
+    // window, no global sort beyond the declared row's output orderBy,
+    // ids column pruned (PlanSpec pins the column-level property)
+    "xc_pack_shard")
 
   val pinFile = "PLANPINS.txt"
   val sfDir = "/root/testdata/sf0.001"

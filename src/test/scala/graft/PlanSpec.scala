@@ -165,6 +165,26 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final min(doc_id)
   }
 
+  test("pack sharding: one shard-keyed exchange, no global sort, heavy ids column pruned") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val tok = graft.operators.TokenizerStore.ensureTokenizerFor(spark,
+      s"$dir/documents.parquet", "bpe-r8v256",
+      d => graft.operators.TokenizerStore.trainBpe(docs, d, 8, 256))
+    // the operator itself, without the declared row's deterministic-output
+    // orderBy (a verify convention, not part of the layout's cost)
+    val p = graft.operators.Curation.shardPacked(
+        graft.operators.Curation.packIds(docs, tok), 8)
+      .queryExecution.executedPlan.toString
+    // the loader permutation is ONE exchange partitioned BY SHARD —
+    // per-shard windows order-assign in parallel...
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).length == 1, p)
+    // ...with only in-partition (local) sorts — no global sort ever
+    assert(!p.contains("], true, 0"), p)
+    // and the heavy ids column is pruned out of the ENTIRE plan: never
+    // concatenated, never exchanged (it joins back by seq_id on demand)
+    assert(!p.contains("AS ids"), p)
+  }
+
   test("embedding near-dup: pairwise stage is a distributed keyed block-join, " +
       "not a driver collect/broadcast") {
     val p = plan("x1_embedding_neardup")

@@ -507,6 +507,95 @@ class CurateStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  /** 50 phrases from a shared 40-phrase pool (100 words): bigrams repeat
+    * ACROSS docs, so a bigram LM trained on the corpus scores regular
+    * docs low and all-unique gibberish high; distinct phrase orders keep
+    * word-5-shingle Jaccard ≈ 0 between unrelated docs. `tweak` replaces
+    * one word → a NEAR-dup of the untweaked text (J ≈ 0.9). */
+  private def phraseText(seed: Long, tweak: Int = -1): String = {
+    val pool = Array.tabulate(40)(p => s"alpha$p beta$p")
+    val rnd = new scala.util.Random(seed)
+    val words = Array.fill(50)(pool(rnd.nextInt(40))).flatMap(_.split(" "))
+    (if (tweak >= 0) words.updated(tweak, s"tweaked${seed}_$tweak") else words)
+      .mkString(" ")
+  }
+
+  test("startCurateAndPack with every gate armed: a re-posted near-dup is suppressed " +
+      "by the cross-batch band store and the packed store equals the gated pool") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("curate-gated").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    // doc 5 is gibberish (every word unique → unseen bigrams → high
+    // cross-entropy); its id's md5 prefix ("e4" ≥ "cd") keeps it OUT of
+    // the LM's hash-split train bucket, so training never sees it
+    val junk = Array.tabulate(100)(j => s"zq${j}xv${(j * 7) % 13}q$j").mkString(" ")
+    val texts = Map(
+      1L -> phraseText(1), 2L -> phraseText(2), 3L -> phraseText(3),
+      4L -> phraseText(1, tweak = 70), // drop-2 near-dup of doc 1
+      5L -> junk,                      // drop-2 LM-gated
+      6L -> phraseText(6),
+      7L -> phraseText(1, tweak = 90), // drop-3 RE-POSTED near-dup of doc 1
+      8L -> phraseText(8))
+    val corpusDf = texts.toSeq.sortBy(_._1)
+      .map { case (id, t) => doc(id, t) }.toDF(cols: _*)
+    // frozen artifacts, trained offline on the full corpus (UUID tags:
+    // warehouse artifacts survive across JVMs)
+    val srcPath = s"$root/corpus.parquet"
+    corpusDf.write.parquet(srcPath)
+    val uid = java.util.UUID.randomUUID.toString.take(8)
+    val packTok = graft.operators.TokenizerStore.ensureTokenizerFor(spark,
+      srcPath, s"bpe-$uid",
+      d => graft.operators.TokenizerStore.trainBpe(corpusDf, d, 8, 256))
+    val lmTok = graft.operators.TokenizerStore.ensureTokenizerFor(spark,
+      srcPath, s"lm-$uid",
+      d => graft.operators.TokenizerStore.trainBigramLm(corpusDf, d))
+    // data-derived gate: the junk doc must be the clear cross-entropy
+    // max (and the near-dups must score like their original, i.e. PASS
+    // the LM gate — the near-dup stage, not quality, must drop them)
+    val scores = graft.operators.TokenizerStore.scoreBigramLm(corpusDf, lmTok)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    val regularMax = (scores - 5L).values.max
+    assert(scores(5L) > regularMax + 0.2,
+      s"fixture bug: junk not separated (junk ${scores(5L)}, regular max $regularMax)")
+    val maxCe = (regularMax + scores(5L)) / 2
+    assert(scores(4L) < maxCe && scores(7L) < maxCe)
+
+    def drive(n: Int, ids: Seq[Long]): Unit = {
+      ids.map(id => doc(id, texts(id))).toDF(cols: _*)
+        .write.parquet(s"$inDir/drop$n.parquet")
+      CurateStream.startCurateAndPack(spark, s"$inDir/*", outDir, ck, packTok,
+        seqLen = 64, maxDupWordFrac = 0.7, nearDupJaccard = Some(0.8),
+        lmGate = Some((lmTok, maxCe)), staleWhen = 100.0, staleTpwAbs = 100.0,
+        requireOrdered = true).awaitTermination()
+    }
+    drive(1, Seq(1L, 2L, 3L))
+    drive(2, Seq(4L, 5L, 6L)) // near-dup + junk + new, one batch
+    drive(3, Seq(7L, 8L))     // the near-dup of doc 1 RE-POSTED two drops later
+
+    // doc 4 dropped cross-batch, doc 5 LM-gated, doc 7 suppressed by the
+    // CROSS-BATCH band store (its own batch contains no copy of doc 1 —
+    // only the persisted bands can know doc 1's shingles)
+    val kept = spark.read.parquet(s"$outDir/data")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 6L, 8L), s"gated survivors wrong: $kept")
+    // band store carries exactly the ACCEPTED docs — the suppressed
+    // near-dups and the gated junk doc never entered it
+    assert(spark.read.parquet(s"$outDir/_bands")
+      .select("doc_id").distinct().count() == 5)
+    // the packed store equals batch packIds over exactly the gated pool
+    // (ordered drops ⇒ stream concatenation order = doc_id order)
+    val sel = Seq("seq_id", "n_tokens", "ids").map(col)
+    val got = PackStream.packed(spark, s"$outDir/pack")
+      .select(sel: _*).orderBy("seq_id").collect().toSeq
+    val want = graft.operators.Curation.packIds(
+        corpusDf.filter($"doc_id".isin(kept: _*)), packTok, seqLen = 64)
+      .select(sel: _*).orderBy("seq_id").collect().toSeq
+    assert(got.nonEmpty && got == want,
+      s"packed store diverged from the gated pool (${got.size} vs ${want.size} seqs)")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("startCurateAndIndex rebuildWhen: drifted documents rebuild the index from the re-vectorized curated store") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("curate-drift").toString

@@ -163,6 +163,42 @@ class PackStreamSpec extends SparkSpec {
       .orderBy(col("seq_id")).collect().toSeq == batch)
   }
 
+  test("autoCompactFragDirs folds on the measured signal: fragment dirs stay bounded, " +
+      "served sequences unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("packauto").toString
+    val tok = trainTok()
+    // five ordered drops, auto threshold 3: without folding the frag
+    // store would accrete 5 dirs; the auto cadence must fold whenever
+    // the listing hits the threshold
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val cuts = (1 to 4).map(i => lo + i * ((hi - lo) / 5))
+    val conds = (Seq(col("doc_id") <= cuts.head) ++
+      cuts.sliding(2).map(c => col("doc_id") > c(0) && col("doc_id") <= c(1)) ++
+      Seq(col("doc_id") > cuts.last)).toSeq
+    conds.zipWithIndex.foreach { case (cond, i) =>
+      writeDrop(root, i, cond)
+      PackStream.runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", tok,
+        autoCompactFragDirs = 3)
+    }
+    // bounded: every time the store reached 3 dirs the next batch
+    // folded first (3 dirs → fold → fold dir + the new batch = 2, ...)
+    val dirs = new java.io.File(s"$root/out/frag").list()
+      .count(_.startsWith("batch_id="))
+    assert(dirs <= 3, s"auto fold never fired: $dirs frag dirs after 5 drops")
+    // and folding is invisible to the served contract
+    assert(PackStream.packed(spark, s"$root/out")
+      .orderBy(col("seq_id")).collect().toSeq ==
+      Curation.packIds(docs, tok).orderBy(col("seq_id")).collect().toSeq)
+    // the telemetry that drives the cadence recorded the collapse:
+    // n_frag_dirs never exceeded the threshold
+    val stats = PackStream.packStats(spark, s"$root/out")
+      .orderBy(col("batch_id")).collect().toSeq
+    assert(stats.map(_.getLong(0)) == (0L to 4L), stats.toString)
+    assert(stats.map(_.getLong(4)).max <= 3, stats.toString)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("curate-and-pack equals batch packIds over batch curation's survivors") {
     val root = java.nio.file.Files.createTempDirectory("curatepack").toString
     val tok = trainTok()
