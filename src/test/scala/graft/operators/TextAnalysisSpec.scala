@@ -50,6 +50,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(Multimodal.mediaNeardup(empty).count() == 0)
   }
 
+  test("WavCodec round-trips PCM16 through a real RIFF container and walks chunks") {
+    val samples = Array[Short](0, 1000, -32768, 32512, -1, 7)
+    val wav = Multimodal.WavCodec.encodePcm16Mono(samples)
+    // real binary layout: RIFF magic, WAVE form, and a LIST chunk sits
+    // BETWEEN fmt and data, so a fixed-offset-44 reader reads garbage
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(wav, 8, 4, "US-ASCII") == "WAVE")
+    assert(new String(wav, 36, 4, "US-ASCII") == "LIST")
+    assert(new String(wav, 44, 4, "US-ASCII") != "data")
+    val a = Multimodal.WavCodec.decode(wav)
+    assert(a.sampleRate == 8000 && a.channels == 1 && a.bits == 16)
+    assert(a.samples.toSeq == samples.toSeq) // bit-exact through the container
+    // empty audio round-trips too
+    assert(Multimodal.WavCodec.decode(
+      Multimodal.WavCodec.encodePcm16Mono(Array.empty[Short])).samples.isEmpty)
+  }
+
+  test("WavCodec refuses malformed payloads loudly: bad magic, truncation, non-PCM") {
+    val wav = Multimodal.WavCodec.encodePcm16Mono(Array[Short](1, 2, 3))
+    def expectFail(bytes: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { Multimodal.WavCodec.decode(bytes) }
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    expectFail(Array[Byte](1, 2, 3), "too short")
+    expectFail("JUNK".getBytes("US-ASCII") ++ wav.drop(4), "RIFF")
+    // a data chunk whose declared size runs past the payload = torn write
+    expectFail(wav.dropRight(2), "truncated")
+    // flip the audio-format field (offset 20: fmt chunk payload start) to
+    // 2 = ADPCM — compressed audio must refuse, not mis-decode
+    val adpcm = wav.clone(); adpcm(20) = 2
+    expectFail(adpcm, "PCM")
+  }
+
+  test("wav block-mean resample: exact means, remainder block kept") {
+    val bm = Multimodal.WavCodec.blockMeans(Array[Short](2, 4, 6, 8, 10), 4)
+    assert(bm.toSeq == Seq((0, 4, 5.0), (1, 1, 10.0)))
+    assert(Multimodal.WavCodec.blockMeans(Array.empty[Short], 4).isEmpty)
+  }
+
   test("stub resize keeps every k-th byte") {
     val out = Multimodal.StubCodec.resize(Array[Byte](1, 2, 3, 4, 5, 6, 7), 3)
     assert(out.toSeq == Seq[Byte](1, 4, 7))
