@@ -1447,7 +1447,154 @@ object Curation {
        |FROM (${TextAnalysis.bigramLmScoreSql})
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- DSIR importance resampling
+  /** Per-occurrence hashed-feature stream for [[dsirLogWeights]]:
+    * word unigrams AND bigrams (DSIR's feature set), each occurrence
+    * hashed to one of `buckets` buckets via the first 8 bits of md5 —
+    * bit-identical across engines, so the oracle replays the model
+    * exactly. The bigram pairing is a map-only `zip_with` over two
+    * shifted slices of the SAME token array — no per-doc window
+    * shuffle, unlike [[TextAnalysis.bigramsOf]], because occurrence
+    * POSITION never matters to a bag-of-ngrams model. */
+  private def dsirFeatures(docs: DataFrame, buckets: Int): DataFrame = {
+    require(buckets == 256,
+      s"dsirFeatures: bucket hash reads exactly 2 hex chars (= 256 buckets), got $buckets")
+    val t = tokens(col("text"))
+    val n1 = greatest(size(t) - 1, lit(0))
+    val bi = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    docs
+      .select(col("doc_id"), col("is_t"), explode(concat(t, bi)).as("term"))
+      .withColumn("b",
+        conv(substring(md5(col("term").cast(BinaryType)), 1, 2), 16, 10)
+          .cast(IntegerType))
+      .drop("term")
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023): score every raw document by how target-like it is,
+    * log w(x) = log p_target(x) − log p_raw(x), under bag-of-hashed-
+    * ngram multinomial models estimated from the corpus itself
+    * (`isTarget` marks the target slice; raw = everything). Laplace-α
+    * smoothing on both models; a doc's score is the sum of its
+    * occurrences' per-bucket log-ratios.
+    *
+    * 100 TB shape: ONE corpus scan feeds both models — the feature
+    * stream aggregates straight to `buckets` rows with raw and target
+    * counts side by side (map-side partial combine caps the exchange
+    * at partitions × buckets), totals ride a 1-row broadcast, and the
+    * λ table (buckets rows) broadcast-joins back onto the same stream
+    * for scoring, so the only data-sized exchange is the per-doc final
+    * aggregate (map-side partials make it ≤ one row per doc per task).
+    * No driver-side model, no second corpus scan, no UDF. */
+  def dsirLogWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int = 256, alpha: Double = 0.5): DataFrame = {
+    val occ = dsirFeatures(docs.withColumn("is_t", isTarget), buckets)
+    val counts = occ.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val lam = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("ct") + alpha) / (col("tt") + alpha * buckets)) -
+          log((col("cr") + alpha) / (col("tr") + alpha * buckets))).as("lam"))
+    occ.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_feats"),
+        sum(col("lam")).as("logw"))
+  }
+
+  /** Deterministic Gumbel perturbation for [[dsirSample]]'s top-k:
+    * g = −ln(−ln(u)) with u a salted-md5 uniform in (0,1) — the same
+    * replay-anywhere uniform [[sampleByWeight]] thresholds on, so the
+    * "random" resample is a pure function of doc_id that DuckDB
+    * restates exactly. */
+  private def gumbelKey(salt: String): Column = {
+    val u = (conv(substring(md5(concat(lit(s"$salt:"),
+      col("doc_id").cast(StringType)).cast(BinaryType)), 1, 12), 16, 10)
+      .cast(LongType).cast(DoubleType) + 0.5) / 281474976710656.0
+    -log(-log(u))
+  }
+
+  /** The resample half of DSIR: keep the k docs with the largest
+    * logw + Gumbel — exactly sampling-without-replacement proportional
+    * to the importance weights (the Gumbel-top-k trick the paper
+    * uses), made deterministic by the salted-md5 uniform. One
+    * TakeOrderedAndProject bounds the exchange at k rows per
+    * partition; the rank window then runs on k rows, not the corpus. */
+  def dsirSample(weights: DataFrame, k: Int, salt: String = "dsir"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"dsirSample: k must be positive, got $k")
+    val keyed = weights.withColumn("gkey", col("logw") + gumbelKey(salt))
+    keyed.orderBy(col("gkey").desc, col("doc_id")).limit(k)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("gkey").desc, col("doc_id")))
+        .cast(IntegerType))
+      .select(col("rnk"), col("doc_id"), col("n_feats"), col("logw"), col("gkey"))
+  }
+
+  /** Shared CTE chain: the hashed-feature stream, the two models, the
+    * per-doc log-weights — verbatim DSIR over `lang = 'en'` as the
+    * target slice. */
+  private val dsirWeightsCte =
+    """toks AS (
+      |  SELECT doc_id, lang,
+      |    string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id, lang = 'en' AS is_t,
+      |    unnest(w || [w[i+1] || ' ' || w[i+2] for i in range(len(w) - 1)]) AS term
+      |  FROM toks),
+      |occb AS (
+      |  SELECT doc_id, is_t,
+      |    (strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+      |  + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) AS b
+      |  FROM occ),
+      |cnt AS (
+      |  SELECT b, COUNT(*) AS cr, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+      |  FROM occb GROUP BY b),
+      |tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM cnt),
+      |lam AS (
+      |  SELECT b, ln((ct + 0.5) / (tt + 0.5 * 256))
+      |         - ln((cr + 0.5) / (tr + 0.5 * 256)) AS lam
+      |  FROM cnt, tot),
+      |wts AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_feats,
+      |    SUM(lam) AS logw
+      |  FROM occb JOIN lam USING (b) GROUP BY doc_id)""".stripMargin
+
+  private def xcDsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirLogWeights(Tables.load(spark, dir, "documents"), col("lang") === "en")
+      .orderBy(col("doc_id"))
+
+  private val xcDsirWeightsSql =
+    s"""WITH $dsirWeightsCte
+       |SELECT doc_id, n_feats, logw FROM wts ORDER BY doc_id""".stripMargin
+
+  private def xcDsirSample(spark: SparkSession, dir: String): DataFrame =
+    dsirSample(
+      dsirLogWeights(Tables.load(spark, dir, "documents"), col("lang") === "en"),
+      k = 100)
+
+  /** Same uniform as the Spark side: first 48 bits of
+    * md5('dsir:' || doc_id), +0.5, over 2⁴⁸. */
+  private val xcDsirSampleSql = {
+    val hexval = (0 until 12).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), ${i + 1}, 1)) - 1) * ${math.pow(16, 11 - i).toLong}"
+    }.mkString("\n      + ")
+    s"""WITH $dsirWeightsCte,
+       |keyed AS (
+       |  SELECT doc_id, n_feats, logw,
+       |    logw + -ln(-ln((($hexval) + 0.5) / 281474976710656.0)) AS gkey
+       |  FROM wts)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY gkey DESC, doc_id) AS INTEGER) AS rnk,
+       |  doc_id, n_feats, logw, gkey
+       |FROM keyed ORDER BY gkey DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   val all: Seq[Declared] = Seq(
+    Declared("xc_dsir_weights", xcDsirWeights, Some(xcDsirWeightsSql)),
+    Declared("xc_dsir_sample", xcDsirSample, Some(xcDsirSampleSql)),
     Declared("xc_perplexity_bucket", xcPerplexityBucket, Some(xcPerplexityBucketSql)),
     Declared("xc_gopher_rules", xcGopherRules, Some(xcGopherRulesSql)),
     Declared("xc_stratified", xcStratified, Some(xcStratifiedSql)),

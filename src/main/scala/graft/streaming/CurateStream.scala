@@ -470,7 +470,11 @@ object CurateStream {
     * store and all), `lmGate` the frozen bigram-LM quality gate, and
     * `staleWhen` / `staleTpwAbs` / `requireOrdered` the packer's
     * tokenizer-staleness and ordered-ingest tripwires. All stages are
-    * individually replay-safe, so the composition is too. */
+    * individually replay-safe, so the composition is too.
+    * `autoCompactFragDirs` (ON by default, sized like
+    * [[PackStream.start]]'s) folds key, band, AND pack stores together
+    * once the pack fragment store reaches the threshold, so the
+    * untuned loop serves from the flat cost band. */
   def startCurateAndPack(spark: SparkSession, inDir: String,
       outDir: String, checkpoint: String, tokDir: String,
       seqLen: Int = 512, buckets: Int = 32, minWords: Int = 30,
@@ -479,7 +483,8 @@ object CurateStream {
       lmGate: Option[(String, Double)] = None,
       compactEvery: Int = 0, staleWhen: Double = 0.0,
       staleTpwAbs: Double = 0.0,
-      requireOrdered: Boolean = false): StreamingQuery = {
+      requireOrdered: Boolean = false,
+      autoCompactFragDirs: Int = PackStream.DefaultAutoFoldFragDirs): StreamingQuery = {
     val keysDir = s"$outDir/_keys"
     val dataDir = s"$outDir/data"
     val packDir = s"$outDir/pack"
@@ -490,7 +495,13 @@ object CurateStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+        // explicit cadence, or the load-based one ([[PackStream.start]]'s
+        // autoCompactFragDirs default): either folds ALL the loop's
+        // stores together, so key/band stores never outgrow the pack one
+        if (batchId > 0 &&
+            ((compactEvery > 0 && batchId % compactEvery == 0) ||
+              (autoCompactFragDirs > 0 &&
+                PackStream.fragDirCount(spark, packDir) >= autoCompactFragDirs))) {
           Maintenance.compactBatchStore(spark, keysDir, upTo = batchId - 1)
           Maintenance.compactBatchStore(spark, bandsDirOf(dataDir), upTo = batchId - 1)
           PackStream.compactAt(spark, packDir, upTo = batchId - 1)

@@ -317,8 +317,9 @@ object PackStream {
     * ~0.28 s folded vs 0.55 s and growing at 48 unfolded drops). */
   /** Fragment-store directory count — one driver-side listing, no Spark
     * job. The fold-cadence signal: [[writeStats]] reports it per batch
-    * and [[start]]'s `autoCompactFragDirs` acts on it. */
-  private def fragDirCount(spark: SparkSession, outDir: String): Int = {
+    * and [[start]]'s / [[CurateStream.startCurateAndPack]]'s
+    * `autoCompactFragDirs` act on it. */
+  private[streaming] def fragDirCount(spark: SparkSession, outDir: String): Int = {
     val frag = new Path(s"$outDir/frag")
     val fs = frag.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(frag)) 0

@@ -474,4 +474,55 @@ class CurationSpec extends SparkSpec {
     def min0(b: String) = bucketed.filter(_._3 == b).map(_._2).minOption.getOrElse(1e9)
     assert(max0("head") < min0("middle") && max0("middle") < min0("tail"))
   }
+  // --------------------------------------------------------------- DSIR
+  test("dsirLogWeights scores target-vocabulary docs above off-target docs") {
+    // target slice (lang=en) speaks one vocabulary, the rest another;
+    // a raw doc written in the target vocabulary must outscore a raw
+    // doc written in the off-target one
+    val d = Seq(
+      (1L, "alpha beta gamma alpha beta", "en"),
+      (2L, "alpha gamma beta beta alpha", "en"),
+      (3L, "zork quux blarg zork quux", "xx"),
+      (4L, "quux blarg zork blarg", "xx"),
+      (5L, "alpha beta gamma beta alpha", "xx"), // target-like, raw-labelled
+      (6L, "zork quux blarg quux", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val w = Curation.dsirLogWeights(d, col("lang") === "en")
+      .select($"doc_id", $"n_feats", $"logw")
+      .as[(Long, Int, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // unigrams + bigrams: 5 words -> 5 + 4 = 9 occurrences
+    assert(w(1L)._1 == 9 && w(4L)._1 == 7)
+    // the target-like raw doc beats every off-target doc
+    assert(w(5L)._2 > w(3L)._2 && w(5L)._2 > w(4L)._2 && w(5L)._2 > w(6L)._2,
+      s"target-like doc not separated: $w")
+    // and target docs themselves score high
+    assert(w(1L)._2 > w(3L)._2)
+  }
+
+  test("dsirSample is a deterministic Gumbel top-k: k rows, ranks 1..k, " +
+      "replay-identical") {
+    val d = (0L until 200L).map { i =>
+      (i, s"word$i filler text number $i", if (i % 3 == 0) "en" else "xx")
+    }.toDF("doc_id", "text", "lang")
+    val w = Curation.dsirLogWeights(d, col("lang") === "en")
+    val s1 = Curation.dsirSample(w, k = 25)
+      .select($"rnk", $"doc_id", $"gkey").as[(Int, Long, Double)].collect()
+    assert(s1.length == 25)
+    assert(s1.map(_._1).sorted.toSeq == (1 to 25))
+    // ranks follow the key order
+    val byRank = s1.sortBy(_._1)
+    assert(byRank.sliding(2).forall { case Array(a, b) => a._3 >= b._3 })
+    // pure function of (weights, salt): a second run is bit-identical
+    val s2 = Curation.dsirSample(w, k = 25)
+      .select($"rnk", $"doc_id", $"gkey").as[(Int, Long, Double)].collect()
+    assert(s1.sortBy(_._1).toSeq == s2.sortBy(_._1).toSeq)
+    // a different salt re-draws the Gumbels: still k rows, and the
+    // perturbation actually moved at least one key
+    val s3 = Curation.dsirSample(w, k = 25, salt = "other")
+      .select($"rnk", $"doc_id", $"gkey").as[(Int, Long, Double)].collect()
+    assert(s3.length == 25)
+    assert(s3.sortBy(_._1).map(_._3).toSeq != byRank.map(_._3).toSeq,
+      "salting the uniform did not change any Gumbel key")
+  }
 }
+

@@ -89,6 +89,144 @@ class TextAnalysisSpec extends SparkSpec {
     assert(Multimodal.WavCodec.blockMeans(Array.empty[Short], 4).isEmpty)
   }
 
+  test("WavCodec decodes a HAND-BUILT canonical 44-byte WAV (spec conformance, " +
+      "not encoder self-consistency)") {
+    // minimal RIFF: no LIST chunk, data at offset 44 — built byte by
+    // byte from the public format spec, independent of encodePcm16Mono
+    val bb = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(40)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(44100).putInt(88200)
+      .putShort(2.toShort).putShort(16.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(4)
+      .putShort((-2).toShort).putShort(300.toShort)
+    val a = Multimodal.WavCodec.decode(bb.array())
+    assert(a.sampleRate == 44100 && a.channels == 1 && a.bits == 16)
+    assert(a.samples.toSeq == Seq[Short](-2, 300))
+  }
+
+  test("BmpCodec round-trips 24-bit pixels through a real BMP container") {
+    // 6x2: logical top-down BGR bytes 0..35
+    val px = Array.tabulate[Byte](36)(_.toByte)
+    val bmp = Multimodal.BmpCodec.encode24(6, 2, px)
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    // declared pixel offset is 58 (the planted 4-byte gap after the
+    // headers), so an offset-54 reader reads the gap as pixels
+    val bb = java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt(10) == 58)
+    assert(new String(bmp, 54, 4, "US-ASCII") == "GRFT")
+    // file stores the BOTTOM row first: logical row 1 (bytes 18..35)
+    assert(bmp(58) == 18.toByte)
+    val img = Multimodal.BmpCodec.decode(bmp)
+    assert(img.width == 6 && img.height == 2)
+    assert(img.pixels.toSeq == px.toSeq) // bit-exact, logical order restored
+  }
+
+  test("BmpCodec decodes a HAND-BUILT canonical BMP: bottom-up un-flip and stride " +
+      "against the public spec") {
+    // 2x2 at 24-bit: rows are 6 B padded to stride 8, data at offset 54,
+    // bottom row first — built independently of encode24
+    val bb = java.nio.ByteBuffer.allocate(70)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(70)
+      .putShort(0.toShort).putShort(0.toShort).putInt(54)
+      .putInt(40).putInt(2).putInt(2).putShort(1.toShort).putShort(24.toShort)
+      .putInt(0).putInt(16).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    bb.put(Array[Byte](1, 2, 3, 4, 5, 6, 0, 0))    // file row 0 = logical BOTTOM
+    bb.put(Array[Byte](7, 8, 9, 10, 11, 12, 0, 0)) // file row 1 = logical TOP
+    val img = Multimodal.BmpCodec.decode(bb.array())
+    assert(img.width == 2 && img.height == 2)
+    assert(img.pixels.toSeq == Seq[Byte](7, 8, 9, 10, 11, 12, 1, 2, 3, 4, 5, 6),
+      "bottom-up rows were not un-flipped to logical top-down order")
+  }
+
+  test("BmpCodec refuses malformed payloads loudly") {
+    val good = Multimodal.BmpCodec.encode24(2, 1, Array[Byte](1, 2, 3, 4, 5, 6))
+    def expectFail(bytes: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { Multimodal.BmpCodec.decode(bytes) }
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    expectFail(Array[Byte](1, 2, 3), "too short")
+    expectFail("XX".getBytes("US-ASCII") ++ good.drop(2), "magic")
+    expectFail(good.dropRight(2), "truncated")
+    val bits8 = good.clone(); bits8(28) = 8
+    expectFail(bits8, "8-bit")
+    val rle = good.clone(); rle(30) = 1
+    expectFail(rle, "compression")
+    val topDown = good.clone()
+    java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -1)
+    expectFail(topDown, "top-down")
+  }
+
+  test("BmpCodec nearest-neighbor downsample picks source (2y, 2x)") {
+    // 4x3 image: pixel (y, x) has BGR (y*10 + x, 0, 0)
+    val px = new Array[Byte](4 * 3 * 3)
+    for (y <- 0 until 3; x <- 0 until 4) px((y * 4 + x) * 3) = (y * 10 + x).toByte
+    val out = Multimodal.BmpCodec.downsample2(Multimodal.BmpImage(4, 3, px))
+    assert(out.width == 2 && out.height == 2)
+    val picked = for (y <- 0 until 2; x <- 0 until 2) yield out.pixels((y * 2 + x) * 3)
+    assert(picked == Seq[Byte](0, 2, 20, 22)) // sources (0,0),(0,2),(2,0),(2,2)
+  }
+
+  test("Y4mCodec round-trips C420 frames through a real YUV4MPEG2 stream") {
+    val f0 = Array.tabulate[Byte](24)(_.toByte)        // 4x4: Y 16, U 4, V 4
+    val f1 = Array.tabulate[Byte](24)(i => (100 + i).toByte)
+    val y4m = Multimodal.Y4mCodec.encodeC420(4, 4, 30, 1001, Seq(f0, f1))
+    val s = new String(y4m, "US-ASCII")
+    // the traps are actually planted: tokenized header params and a
+    // parameterized first frame marker
+    assert(s.startsWith("YUV4MPEG2 W4 H4 F30:1001 Ip A1:1 C420 Xgraft\n"))
+    assert(s.contains("FRAME Xg\n"))
+    val v = Multimodal.Y4mCodec.decode(y4m)
+    assert(v.width == 4 && v.height == 4 && v.fpsNum == 30 && v.fpsDen == 1001)
+    assert(v.frames.length == 2)
+    assert(v.frames(0).toSeq == f0.toSeq && v.frames(1).toSeq == f1.toSeq)
+  }
+
+  test("Y4mCodec decodes a HAND-BUILT canonical Y4M against the public spec " +
+      "(not encoder self-consistency)") {
+    // minimal 2x2 C420 stream: frame payload 4+1+1 = 6 B, bare markers,
+    // header tokens in a different order than encodeC420 emits
+    val bytes = ("YUV4MPEG2 H2 F25:1 W2\n" + "FRAME\n").getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60) ++
+      "FRAME\n".getBytes("US-ASCII") ++ Array[Byte](11, 21, 31, 41, 51, 61)
+    val v = Multimodal.Y4mCodec.decode(bytes)
+    assert(v.width == 2 && v.height == 2 && v.fpsNum == 25 && v.fpsDen == 1)
+    assert(v.frames.length == 2)
+    assert(v.frames(0).toSeq == Seq[Byte](10, 20, 30, 40, 50, 60))
+    val (ym, um, vm) = Multimodal.Y4mCodec.planeMeans(2, 2, v.frames(1))
+    assert(ym == (11 + 21 + 31 + 41) / 4.0 && um == 51.0 && vm == 61.0)
+  }
+
+  test("Y4mCodec refuses malformed payloads loudly") {
+    val good = Multimodal.Y4mCodec.encodeC420(4, 4, 24, 1,
+      Seq(new Array[Byte](24)))
+    def expectFail(bytes: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { Multimodal.Y4mCodec.decode(bytes) }
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    expectFail("JUNK W4 H4 F24:1\nFRAME\n".getBytes("US-ASCII") ++
+      new Array[Byte](24), "magic")
+    expectFail("YUV4MPEG2 W4 F24:1\n".getBytes("US-ASCII"), "geometry")
+    expectFail("YUV4MPEG2 W4 H4\n".getBytes("US-ASCII"), "frame rate")
+    expectFail("YUV4MPEG2 W3 H4 F24:1\n".getBytes("US-ASCII"), "odd")
+    expectFail("YUV4MPEG2 W4 H4 F24:1 C444\n".getBytes("US-ASCII"), "colorspace")
+    expectFail(good.dropRight(2), "truncated")
+    expectFail(good ++ "GARBAGE\n".getBytes("US-ASCII"), "FRAME marker")
+    expectFail("YUV4MPEG2 W4 H4 F24:1".getBytes("US-ASCII"), "unterminated")
+  }
+
+  test("Y4mCodec motion is the mean |ΔY| over the luma plane only") {
+    val a = new Array[Byte](24)
+    val b = new Array[Byte](24)
+    b(0) = 16; b(5) = -128.toByte // Y deltas 16 and 128
+    b(20) = 99 // V-plane byte: must NOT count
+    assert(Multimodal.Y4mCodec.motion(4, 4, a, b) == (16 + 128) / 16.0)
+  }
+
   test("stub resize keeps every k-th byte") {
     val out = Multimodal.StubCodec.resize(Array[Byte](1, 2, 3, 4, 5, 6, 7), 3)
     assert(out.toSeq == Seq[Byte](1, 4, 7))
