@@ -1479,25 +1479,34 @@ object Curation {
     * smoothing on both models; a doc's score is the sum of its
     * occurrences' per-bucket log-ratios.
     *
-    * 100 TB shape: ONE corpus scan feeds both models — the feature
-    * stream aggregates straight to `buckets` rows with raw and target
-    * counts side by side (map-side partial combine caps the exchange
-    * at partitions × buckets), totals ride a 1-row broadcast, and the
-    * λ table (buckets rows) broadcast-joins back onto the same stream
-    * for scoring, so the only data-sized exchange is the per-doc final
-    * aggregate (map-side partials make it ≤ one row per doc per task).
-    * No driver-side model, no second corpus scan, no UDF. */
+    * 100 TB shape — the two passes DSIR inherently needs (fit, then
+    * score) and NOTHING more: one corpus scan aggregates the feature
+    * stream straight to `buckets` rows carrying raw and target counts
+    * side by side (map-side partial combine caps the exchange at
+    * partitions × buckets), the model finishes on the DRIVER over
+    * those `buckets` rows (the bounded-training-collect discipline the
+    * quantizer and BPE trainer use — totals and smoothing are per-
+    * bucket arithmetic, not corpus work), and the λ table broadcast-
+    * joins back onto the second scan's stream, so the only data-sized
+    * exchange is the per-doc final aggregate (map-side partials make
+    * it ≤ one row per doc per task). No UDF, no window, no third scan
+    * (a lazily-chained totals aggregate would silently re-run the
+    * corpus count lineage — the collect pins the scan count at two). */
   def dsirLogWeights(docs: DataFrame, isTarget: Column,
       buckets: Int = 256, alpha: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val occ = dsirFeatures(docs.withColumn("is_t", isTarget), buckets)
     val counts = occ.groupBy(col("b")).agg(
-      count(lit(1)).as("cr"),
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
-    val totals = counts.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
-    val lam = counts.crossJoin(broadcast(totals))
-      .select(col("b"),
-        (log((col("ct") + alpha) / (col("tt") + alpha * buckets)) -
-          log((col("cr") + alpha) / (col("tr") + alpha * buckets))).as("lam"))
+        count(lit(1)).as("cr"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+      .as[(Int, Long, Long)].collect()
+    val tr = counts.map(_._2).sum
+    val tt = counts.map(_._3).sum
+    val lam = counts.toSeq.map { case (b, cr, ct) =>
+      (b, math.log((ct + alpha) / (tt + alpha * buckets)) -
+        math.log((cr + alpha) / (tr + alpha * buckets)))
+    }.toDF("b", "lam")
     occ.join(broadcast(lam), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast(IntegerType).as("n_feats"),

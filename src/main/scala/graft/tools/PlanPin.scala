@@ -66,7 +66,11 @@ object PlanPin {
     // the loader permutation: one shard-keyed exchange + per-shard
     // window, no global sort beyond the declared row's output orderBy,
     // ids column pruned (PlanSpec pins the column-level property)
-    "xc_pack_shard")
+    "xc_pack_shard",
+    // DSIR: lambda broadcast-joins onto the occurrence stream (no
+    // corpus re-exchange by bucket), weights window-free; the sampler
+    // cuts to k rows via TakeOrderedAndProject BELOW the rank window
+    "xc_dsir_weights", "xc_dsir_sample")
 
   val pinFile = "PLANPINS.txt"
   val sfDir = "/root/testdata/sf0.001"

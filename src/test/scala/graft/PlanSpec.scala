@@ -185,6 +185,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("AS ids"), p)
   }
 
+  test("DSIR: lambda table broadcast-joins onto the feature stream; the " +
+      "sampler plans TakeOrderedAndProject, no corpus-sized window") {
+    val pw = plan("xc_dsir_weights")
+    // the 256-row model must BROADCAST back onto the occurrence stream —
+    // a shuffled join here would re-exchange the whole corpus by bucket
+    assert(pw.contains("BroadcastHashJoin"), pw)
+    // no window anywhere in the weights plan: the bigram pairing is a
+    // map-only zip_with over shifted slices, not a per-doc lead() window
+    assert(!pw.contains("Window"), pw)
+    // both aggregates (bucket counts, per-doc sums) combine partially
+    // before their exchange
+    assert(pw.contains("partial_count") || pw.contains("partial_sum"), pw)
+    val ps = plan("xc_dsir_sample")
+    // Gumbel top-k bounds the exchange at k rows per partition: a
+    // TakeOrderedAndProject, never a global Sort of the corpus
+    assert(ps.contains("TakeOrderedAndProject"), ps)
+    // the only full Sort the plan may contain is the rank window's,
+    // which runs AFTER the k-row cut — assert no corpus-sized sort by
+    // checking the window sits above the take
+    assert(ps.indexOf("TakeOrderedAndProject") > ps.indexOf("Window"), ps)
+  }
+
   test("embedding near-dup: pairwise stage is a distributed keyed block-join, " +
       "not a driver collect/broadcast") {
     val p = plan("x1_embedding_neardup")
