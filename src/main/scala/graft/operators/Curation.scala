@@ -1456,7 +1456,8 @@ object Curation {
     * shifted slices of the SAME token array — no per-doc window
     * shuffle, unlike [[TextAnalysis.bigramsOf]], because occurrence
     * POSITION never matters to a bag-of-ngrams model. */
-  private def dsirFeatures(docs: DataFrame, buckets: Int): DataFrame = {
+  private def dsirFeatures(docs: DataFrame, buckets: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(buckets == 256,
       s"dsirFeatures: bucket hash reads exactly 2 hex chars (= 256 buckets), got $buckets")
     val t = tokens(col("text"))
@@ -1464,7 +1465,7 @@ object Curation {
     val bi = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
       (a, b) => concat(a, lit(" "), b))
     docs
-      .select(col("doc_id"), col("is_t"), explode(concat(t, bi)).as("term"))
+      .select(col("doc_id") +: carry.map(col) :+ explode(concat(t, bi)).as("term"): _*)
       .withColumn("b",
         conv(substring(md5(col("term").cast(BinaryType)), 1, 2), 16, 10)
           .cast(IntegerType))
@@ -1493,25 +1494,57 @@ object Curation {
     * (a lazily-chained totals aggregate would silently re-run the
     * corpus count lineage — the collect pins the scan count at two). */
   def dsirLogWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int = 256, alpha: Double = 0.5): DataFrame =
+    dsirScoreWith(docs, dsirFit(docs, isTarget, buckets, alpha))
+
+  /** The FIT half: one corpus scan to per-bucket (raw, target) counts,
+    * totals and Laplace smoothing finished on the driver over the
+    * `buckets` collected rows, λ handed back as a broadcastable table.
+    * Split out so the model can be trained ONCE offline and served
+    * frozen ([[trainDsir]] / [[loadDsir]] — the TokenizerStore
+    * deployment cadence). */
+  def dsirFit(docs: DataFrame, isTarget: Column,
       buckets: Int = 256, alpha: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val occ = dsirFeatures(docs.withColumn("is_t", isTarget), buckets)
-    val counts = occ.groupBy(col("b")).agg(
+    val counts = dsirFeatures(docs.withColumn("is_t", isTarget), buckets,
+        carry = Seq("is_t"))
+      .groupBy(col("b")).agg(
         count(lit(1)).as("cr"),
         sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
       .as[(Int, Long, Long)].collect()
     val tr = counts.map(_._2).sum
     val tt = counts.map(_._3).sum
-    val lam = counts.toSeq.map { case (b, cr, ct) =>
+    counts.toSeq.map { case (b, cr, ct) =>
       (b, math.log((ct + alpha) / (tt + alpha * buckets)) -
         math.log((cr + alpha) / (tr + alpha * buckets)))
     }.toDF("b", "lam")
-    occ.join(broadcast(lam), Seq("b"))
+  }
+
+  /** The SCORE half: map-only against a (frozen or just-fit) λ table —
+    * the occurrence stream broadcast-joins λ and sums per doc. A doc
+    * with at least one token always scores (every occurrence's bucket
+    * is in λ's domain when λ came from [[dsirFit]] over a superset
+    * corpus; unseen buckets simply don't arise — the hash range is
+    * fully enumerated in the smoothing denominator instead). */
+  def dsirScoreWith(docs: DataFrame, lam: DataFrame): DataFrame =
+    dsirFeatures(docs, 256)
+      .join(broadcast(lam), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast(IntegerType).as("n_feats"),
         sum(col("lam")).as("logw"))
-  }
+
+  /** Persist a fitted λ table (256 rows) — the artifact a streaming
+    * gate serves from. */
+  def trainDsir(docs: DataFrame, isTarget: Column, dir: String): Unit =
+    dsirFit(docs, isTarget).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lam")
+
+  /** The frozen λ table (explicit schema: a schemaless read costs one
+    * inference job per call — the IndexStore.load discipline). */
+  def loadDsir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema("b INT, lam DOUBLE")
+      .parquet(IndexStore.requireTable(spark, dir, "lam"))
 
   /** Deterministic Gumbel perturbation for [[dsirSample]]'s top-k:
     * g = −ln(−ln(u)) with u a salted-md5 uniform in (0,1) — the same
@@ -1545,7 +1578,7 @@ object Curation {
   /** Shared CTE chain: the hashed-feature stream, the two models, the
     * per-doc log-weights — verbatim DSIR over `lang = 'en'` as the
     * target slice. */
-  private val dsirWeightsCte =
+  private[graft] val dsirWeightsCte =
     """toks AS (
       |  SELECT doc_id, lang,
       |    string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w

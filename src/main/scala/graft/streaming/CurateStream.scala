@@ -123,7 +123,8 @@ object CurateStream {
       keysDir: String, dataDir: String, minWords: Int,
       maxDupWordFrac: Double, nearDupJaccard: Option[Double] = None,
       tombstoneIndex: Option[String] = None,
-      lmGate: Option[(String, Double)] = None): Unit = {
+      lmGate: Option[(String, Double)] = None,
+      dsirGate: Option[(String, Double)] = None): Unit = {
     val sp = batch.sparkSession
     // 1. within-batch keep-first (skew-safe, as in Curation.curate)
     val keepers = batch
@@ -186,15 +187,35 @@ object CurateStream {
             .select(col("doc_id")),
           Seq("doc_id"), "left_semi")
     }
+    // 3a'. DSIR relevance gate (opt-in): keep docs at least `minLogw`
+    // target-like under a FROZEN λ table ([[graft.operators.Curation.trainDsir]]
+    // — fit offline, served from disk; the stream never fits). Like the
+    // LM gate, the score is a pure function of the doc's normalized
+    // text against the frozen model, so batching cannot move it and
+    // parity with the batch filter is exact. Map-only in-stream: the
+    // 256-row λ broadcast-joins the doc's own occurrence stream — no
+    // state store, no cross-batch interaction. Every doc surviving the
+    // word-count filter has ≥ 1 token, hence a defined score.
+    val filtered2 = dsirGate match {
+      case None => filtered
+      case Some((dsirDir, minLogw)) =>
+        filtered.join(
+          Curation.dsirScoreWith(
+              filtered.select(col("doc_id"), col("text")),
+              Curation.loadDsir(sp, dsirDir))
+            .filter(col("logw") >= minLogw)
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+    }
     // 3b. near-dup elimination (opt-in). The shingled batch feeds four
     // consumers in one DAG (within-pairs twice, the cross-band explode,
     // the verify join) — persist it for the batch's duration.
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val (deduped, acceptedBands) = nearDupJaccard match {
-      case None => (filtered, None)
+      case None => (filtered2, None)
       case Some(t) =>
         val shingled = Dedup.shingleAndSign(
-          filtered.select(col("doc_id"), col("text")), Dedup.wordShingleHashes)
+          filtered2.select(col("doc_id"), col("text")), Dedup.wordShingleHashes)
         shingled.persist()
         cached += shingled
         val sh = shingled.select(col("doc_id"), col("sh"))
@@ -249,7 +270,7 @@ object CurateStream {
               .select(col("doc_id"))
           } else sp.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
         val drops = withinDrops.union(crossDrops).distinct()
-        (filtered.join(drops, Seq("doc_id"), "left_anti"),
+        (filtered2.join(drops, Seq("doc_id"), "left_anti"),
           Some(shingled.select(col("doc_id"), col("bands"))))
     }
     // 4. the map-only split stage
@@ -327,7 +348,8 @@ object CurateStream {
       nearDupJaccard: Option[Double] = None,
       compactEvery: Int = 0,
       tombstoneIndex: Option[String] = None,
-      lmGate: Option[(String, Double)] = None): StreamingQuery = {
+      lmGate: Option[(String, Double)] = None,
+      dsirGate: Option[(String, Double)] = None): StreamingQuery = {
     val keysDir = s"$outDir/_keys"
     val dataDir = s"$outDir/data"
     spark.readStream
@@ -342,7 +364,7 @@ object CurateStream {
           Maintenance.compactBatchStore(spark, bandsDirOf(dataDir), upTo = batchId - 1)
         }
         processBatch(batch, batchId, keysDir, dataDir, minWords, maxDupWordFrac,
-          nearDupJaccard, tombstoneIndex, lmGate)
+          nearDupJaccard, tombstoneIndex, lmGate, dsirGate)
       }
       .start()
   }
@@ -351,10 +373,11 @@ object CurateStream {
   def runOnce(spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String, nearDupJaccard: Option[Double] = None,
       compactEvery: Int = 0, tombstoneIndex: Option[String] = None,
-      lmGate: Option[(String, Double)] = None): Unit = {
+      lmGate: Option[(String, Double)] = None,
+      dsirGate: Option[(String, Double)] = None): Unit = {
     val q = start(spark, inDir, outDir, checkpoint, nearDupJaccard = nearDupJaccard,
       compactEvery = compactEvery, tombstoneIndex = tombstoneIndex,
-      lmGate = lmGate)
+      lmGate = lmGate, dsirGate = dsirGate)
     q.awaitTermination()
   }
 
@@ -562,11 +585,12 @@ object CurateStream {
   private def runThreeDrops(spark: SparkSession, dir: String,
       nearDupJaccard: Option[Double],
       tombstoneIndex: Option[String] = None,
-      lmGate: Option[(String, Double)] = None): DataFrame = {
+      lmGate: Option[(String, Double)] = None,
+      dsirGate: Option[(String, Double)] = None): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val root = threeOrderedDrops(docs, "xs-curate-stream") { root =>
       runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", nearDupJaccard,
-        tombstoneIndex = tombstoneIndex, lmGate = lmGate)
+        tombstoneIndex = tombstoneIndex, lmGate = lmGate, dsirGate = dsirGate)
     }
     spark.read.parquet(s"$root/out/data")
       .select(col("doc_id"), col("lang"), col("n_words"), col("split"))
@@ -595,6 +619,49 @@ object CurateStream {
       d => graft.operators.TokenizerStore.trainBigramLm(docs, d))
     runThreeDrops(spark, dir, None, lmGate = Some((tokDir, 3.41)))
   }
+
+  /** The DSIR relevance gate IN-STREAM, driver-oracled: λ is fit ONCE
+    * offline ([[graft.operators.Curation.trainDsir]] into a
+    * fingerprint-keyed warehouse artifact — the TokenizerStore cadence)
+    * over the full corpus with `lang = 'en'` as the target slice, then
+    * the three ordered drops stream through curation keeping docs with
+    * logw ≥ 0 — i.e. likelier under the target model than the raw one,
+    * the principled likelihood-ratio cutoff (≈ 45 % of curated docs at
+    * every fixture SF, so the gate is exercised both ways). Parity is
+    * EXACT like the LM gate's: the score is a pure map-only function of
+    * each doc's normalized text against the frozen 256-row λ table, so
+    * batching cannot move it. The oracle is the batch curation SQL ∩
+    * the full-corpus DSIR weight filter. */
+  private def xsCurateDsirGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val dsirDir = graft.operators.TokenizerStore.ensureTokenizerFor(spark,
+      s"$dir/documents.parquet", "dsir-en-a05",
+      d => Curation.trainDsir(docs, col("lang") === "en", d))
+    runThreeDrops(spark, dir, None, dsirGate = Some((dsirDir, 0.0)))
+  }
+
+  /** [[xsCurateStreamSql]] ∩ the DSIR gate: the full-corpus weight
+    * chain (the same CTEs the xc_dsir_weights oracle runs) filtered at
+    * logw ≥ 0. */
+  private val xsCurateDsirGateSql =
+    s"""WITH keep AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents
+       |  GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))),
+       |rep AS (
+       |  SELECT doc_id, lang, len(w) AS n_words,
+       |    (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE) AS dwf
+       |  FROM (SELECT doc_id, lang,
+       |          string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') w
+       |        FROM documents WHERE doc_id IN (SELECT doc_id FROM keep))),
+       |${Curation.dsirWeightsCte},
+       |dsirok AS (SELECT doc_id FROM wts WHERE logw >= 0.0)
+       |SELECT doc_id, lang, CAST(n_words AS INTEGER) AS n_words,
+       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+       |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM rep WHERE n_words >= 30 AND dwf <= 0.5
+       |  AND doc_id IN (SELECT doc_id FROM dsirok)
+       |ORDER BY doc_id""".stripMargin
 
   /** Near-dup parity, driver-oracled: same three ordered drops, near-dup
     * elimination at J ≥ 0.8 on — the accumulated stream output must
@@ -866,6 +933,7 @@ object CurateStream {
   val all: Seq[Declared] = Seq(
     Declared("xs_curate_stream", xsCurateStream, Some(xsCurateStreamSql)),
     Declared("xs_curate_lm_gate", xsCurateLmGate, Some(xsCurateLmGateSql)),
+    Declared("xs_curate_dsir_gate", xsCurateDsirGate, Some(xsCurateDsirGateSql)),
     Declared("xs_curate_stream_neardup", xsCurateStreamNeardup, Some(xsCurateStreamNeardupSql)),
     Declared("xs_curate_index", xsCurateIndex, Some(xsCurateIndexSql)),
     Declared("xs_curate_to_index", xsCurateToIndex, Some(xsCurateToIndexSql)),

@@ -507,6 +507,44 @@ class CurateStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("dsirGate keeps exactly the frozen-lambda logw >= 0 docs in-stream, both ways exercised") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val root = java.nio.file.Files.createTempDirectory("curate-dsirgate").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    // λ fit ONCE offline on the full fixture (target slice lang=en) —
+    // the same warehouse artifact the declared row serves
+    val dsirDir = graft.operators.TokenizerStore.ensureTokenizerFor(spark,
+      s"${sf("sf0.001")}/documents.parquet", "dsir-en-a05",
+      d => graft.operators.Curation.trainDsir(docs, col("lang") === "en", d))
+    def pass() = CurateStream.runOnce(spark, s"$inDir/*", outDir, ck,
+      dsirGate = Some((dsirDir, 0.0)))
+    val r = docs.agg(min($"doc_id"), max($"doc_id")).head
+    val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    docs.filter($"doc_id" <= cut).coalesce(1).write.parquet(s"$inDir/d0.parquet")
+    pass()
+    docs.filter($"doc_id" > cut).coalesce(1).write.parquet(s"$inDir/d1.parquet")
+    pass()
+    val kept = spark.read.parquet(s"$outDir/data")
+      .select("doc_id").as[Long].collect().toSet
+    // expectation from the SAME frozen artifact: ungated batch-curation
+    // survivors ∩ {logw >= 0}; the DuckDB oracle (xs_curate_dsir_gate)
+    // independently pins the values
+    val ungated = graft.operators.Curation.curate(docs)
+      .select("doc_id").as[Long].collect().toSet
+    val dsok = graft.operators.Curation.dsirScoreWith(
+        docs.select($"doc_id", $"text"),
+        graft.operators.Curation.loadDsir(spark, dsirDir))
+      .filter($"logw" >= 0.0).select("doc_id").as[Long].collect().toSet
+    assert(kept == (ungated & dsok),
+      s"gate mismatch: ${(kept -- (ungated & dsok)).take(5)} extra, " +
+        s"${((ungated & dsok) -- kept).take(5)} missing")
+    // the 0.0 cutoff must exercise the gate both ways on the fixture
+    assert((ungated -- dsok).nonEmpty, "no doc gated out: threshold degenerate")
+    assert((ungated & dsok).nonEmpty, "every doc gated out: threshold degenerate")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   /** 50 phrases from a shared 40-phrase pool (100 words): bigrams repeat
     * ACROSS docs, so a bigram LM trained on the corpus scores regular
     * docs low and all-unique gibberish high; distinct phrase orders keep
