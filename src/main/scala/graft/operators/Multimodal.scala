@@ -1017,6 +1017,66 @@ object Multimodal {
       .orderBy($"media_id", $"frame_idx")
   }
 
+  /** The frame-sampling CURATION verb a multimodal training pipeline
+    * actually runs: keep frame 0 plus every frame whose motion vs its
+    * predecessor clears the threshold — scene-change keyframes, not a
+    * fixed stride, so static stretches collapse to one frame and
+    * action keeps its density. Threshold 20 keeps ~87 % of frame
+    * transitions at every fixture SF (measured), so both keep and drop
+    * are exercised. Motion is an exact multiple of 1/16 in both
+    * engines (integer |ΔY| sum over 16 luma pixels), so the threshold
+    * compare cannot flip cross-engine. Frame 0's motion is NULL — it
+    * is kept as the seed, not by motion. */
+  private def xmY4mKeyframes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val thr = 20.0
+    y4mTable(spark, dir).flatMap { r =>
+      val v = Y4mCodec.decode(r.content)
+      val motions = (1 until v.frames.length).map(f =>
+        Y4mCodec.motion(v.width, v.height, v.frames(f - 1), v.frames(f)))
+      v.frames.indices.iterator
+        .filter(f => f == 0 || motions(f - 1) >= thr)
+        .map { f =>
+          val (ym, _, _) = Y4mCodec.planeMeans(v.width, v.height, v.frames(f))
+          (r.media_id, f, ym,
+            if (f == 0) None else Some(motions(f - 1)))
+        }
+    }.toDF("media_id", "frame_idx", "y_mean", "motion")
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  private val xmY4mKeyframesSql =
+    """WITH b AS (
+      |  SELECT doc_id, lower(hex(encode(text))) AS h,
+      |    LEAST(octet_length(encode(text)), 144) AS m
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, h, m, GREATEST(1, (m + 23) // 24) AS nf
+      |  FROM b
+      |), d AS (
+      |  SELECT doc_id, nf,
+      |    [CASE WHEN i < m THEN
+      |       (strpos('0123456789abcdef', substr(h, 2*i+1, 1))-1)*16
+      |     + (strpos('0123456789abcdef', substr(h, 2*i+2, 1))-1)
+      |     ELSE 0 END for i in range(0, nf*24)] AS px
+      |  FROM g
+      |), fr AS (
+      |  SELECT doc_id, px, unnest(range(0, nf)) AS f
+      |  FROM d
+      |), mo AS (
+      |  SELECT doc_id, f,
+      |    CAST(list_sum(px[24*f+1 : 24*f+16]) AS DOUBLE) / 16 AS y_mean,
+      |    CASE WHEN f = 0 THEN NULL
+      |         ELSE CAST(list_sum([abs(px[24*f+i] - px[24*(f-1)+i])
+      |                             for i in range(1, 17)]) AS DOUBLE) / 16
+      |    END AS motion
+      |  FROM fr
+      |)
+      |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+      |  y_mean, motion
+      |FROM mo WHERE f = 0 OR motion >= 20.0
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   private val xmY4mMotionSql =
     """WITH b AS (
       |  SELECT doc_id, lower(hex(encode(text))) AS h,
@@ -1053,5 +1113,6 @@ object Multimodal {
     Declared("xm_bmp_features", xmBmpFeatures, Some(xmBmpFeaturesSql)),
     Declared("xm_bmp_resize", xmBmpResize, Some(xmBmpResizeSql)),
     Declared("xm_y4m_frames", xmY4mFrames, Some(xmY4mFramesSql)),
-    Declared("xm_y4m_motion", xmY4mMotion, Some(xmY4mMotionSql)))
+    Declared("xm_y4m_motion", xmY4mMotion, Some(xmY4mMotionSql)),
+    Declared("xm_y4m_keyframes", xmY4mKeyframes, Some(xmY4mKeyframesSql)))
 }

@@ -490,7 +490,8 @@ object CurateStream {
     * build runs near-dup elimination and the CCNet perplexity gate IN
     * the training loop, not beside it: `nearDupJaccard` arms the
     * minhash-LSH near-dup eliminator (within- and cross-batch, band
-    * store and all), `lmGate` the frozen bigram-LM quality gate, and
+    * store and all), `lmGate` the frozen bigram-LM quality gate,
+    * `dsirGate` the frozen-λ DSIR relevance gate, and
     * `staleWhen` / `staleTpwAbs` / `requireOrdered` the packer's
     * tokenizer-staleness and ordered-ingest tripwires. All stages are
     * individually replay-safe, so the composition is too.
@@ -504,6 +505,7 @@ object CurateStream {
       maxDupWordFrac: Double = 0.5,
       nearDupJaccard: Option[Double] = None,
       lmGate: Option[(String, Double)] = None,
+      dsirGate: Option[(String, Double)] = None,
       compactEvery: Int = 0, staleWhen: Double = 0.0,
       staleTpwAbs: Double = 0.0,
       requireOrdered: Boolean = false,
@@ -530,7 +532,7 @@ object CurateStream {
           PackStream.compactAt(spark, packDir, upTo = batchId - 1)
         }
         processBatch(batch, batchId, keysDir, dataDir, minWords, maxDupWordFrac,
-          nearDupJaccard, lmGate = lmGate)
+          nearDupJaccard, lmGate = lmGate, dsirGate = dsirGate)
         // this batch's survivors, re-read from the partition the write
         // above just created (pruned schema: the packer needs only
         // doc_id + text; inference is a job per batch)
