@@ -839,7 +839,8 @@ object Similarity {
     * Assignment is IDENTICAL to [[ivfAssignWith]] (cosine argmax,
     * lowest-cid ties, centroids in ascending-cid order). */
   private[operators] def ivfResiduals(emb: DataFrame,
-      cents: Array[(Long, Array[Double], Double)]): DataFrame = {
+      cents: Array[(Long, Array[Double], Double)],
+      keep: Seq[String] = Nil): DataFrame = {
     val bc = emb.sparkSession.sparkContext.broadcast(cents)
     val residUdf = udf { (v: Seq[Float]) =>
       val cs = bc.value
@@ -882,7 +883,8 @@ object Similarity {
     }
     emb
       .withColumn("_ar", residUdf(col("embedding")))
-      .select(col("vec_id"), col("_ar._1").as("cluster"), col("_ar._2").as("v"))
+      .select(col("vec_id") +: keep.map(col) :+
+        col("_ar._1").as("cluster") :+ col("_ar._2").as("v"): _*)
   }
 
   private def x2PqCodes(spark: SparkSession, dir: String): DataFrame =
@@ -1089,6 +1091,49 @@ object Similarity {
     adcRankResidual(codes.join(broadcast(pc), Seq("cluster")),
       routes, cents, books, sub, topK)
   }
+
+  /** FILTERED ANN — the metadata-predicated vector search production
+    * stores actually serve ("nearest neighbors WHERE label = …"):
+    * metadata columns ride the CODES table (stored beside the codes at
+    * build time — `keep` through the residual/encode path), so the
+    * serve-time filter is MAP-ONLY on the candidate stream, evaluated
+    * after the probe's cluster pruning and before ADC ranking — the
+    * pre-filtering shape (FAISS `IDSelector`, the vector-DB "filtered
+    * search" feature). Training (coarse centroids, residual codebooks)
+    * always sees the FULL corpus: the index is built once, predicates
+    * vary per query, and a filter must never change the geometry.
+    * Identical to post-filtering an unbounded ADC ranking (the ADC
+    * distance of a candidate is filter-independent) — spec-pinned —
+    * but does none of the excluded candidates' LUT work. A highly
+    * selective predicate can starve a probe below `topK` (fewer rows
+    * come back, honestly) — the known pre-filter tradeoff; raise
+    * `nprobe` when filters are narrow. */
+  def ivfPqSearchFiltered(emb: DataFrame, probes: DataFrame,
+      keepWhere: Column, meta: Seq[String], nlist: Int = 16,
+      nprobe: Int = 4, m: Int = 4, k: Int = 16, iters: Int = 1,
+      topK: Int = 5): DataFrame = {
+    val cents = coarseCentroids(emb, nlist)
+    val resid = ivfResiduals(emb, cents, keep = meta)
+    val (sub, books) = pqTrainD(resid.select(col("vec_id"), col("v")), m, k, iters)
+      .getOrElse(throw new IllegalArgumentException("ivfPqSearchFiltered: empty corpus"))
+    val codes = pqEncodeD(resid, sub, books, keep = meta :+ "cluster")
+      .filter(keepWhere) // map-only: metadata lives beside the codes
+      .withColumn("codes", array((0 until m).map(s => col(s"code_$s")): _*))
+    val routes = probeRoutes(probes, cents, nprobe)
+    val pc = routesDf(emb.sparkSession, routes)
+    adcRankResidual(codes.join(broadcast(pc), Seq("cluster")),
+      routes, cents, books, sub, topK)
+  }
+
+  private def x2IvfPqFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    ivfPqSearchFiltered(emb, emb.filter(col("vec_id") < 10),
+        col("label") === 3, Seq("label"), 16, 4, 4, 16, 1, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  private val x2IvfPqFilteredSql = ivfPqSearchSqlWith(
+    serveWhere = "WHERE a.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)")
 
   private def x2PqSearch(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
@@ -1419,6 +1464,7 @@ object Similarity {
     Declared("x2_pq_codes", x2PqCodes, Some(x2PqCodesSql)),
     Declared("x2_pq_search", x2PqSearch, Some(x2PqSearchSql)),
     Declared("x2_ivfpq_search", x2IvfPqSearch, Some(x2IvfPqSearchSql)),
+    Declared("x2_ivfpq_filtered", x2IvfPqFiltered, Some(x2IvfPqFilteredSql)),
     Declared("x2_ivfpq_refined", x2IvfPqRefined, Some(x2IvfPqRefinedSql)),
     Declared("x2_cosine_topk", x2Brute, Some(x2BruteSql)),
     Declared("x2_ann_lsh", x2Ann, Some(annBoundSql)),

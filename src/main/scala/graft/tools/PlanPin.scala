@@ -51,7 +51,7 @@ object PlanPin {
     "q37_important_stock", "q38_bucketed_join",
     "xt_bm25", "xc_gopher_rules", "xc_stratified",
     "q39_shipping_priority", "xt_word_freq_score", "x2_pq_codes",
-    "x2_pq_search", "x2_ivfpq_search", "x2_ivfpq_refined", "x4_kmv_jaccard",
+    "x2_pq_search", "x2_ivfpq_search", "x2_ivfpq_filtered", "x2_ivfpq_refined", "x4_kmv_jaccard",
     "xl_hilbert_key", "xt_hash_vectorize", "xt_hashvec_knn", "xt_hashvec_index",
     "xt_bigram_lm",
     // the persisted-tokenizer tier: plans must show the frozen-artifact

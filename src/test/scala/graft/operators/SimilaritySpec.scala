@@ -238,6 +238,46 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("ivfPqSearchFiltered: pre-filter equals post-filtering an unbounded ADC " +
+      "ranking; the predicate is map-only on the codes") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val got = Similarity.ivfPqSearchFiltered(emb, probes,
+        col("label") === 3, Seq("label"), 16, 4, 4, 16, 1, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // every neighbor satisfies the predicate
+    assert(got.nonEmpty && got.forall(r => labels(r._2) == 3L), got.take(5).toSeq)
+    // EQUIVALENCE: a candidate's ADC distance is filter-independent, so
+    // pre-filtering must equal post-filtering the unbounded ranking —
+    // rank the full candidate pool (topK >> pool), keep label 3, re-rank
+    val full = Similarity.ivfPqSearch(emb, probes, 16, 4, 4, 16, 1, topK = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val want = full.filter(r => labels(r._2) == 3L)
+      .groupBy(_._1).toSeq.flatMap { case (p, rs) =>
+        rs.sortBy(r => (r._3, r._2)).take(5).zipWithIndex
+          .map { case (r, i) => (p, r._2, i + 1, r._3) }
+      }.toSet
+    assert(got.toSet == want,
+      s"pre/post-filter divergence: ${(got.toSet -- want).take(3)} vs ${(want -- got.toSet).take(3)}")
+    // the filter never starves below topK here, and within-probe order
+    // is by (adist, vec_id)
+    got.groupBy(_._1).foreach { case (p, rs) =>
+      assert(rs.length == 5, s"probe $p returned ${rs.length}")
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._4).sliding(2).forall(x => x.head <= x.last + 1e-12), s"probe $p order")
+    }
+    // plan: the predicate is a Filter on the codes lineage, not a join —
+    // exactly one join kind appears (the broadcast probe-routes join)
+    val plan = Similarity.ivfPqSearchFiltered(emb, probes,
+        col("label") === 3, Seq("label"), 16, 4, 4, 16, 1, 5)
+      .queryExecution.executedPlan.treeString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("ivfPqRefine: exact re-rank converts shortlist depth into recall (tolerance metric)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
