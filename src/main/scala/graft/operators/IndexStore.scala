@@ -731,7 +731,8 @@ object IndexStore {
     * row, no embedding column), ADC + bounded top-k exactly as the
     * in-memory path. */
   def searchIvfPq(spark: SparkSession, dir: String, probes: DataFrame,
-      nprobe: Int = 4, topK: Int = 5): DataFrame = {
+      nprobe: Int = 4, topK: Int = 5,
+      idSelector: Option[DataFrame] = None): DataFrame = {
     // ONE driver-side manifest read resolves the whole index — the
     // snapshot this query serves, pinned here: batches a concurrent
     // compaction supersedes stay on disk until the next compaction's
@@ -742,9 +743,21 @@ object IndexStore {
     require(man.codes.nonEmpty,
       s"IndexStore: $dir has no committed codes batches — build the index first")
     val (_, m, _, sub, cents, books) = loadCached(spark, dir, man.nonce)
-    val codes = tombstoneFilter(spark, dir, man,
+    val live = tombstoneFilter(spark, dir, man,
         spark.read.schema(codeSchema(m))
           .parquet(man.codes.map(b => s"$dir/codes/batch_id=$b"): _*))
+    // FAISS IDSelector semantics: the selector restricts which STORED
+    // vectors a query may return — a semi-join on the candidate codes,
+    // applied before routing so excluded candidates pay no LUT work.
+    // The index itself is predicate-agnostic (selectors vary per query,
+    // the frozen geometry must not); a dim-table-sized selector
+    // broadcasts, and at 100 TB a wide one becomes a bloom-gated
+    // semi-join — the xc_bloom_decontaminate shape.
+    val selected = idSelector match {
+      case None => live
+      case Some(ids) => live.join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    }
+    val codes = selected
       .withColumn("codes", array((0 until m).map(s => col(s"code_$s").cast(IntegerType)): _*))
     val routes = Similarity.probeRoutes(probes, cents, nprobe)
     val pc = Similarity.routesDf(spark, routes)
@@ -764,6 +777,21 @@ object IndexStore {
     val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb-n16m4k16",
       d => buildIvfPq(graft.core.Tables.load(spark, dir, "embeddings"), d, 16, 4, 16, 1))
     searchIvfPq(spark, ixDir, emb.filter(col("vec_id") < 10), 4, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Filtered search FROM THE STORE — the same predicate-restricted
+    * retrieval as `x2_ivfpq_filtered`, served through the persisted
+    * index via an ID selector (the store is predicate-agnostic; the
+    * selector — here the label-3 slice's ids — arrives with the
+    * query). Hash-matches the same oracle: serving and composed
+    * filtered search must be indistinguishable. */
+  private[operators] def x2IvfPqFilteredPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb-n16m4k16",
+      d => buildIvfPq(graft.core.Tables.load(spark, dir, "embeddings"), d, 16, 4, 16, 1))
+    searchIvfPq(spark, ixDir, emb.filter(col("vec_id") < 10), 4, 5,
+        idSelector = Some(emb.filter(col("label") === 3).select(col("vec_id"))))
       .orderBy(col("probe_id"), col("rnk"))
   }
 
@@ -955,6 +983,8 @@ object IndexStore {
 
   val all: Seq[Declared] = Seq(
     Declared("x2_ivfpq_persisted", x2IvfPqPersisted, Some(Similarity.x2IvfPqSearchSql)),
+    Declared("x2_ivfpq_filtered_persisted", x2IvfPqFilteredPersisted,
+      Some(Similarity.x2IvfPqFilteredSql)),
     Declared("x2_ivfpq_rebuilt", x2IvfPqRebuilt, Some(Similarity.x2IvfPqSearchSql)),
     Declared("x2_ivfpq_deleted", x2IvfPqDeleted, Some(x2IvfPqDeletedSql)),
     Declared("x2_ivfpq_tombstoned", x2IvfPqTombstoned, Some(x2IvfPqDeletedSql)),

@@ -1132,7 +1132,7 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
-  private val x2IvfPqFilteredSql = ivfPqSearchSqlWith(
+  private[operators] val x2IvfPqFilteredSql = ivfPqSearchSqlWith(
     serveWhere = "WHERE a.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)")
 
   private def x2PqSearch(spark: SparkSession, dir: String): DataFrame = {

@@ -20,6 +20,29 @@ class IndexStoreSpec extends SparkSpec {
     assert(persisted.toSeq == direct.toSeq) // adist doubles included: bit-identical
   }
 
+  test("idSelector: filtered serving equals the composed filtered search; " +
+      "an empty selector returns nothing; None leaves search untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-sel").toString
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    IndexStore.buildIvfPq(emb, dir, 16, 4, 16, 1)
+    val sel = emb.filter(col("label") === 3).select(col("vec_id"))
+    val served = IndexStore.searchIvfPq(spark, dir, probes, 4, 5,
+        idSelector = Some(sel))
+      .orderBy(col("probe_id"), col("rnk")).collect()
+    val composed = Similarity.ivfPqSearchFiltered(emb, probes,
+        col("label") === 3, Seq("label"), 16, 4, 4, 16, 1, 5)
+      .orderBy(col("probe_id"), col("rnk")).collect()
+    assert(served.nonEmpty && served.toSeq == composed.toSeq) // bit-identical
+    // selector membership is a hard guarantee
+    val allowed = sel.collect().map(_.getLong(0)).toSet
+    assert(served.forall(r => allowed(r.getLong(1))))
+    // degenerate selectors behave honestly
+    assert(IndexStore.searchIvfPq(spark, dir, probes, 4, 5,
+      idSelector = Some(sel.limit(0))).count() == 0)
+    assert(IndexStore.searchIvfPq(spark, dir, probes, 4, 5).count() == 50)
+  }
+
   test("search scans only the stored codes — no corpus embedding read, no training") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-ix2").toString
