@@ -627,6 +627,62 @@ object Similarity {
       |WHERE rn = 1
       |ORDER BY vec_id""".stripMargin
 
+  /** The DATA-MAP audit a training-corpus pipeline publishes (the
+    * Nomic-Atlas / SemDeDup-report shape): per embedding-space cluster,
+    * how much data sits there, how good it is, and what language
+    * dominates — the table a curation owner reads to decide which
+    * clusters to up/down-weight or drop. Composition of three verified
+    * operators: [[kmeansAssign]] (bounded-collect Lloyd, broadcast
+    * assignment), [[TextAnalysis.qualityScored]] (map-only), and two
+    * cluster-bounded aggregates; the only data-sized exchange is the
+    * doc-keyed join of the assignment to the documents slice. Dominant
+    * language ties break lexicographically, so the row is deterministic
+    * cross-engine. */
+  private def x2ClusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.load(spark, dir, "embeddings")
+    val docs = Tables.load(spark, dir, "documents")
+    val asg = kmeansAssign(emb, 8, 2)
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+    val j = asg
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .join(TextAnalysis.qualityScored(docs)
+        .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+    val per = j.groupBy(col("cluster")).agg(
+      count(lit(1)).cast(IntegerType).as("n_docs"),
+      avg(col("quality_score")).as("mean_quality"))
+    val top = j.groupBy(col("cluster"), col("lang")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("c").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("lang").as("top_lang"), col("c").as("top_n"))
+    per.join(top, Seq("cluster"))
+      .select(col("cluster"), col("n_docs"), col("mean_quality"),
+        col("top_lang"),
+        (col("top_n").cast(DoubleType) / col("n_docs")).as("top_lang_frac"))
+      .orderBy(col("cluster"))
+  }
+
+  private val x2ClusterProfileSql =
+    s"""WITH km AS (SELECT vec_id AS doc_id, cluster FROM ($x2KmeansSql) t),
+       |q AS (${TextAnalysis.qualityScoreSql}),
+       |j AS (
+       |  SELECT km.cluster, d.lang, q.quality_score
+       |  FROM km JOIN documents d USING (doc_id) JOIN q USING (doc_id)),
+       |per AS (
+       |  SELECT cluster, CAST(COUNT(*) AS INTEGER) AS n_docs,
+       |    AVG(quality_score) AS mean_quality
+       |  FROM j GROUP BY cluster),
+       |top AS (
+       |  SELECT cluster, lang AS top_lang, c AS top_n FROM (
+       |    SELECT cluster, lang, COUNT(*) AS c, row_number() OVER (
+       |      PARTITION BY cluster ORDER BY COUNT(*) DESC, lang) AS rn
+       |    FROM j GROUP BY cluster, lang) t WHERE rn = 1)
+       |SELECT per.cluster, n_docs, mean_quality, top_lang,
+       |  CAST(top_n AS DOUBLE) / n_docs AS top_lang_frac
+       |FROM per JOIN top USING (cluster)
+       |ORDER BY cluster""".stripMargin
+
   // ------------------------------------------------ product quantization
   /** Product-quantization codes (Jégou et al., PAMI 2011 — the FAISS
     * IVF-PQ compression layer): the vector splits into `m` subspaces,
@@ -1471,5 +1527,6 @@ object Similarity {
     Declared("x2_ann_ivf", x2Ivf, Some(annBoundSql)),
     Declared("x2_ann_ivf_prod", x2IvfProd, Some(x2IvfProdSql)),
     Declared("x2_outlier_score", x2Outliers, Some(x2OutliersSql)),
-    Declared("x2_kmeans", x2Kmeans, Some(x2KmeansSql)))
+    Declared("x2_kmeans", x2Kmeans, Some(x2KmeansSql)),
+    Declared("x2_cluster_profile", x2ClusterProfile, Some(x2ClusterProfileSql)))
 }
