@@ -34,6 +34,15 @@ case class RepMetrics(
     dup_trigram_frac: Double,
     mean_word_len: Double)
 
+/** The full Gopher repetition suite (same public-for-encoder reason as
+  * [[RepMetrics]]): top n-gram character fractions (n = 2..4) and
+  * duplicate n-gram character fractions (n = 5..10). */
+case class GopherRepMetrics(
+    n_words: Int,
+    top2_frac: Double, top3_frac: Double, top4_frac: Double,
+    dup5_frac: Double, dup6_frac: Double, dup7_frac: Double,
+    dup8_frac: Double, dup9_frac: Double, dup10_frac: Double)
+
 object Curation {
   import Dedup.tokens
 
@@ -293,6 +302,129 @@ object Curation {
       |          string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') w
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
+
+  /** The FULL Gopher repetition-filter suite (Rae et al. 2021, Table A1)
+    * beyond [[repetition]]'s word/bigram/trigram fractions: per doc,
+    * the TOP n-gram character fraction for n = 2..4 (characters covered
+    * by the single most frequent n-gram — boilerplate headers repeat
+    * one phrase) and the DUPLICATE n-gram character fraction for
+    * n = 5..10 (characters covered by every occurrence of any repeated
+    * n-gram — templated spam repeats many). Character weight of an
+    * n-gram = the sum of its words' lengths (spaces excluded), totals
+    * likewise; coverage is occurrence-weighted (overlapping occurrences
+    * each count — the RedPajama-v2 quality-signal convention, declared
+    * here rather than the paper's unspecified masking). All counts are
+    * integers and the single division is of identical integers in both
+    * engines, so the fractions are bit-identical; top-gram ties break
+    * to the UTF-8-lexicographically-first gram (= DuckDB's binary
+    * VARCHAR order). Map-only fused kernel, one pass per n over each
+    * doc — the [[repetition]] scale posture. */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    val k = udf { (text: String) => gopherRepKernel(text) }
+    docs.select(col("doc_id"), k(col("text")).as("m"))
+      .select(col("doc_id") +: (GopherRepCols.map(c => col(s"m.$c").as(c))): _*)
+  }
+
+  private val GopherRepCols: Seq[String] =
+    "n_words" +: ((2 to 4).map(n => s"top${n}_frac") ++
+      (5 to 10).map(n => s"dup${n}_frac"))
+
+  private def utf8Lt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  private def gopherRepKernel(text: String): GopherRepMetrics = {
+    val s = text.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT).trim
+    val w = s.split(" ")
+    var total = 0L
+    var ti = 0
+    while (ti < w.length) { total += w(ti).length; ti += 1 }
+    val out = new Array[Double](9)
+    var n = 2
+    while (n <= 10) {
+      val idx = n - 2
+      if (total > 0 && w.length >= n) {
+        val counts = new java.util.HashMap[String, Integer]()
+        var i = 0
+        while (i <= w.length - n) {
+          val sb = new java.lang.StringBuilder(48)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(w(i + j)); j += 1
+          }
+          counts.merge(sb.toString, 1, (x, y) => Integer.valueOf(x + y))
+          i += 1
+        }
+        if (n <= 4) {
+          var bestG: String = null; var bestC = 0
+          counts.forEach { (g, c) =>
+            if (c > bestC || (c == bestC && utf8Lt(g, bestG))) { bestG = g; bestC = c }
+          }
+          out(idx) = bestC.toDouble * (bestG.length - (n - 1)) / total
+        } else {
+          var cov = 0L
+          counts.forEach { (g, c) =>
+            if (c > 1) cov += c.toLong * (g.length - (n - 1))
+          }
+          out(idx) = cov.toDouble / total
+        }
+      }
+      n += 1
+    }
+    GopherRepMetrics(w.length, out(0), out(1), out(2), out(3), out(4),
+      out(5), out(6), out(7), out(8))
+  }
+
+  private def xcGopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    gopherRepetition(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** Replays the kernel per n: the same space-joined grams, integer
+    * counts, char lengths (`length(g) − (n−1)` — words carry no
+    * spaces), and the binary-collation tiebreak. */
+  private val xcGopherRepetitionSql = {
+    def gram(n: Int) =
+      s"CASE WHEN len(w) >= $n THEN [array_to_string(w[i+1:i+$n], ' ') for i in range(len(w)-${n - 1})] ELSE [] END"
+    val gctes = (2 to 10).map { n =>
+      s"""g$n AS (
+         |  SELECT doc_id, g, COUNT(*) AS cnt, length(g) - ${n - 1} AS cl
+         |  FROM (SELECT doc_id, unnest(${gram(n)}) AS g FROM toks)
+         |  GROUP BY doc_id, g)""".stripMargin
+    }
+    val tops = (2 to 4).map { n =>
+      s"""t$n AS (
+         |  SELECT doc_id, cnt * cl AS cov FROM (
+         |    SELECT doc_id, cnt, cl, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+         |    FROM g$n) z WHERE rn = 1)""".stripMargin
+    }
+    val dups = (5 to 10).map { n =>
+      s"""d$n AS (
+         |  SELECT doc_id, SUM(CASE WHEN cnt > 1 THEN cnt * cl ELSE 0 END) AS cov
+         |  FROM g$n GROUP BY doc_id)""".stripMargin
+    }
+    val joins = ((2 to 4).map(n => s"LEFT JOIN t$n USING (doc_id)") ++
+      (5 to 10).map(n => s"LEFT JOIN d$n USING (doc_id)")).mkString("\n")
+    def frac(src: String, alias: String) =
+      s"CASE WHEN total = 0 THEN 0.0 ELSE CAST(COALESCE($src.cov, 0) AS DOUBLE) / total END AS $alias"
+    val cols = ((2 to 4).map(n => frac(s"t$n", s"top${n}_frac")) ++
+      (5 to 10).map(n => frac(s"d$n", s"dup${n}_frac"))).mkString(",\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+       |  FROM documents),
+       |tot AS (
+       |  SELECT doc_id, len(w) AS nw, length(array_to_string(w, '')) AS total
+       |  FROM toks),
+       |${(gctes ++ tops ++ dups).mkString(",\n")}
+       |SELECT doc_id, CAST(nw AS INTEGER) AS n_words,
+       |  $cols
+       |FROM tot
+       |$joins
+       |ORDER BY doc_id""".stripMargin
+  }
 
   // --------------------------------------------------- domain mixture
   /** Budget-capped uniform domain mix: each (lang, source) domain gets an
@@ -1645,6 +1777,7 @@ object Curation {
     Declared("xc_contamination", xcContamination, Some(xcContaminationSql)),
     Declared("xc_bloom_decontaminate", xcBloomDecontaminate, Some(xcBloomDecontaminateSql)),
     Declared("xc_repetition", xcRepetition, Some(xcRepetitionSql)),
+    Declared("xc_gopher_repetition", xcGopherRepetition, Some(xcGopherRepetitionSql)),
     Declared("xc_domain_mix", xcDomainMix, Some(xcDomainMixSql)),
     Declared("xc_sample", xcSample, Some(xcSampleSql)),
     Declared("xc_upsample", xcUpsample, Some(xcUpsampleSql)),

@@ -474,6 +474,37 @@ class CurationSpec extends SparkSpec {
     def min0(b: String) = bucketed.filter(_._3 == b).map(_._2).minOption.getOrElse(1e9)
     assert(max0("head") < min0("middle") && max0("middle") < min0("tail"))
   }
+  test("gopherRepetition: hand-computed top/dup n-gram character fractions") {
+    // "ab cd ab cd ab": 14 chars (spaces excluded = 10), bigrams
+    // "ab cd"x2, "cd ab"x2 — top2 = 2*4/10; 5-grams: the single whole
+    // gram, no dup -> dup5 0; trigrams "ab cd ab"x2? grams: [ab cd ab],
+    // [cd ab cd], [ab cd ab] -> top3 = 2*6/10
+    val d = Seq(
+      (1L, "ab cd ab cd ab"),
+      (2L, "all words here are unique tokens")).toDF("doc_id", "text")
+    val m = Curation.gopherRepetition(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = m(1L)
+    assert(r1.getInt(1) == 5)
+    assert(r1.getDouble(2) == 2.0 * 4 / 10)  // top2_frac
+    assert(r1.getDouble(3) == 2.0 * 6 / 10)  // top3_frac
+    assert(r1.getDouble(4) == 1.0 * 8 / 10)  // top4_frac: unique 4-grams, len 8
+    assert(r1.getDouble(5) == 0.0)           // dup5: single 5-gram
+    val r2 = m(2L)
+    // all-unique doc: top fractions are one occurrence's share, dups 0
+    assert((5 to 10).forall(i => r2.getDouble(i) == 0.0))
+    assert(r2.getDouble(2) > 0.0 && r2.getDouble(2) < 0.5)
+  }
+
+  test("gopherRepetition: degenerate docs score zero, not NaN") {
+    val d = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("doc_id", "text")
+    val rows = Curation.gopherRepetition(d).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      (2 to 10).foreach(i => assert(r.getDouble(i) == 0.0, s"doc ${r.getLong(0)} col $i"))
+    }
+  }
+
   // --------------------------------------------------------------- DSIR
   test("dsirLogWeights scores target-vocabulary docs above off-target docs") {
     // target slice (lang=en) speaks one vocabulary, the rest another;
