@@ -1413,6 +1413,42 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Tokenizer FERTILITY by language — the pricing table a tokenizer
+    * audit publishes (tokens-per-word per language decides which
+    * languages a shared vocabulary taxes; the metric behind "our
+    * tokenizer is expensive in X" reports). Served from the same
+    * frozen `bpe-r8v256` warehouse artifact as the persisted encode
+    * rows (one training, another consumer), aggregated over the encode
+    * output: integer token/word sums per language, one division at the
+    * end, so both engines agree bit-for-bit. Docs with no BPE-gated
+    * words (e.g. no `[a-z0-9]+` token at all) have no encode rows and
+    * are excluded from their language's aggregate — mirrored exactly
+    * by the oracle, which aggregates the same per-doc encode replay. */
+  private def xtFertilityByLang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tokDir = TokenizerStore.ensureTokenizerFor(spark,
+      s"$dir/documents.parquet", "bpe-r8v256",
+      d => TokenizerStore.trainBpe(docs, d, 8, 256))
+    TokenizerStore.encodeBpe(docs, tokDir)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_tokens"),
+        (sum(col("n_bpe_tokens")).cast(DoubleType) / sum(col("n_words")))
+          .as("tokens_per_word"))
+      .orderBy(col("lang"))
+  }
+
+  private val xtFertilityByLangSql =
+    s"""SELECT d.lang, CAST(COUNT(*) AS INTEGER) AS n_docs,
+       |  CAST(SUM(enc.n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(enc.n_bpe_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(enc.n_bpe_tokens) AS DOUBLE) / SUM(enc.n_words) AS tokens_per_word
+       |FROM ($xtBpeEncodeSql) enc JOIN documents d USING (doc_id)
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
+
   /** The complete tokenizer chain to MODEL INPUT: frozen artifact →
     * per-word token-id sequences — shares the `bpe-r8v256` warehouse
     * artifact with `xt_bpe_encode_persisted` (one training, two
@@ -1545,6 +1581,7 @@ object TextAnalysis {
     Declared("xt_bpe_merges", xtBpeMerges, Some(xtBpeMergesSql)),
     Declared("xt_bpe_encode", xtBpeEncode, Some(xtBpeEncodeSql)),
     Declared("xt_bpe_encode_persisted", xtBpeEncodePersisted, Some(xtBpeEncodeSql)),
+    Declared("xt_fertility_by_lang", xtFertilityByLang, Some(xtFertilityByLangSql)),
     Declared("xt_bpe_ids", xtBpeIds, Some(xtBpeIdsSql)),
     Declared("xt_bpe_vocab", xtBpeVocab, Some(xtBpeVocabSql)),
     Declared("x3_token_freq", x3TokenFreq, Some(x3TokenFreqSql)),
