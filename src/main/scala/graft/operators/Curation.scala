@@ -334,13 +334,19 @@ object Curation {
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
 
+  /** Character counts are CODE POINTS (DuckDB's `length()` semantics —
+    * the repUdf precedent): `String.length` would count a
+    * supplementary-plane char as 2 and diverge from the oracle. */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
   private def gopherRepKernel(text: String): GopherRepMetrics = {
     val s = text.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT).trim
     val w = s.split(" ")
     var total = 0L
     var ti = 0
-    while (ti < w.length) { total += w(ti).length; ti += 1 }
+    while (ti < w.length) { total += cpLen(w(ti)); ti += 1 }
     val out = new Array[Double](9)
+    val sb = new java.lang.StringBuilder(64)
     var n = 2
     while (n <= 10) {
       val idx = n - 2
@@ -348,7 +354,7 @@ object Curation {
         val counts = new java.util.HashMap[String, Integer]()
         var i = 0
         while (i <= w.length - n) {
-          val sb = new java.lang.StringBuilder(48)
+          sb.setLength(0)
           var j = 0
           while (j < n) {
             if (j > 0) sb.append(' ')
@@ -362,11 +368,11 @@ object Curation {
           counts.forEach { (g, c) =>
             if (c > bestC || (c == bestC && utf8Lt(g, bestG))) { bestG = g; bestC = c }
           }
-          out(idx) = bestC.toDouble * (bestG.length - (n - 1)) / total
+          out(idx) = bestC.toDouble * (cpLen(bestG) - (n - 1)) / total
         } else {
           var cov = 0L
           counts.forEach { (g, c) =>
-            if (c > 1) cov += c.toLong * (g.length - (n - 1))
+            if (c > 1) cov += c.toLong * (cpLen(g) - (n - 1))
           }
           out(idx) = cov.toDouble / total
         }
@@ -1626,41 +1632,53 @@ object Curation {
     * (a lazily-chained totals aggregate would silently re-run the
     * corpus count lineage — the collect pins the scan count at two). */
   def dsirLogWeights(docs: DataFrame, isTarget: Column,
-      buckets: Int = 256, alpha: Double = 0.5): DataFrame =
-    dsirScoreWith(docs, dsirFit(docs, isTarget, buckets, alpha))
+      alpha: Double = 0.5): DataFrame =
+    dsirScoreWith(docs, dsirFit(docs, isTarget, alpha))
+
+  /** 256 everywhere: the occurrence hash reads exactly 2 md5 hex chars
+    * (see [[dsirFeatures]]), so the bucket count is a property of the
+    * hashing, not a tuning knob — exposing it as a parameter would be
+    * a compile-clean runtime trap (review r16). */
+  private val DsirBuckets = 256
 
   /** The FIT half: one corpus scan to per-bucket (raw, target) counts,
     * totals and Laplace smoothing finished on the driver over the
-    * `buckets` collected rows, λ handed back as a broadcastable table.
-    * Split out so the model can be trained ONCE offline and served
-    * frozen ([[trainDsir]] / [[loadDsir]] — the TokenizerStore
-    * deployment cadence). */
+    * collected rows, λ handed back as a broadcastable table. The table
+    * carries ALL 256 buckets — unseen ones at their smoothed floor
+    * ln(α/(tt+αB)) − ln(α/(tr+αB)) — so scoring a corpus the fit never
+    * saw still scores every occurrence (review r16: an inner join to
+    * an observed-only λ silently dropped unseen-bucket occurrences,
+    * and with them whole docs from a frozen-λ gate). Split out so the
+    * model can be trained ONCE offline and served frozen
+    * ([[trainDsir]] / [[loadDsir]] — the TokenizerStore cadence). */
   def dsirFit(docs: DataFrame, isTarget: Column,
-      buckets: Int = 256, alpha: Double = 0.5): DataFrame = {
+      alpha: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val buckets = DsirBuckets
     val counts = dsirFeatures(docs.withColumn("is_t", isTarget), buckets,
         carry = Seq("is_t"))
       .groupBy(col("b")).agg(
         count(lit(1)).as("cr"),
         sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
       .as[(Int, Long, Long)].collect()
+    val byBucket = counts.map(c => c._1 -> c).toMap
     val tr = counts.map(_._2).sum
     val tt = counts.map(_._3).sum
-    counts.toSeq.map { case (b, cr, ct) =>
+    (0 until buckets).map { b =>
+      val (_, cr, ct) = byBucket.getOrElse(b, (b, 0L, 0L))
       (b, math.log((ct + alpha) / (tt + alpha * buckets)) -
         math.log((cr + alpha) / (tr + alpha * buckets)))
     }.toDF("b", "lam")
   }
 
   /** The SCORE half: map-only against a (frozen or just-fit) λ table —
-    * the occurrence stream broadcast-joins λ and sums per doc. A doc
-    * with at least one token always scores (every occurrence's bucket
-    * is in λ's domain when λ came from [[dsirFit]] over a superset
-    * corpus; unseen buckets simply don't arise — the hash range is
-    * fully enumerated in the smoothing denominator instead). */
+    * the occurrence stream broadcast-joins λ and sums per doc. λ from
+    * [[dsirFit]] covers the full 256-bucket hash range, so every
+    * occurrence of every doc scores — including docs the fit corpus
+    * never saw. */
   def dsirScoreWith(docs: DataFrame, lam: DataFrame): DataFrame =
-    dsirFeatures(docs, 256)
+    dsirFeatures(docs, DsirBuckets)
       .join(broadcast(lam), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast(IntegerType).as("n_feats"),

@@ -143,7 +143,10 @@ object Multimodal {
       while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
         val id = ascii(off)
         val size = bb.getInt(off + 4)
-        if (size < 0 || off + 8 + size > bytes.length)
+        // bound computed in Long: a declared size near Int.MaxValue
+        // would wrap the Int sum negative and slip past the refusal
+        // (review r16), then crash or allocate gigabytes downstream
+        if (size < 0 || off.toLong + 8L + size > bytes.length)
           fail(s"chunk '$id' at $off claims $size B beyond the payload (truncated write?)")
         id match {
           case "fmt " =>
@@ -249,7 +252,12 @@ object Multimodal {
       if (bits != 24) fail(s"$bits-bit pixels (only 24)")
       if (bb.getInt(30) != 0) fail(s"compression ${bb.getInt(30)} (only BI_RGB)")
       val st = stride(width)
-      if (off < 0 || off.toLong + st.toLong * height > bytes.length)
+      // the declared offset must clear the file header + the declared
+      // info header: an offset pointing INSIDE the headers would decode
+      // header bytes as pixels without error (review r16)
+      if (off < 14 + bb.getInt(14))
+        fail(s"pixel offset $off points inside the ${14 + bb.getInt(14)}-B headers")
+      if (off.toLong + st.toLong * height > bytes.length)
         fail(s"pixel array ($height rows of $st B at offset $off) runs past " +
           s"the ${bytes.length}-B payload (truncated write?)")
       val out = new Array[Byte](width * height * 3)

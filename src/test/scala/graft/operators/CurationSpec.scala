@@ -530,6 +530,24 @@ class CurationSpec extends SparkSpec {
     assert(w(1L)._2 > w(3L)._2)
   }
 
+  test("a frozen lambda scores docs the fit corpus never saw: full bucket " +
+      "coverage, no silently dropped occurrences") {
+    // fit on corpus A; score corpus B whose terms A never produced —
+    // every B doc must still get a row with ALL its occurrences counted
+    // (review r16: an observed-only lambda inner-join dropped them)
+    val fitCorpus = Seq((1L, "alpha beta alpha", "en"), (2L, "beta gamma", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val lam = Curation.dsirFit(fitCorpus, col("lang") === "en")
+    assert(lam.count() == 256, "lambda must enumerate the full hash range")
+    val novel = Seq((10L, "zzqx wwvk yyrm")).toDF("doc_id", "text")
+    val scored = Curation.dsirScoreWith(novel, lam)
+      .select($"doc_id", $"n_feats", $"logw").as[(Long, Int, Double)].collect()
+    assert(scored.length == 1)
+    // 3 unigrams + 2 bigrams, all unseen at fit time
+    assert(scored.head._2 == 5, s"occurrences dropped: ${scored.head}")
+    assert(!scored.head._3.isNaN && !scored.head._3.isInfinite)
+  }
+
   test("dsirSample is a deterministic Gumbel top-k: k rows, ranks 1..k, " +
       "replay-identical") {
     val d = (0L until 200L).map { i =>

@@ -81,6 +81,12 @@ class TextAnalysisSpec extends SparkSpec {
     // 2 = ADPCM — compressed audio must refuse, not mis-decode
     val adpcm = wav.clone(); adpcm(20) = 2
     expectFail(adpcm, "PCM")
+    // a chunk size near Int.MaxValue: the bound must not wrap negative
+    // and slip past the refusal (Long arithmetic, review r16)
+    val huge = wav.clone()
+    java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, 0x7ffffff0) // fmt chunk declares ~2 GB
+    expectFail(huge, "beyond the payload")
   }
 
   test("wav block-mean resample: exact means, remainder block kept") {
@@ -155,6 +161,12 @@ class TextAnalysisSpec extends SparkSpec {
     expectFail(bits8, "8-bit")
     val rle = good.clone(); rle(30) = 1
     expectFail(rle, "compression")
+    // declared pixel offset inside the headers: header bytes must not
+    // silently decode as pixels
+    val inHeader = good.clone()
+    java.nio.ByteBuffer.wrap(inHeader).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, 20)
+    expectFail(inHeader, "inside")
     val topDown = good.clone()
     java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(22, -1)
