@@ -23,6 +23,18 @@ import graft.core.Tables
   */
 object Similarity {
 
+  /** Training-sample cap for PQ/IVF codebooks — declared FIRST in the
+    * object: oracle-SQL vals in other modules call back into this
+    * object's SQL generators during THEIR initialization, and a
+    * re-entrant init that runs before this val would bake `LIMIT 0`
+    * into the generated SQL (review r16 — the x2ClusterProfileSql ↔
+    * TextAnalysis init cycle did exactly that). */
+  private[operators] val PqTrainCap = 2048
+
+  /** Lloyd rounds for the IVF-RESIDUAL paths' coarse quantizer —
+    * hoisted with [[PqTrainCap]] for the same init-order reason. */
+  private[operators] val CoarseIters = 1
+
   /** double-typed vector + its L2 norm. */
   private def prep(emb: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame =
     emb.select(col("vec_id").as(idAs),
@@ -663,7 +675,7 @@ object Similarity {
       .orderBy(col("cluster"))
   }
 
-  private val x2ClusterProfileSql =
+  private lazy val x2ClusterProfileSql =
     s"""WITH km AS (SELECT vec_id AS doc_id, cluster FROM ($x2KmeansSql) t),
        |q AS (${TextAnalysis.qualityScoreSql}),
        |j AS (
@@ -723,24 +735,6 @@ object Similarity {
     }
   }
 
-  /** Train the m per-subspace codebooks (see [[pqCodes]]); None on an
-    * empty corpus. Returned shape: (subspace dim, books(s)(c) = codeword
-    * vector).
-    *
-    * Training runs on the first [[PqTrainCap]] vectors by vec_id — the
-    * standard PQ practice (FAISS trains codebooks on a subsample and
-    * encodes everything): codebook quality needs a representative
-    * sample, not the corpus, so Lloyd cost stays CONSTANT as the corpus
-    * grows while encoding stays the one map-only pass. Deterministic
-    * (first-n-by-id plans as TakeOrderedAndProject) and mirrored
-    * verbatim in the DuckDB oracle; at the sf0.01 correctness point the
-    * cap exceeds the corpus, so the oracle also certifies the uncapped
-    * semantics. */
-  private[operators] val PqTrainCap = 2048
-
-  /** Lloyd rounds for the IVF-RESIDUAL paths' coarse quantizer. */
-  private[operators] val CoarseIters = 1
-
   /** Coarse quantizer for the residual-IVFADC paths ([[ivfPqSearch]],
     * [[IndexStore]]): k-means-refined centroids, not raw samples —
     * canonical IVFADC trains the coarse quantizer (FAISS
@@ -760,6 +754,19 @@ object Similarity {
       iters: Int = CoarseIters): Array[(Long, Array[Double], Double)] =
     kmeansCentroids(emb.orderBy(col("vec_id")).limit(PqTrainCap), nlist, iters)
 
+  /** Train the m per-subspace codebooks (see [[pqCodes]]); None on an
+    * empty corpus. Returned shape: (subspace dim, books(s)(c) = codeword
+    * vector).
+    *
+    * Training runs on the first [[PqTrainCap]] vectors by vec_id — the
+    * standard PQ practice (FAISS trains codebooks on a subsample and
+    * encodes everything): codebook quality needs a representative
+    * sample, not the corpus, so Lloyd cost stays CONSTANT as the corpus
+    * grows while encoding stays the one map-only pass. Deterministic
+    * (first-n-by-id plans as TakeOrderedAndProject) and mirrored
+    * verbatim in the DuckDB oracle; at the sf0.01 correctness point the
+    * cap exceeds the corpus, so the oracle also certifies the uncapped
+    * semantics. */
   private[operators] def pqTrain(emb: DataFrame, m: Int, k: Int,
       iters: Int): Option[(Int, Array[Array[Array[Double]]])] =
     pqTrainD(emb.select(col("vec_id"),
