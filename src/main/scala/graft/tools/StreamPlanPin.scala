@@ -99,6 +99,30 @@ object StreamPlanPin {
     PlanPin.skeletonOf(gated.queryExecution.executedPlan)
   }
 
+  /** The xs_curate_dsir_gate per-batch core: the DSIR gate's scoring
+    * semi-join against the FROZEN λ parquet, as built every trigger —
+    * the plan must stay (left-semi over (feature explode → BROADCAST
+    * join against the 256-row λ table → per-doc partial-agg sum)); a
+    * broadcast→shuffle flip on the λ join would re-exchange the whole
+    * batch by bucket and is exactly the drift this pin catches. */
+  private def curateBatchDsirGate(spark: SparkSession): String = {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en"),
+      (2L, "beta gamma delta epsilon", "xx"),
+      (3L, "gamma delta epsilon zeta", "en"))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("pin-dsir").toString
+    graft.operators.Curation.trainDsir(docs, col("lang") === "en", dir)
+    val gated = docs.join(
+      graft.operators.Curation.dsirScoreWith(
+          docs.select(col("doc_id"), col("text")),
+          graft.operators.Curation.loadDsir(spark, dir))
+        .filter(col("logw") >= 0.0).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    PlanPin.skeletonOf(gated.queryExecution.executedPlan)
+  }
+
   /** The xs_pack_stream per-batch core: the fragment frame
     * `PackStream.processBatch` builds every trigger — per-doc id
     * streams → bucketed prefix sum (the bucket-offset attach must stay
@@ -135,6 +159,7 @@ object StreamPlanPin {
       microBatchSkeleton(spark, EventStreams.dedupStream, "append"),
     "xs_curate_batch_neardup" -> curateBatchNearDup(spark),
     "xs_curate_batch_lmgate" -> curateBatchLmGate(spark),
+    "xs_curate_batch_dsirgate" -> curateBatchDsirGate(spark),
     "xs_pack_batch_fragments" -> packBatchFragments(spark))
 }
 
