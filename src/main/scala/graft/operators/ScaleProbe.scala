@@ -166,6 +166,16 @@ object ScaleProbe {
           .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("tot_words"))
           .write.format("noop").mode("overwrite").save())
 
+      // DSIR (r16): fit is a 256-bounded agg, scoring a broadcast join +
+      // per-doc partial agg — wall time must grow ~linearly in the corpus
+      val (_, dsirSec) = timed(
+        Curation.dsirLogWeights(docs, col("lang") === "en").count())
+      // Gopher repetition (r16): 9 n-gram passes in one map-only kernel —
+      // the flattest possible scaling shape, verify it stays that way
+      val (_, gopherSec) = timed(
+        Curation.gopherRepetition(docs)
+          .agg(sum(col("dup5_frac")), sum(col("top2_frac"))).head())
+
       // semantic-dedup co-location fraction with AUTO nlist (~√n): the
       // fraction of all-pairs space that lands in a shared IVF cluster
       // must FALL as the corpus grows (≈ nassign²/√n), not stay flat —
@@ -188,7 +198,7 @@ object ScaleProbe {
         f""""ann_lsh_cand":$lshCand,"ann_lsh_frac":${lshCand / pairSpace}%.4f,"ann_lsh_sec":$lshSec%.2f,""" +
         f""""ann_ivf_cand":$ivfCand,"ann_ivf_frac":${ivfCand / pairSpace}%.4f,"ann_ivf_sec":$ivfSec%.2f,""" +
         f""""sem_auto_nlist":$autoNl,"sem_auto_cand":$semCand,"sem_auto_frac":${semCand / allPairs}%.4f,"sem_auto_sec":$semSec%.2f,""" +
-        f""""pipeline_sec":$pipeSec%.2f}""")
+        f""""pipeline_sec":$pipeSec%.2f,"dsir_sec":$dsirSec%.2f,"gopher_rep_sec":$gopherSec%.2f}""")
     }
     spark.stop()
   }
