@@ -319,8 +319,10 @@ object Curation {
     * to the UTF-8-lexicographically-first gram (= DuckDB's binary
     * VARCHAR order). Map-only fused kernel, one pass per n over each
     * doc — the [[repetition]] scale posture. */
+  private[operators] val gopherRepUdf = udf { (text: String) => gopherRepKernel(text) }
+
   def gopherRepetition(docs: DataFrame): DataFrame = {
-    val k = udf { (text: String) => gopherRepKernel(text) }
+    val k = gopherRepUdf
     docs.select(col("doc_id"), k(col("text")).as("m"))
       .select(col("doc_id") +: (GopherRepCols.map(c => col(s"m.$c").as(c))): _*)
   }
@@ -431,6 +433,61 @@ object Curation {
        |$joins
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** The PRODUCTION quality-signal table: every SQL-replayable per-doc
+    * signal this library computes — repetition fractions, the full
+    * Gopher n-gram suite, quality ratios/score, the Gopher rule flags —
+    * in ONE corpus scan (a single Project over the documents read: two
+    * fused kernels + the shared column builders; no join, no shuffle,
+    * PlanSpec-pinned). This is how real pipelines run quality signals
+    * at 100 TB: compute everything once while the bytes are hot, store
+    * the table, let every later filter be a cheap column predicate
+    * instead of a re-scan (the RedPajama-v2 quality-signals layout). */
+  def signalTable(docs: DataFrame): DataFrame = {
+    val quality = TextAnalysis.qualityCols.filterNot(_._1 == "n_words")
+    val rules = gopherRuleCols.filterNot(c => c._1 == "n_words" || c._1 == "mean_wlen")
+    val grepCols = GopherRepCols.filterNot(_ == "n_words")
+    docs
+      .withColumn("_r", repUdf(col("text")))
+      .withColumn("_g", gopherRepUdf(col("text")))
+      .select(Seq(col("doc_id"),
+        col("_r.n_words").as("n_words"),
+        col("_r.mean_word_len").as("mean_word_len"),
+        col("_r.dup_word_frac").as("dup_word_frac"),
+        col("_r.dup_bigram_frac").as("dup_bigram_frac"),
+        col("_r.dup_trigram_frac").as("dup_trigram_frac")) ++
+        grepCols.map(c => col(s"_g.$c").as(c)) ++
+        quality.map { case (n, c) => c.as(n) } ++
+        rules.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  private def xcSignalTable(spark: SparkSession, dir: String): DataFrame =
+    signalTable(Tables.load(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  /** The composed oracle joins the four already-verified per-signal
+    * replays on doc_id — the SQL side may join freely; the contract
+    * under test is that the SPARK side computes identical values in
+    * one scan. (lazy: references TextAnalysis during init — the
+    * r16 init-cycle discipline.) */
+  private lazy val xcSignalTableSql =
+    s"""WITH rep AS (${xcRepetitionSql.replace("ORDER BY doc_id", "")}),
+       |grep AS (${xcGopherRepetitionSql.replace("ORDER BY doc_id", "")}),
+       |q AS (${TextAnalysis.xtQualitySql.replace("ORDER BY doc_id", "")}),
+       |rules AS (${xcGopherRulesSql.replace("ORDER BY doc_id", "")})
+       |SELECT rep.doc_id, rep.n_words, rep.mean_word_len,
+       |  rep.dup_word_frac, rep.dup_bigram_frac, rep.dup_trigram_frac,
+       |  grep.top2_frac, grep.top3_frac, grep.top4_frac,
+       |  grep.dup5_frac, grep.dup6_frac, grep.dup7_frac,
+       |  grep.dup8_frac, grep.dup9_frac, grep.dup10_frac,
+       |  q.punct_ratio, q.digit_ratio, q.stopword_ratio, q.quality_score,
+       |  rules.symbol_ratio, rules.alpha_frac, rules.stop_hits,
+       |  rules.ok_words, rules.ok_mean_len, rules.ok_symbols,
+       |  rules.ok_alpha, rules.ok_stops, rules.keep
+       |FROM rep
+       |JOIN grep USING (doc_id)
+       |JOIN q USING (doc_id)
+       |JOIN rules USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------- domain mixture
   /** Budget-capped uniform domain mix: each (lang, source) domain gets an
@@ -1427,7 +1484,9 @@ object Curation {
     * in one fixed order (no exp/log), so Spark and DuckDB agree
     * bit-for-bit, same contract as [[TextAnalysis.qualityScored]].
     */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  /** The rule columns as named expressions over a `text` column —
+    * shared by [[gopherRules]] and the one-scan [[signalTable]]. */
+  private[operators] def gopherRuleCols: Seq[(String, Column)] = {
     val norm = trim(lower(regexp_replace(col("text"), "\\s+", " ")))
     val w = split(norm, " ")
     val nWords = size(w)
@@ -1446,15 +1505,17 @@ object Curation {
     val okSymbols = symbolRatio < 0.1
     val okAlpha = alphaFrac > 0.8
     val okStops = stopHits >= 2
-    docs.select(col("doc_id"),
-      nWords.as("n_words"), meanWlen.as("mean_wlen"),
-      symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
-      stopHits.as("stop_hits"),
-      okWords.as("ok_words"), okMean.as("ok_mean_len"),
-      okSymbols.as("ok_symbols"), okAlpha.as("ok_alpha"),
-      okStops.as("ok_stops"),
-      (okWords && okMean && okSymbols && okAlpha && okStops).as("keep"))
+    Seq("n_words" -> nWords, "mean_wlen" -> meanWlen,
+      "symbol_ratio" -> symbolRatio, "alpha_frac" -> alphaFrac,
+      "stop_hits" -> stopHits,
+      "ok_words" -> okWords, "ok_mean_len" -> okMean,
+      "ok_symbols" -> okSymbols, "ok_alpha" -> okAlpha,
+      "ok_stops" -> okStops,
+      "keep" -> (okWords && okMean && okSymbols && okAlpha && okStops))
   }
+
+  def gopherRules(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: gopherRuleCols.map { case (n, c) => c.as(n) }: _*)
 
   /** Gopher's required stop words (loc. cit.): two distinct hits keep. */
   private val GopherStops =
@@ -1796,6 +1857,7 @@ object Curation {
     Declared("xc_bloom_decontaminate", xcBloomDecontaminate, Some(xcBloomDecontaminateSql)),
     Declared("xc_repetition", xcRepetition, Some(xcRepetitionSql)),
     Declared("xc_gopher_repetition", xcGopherRepetition, Some(xcGopherRepetitionSql)),
+    Declared("xc_signal_table", xcSignalTable, Some(xcSignalTableSql)),
     Declared("xc_domain_mix", xcDomainMix, Some(xcDomainMixSql)),
     Declared("xc_sample", xcSample, Some(xcSampleSql)),
     Declared("xc_upsample", xcUpsample, Some(xcUpsampleSql)),

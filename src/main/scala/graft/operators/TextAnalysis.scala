@@ -49,7 +49,11 @@ object TextAnalysis {
     * score. Pure +,*,/ arithmetic so Spark and the oracle agree
     * bit-exactly (no exp/log). Public: the curation keep-best policy
     * ([[Curation]] `xc_keep_best`) ranks duplicates by this score. */
-  def qualityScored(docs: DataFrame): DataFrame = {
+  /** The quality columns as named expressions over a `text` column —
+    * shared by [[qualityScored]] and [[Curation]]'s one-scan signal
+    * table, so the two can never diverge. (def, not val: Column trees
+    * are cheap to rebuild and a val would pin object-init order.) */
+  private[operators] def qualityCols: Seq[(String, Column)] = {
     val w = tokens(col("text"))
     val nWords = size(w).cast(DoubleType)
     val stopHits = size(filter(w, t => t.isInCollection(Stopwords))).cast(DoubleType)
@@ -64,19 +68,22 @@ object TextAnalysis {
     // engine would diverge on half-way decimals (score 0.71925 rounds to
     // .7193 in Spark and .7192 in DuckDB) while the compare layer rounds
     // both sides with one implementation.
-    docs.select(col("doc_id"), nWords.cast(IntegerType).as("n_words"),
-      punct.as("punct_ratio"),
-      digits.as("digit_ratio"),
-      stopRatio.as("stopword_ratio"),
-      score.as("quality_score"))
+    Seq("n_words" -> nWords.cast(IntegerType),
+      "punct_ratio" -> punct,
+      "digit_ratio" -> digits,
+      "stopword_ratio" -> stopRatio,
+      "quality_score" -> score)
   }
+
+  def qualityScored(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: qualityCols.map { case (n, c) => c.as(n) }: _*)
 
   private def xtQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     qualityScored(Tables.load(spark, dir, "documents")).orderBy($"doc_id")
   }
 
-  private val xtQualitySql = {
+  private[operators] val xtQualitySql = {
     s"""SELECT doc_id, n_words, punct_ratio, digit_ratio, stopword_ratio,
        |  least(n_words / 100.0, 1.0) * 0.3 + (1.0 - p) * 0.4 + sr * 0.3 AS quality_score
        |FROM (

@@ -185,6 +185,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("AS ids"), p)
   }
 
+  test("signal table: every quality signal in ONE scan — no join, no " +
+      "shuffle before the output sort") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val p = graft.operators.Curation.signalTable(docs)
+      .queryExecution.executedPlan.toString
+    // one Project over one scan: the whole point of the composition
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange"), p)
+    assert("FileScan".r.findAllIn(p).length == 1, p)
+  }
+
   test("DSIR: lambda table broadcast-joins onto the feature stream; the " +
       "sampler plans TakeOrderedAndProject, no corpus-sized window") {
     val pw = plan("xc_dsir_weights")
