@@ -469,11 +469,21 @@ object Curation {
     * under test is that the SPARK side computes identical values in
     * one scan. (lazy: references TextAnalysis during init — the
     * r16 init-cycle discipline.) */
+  /** Strip a component oracle's TRAILING output sort only — a global
+    * substring replace would also delete `ORDER BY doc_id` inside any
+    * window/subquery a component later grows (review r16). */
+  private def unordered(sql: String): String = {
+    val t = sql.trim
+    require(t.endsWith("ORDER BY doc_id"),
+      "signal-table component oracle must end with its output sort")
+    t.stripSuffix("ORDER BY doc_id").trim
+  }
+
   private lazy val xcSignalTableSql =
-    s"""WITH rep AS (${xcRepetitionSql.replace("ORDER BY doc_id", "")}),
-       |grep AS (${xcGopherRepetitionSql.replace("ORDER BY doc_id", "")}),
-       |q AS (${TextAnalysis.xtQualitySql.replace("ORDER BY doc_id", "")}),
-       |rules AS (${xcGopherRulesSql.replace("ORDER BY doc_id", "")})
+    s"""WITH rep AS (${unordered(xcRepetitionSql)}),
+       |grep AS (${unordered(xcGopherRepetitionSql)}),
+       |q AS (${unordered(TextAnalysis.xtQualitySql)}),
+       |rules AS (${unordered(xcGopherRulesSql)})
        |SELECT rep.doc_id, rep.n_words, rep.mean_word_len,
        |  rep.dup_word_frac, rep.dup_bigram_frac, rep.dup_trigram_frac,
        |  grep.top2_frac, grep.top3_frac, grep.top4_frac,
@@ -1468,22 +1478,6 @@ object Curation {
       }.mkString("(", " + ", ")"))
 
   // --------------------------------------- Gopher-style quality rules
-  /** Rule-based document filtering after Gopher (Rae et al. 2021,
-    * arXiv:2112.11446 §A.1.1) — the standard pre-training heuristic
-    * gate: word-count bounds, mean-word-length bounds, symbol-to-word
-    * ratio ('#' and '...'), fraction of alphabetic words, and a
-    * required minimum of distinct English stop words. Every rule is a
-    * map-only integer/double expression over the normalized token
-    * array — zero shuffles, fully codegen — and each flag is emitted
-    * separately (plus the conjunction `keep`) so downstream audits can
-    * see WHICH rule rejected a document, not just that one did.
-    *
-    * Bounds are the paper's except min words 10 (vs 50): the fixture's
-    * synthetic docs run 7-100 words, and a gate that rejects the whole
-    * corpus exercises nothing. Arithmetic is +,*,/ over exact integers
-    * in one fixed order (no exp/log), so Spark and DuckDB agree
-    * bit-for-bit, same contract as [[TextAnalysis.qualityScored]].
-    */
   /** The rule columns as named expressions over a `text` column —
     * shared by [[gopherRules]] and the one-scan [[signalTable]]. */
   private[operators] def gopherRuleCols: Seq[(String, Column)] = {
@@ -1514,6 +1508,22 @@ object Curation {
       "keep" -> (okWords && okMean && okSymbols && okAlpha && okStops))
   }
 
+  /** Rule-based document filtering after Gopher (Rae et al. 2021,
+    * arXiv:2112.11446 §A.1.1) — the standard pre-training heuristic
+    * gate: word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio ('#' and '...'), fraction of alphabetic words, and a
+    * required minimum of distinct English stop words. Every rule is a
+    * map-only integer/double expression over the normalized token
+    * array — zero shuffles, fully codegen — and each flag is emitted
+    * separately (plus the conjunction `keep`) so downstream audits can
+    * see WHICH rule rejected a document, not just that one did.
+    *
+    * Bounds are the paper's except min words 10 (vs 50): the fixture's
+    * synthetic docs run 7-100 words, and a gate that rejects the whole
+    * corpus exercises nothing. Arithmetic is +,*,/ over exact integers
+    * in one fixed order (no exp/log), so Spark and DuckDB agree
+    * bit-for-bit, same contract as [[TextAnalysis.qualityScored]].
+    */
   def gopherRules(docs: DataFrame): DataFrame =
     docs.select(col("doc_id") +: gopherRuleCols.map { case (n, c) => c.as(n) }: _*)
 

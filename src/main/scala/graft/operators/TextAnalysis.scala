@@ -45,10 +45,6 @@ object TextAnalysis {
   // ---------------------------------------------------------- quality
   private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
-  /** Length/punctuation/stopword quality heuristics + a linear composite
-    * score. Pure +,*,/ arithmetic so Spark and the oracle agree
-    * bit-exactly (no exp/log). Public: the curation keep-best policy
-    * ([[Curation]] `xc_keep_best`) ranks duplicates by this score. */
   /** The quality columns as named expressions over a `text` column —
     * shared by [[qualityScored]] and [[Curation]]'s one-scan signal
     * table, so the two can never diverge. (def, not val: Column trees
@@ -75,6 +71,10 @@ object TextAnalysis {
       "quality_score" -> score)
   }
 
+  /** Length/punctuation/stopword quality heuristics + a linear composite
+    * score. Pure +,*,/ arithmetic so Spark and the oracle agree
+    * bit-exactly (no exp/log). Public: the curation keep-best policy
+    * ([[Curation]] `xc_keep_best`) ranks duplicates by this score. */
   def qualityScored(docs: DataFrame): DataFrame =
     docs.select(col("doc_id") +: qualityCols.map { case (n, c) => c.as(n) }: _*)
 
