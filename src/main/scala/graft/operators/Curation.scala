@@ -479,7 +479,7 @@ object Curation {
     t.stripSuffix("ORDER BY doc_id").trim
   }
 
-  private lazy val xcSignalTableSql =
+  private[graft] lazy val xcSignalTableSql =
     s"""WITH rep AS (${unordered(xcRepetitionSql)}),
        |grep AS (${unordered(xcGopherRepetitionSql)}),
        |q AS (${unordered(TextAnalysis.xtQualitySql)}),

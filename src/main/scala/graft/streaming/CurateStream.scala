@@ -665,6 +665,42 @@ object CurateStream {
        |  AND doc_id IN (SELECT doc_id FROM dsirok)
        |ORDER BY doc_id""".stripMargin
 
+  /** Quality signals AT INGEST: [[graft.operators.Curation.signalTable]]
+    * computed per micro-batch and landed under the batch's own
+    * partition (overwrite mode — the store-family replay discipline,
+    * so a crashed batch re-lands its own partition). This is how a
+    * production pipeline actually gets its signal table: computed once
+    * while the crawl drop's bytes are hot, never re-scanned. The table
+    * is a pure map-only projection of each doc, so stream ≡ batch
+    * EXACTLY — no keep-first/ordering caveats — and the oracle is the
+    * batch composition verbatim. */
+  def startSignals(spark: SparkSession, inDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    spark.readStream
+      .schema(Tables.documents)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Curation.signalTable(batch).write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
+
+  private def xsSignalStream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val root = threeOrderedDrops(docs, "xs-signal-stream") { root =>
+      startSignals(spark, s"$root/in/*", s"$root/out", s"$root/ck")
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$root/out")
+      .drop("batch_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val xsSignalStreamSql = Curation.xcSignalTableSql
+
   /** Near-dup parity, driver-oracled: same three ordered drops, near-dup
     * elimination at J ≥ 0.8 on — the accumulated stream output must
     * equal the BATCH pipeline over the union (exact keep-first →
@@ -936,6 +972,7 @@ object CurateStream {
     Declared("xs_curate_stream", xsCurateStream, Some(xsCurateStreamSql)),
     Declared("xs_curate_lm_gate", xsCurateLmGate, Some(xsCurateLmGateSql)),
     Declared("xs_curate_dsir_gate", xsCurateDsirGate, Some(xsCurateDsirGateSql)),
+    Declared("xs_signal_stream", xsSignalStream, Some(xsSignalStreamSql)),
     Declared("xs_curate_stream_neardup", xsCurateStreamNeardup, Some(xsCurateStreamNeardupSql)),
     Declared("xs_curate_index", xsCurateIndex, Some(xsCurateIndexSql)),
     Declared("xs_curate_to_index", xsCurateToIndex, Some(xsCurateToIndexSql)),
