@@ -400,7 +400,6 @@ object IndexStore {
     // current. The clock is filesystem-derived (a probe file's mtime
     // on the same store) so driver/remote-store clock skew cannot
     // widen or collapse the floor.
-    val useFloor = minAgeMs > 0
     lazy val fsNow: Long = {
       val probe = new org.apache.hadoop.fs.Path(s"$dir/._gc_clock_probe")
       fs.create(probe, true).close()
@@ -408,13 +407,35 @@ object IndexStore {
       fs.delete(probe, false)
       t
     }
-    def reclaimable(st: org.apache.hadoop.fs.FileStatus): Boolean =
-      !useFloor || {
-        val marker = new org.apache.hadoop.fs.Path(st.getPath, "_GC_SIGHTED")
-        if (fs.exists(marker))
-          fs.getFileStatus(marker).getModificationTime <= fsNow - minAgeMs
-        else { fs.create(marker, true).close(); false } // sighted; spare this pass
-      }
+    // The marker CARRIES its floor (ADVICE r16): a floored expiry pass
+    // that sights-and-spares an orphan writes the promised retention
+    // into the marker, so a LATER unfloored pass — compaction's hygiene
+    // GC, or expireSnapshots() called bare — still honors the promise
+    // instead of voiding it. Without this, any compaction between two
+    // floored expiry passes reclaimed spared orphans immediately and
+    // "retention is a setting, not an operator promise" held only if
+    // nothing else ever GC'd. An orphan FIRST sighted by an unfloored
+    // pass is reclaimed immediately, as before — the floor protects
+    // promises already made, it does not invent one.
+    def storedFloor(marker: org.apache.hadoop.fs.Path): Long =
+      try {
+        val in = fs.open(marker)
+        val buf = new Array[Byte](32)
+        val n = in.read(buf); in.close()
+        if (n <= 0) 0L else new String(buf, 0, n, "US-ASCII").trim.toLong
+      } catch { case _: Exception => 0L } // legacy empty marker → no stored floor
+    def reclaimable(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val marker = new org.apache.hadoop.fs.Path(st.getPath, "_GC_SIGHTED")
+      if (fs.exists(marker)) {
+        // honor the WIDER of the caller's floor and the sighting's own
+        val eff = math.max(minAgeMs, storedFloor(marker))
+        eff <= 0 || fs.getFileStatus(marker).getModificationTime <= fsNow - eff
+      } else if (minAgeMs > 0) { // sighted; record the promise, spare this pass
+        val out = fs.create(marker, true)
+        out.write(minAgeMs.toString.getBytes("US-ASCII")); out.close()
+        false
+      } else true
+    }
     def sweep(table: String, live: Set[Long]): Unit = {
       val root = new org.apache.hadoop.fs.Path(s"$dir/$table")
       if (fs.exists(root)) {
@@ -470,7 +491,11 @@ object IndexStore {
     * operator promise. Spared orphans stay invisible and are
     * reclaimed by a later pass once the sighting ages past the
     * floor — so a bounded expiry needs TWO passes at least minAgeMs
-    * apart, matching Iceberg's cadence-driven maintenance. */
+    * apart, matching Iceberg's cadence-driven maintenance. The marker
+    * CARRIES the promised floor (ADVICE r16), so intervening unfloored
+    * GC — [[compactIvfPq]]'s hygiene pass, or a bare expireSnapshots —
+    * honors it too; only a pass where the sighting has genuinely aged
+    * past max(stored, caller) floor reclaims. */
   def expireSnapshots(spark: SparkSession, dir: String,
       minAgeMs: Long = 0L): Unit =
     gcOrphans(spark, dir, readManifest(spark, dir), minAgeMs)
@@ -547,10 +572,16 @@ object IndexStore {
     * value is the time series; compacting the serving table must not
     * erase the monitoring history. */
   def compactIvfPq(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L << 20, upTo: Long = Long.MaxValue): Unit = {
+      targetBytes: Long = 128L << 20, upTo: Long = Long.MaxValue,
+      gcMinAgeMs: Long = 0L): Unit = {
     require(upTo >= 0, s"IndexStore: upTo must cover the build batch 0, got $upTo")
     val man = readManifest(spark, dir)
-    gcOrphans(spark, dir, man) // 1. reclaim what no reader can reference
+    // 1. reclaim what no reader can reference. Even at the default
+    // gcMinAgeMs=0 this honors floors PROMISED by earlier floored
+    // expireSnapshots sightings (the marker carries its floor) — a
+    // compaction between two bounded expiry passes no longer collapses
+    // the documented retention window (ADVICE r16).
+    gcOrphans(spark, dir, man, gcMinAgeMs)
     // negative fold ids are always ≤ upTo: prior folds re-fold freely
     val fold = man.codes.filter(_ <= upTo).sorted
     if (fold.isEmpty) return

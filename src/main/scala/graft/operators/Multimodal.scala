@@ -199,9 +199,14 @@ object Multimodal {
     * starts at the OFFSET DECLARED in the file header — the encoder
     * plants a 4-byte gap after the headers, so a reader assuming
     * offset 54 reads garbage. Loud refusal on bad magic, truncation,
-    * non-24-bit, compressed, or top-down (negative-height) payloads. */
+    * non-24-bit, compressed, top-down (negative-height), multi-plane,
+    * or overflow-hostile (width·height·3 past the Long-checked
+    * allocation cap) payloads. */
   object BmpCodec {
     private def stride(width: Int) = ((width * 3) + 3) / 4 * 4
+    /** Decode-side allocation cap — far above any fixture, far below
+      * anything that could wrap Int arithmetic (2^28 B = 256 MB). */
+    private val MaxPixelBytes = 1L << 28
 
     /** 24-bit BMP from logical top-down row-major BGR pixels. */
     def encode24(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
@@ -248,6 +253,19 @@ object Multimodal {
       val height = bb.getInt(22)
       if (width <= 0) fail(s"width $width")
       if (height < 0) fail("top-down (negative-height) BMPs unsupported")
+      // geometry bound FIRST, in Long (ADVICE r16): a hostile width
+      // near 716M overflows width*3 in the Int stride to a NEGATIVE
+      // value that then passes the Long bounds check below (negative
+      // st·height ≤ length), and width·height·3 can overflow the
+      // pixel-array allocation — a NegativeArraySizeException or a
+      // multi-GB allocation instead of the codec's loud refusal. The
+      // cap also bounds per-row memory for honest-but-huge headers.
+      if (width.toLong * 3L > MaxPixelBytes ||
+          width.toLong * height * 3L > MaxPixelBytes)
+        fail(s"${width}x$height declares ${width.toLong * height * 3L} " +
+          s"pixel bytes (cap $MaxPixelBytes)")
+      val planes = bb.getShort(26).toInt
+      if (planes != 1) fail(s"color planes $planes (BITMAPINFOHEADER requires 1)")
       val bits = bb.getShort(28).toInt
       if (bits != 24) fail(s"$bits-bit pixels (only 24)")
       if (bb.getInt(30) != 0) fail(s"compression ${bb.getInt(30)} (only BI_RGB)")
@@ -371,12 +389,20 @@ object Multimodal {
       val toks = header.split(" ")
       if (toks(0) != "YUV4MPEG2") fail("missing YUV4MPEG2 magic")
       var w = -1; var h = -1; var fn = -1; var fd = -1
+      // numeric token values go through the codec's own loud refusal:
+      // a bare `v.toInt` on a malformed token (`Wabc`, bare `W`,
+      // `F24:x`) would surface as a raw NumberFormatException from an
+      // executor — still an IllegalArgumentException, but the wrong
+      // failure shape for the refuse-loudly contract (VERDICT r16)
+      def num(t: String, v: String): Int =
+        try v.toInt catch { case _: NumberFormatException =>
+          fail(s"malformed numeric value in header token '$t'") }
       toks.drop(1).filter(_.nonEmpty).foreach { t =>
         (t.head, t.tail) match {
-          case ('W', v) => w = v.toInt
-          case ('H', v) => h = v.toInt
+          case ('W', v) => w = num(t, v)
+          case ('H', v) => h = num(t, v)
           case ('F', v) => v.split(":") match {
-            case Array(n, d) => fn = n.toInt; fd = d.toInt
+            case Array(n, d) => fn = num(t, n); fd = num(t, d)
             case _ => fail(s"malformed frame-rate token '$t'")
           }
           case ('I', _) | ('A', _) | ('X', _) => // interlace/aspect/comment: fine

@@ -21,19 +21,32 @@ import graft.core.Tables
   * VLDB'07): ~2× the candidates for ~2× the recall, with the corpus-side
   * index unchanged.
   */
+
+/** Cross-module-referenced tuning constants, isolated as COMPILE-TIME
+  * constants (`final val` bound to a literal — the compiler inlines
+  * them at every use site, so OBJECT-INIT ORDER cannot matter).
+  *
+  * Why structural and not positional: oracle-SQL vals in other modules
+  * call back into [[Similarity]]'s SQL generators during THEIR
+  * initialization, and the r16 init cycle (TextAnalysis-init →
+  * ivfPqSearchSqlWith → Similarity-init → x2ClusterProfileSql →
+  * TextAnalysis re-entrancy) baked `LIMIT 0` into the hashvec oracles
+  * when these lived as plain vals whose safety depended on being
+  * textually first in the object (review r16 / ADVICE r16). A constant
+  * object with literal `final val`s removes the hazard for good: there
+  * is no field read at runtime to observe un-initialized. Anything
+  * added here MUST stay a literal — a computed RHS silently demotes
+  * the member to an ordinary field and re-opens the cycle. */
+private[operators] object SimilarityTuning {
+  /** Training-sample cap for PQ/IVF codebooks. */
+  final val PqTrainCap = 2048
+  /** Lloyd rounds for the IVF-RESIDUAL paths' coarse quantizer. */
+  final val CoarseIters = 1
+}
+
 object Similarity {
 
-  /** Training-sample cap for PQ/IVF codebooks — declared FIRST in the
-    * object: oracle-SQL vals in other modules call back into this
-    * object's SQL generators during THEIR initialization, and a
-    * re-entrant init that runs before this val would bake `LIMIT 0`
-    * into the generated SQL (review r16 — the x2ClusterProfileSql ↔
-    * TextAnalysis init cycle did exactly that). */
-  private[operators] val PqTrainCap = 2048
-
-  /** Lloyd rounds for the IVF-RESIDUAL paths' coarse quantizer —
-    * hoisted with [[PqTrainCap]] for the same init-order reason. */
-  private[operators] val CoarseIters = 1
+  import SimilarityTuning.{PqTrainCap, CoarseIters}
 
   /** double-typed vector + its L2 norm. */
   private def prep(emb: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame =

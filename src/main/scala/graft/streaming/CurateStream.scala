@@ -196,6 +196,16 @@ object CurateStream {
     // 256-row λ broadcast-joins the doc's own occurrence stream — no
     // state store, no cross-batch interaction. Every doc surviving the
     // word-count filter has ≥ 1 token, hence a defined score.
+    // Exactness caveat (ADVICE r16): logw is a floating-point SUM of
+    // per-occurrence lambdas, so the comparison against minLogw is
+    // exact only up to summation ORDER. Stream-vs-batch SPARK parity
+    // is deterministic (same per-doc explode order on both paths), but
+    // a different engine summing in a different order can land a doc
+    // within an ulp on the other side of the threshold — a row-SET
+    // divergence no value-rounding layer can mask. Operationally: pick
+    // thresholds with a verified margin from every doc's logw (the
+    // fixture thresholds assert min |logw − minLogw| in
+    // CurateStreamSpec), or accept ulp-rare cross-engine flips.
     val filtered2 = dsirGate match {
       case None => filtered
       case Some((dsirDir, minLogw)) =>

@@ -647,4 +647,37 @@ class IndexStoreSpec extends SparkSpec {
     val man = IndexStore.readManifest(spark, dir)
     assert(new java.io.File(s"$dir/state/${man.nonce}").exists())
   }
+
+  test("unfloored GC honors a floor PROMISED by an earlier sighting: compaction " +
+      "between two floored expiry passes cannot void the retention window") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-floor2").toString
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val n = emb.count()
+    IndexStore.buildIvfPq(emb.filter(col("vec_id") < n / 2), dir, 16, 4, 16, 1)
+    val oldNonce = IndexStore.readManifest(spark, dir).nonce
+    val oldGen = new java.io.File(s"$dir/state/$oldNonce")
+    IndexStore.buildIvfPq(emb, dir, 16, 4, 16, 1) // supersedes gen 1
+    // floored pass 1: sights the orphan, writes the 10-minute promise
+    IndexStore.expireSnapshots(spark, dir, minAgeMs = 600000L)
+    assert(oldGen.exists() && new java.io.File(oldGen, "_GC_SIGHTED").exists())
+    // an UNFLOORED compaction inside the window (ADVICE r16: this used
+    // to reclaim the spared orphan immediately, so any compaction
+    // between two expiry passes voided the documented guarantee)
+    IndexStore.compactIvfPq(spark, dir)
+    assert(oldGen.exists(),
+      "compaction's default GC reclaimed an orphan inside its promised floor")
+    // a bare unfloored expiry inside the window: also spared
+    IndexStore.expireSnapshots(spark, dir)
+    assert(oldGen.exists(),
+      "unfloored expiry reclaimed an orphan inside its promised floor")
+    // once the SIGHTING ages past the promised floor, an unfloored pass
+    // reclaims: backdate the marker rather than sleeping 10 minutes
+    new java.io.File(oldGen, "_GC_SIGHTED")
+      .setLastModified(System.currentTimeMillis() - 700000L)
+    IndexStore.expireSnapshots(spark, dir)
+    assert(!oldGen.exists(), "orphan not reclaimed after its promised floor elapsed")
+    // serving is intact throughout
+    val man = IndexStore.readManifest(spark, dir)
+    assert(new java.io.File(s"$dir/state/${man.nonce}").exists())
+  }
 }

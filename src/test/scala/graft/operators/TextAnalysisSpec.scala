@@ -171,6 +171,24 @@ class TextAnalysisSpec extends SparkSpec {
     java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(22, -1)
     expectFail(topDown, "top-down")
+    // BITMAPINFOHEADER requires exactly 1 color plane (offset 26)
+    val planes2 = good.clone()
+    java.nio.ByteBuffer.wrap(planes2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(26, 2.toShort)
+    expectFail(planes2, "planes")
+    // hostile geometry (ADVICE r16): width ~716M overflows width*3 in
+    // Int to a NEGATIVE stride that slips past the Long bounds check,
+    // then width*height*3 wraps the allocation — must refuse loudly
+    // with the codec's own message, not NegativeArraySizeException
+    val hostileW = good.clone()
+    java.nio.ByteBuffer.wrap(hostileW).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 716000000)
+    expectFail(hostileW, "cap")
+    // honest dims whose pixel array would still be multi-GB: refuse too
+    val hugeBoth = good.clone()
+    java.nio.ByteBuffer.wrap(hugeBoth).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 50000).putInt(22, 50000)
+    expectFail(hugeBoth, "cap")
   }
 
   test("BmpCodec nearest-neighbor downsample picks source (2y, 2x)") {
@@ -229,6 +247,12 @@ class TextAnalysisSpec extends SparkSpec {
     expectFail(good.dropRight(2), "truncated")
     expectFail(good ++ "GARBAGE\n".getBytes("US-ASCII"), "FRAME marker")
     expectFail("YUV4MPEG2 W4 H4 F24:1".getBytes("US-ASCII"), "unterminated")
+    // malformed NUMERIC token values must surface as the codec's own
+    // loud refusal, not a raw NumberFormatException from v.toInt
+    // (VERDICT r16 strictness nit)
+    expectFail("YUV4MPEG2 Wabc H4 F24:1\n".getBytes("US-ASCII"), "malformed numeric")
+    expectFail("YUV4MPEG2 W H4 F24:1\n".getBytes("US-ASCII"), "malformed numeric")
+    expectFail("YUV4MPEG2 W4 H4 F24:x\n".getBytes("US-ASCII"), "malformed numeric")
   }
 
   test("Y4mCodec motion is the mean |ΔY| over the luma plane only") {

@@ -542,6 +542,19 @@ class CurateStreamSpec extends SparkSpec {
     // the 0.0 cutoff must exercise the gate both ways on the fixture
     assert((ungated -- dsok).nonEmpty, "no doc gated out: threshold degenerate")
     assert((ungated & dsok).nonEmpty, "every doc gated out: threshold degenerate")
+    // ulp-at-threshold honesty (ADVICE r16): logw is an ORDER-SENSITIVE
+    // float sum, so the cross-engine row-set claim is exact only when
+    // no doc sits within summation-noise of the cutoff. Verify the
+    // fixture threshold has a real margin from EVERY doc's logw — a
+    // fixture/λ change that lands a doc at the knife edge fails here
+    // instead of as an unexplained oracle flake.
+    val minMargin = graft.operators.Curation.dsirScoreWith(
+        docs.select($"doc_id", $"text"),
+        graft.operators.Curation.loadDsir(spark, dsirDir))
+      .agg(min(abs($"logw" - 0.0))).head.getDouble(0)
+    assert(minMargin > 1e-6,
+      f"a doc's logw sits $minMargin%.2e from the 0.0 cutoff — within " +
+        "float-summation noise; pick a threshold with a verified margin")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
