@@ -201,6 +201,126 @@ class TextAnalysisSpec extends SparkSpec {
     assert(picked == Seq[Byte](0, 2, 20, 22)) // sources (0,0),(0,2),(2,0),(2,2)
   }
 
+  test("PngCodec round-trips RGB pixels through a real zlib-compressed PNG " +
+      "with all five filter types and the planted traps") {
+    // 6x6: every default-cycle filter type (0-4) appears across rows
+    val px = Array.tabulate[Byte](6 * 6 * 3)(i => ((i * 7 + 3) % 251).toByte)
+    val png = Multimodal.PngCodec.encodeRgb8(6, 6, px)
+    // the traps are actually planted: a tEXt chunk between IHDR and
+    // IDAT, and the zlib stream split across TWO IDAT chunks
+    def chunkTypes(b: Array[Byte]): Seq[String] = {
+      var off = 8; val ts = Seq.newBuilder[String]
+      while (off + 12 <= b.length) {
+        val len = java.nio.ByteBuffer.wrap(b, off, 4).getInt
+        ts += new String(b, off + 4, 4, "US-ASCII")
+        off += 12 + len
+      }
+      ts.result()
+    }
+    assert(chunkTypes(png) == Seq("IHDR", "tEXt", "IDAT", "IDAT", "IEND"))
+    val img = Multimodal.PngCodec.decode(png)
+    assert(img.width == 6 && img.height == 6)
+    assert(img.pixels.toSeq == px.toSeq)
+    // per-payload filter assignment (the pngTable shape) round-trips too
+    val img2 = Multimodal.PngCodec.decode(
+      Multimodal.PngCodec.encodeRgb8(6, 6, px, y => (y + 3) % 5))
+    assert(img2.pixels.toSeq == px.toSeq)
+  }
+
+  /** Minimal chunk writer for HAND-BUILT test PNGs (the codec's own
+    * encoder must not vouch for its decoder). */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+    java.nio.ByteBuffer.allocate(12 + data.length)
+      .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt).array()
+  }
+  private def pngIhdr(w: Int, h: Int, depth: Int = 8, color: Int = 2,
+      interlace: Int = 0): Array[Byte] =
+    pngChunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(depth.toByte).put(color.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte).array())
+  /** A zlib stream with one STORED deflate block — hand-rolled framing
+    * (header 0x78 0x01, stored-final block, LE lengths, Adler-32), so
+    * the decoder is tested against the public spec, not Deflater. */
+  private def zlibStored(data: Array[Byte]): Array[Byte] = {
+    val ad = new java.util.zip.Adler32(); ad.update(data)
+    val n = data.length
+    java.nio.ByteBuffer.allocate(7 + n + 4)
+      .put(0x78.toByte).put(0x01.toByte).put(0x01.toByte)
+      .put((n & 0xff).toByte).put(((n >> 8) & 0xff).toByte)
+      .put((~n & 0xff).toByte).put(((~n >> 8) & 0xff).toByte)
+      .put(data).putInt(ad.getValue.toInt).array()
+  }
+  private val pngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  test("PngCodec decodes a HAND-BUILT canonical PNG: stored-deflate zlib, " +
+      "spec Paeth tie-breaking (not encoder self-consistency)") {
+    // 2x2 RGB, row 0 unfiltered, row 1 Paeth-filtered. Hand-computed:
+    // row1 raw [10,20,30,40,50,60]; x<3 → paeth(0,b,0)=b (pb=0 wins the
+    // tie order), filt = raw−row0; x≥3 → paeth(a,b,c) picks a, filt=30.
+    val scanlines = Array[Byte](
+      0, 1, 2, 3, 4, 5, 6,          // filter 0 | raw row 0
+      4, 9, 18, 27, 30, 30, 30)     // filter 4 | Paeth-filtered row 1
+    val png = pngSig ++ pngIhdr(2, 2) ++
+      pngChunk("IDAT", zlibStored(scanlines)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    val img = Multimodal.PngCodec.decode(png)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.pixels.toSeq ==
+      Seq[Byte](1, 2, 3, 4, 5, 6, 10, 20, 30, 40, 50, 60))
+  }
+
+  test("PngCodec refuses malformed payloads loudly") {
+    val px = Array.tabulate[Byte](6 * 3 * 3)(_.toByte)
+    val good = Multimodal.PngCodec.encodeRgb8(6, 3, px)
+    def expectFail(bytes: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { Multimodal.PngCodec.decode(bytes) }
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    expectFail("NOTAPNG!".getBytes("US-ASCII") ++ good.drop(8), "signature")
+    expectFail(good.dropRight(3), "truncated")
+    // flip one byte INSIDE the first IDAT's data: CRC must catch it
+    val flipped = good.clone()
+    val idatOff = { // sig + IHDR(25) + tEXt
+      val tlen = java.nio.ByteBuffer.wrap(good, 33, 4).getInt
+      33 + 12 + tlen
+    }
+    flipped(idatOff + 8 + 2) = (flipped(idatOff + 8 + 2) ^ 0x40).toByte
+    expectFail(flipped, "CRC mismatch")
+    val sl = Array[Byte](0, 1, 2, 3, 4, 5, 6) // one 2x1 scanline
+    def build(ihdr: Array[Byte], mid: Array[Byte]*): Array[Byte] =
+      pngSig ++ ihdr ++ mid.flatten ++ pngChunk("IEND", Array.emptyByteArray)
+    expectFail(build(pngIhdr(2, 1, interlace = 1),
+      pngChunk("IDAT", zlibStored(sl))), "interlaced")
+    expectFail(build(pngIhdr(2, 1, depth = 16),
+      pngChunk("IDAT", zlibStored(sl))), "bit depth")
+    expectFail(build(pngIhdr(2, 1, color = 3),
+      pngChunk("IDAT", zlibStored(sl))), "color type")
+    // inflated length must match the declared geometry exactly
+    expectFail(build(pngIhdr(2, 2), pngChunk("IDAT", zlibStored(sl))), "short")
+    expectFail(build(pngIhdr(2, 1),
+      pngChunk("IDAT", zlibStored(sl ++ sl))), "exceed")
+    // unknown CRITICAL chunk refuses; unknown ancillary is walked over
+    expectFail(build(pngIhdr(2, 1), pngChunk("CRIT", Array[Byte](1)),
+      pngChunk("IDAT", zlibStored(sl))), "critical")
+    assert(Multimodal.PngCodec.decode(build(pngIhdr(2, 1),
+      pngChunk("crIT", Array[Byte](1)),
+      pngChunk("IDAT", zlibStored(sl)))).pixels.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+    // IDAT runs must be consecutive
+    expectFail(build(pngIhdr(2, 1),
+      pngChunk("IDAT", zlibStored(sl).take(10)),
+      pngChunk("crIT", Array[Byte](1)),
+      pngChunk("IDAT", zlibStored(sl).drop(10))), "non-consecutive")
+    // unknown filter type inside an otherwise-valid stream
+    expectFail(build(pngIhdr(2, 1),
+      pngChunk("IDAT", zlibStored(Array[Byte](9, 1, 2, 3, 4, 5, 6)))),
+      "unknown filter")
+    // trailing garbage after IEND
+    expectFail(good ++ Array[Byte](1, 2, 3), "trailing")
+  }
+
   test("Y4mCodec round-trips C420 frames through a real YUV4MPEG2 stream") {
     val f0 = Array.tabulate[Byte](24)(_.toByte)        // 4x4: Y 16, U 4, V 4
     val f1 = Array.tabulate[Byte](24)(i => (100 + i).toByte)
