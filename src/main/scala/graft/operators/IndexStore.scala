@@ -940,6 +940,33 @@ object IndexStore {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Filtered search × live tombstones on ONE candidate stream — the
+    * composition a production index actually serves (VERDICT r16 #2):
+    * `x2_ivfpq_filtered_persisted` verifies the predicate axis and
+    * `x2_ivfpq_tombstoned` the delete axis, each alone; here the SAME
+    * [[searchIvfPq]] call applies both — the tombstone anti-join and
+    * the FAISS-IDSelector semi-join restrict the same stored-codes
+    * scan before routing, so excluded candidates (by either axis) pay
+    * no LUT work. Reuses `x2_ivfpq_tombstoned`'s warehouse artifact
+    * (same store, live tombstones, NOT compacted). The DuckDB oracle
+    * replays IVFADC with BOTH exclusions on the candidate CTE —
+    * training and routing still see the full corpus, exactly the
+    * delete + filter semantics. */
+  private[operators] def x2IvfPqFilteredTombstoned(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb-tomb-n16m4k16", { d =>
+      buildIvfPq(emb, d, 16, 4, 16, 1)
+      deleteIvfPq(emb.filter(col("vec_id") % 7 === 3), d, batchId = 1)
+    })
+    searchIvfPq(spark, ixDir, emb.filter(col("vec_id") < 10), 4, 5,
+        idSelector = Some(emb.filter(col("label") === 3).select(col("vec_id"))))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  private val x2IvfPqFilteredTombstonedSql = Similarity.ivfPqSearchSqlWith(
+    serveWhere = "WHERE a.vec_id % 7 <> 3 " +
+      "AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)")
+
   /** Refined retrieval SERVED FROM THE STORE — the production shape of
     * `x2_ivfpq_refined`, closing the same composed-vs-serving gap the
     * text tier closed with `xt_hashvec_persisted`: the shortK-deep ADC
@@ -958,6 +985,50 @@ object IndexStore {
     Similarity.exactRerank(searchIvfPq(spark, ixDir, probes, 4, 20), emb, probes, 5)
       .orderBy(col("probe_id"), col("rnk"))
   }
+
+  /** Starved-probe honesty for NARROW filters, engine-checked (VERDICT
+    * r16 #3): the documented pre-filter tradeoff is that a selective
+    * predicate can return fewer than topK rows at the default nprobe —
+    * the selector's survivors in the probe's pruned clusters are all
+    * there is. This bound row makes the tradeoff AND its remedy a
+    * checked contract instead of a doc comment: with an 8-id selector
+    * (fixed COUNT at every SF — selectivity that scales with the
+    * corpus would un-starve at bigger fixtures), at nprobe=4 at least
+    * one probe comes back short (`starved_ok`), and the auto-widened
+    * nprobe=nlist search — the recall-floor discipline the ANN family
+    * uses — recovers the FULL topK for EVERY probe (`recovered_ok`:
+    * all 8 selected candidates are ranked once no cluster is pruned,
+    * and 8 ≥ k). Both runs serve from the shared persisted store; all
+    * counts are engine-computed single-row aggregates, the
+    * [[Similarity.annBoundSummary]] pattern. */
+  private[operators] def x2IvfPqFilteredStarved(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val sel = emb.filter(col("vec_id") < 8).select(col("vec_id"))
+    val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb-n16m4k16",
+      d => buildIvfPq(graft.core.Tables.load(spark, dir, "embeddings"), d, 16, 4, 16, 1))
+    def rowsPerProbe(nprobe: Int) =
+      probes.select(col("vec_id").as("probe_id"))
+        .join(searchIvfPq(spark, ixDir, probes, nprobe, 5, idSelector = Some(sel))
+          .groupBy(col("probe_id")).agg(count(lit(1)).as("nr")),
+          Seq("probe_id"), "left")
+        .select(coalesce(col("nr"), lit(0L)).as("nr"))
+    val narrow = rowsPerProbe(4).agg(min(col("nr")).as("min_narrow"))
+    val wide = rowsPerProbe(16)
+      .agg(min(col("nr")).as("min_wide"), count(lit(1)).as("n_probes"))
+    wide.crossJoin(narrow).select(
+      col("n_probes"),
+      lit(5).as("k"),
+      (col("min_narrow") < 5).as("starved_ok"),
+      (col("min_wide") === 5).as("recovered_ok"))
+  }
+
+  private val x2IvfPqFilteredStarvedSql =
+    """SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_probes,
+      |  CAST(5 AS INTEGER) AS k,
+      |  TRUE AS starved_ok,
+      |  TRUE AS recovered_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
 
   /** The drift monitor as a driver-checked row: build on the first half
     * of the corpus (batch 0 trains), append the second half against the
@@ -1016,6 +1087,10 @@ object IndexStore {
     Declared("x2_ivfpq_persisted", x2IvfPqPersisted, Some(Similarity.x2IvfPqSearchSql)),
     Declared("x2_ivfpq_filtered_persisted", x2IvfPqFilteredPersisted,
       Some(Similarity.x2IvfPqFilteredSql)),
+    Declared("x2_ivfpq_filtered_tombstoned", x2IvfPqFilteredTombstoned,
+      Some(x2IvfPqFilteredTombstonedSql)),
+    Declared("x2_ivfpq_filtered_starved", x2IvfPqFilteredStarved,
+      Some(x2IvfPqFilteredStarvedSql)),
     Declared("x2_ivfpq_rebuilt", x2IvfPqRebuilt, Some(Similarity.x2IvfPqSearchSql)),
     Declared("x2_ivfpq_deleted", x2IvfPqDeleted, Some(x2IvfPqDeletedSql)),
     Declared("x2_ivfpq_tombstoned", x2IvfPqTombstoned, Some(x2IvfPqDeletedSql)),

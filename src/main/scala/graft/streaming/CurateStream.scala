@@ -206,16 +206,29 @@ object CurateStream {
     // thresholds with a verified margin from every doc's logw (the
     // fixture thresholds assert min |logw − minLogw| in
     // CurateStreamSpec), or accept ulp-rare cross-engine flips.
-    val filtered2 = dsirGate match {
-      case None => filtered
-      case Some((dsirDir, minLogw)) =>
+    // Drift telemetry rides the gate pass via observe() — zero extra
+    // jobs (VERDICT r16 #4): λ is FROZEN by design, so nothing else
+    // measures when the raw stream has drifted from the fit corpus;
+    // per-batch n_scored / n_passed / mean_logw landed beside the data
+    // store are the rebuild-decision input, the x2_index_stats shape.
+    val dsirObs = dsirGate.map { case (_, minLogw) =>
+      (org.apache.spark.sql.Observation(
+        s"graft-dsir-$batchId-${System.nanoTime()}"), minLogw)
+    }
+    val filtered2 = (dsirGate, dsirObs) match {
+      case (Some((dsirDir, minLogw)), Some((obs, _))) =>
         filtered.join(
           Curation.dsirScoreWith(
               filtered.select(col("doc_id"), col("text")),
               Curation.loadDsir(sp, dsirDir))
+            .observe(obs,
+              count(lit(1)).as("n_scored"),
+              avg(col("logw")).as("mean_logw"),
+              sum(when(col("logw") >= minLogw, 1L).otherwise(0L)).as("n_passed"))
             .filter(col("logw") >= minLogw)
             .select(col("doc_id")),
           Seq("doc_id"), "left_semi")
+      case _ => filtered
     }
     // 3b. near-dup elimination (opt-in). The shingled batch feeds four
     // consumers in one DAG (within-pairs twice, the cross-band explode,
@@ -300,6 +313,32 @@ object CurateStream {
           .write.mode("overwrite")
           .parquet(s"${bandsDirOf(dataDir)}/batch_id=$batchId")
       }
+      // land the DSIR gate telemetry: the writes above executed the
+      // scored subtree (the semi-join's right side), so obs.get has
+      // its metrics — one driver-side 1-line JSON per batch, the
+      // IndexStore stats discipline (temp + rename, overwrite replay)
+      dsirObs.foreach { case (obs, _) =>
+        val m = obs.get
+        val nScored = m("n_scored").asInstanceOf[Long]
+        val nPassed = m("n_passed") match {
+          case null => 0L // empty batch: the conditional sum is null
+          case x: java.lang.Long => x.longValue()
+        }
+        val meanLogw = m("mean_logw") match {
+          case null => "null"
+          case x: java.lang.Double => x.toString
+        }
+        val statsDir = new Path(s"${dsirStatsDirOf(dataDir)}/batch_id=$batchId")
+        fs.delete(statsDir, true)
+        val tmp = new Path(statsDir, ".stats.json.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(
+          (s"""{"n_scored":$nScored,"n_passed":$nPassed,""" +
+            s""""mean_logw":$meanLogw}""" + "\n").getBytes("UTF-8"))
+        finally out.close()
+        require(fs.rename(tmp, new Path(statsDir, "stats.json")),
+          s"CurateStream: landing $statsDir/stats.json failed")
+      }
       // curation deletes PROPAGATE to the ANN index (opt-in): every
       // doc_id this batch rejected — within-batch dup copies, docs an
       // earlier batch's keys/bands suppress, quality failures — lands
@@ -337,6 +376,13 @@ object CurateStream {
   private def bandsDirOf(dataDir: String): String = {
     val p = new Path(dataDir)
     new Path(p.getParent, "_bands").toString
+  }
+
+  /** The DSIR gate's drift-telemetry store, another data-store sibling:
+    * one 1-line JSON per batch under `batch_id=N/stats.json`. */
+  private[streaming] def dsirStatsDirOf(dataDir: String): String = {
+    val p = new Path(dataDir)
+    new Path(p.getParent, "_dsir_stats").toString
   }
 
   /** `compactEvery` > 0 auto-compacts the key/band stores every that
@@ -675,6 +721,88 @@ object CurateStream {
        |  AND doc_id IN (SELECT doc_id FROM dsirok)
        |ORDER BY doc_id""".stripMargin
 
+  /** The DSIR gate's DRIFT TELEMETRY as a driver-oracled row (VERDICT
+    * r16 #4): λ is frozen by design, so the gate needs an instrument
+    * that says when the raw stream no longer looks like the fit corpus
+    * — the rebuild-decision input `x2_index_stats` provides for the
+    * index tier. Per batch, the gate pass itself (observe(), zero
+    * extra jobs) lands n_scored / n_passed / mean logw beside the data
+    * store; this row streams the three ordered drops through the gated
+    * pipeline and reads the persisted telemetry back. The oracle
+    * restates it from the batch SQL: a SCORED doc is a quality-passing
+    * keep-first survivor, where a group whose (text-determined) logw
+    * clears the gate is scored exactly once — in its global min
+    * member's batch, later dups being key-store-suppressed — while a
+    * gated-OUT group is re-scored by each batch that contains a member
+    * (rejection is recomputed, not remembered: the gate-parity
+    * contract). Empty batches are filtered on both sides (the
+    * xs_pack_stats empty-third discipline). */
+  private def xsDsirDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val dsirDir = graft.operators.TokenizerStore.ensureTokenizerFor(spark,
+      s"$dir/documents.parquet", "dsir-en-a05",
+      d => Curation.trainDsir(docs, col("lang") === "en", d))
+    val root = threeOrderedDrops(docs, "xs-dsir-drift") { root =>
+      runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck",
+        dsirGate = Some((dsirDir, 0.0)))
+    }
+    spark.read
+      .schema("n_scored BIGINT, n_passed BIGINT, mean_logw DOUBLE, batch_id BIGINT")
+      .json(dsirStatsDirOf(s"$root/out/data"))
+      .filter(col("n_scored") > 0)
+      .select(col("batch_id"), col("n_scored"), col("n_passed"),
+        (col("n_passed").cast("double") / col("n_scored")).as("pass_rate"),
+        col("mean_logw"))
+      .orderBy(col("batch_id"))
+  }
+
+  /** Scored-set restatement: `keep`/`rep` are the batch curation CTEs
+    * (quality is a function of the NORMALIZED text, so every member of
+    * an exact-dup group passes or fails identically — as does the
+    * gate); gate-passing groups contribute their min member's batch
+    * once, gate-failing groups one row per batch holding a member. */
+  private val xsDsirDriftSql =
+    s"""WITH keep AS (
+       |  SELECT trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS k,
+       |    MIN(doc_id) AS doc_id
+       |  FROM documents GROUP BY 1),
+       |rep AS (
+       |  SELECT doc_id, len(w) AS n_words,
+       |    (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE) AS dwf
+       |  FROM (SELECT doc_id,
+       |          string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') w
+       |        FROM documents WHERE doc_id IN (SELECT doc_id FROM keep))),
+       |${Curation.dsirWeightsCte},
+       |bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+       |memb AS (
+       |  SELECT d.doc_id,
+       |    trim(lower(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS k,
+       |    CASE WHEN d.doc_id <= lo + (hi - lo) // 3 THEN 0
+       |         WHEN d.doc_id <= lo + 2 * ((hi - lo) // 3) THEN 1
+       |         ELSE 2 END AS batch_id
+       |  FROM documents d CROSS JOIN bounds),
+       |qual AS (
+       |  SELECT kp.k, kp.doc_id AS min_id, w.logw
+       |  FROM keep kp JOIN rep r ON r.doc_id = kp.doc_id
+       |  JOIN wts w ON w.doc_id = kp.doc_id
+       |  WHERE r.n_words >= 30 AND r.dwf <= 0.5),
+       |scored AS (
+       |  SELECT m.batch_id, q.logw
+       |  FROM qual q JOIN memb m ON m.k = q.k
+       |  WHERE q.logw >= 0.0 AND m.doc_id = q.min_id
+       |  UNION ALL
+       |  SELECT batch_id, logw FROM (
+       |    SELECT DISTINCT m.batch_id, q.k, q.logw
+       |    FROM qual q JOIN memb m ON m.k = q.k
+       |    WHERE q.logw < 0.0))
+       |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+       |  COUNT(*) AS n_scored,
+       |  SUM(CASE WHEN logw >= 0.0 THEN 1 ELSE 0 END) AS n_passed,
+       |  CAST(SUM(CASE WHEN logw >= 0.0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS pass_rate,
+       |  AVG(logw) AS mean_logw
+       |FROM scored GROUP BY batch_id ORDER BY batch_id""".stripMargin
+
   /** Quality signals AT INGEST: [[graft.operators.Curation.signalTable]]
     * computed per micro-batch and landed under the batch's own
     * partition (overwrite mode — the store-family replay discipline,
@@ -982,6 +1110,7 @@ object CurateStream {
     Declared("xs_curate_stream", xsCurateStream, Some(xsCurateStreamSql)),
     Declared("xs_curate_lm_gate", xsCurateLmGate, Some(xsCurateLmGateSql)),
     Declared("xs_curate_dsir_gate", xsCurateDsirGate, Some(xsCurateDsirGateSql)),
+    Declared("xs_dsir_drift", xsDsirDrift, Some(xsDsirDriftSql)),
     Declared("xs_signal_stream", xsSignalStream, Some(xsSignalStreamSql)),
     Declared("xs_curate_stream_neardup", xsCurateStreamNeardup, Some(xsCurateStreamNeardupSql)),
     Declared("xs_curate_index", xsCurateIndex, Some(xsCurateIndexSql)),

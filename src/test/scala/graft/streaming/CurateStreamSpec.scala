@@ -558,6 +558,39 @@ class CurateStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("dsir drift telemetry: a drop shifted away from the fit corpus moves " +
+      "mean_logw and the gate pass-rate down, with zero extra jobs") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val root = java.nio.file.Files.createTempDirectory("curate-dsirdrift").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ck = s"$root/ck"
+    val dsirDir = graft.operators.TokenizerStore.ensureTokenizerFor(spark,
+      s"${sf("sf0.001")}/documents.parquet", "dsir-en-a05",
+      d => graft.operators.Curation.trainDsir(docs, col("lang") === "en", d))
+    def pass() = CurateStream.runOnce(spark, s"$inDir/*", outDir, ck,
+      dsirGate = Some((dsirDir, 0.0)))
+    // drop 0: target-like (en) docs; drop 1: the non-target slice — the
+    // drifted stream the frozen λ was NOT fit to favor
+    docs.filter($"lang" === "en").coalesce(1).write.parquet(s"$inDir/d0.parquet")
+    pass()
+    docs.filter($"lang" =!= "en").coalesce(1).write.parquet(s"$inDir/d1.parquet")
+    pass()
+    val stats = spark.read
+      .schema("n_scored BIGINT, n_passed BIGINT, mean_logw DOUBLE, batch_id BIGINT")
+      .json(CurateStream.dsirStatsDirOf(s"$outDir/data"))
+      .select($"batch_id", $"n_scored", $"n_passed", $"mean_logw")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(stats.length == 2, s"expected one stats row per batch, got ${stats.toSeq}")
+    val Array((_, n0, p0, m0), (_, n1, p1, m1)) = stats
+    assert(n0 > 0 && n1 > 0, s"degenerate fixture split: $n0 / $n1 scored")
+    assert(m0 > m1,
+      f"drifted drop did not move mean_logw: en $m0%.3f vs non-en $m1%.3f")
+    assert(p0.toDouble / n0 > p1.toDouble / n1,
+      s"drifted drop did not move the pass-rate: $p0/$n0 vs $p1/$n1")
+    // replay convergence: re-running the same batch overwrites in place
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   /** 50 phrases from a shared 40-phrase pool (100 words): bigrams repeat
     * ACROSS docs, so a bigram LM trained on the corpus scores regular
     * docs low and all-unique gibberish high; distinct phrase orders keep
