@@ -145,7 +145,142 @@ object Layout {
        |LIMIT 1000""".stripMargin
   }
 
+  /** Write `laid` plus a PER-FILE min/max stats manifest for (x, y)
+    * under `dir/_file_stats` — the Iceberg/Delta file-statistics
+    * discipline that turns a clustered layout into actual scan
+    * pruning. Vanilla Spark lists every file of a parquet table and
+    * relies on row-group-level footer pruning inside the reader; a
+    * stats manifest lets the PLANNER skip whole files whose bounding
+    * box misses the predicate, which is the entire payoff of paying
+    * for a Z-order/Hilbert re-layout. The manifest is one tiny parquet
+    * (file-count rows — the layout pass's `files` knob, never
+    * data-sized) recomputed by one aggregate over the written files
+    * (`_metadata.file_path` keys it); `_`-prefixed, so plain readers
+    * of `dir` never see it. */
+  def writeWithFileStats(laid: DataFrame, x: String, y: String, dir: String): Unit = {
+    laid.write.mode("overwrite").parquet(dir)
+    val spark = laid.sparkSession
+    spark.read.parquet(dir)
+      .select(col(x).cast(LongType).as("x"), col(y).cast(LongType).as("y"),
+        col("_metadata.file_path").as("file"))
+      .groupBy(col("file"))
+      .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_file_stats")
+  }
+
+  /** Stats-pruned scan: consult the manifest, read ONLY the files
+    * whose (x, y) bounding box intersects `[xLo,xHi]×[yLo,yHi]`, and
+    * report (matching files, total files) alongside. The manifest
+    * collect is file-count-bounded by construction (the documented
+    * bounded-collect class: at 100 TB a layout still has a CHOSEN file
+    * count per partition-run, and Iceberg plans exactly this way —
+    * manifests on the driver, data never). Callers still apply the
+    * row-level predicate: file stats prune, they do not filter. */
+  def prunedScan(spark: SparkSession, dir: String, x: String, y: String,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): (Option[DataFrame], Long, Long) = {
+    val stats = spark.read
+      .schema("file STRING, min_x BIGINT, max_x BIGINT, min_y BIGINT, max_y BIGINT")
+      .parquet(s"$dir/_file_stats").collect()
+    val keep = stats.filter { r =>
+      !(r.getLong(2) < xLo || r.getLong(1) > xHi ||
+        r.getLong(4) < yLo || r.getLong(3) > yHi)
+    }.map(_.getString(0))
+    val df = if (keep.isEmpty) None else Some(spark.read.parquet(keep.toSeq: _*))
+    (df, keep.length.toLong, stats.length.toLong)
+  }
+
+  // ----------------------------------------------------------- declared
+  /** The LAYOUT PAYOFF, engine-checked (VERDICT r16 #6): `LayoutSpec`
+    * shows tighter bounding boxes; this row shows the product claim —
+    * FILES SKIPPED under min/max stats pruning. lineitem is laid out
+    * three ways into 16 files each (single-column sort on l_partkey;
+    * Z-order and Hilbert on (l_partkey, l_suppkey)), each with a file
+    * stats manifest, cached as a warehouse artifact (the build is the
+    * one-time compaction pass). Two box predicates probe each layout:
+    * an x-box (partkey in the lowest eighth) and a y-box (suppkey in
+    * the lowest eighth). Engine-computed floors: the single-column
+    * sort prunes the sorted dimension hard (≤ 4/16 read) but reads
+    * essentially everything for the y-box (≥ 12/16 — every file spans
+    * the full suppkey range: the failure that motivates 2-D layout);
+    * Z-order/Hilbert prune BOTH boxes to ≤ 8/16. `rows_ok` pins
+    * correctness: the pruned scan + row predicate returns exactly the
+    * full-scan count — a manifest bug that skips a needed file flips
+    * it red. Floors hold at every fixture SF (measured 2-4/16 for the
+    * pruned cases; headroom ≥ 2×). */
+  private def xlPruneFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nFiles = 16
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_partkey"), col("l_suppkey"))
+    val r = li.agg(min(col("l_partkey").cast(LongType)),
+      max(col("l_partkey").cast(LongType)),
+      min(col("l_suppkey").cast(LongType)),
+      max(col("l_suppkey").cast(LongType))).head
+    val (xLo, xHi) = (r.getLong(0), r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 8)
+    val (yLo, yHi) = (r.getLong(2), r.getLong(2) + (r.getLong(3) - r.getLong(2)) / 8)
+    val (xMin, xMax) = (r.getLong(0), r.getLong(1))
+    val (yMin, yMax) = (r.getLong(2), r.getLong(3))
+    def laidDir(name: String, laid: => DataFrame): String =
+      IndexStore.ensureArtifactFor(spark, s"$dir/lineitem.parquet",
+        s"li-$name-f$nFiles", "layout", "v2",
+        d => writeWithFileStats(laid, "l_partkey", "l_suppkey", s"$d/data"))
+    // Interleave NORMALIZED dimensions (each min/max-scaled to 8 bits),
+    // not raw values — the detail production Z-order gets right (Delta
+    // range-partitions every ZORDER BY column before interleaving). On
+    // a wildly anisotropic key space — sf0.001 is 200 partkeys × 10
+    // suppkeys — raw interleaving puts only the wide dimension's bits
+    // in the high positions, the curve degenerates into a plain x-sort,
+    // and the y-box prunes NOTHING (measured: 16/16 files read).
+    // Normalized, both dims contribute equally: 16 files ≈ a 4×4 grid.
+    def norm(c: String, lo: Long, hi: Long) =
+      (col(c).cast(LongType) - lo) * 255L / math.max(1L, hi - lo)
+    val liN = li.withColumn("nx", norm("l_partkey", xMin, xMax))
+      .withColumn("ny", norm("l_suppkey", yMin, yMax))
+    val dirs = Seq(
+      "hilbert" -> laidDir("hilbert",
+        layoutByHilbert(liN, "nx", "ny", nFiles).drop("nx", "ny")),
+      "single" -> laidDir("single",
+        li.repartitionByRange(nFiles, col("l_partkey"))
+          .sortWithinPartitions(col("l_partkey"))),
+      "zorder" -> laidDir("zorder",
+        layoutByZorder(liN, "nx", "ny", nFiles).drop("nx", "ny")))
+    val preds = Seq(
+      // (name, box, row predicate, full-scan row count)
+      ("xbox", (xLo, xHi, yMin, yMax),
+        col("l_partkey").between(xLo, xHi)),
+      ("ybox", (xMin, xMax, yLo, yHi),
+        col("l_suppkey").between(yLo, yHi)))
+    val fullCounts = preds.map { case (name, _, p) => name -> li.filter(p).count() }.toMap
+    val rows = for {
+      (layout, d) <- dirs
+      (pred, (bxLo, bxHi, byLo, byHi), p) <- preds
+    } yield {
+      val (df, nRead, nTotal) = prunedScan(spark, s"$d/data",
+        "l_partkey", "l_suppkey", bxLo, bxHi, byLo, byHi)
+      val got = df.map(_.filter(p).count()).getOrElse(0L)
+      val boundOk = (layout, pred) match {
+        case ("single", "xbox") => nRead <= 4 // sorted dim prunes hard
+        case ("single", "ybox") => nRead >= 12 // un-sorted dim: ~no pruning
+        case _ => nRead <= 8 // 2-D layouts prune EITHER dim
+      }
+      (layout, pred, nTotal, boundOk, got == fullCounts(pred))
+    }
+    rows.toDF("layout", "pred", "n_files", "bound_ok", "rows_ok")
+      .orderBy(col("layout"), col("pred"))
+  }
+
+  private val xlPruneFilesSql =
+    """SELECT layout, pred, CAST(16 AS BIGINT) AS n_files,
+      |  TRUE AS bound_ok, TRUE AS rows_ok
+      |FROM (VALUES ('hilbert'), ('single'), ('zorder')) AS l(layout)
+      |CROSS JOIN (VALUES ('xbox'), ('ybox')) AS p(pred)
+      |ORDER BY layout, pred""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("xl_zorder_key", xlZorder, Some(xlZorderSql)),
-    Declared("xl_hilbert_key", xlHilbert, Some(xlHilbertSql)))
+    Declared("xl_hilbert_key", xlHilbert, Some(xlHilbertSql)),
+    Declared("xl_prune_files", xlPruneFiles, Some(xlPruneFilesSql)))
 }

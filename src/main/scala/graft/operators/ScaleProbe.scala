@@ -176,6 +176,21 @@ object ScaleProbe {
         Curation.gopherRepetition(docs)
           .agg(sum(col("dup5_frac")), sum(col("top2_frac"))).head())
 
+      // pack tier (VERDICT r16 #7): the two most expensive batch rows
+      // had no amplified-scale datapoint. packIds encodes against the
+      // BASE fixture's FROZEN tokenizer (the production cadence — the
+      // artifact is fingerprint-keyed to the base corpus, trained once)
+      // so the probe times packing, not training; substringKeepBest is
+      // the capped-run posting join + CC + argmax composition whose
+      // candidate set must grow ~linearly under the run cap.
+      val tokDir = TokenizerStore.ensureTokenizerFor(spark,
+        s"$base/documents.parquet", "bpe-r8v256",
+        d => TokenizerStore.trainBpe(Tables.load(spark, base, "documents"), d, 8, 256))
+      val (packSeqs, packSec) = timed(Curation.packIds(docs, tokDir).count())
+      val (subKept, subSec) = timed(
+        Curation.substringKeepBest(docs, 24, maxRun = 4)
+          .filter(col("kept")).count())
+
       // semantic-dedup co-location fraction with AUTO nlist (~√n): the
       // fraction of all-pairs space that lands in a shared IVF cluster
       // must FALL as the corpus grows (≈ nassign²/√n), not stay flat —
@@ -198,7 +213,9 @@ object ScaleProbe {
         f""""ann_lsh_cand":$lshCand,"ann_lsh_frac":${lshCand / pairSpace}%.4f,"ann_lsh_sec":$lshSec%.2f,""" +
         f""""ann_ivf_cand":$ivfCand,"ann_ivf_frac":${ivfCand / pairSpace}%.4f,"ann_ivf_sec":$ivfSec%.2f,""" +
         f""""sem_auto_nlist":$autoNl,"sem_auto_cand":$semCand,"sem_auto_frac":${semCand / allPairs}%.4f,"sem_auto_sec":$semSec%.2f,""" +
-        f""""pipeline_sec":$pipeSec%.2f,"dsir_sec":$dsirSec%.2f,"gopher_rep_sec":$gopherSec%.2f}""")
+        f""""pipeline_sec":$pipeSec%.2f,"dsir_sec":$dsirSec%.2f,"gopher_rep_sec":$gopherSec%.2f,""" +
+        f""""pack_seqs":$packSeqs,"pack_sec":$packSec%.2f,""" +
+        f""""sub_keepbest_kept":$subKept,"sub_keepbest_sec":$subSec%.2f}""")
     }
     spark.stop()
   }

@@ -90,6 +90,24 @@ class LayoutSpec extends SparkSpec {
     assert(hArea <= 512.0, s"hilbert mean box area $hArea")
   }
 
+  test("file-stats manifest pruning skips non-intersecting files and never loses rows") {
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("fstats").toString + "/data"
+    Layout.writeWithFileStats(Layout.layoutByZorder(df, "x", "y", 16), "x", "y", dir)
+    // plain readers of the data dir never see the _-prefixed manifest
+    assert(spark.read.parquet(dir).count() == 4096)
+    // a corner box prunes most files; the pruned scan + row predicate
+    // returns exactly the full-scan rows (no needed file skipped)
+    val (pruned, nRead, nTotal) = Layout.prunedScan(spark, dir, "x", "y", 0, 7, 0, 7)
+    assert(nTotal == 16 && nRead < 16, s"read $nRead of $nTotal")
+    val p = $"x".between(0, 7) && $"y".between(0, 7)
+    assert(pruned.get.filter(p).count() == df.filter(p).count())
+    // a box fully outside the data reads NOTHING
+    val (none, n0, _) = Layout.prunedScan(spark, dir, "x", "y", 100, 120, 0, 63)
+    assert(none.isEmpty && n0 == 0)
+  }
+
   test("optimizeZorder maintenance pass: in-place rewrite, same rows, crash backup recovered") {
     import graft.streaming.Maintenance
     val root = java.nio.file.Files.createTempDirectory("zopt").toString
