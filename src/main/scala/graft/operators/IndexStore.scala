@@ -796,6 +796,37 @@ object IndexStore {
       routes, cents, books, sub, topK)
   }
 
+  /** [[searchIvfPq]] with the starved-probe remedy BUILT IN — the
+    * production serve path for filtered retrieval: run at `nprobe`,
+    * and for exactly the probes that came back with fewer than `topK`
+    * rows (a selective ID selector can exhaust a probe's pruned
+    * clusters — the documented pre-filter tradeoff), re-run with NO
+    * cluster pruning (nprobe = nlist) and serve the widened ranking
+    * for those probes only. Non-starved probes keep their pruned
+    * results untouched, so the fast path pays nothing; the widened
+    * re-query is per-starved-probe work, the recall-recovery shape the
+    * ANN bound rows measure. Per-probe results are independent, so the
+    * composition is exactly "narrow where sufficient, full-scan where
+    * starved" — which is what the oracle replays. */
+  def searchIvfPqAutoWiden(spark: SparkSession, dir: String, probes: DataFrame,
+      nprobe: Int = 4, topK: Int = 5,
+      idSelector: Option[DataFrame] = None): DataFrame = {
+    val man = readManifest(spark, dir)
+    val (nlist, _, _, _, _, _) = loadCached(spark, dir, man.nonce)
+    val narrow = searchIvfPq(spark, dir, probes, nprobe, topK, idSelector)
+    // probes with NO rows at all are absent from narrow — count against
+    // the full probe set, not the result
+    val starvedIds = probes.select(col("vec_id").as("probe_id"))
+      .join(narrow.groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("_nr")), Seq("probe_id"), "left")
+      .filter(coalesce(col("_nr"), lit(0L)) < topK)
+      .select(col("probe_id"))
+    val starvedProbes = probes.join(
+      starvedIds.withColumnRenamed("probe_id", "vec_id"), Seq("vec_id"), "left_semi")
+    val widened = searchIvfPq(spark, dir, starvedProbes, nlist, topK, idSelector)
+    narrow.join(starvedIds, Seq("probe_id"), "left_anti").unionByName(widened)
+  }
+
   // ----------------------------------------------------------- declared
   /** Build-once/query-many as a driver-checked row: builds the index
     * into a fingerprint-keyed warehouse dir (re-used across passes, the
@@ -1030,6 +1061,42 @@ object IndexStore {
       |  TRUE AS recovered_ok
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
+  /** The auto-widen serve path VALUE-CHECKED (not just bounded): the
+    * same starvation-prone shape as `x2_ivfpq_filtered_starved` served
+    * through [[searchIvfPqAutoWiden]] with a 20-id selector sized so
+    * the fixture starves SOME probes and not others — both branches of
+    * the adaptive path land in one result. The DuckDB oracle replays
+    * the full composition: the IVFADC chain at nprobe=4, the per-probe
+    * row count against the whole probe set, and the nprobe=nlist
+    * replay swapped in for exactly the starved probes — every (probe,
+    * neighbor, rank, adist) tuple hash-matched. */
+  private[operators] def x2IvfPqFilteredAutowiden(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb-n16m4k16",
+      d => buildIvfPq(graft.core.Tables.load(spark, dir, "embeddings"), d, 16, 4, 16, 1))
+    searchIvfPqAutoWiden(spark, ixDir, emb.filter(col("vec_id") < 10), 4, 5,
+        idSelector = Some(emb.filter(col("vec_id") < 20).select(col("vec_id"))))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  private val x2IvfPqFilteredAutowidenSql = {
+    val narrow = Similarity.ivfPqSearchSqlWith(serveWhere = "WHERE a.vec_id < 20")
+    val wide = Similarity.ivfPqSearchSqlWith(serveWhere = "WHERE a.vec_id < 20",
+      nprobe = 16)
+    s"""WITH narrow AS (SELECT * FROM ($narrow)),
+       |wide AS (SELECT * FROM ($wide)),
+       |pset AS (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id < 10),
+       |cnt AS (SELECT p.probe_id, COUNT(n.vec_id) AS c
+       |        FROM pset p LEFT JOIN narrow n USING (probe_id) GROUP BY 1),
+       |starved AS (SELECT probe_id FROM cnt WHERE c < 5)
+       |SELECT probe_id, vec_id, rnk, adist FROM narrow
+       |WHERE probe_id NOT IN (SELECT probe_id FROM starved)
+       |UNION ALL
+       |SELECT probe_id, vec_id, rnk, adist FROM wide
+       |WHERE probe_id IN (SELECT probe_id FROM starved)
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
+
   /** The drift monitor as a driver-checked row: build on the first half
     * of the corpus (batch 0 trains), append the second half against the
     * FROZEN codebooks (batch 1 — the [[appendIvfPq]] contract), then
@@ -1091,6 +1158,8 @@ object IndexStore {
       Some(x2IvfPqFilteredTombstonedSql)),
     Declared("x2_ivfpq_filtered_starved", x2IvfPqFilteredStarved,
       Some(x2IvfPqFilteredStarvedSql)),
+    Declared("x2_ivfpq_filtered_autowiden", x2IvfPqFilteredAutowiden,
+      Some(x2IvfPqFilteredAutowidenSql)),
     Declared("x2_ivfpq_rebuilt", x2IvfPqRebuilt, Some(Similarity.x2IvfPqSearchSql)),
     Declared("x2_ivfpq_deleted", x2IvfPqDeleted, Some(x2IvfPqDeletedSql)),
     Declared("x2_ivfpq_tombstoned", x2IvfPqTombstoned, Some(x2IvfPqDeletedSql)),

@@ -159,16 +159,27 @@ object Layout {
     * of `dir` never see it. */
   def writeWithFileStats(laid: DataFrame, x: String, y: String, dir: String): Unit = {
     laid.write.mode("overwrite").parquet(dir)
-    val spark = laid.sparkSession
+    writeFileStats(laid.sparkSession, dir, x, y)
+  }
+
+  /** (Re)build just the manifest over an already-written table — the
+    * maintenance entry point ([[graft.streaming.Maintenance]]'s
+    * re-layout passes refresh stats through this, writing them into
+    * the staged directory BEFORE the atomic swap so data and manifest
+    * can never be observed out of sync). */
+  def writeFileStats(spark: SparkSession, dir: String, x: String, y: String): Unit =
     spark.read.parquet(dir)
       .select(col(x).cast(LongType).as("x"), col(y).cast(LongType).as("y"),
-        col("_metadata.file_path").as("file"))
+        // store the BASENAME, not the absolute path: the maintenance
+        // passes build the manifest in a staged directory that is then
+        // atomically renamed into place, and an absolute path would go
+        // stale across the swap (and across any table move)
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("file"))
       .groupBy(col("file"))
       .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
         min(col("y")).as("min_y"), max(col("y")).as("max_y"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_file_stats")
-  }
 
   /** Stats-pruned scan: consult the manifest, read ONLY the files
     * whose (x, y) bounding box intersects `[xLo,xHi]×[yLo,yHi]`, and
@@ -186,7 +197,7 @@ object Layout {
     val keep = stats.filter { r =>
       !(r.getLong(2) < xLo || r.getLong(1) > xHi ||
         r.getLong(4) < yLo || r.getLong(3) > yHi)
-    }.map(_.getString(0))
+    }.map(r => s"$dir/${r.getString(0)}") // manifest stores basenames
     val df = if (keep.isEmpty) None else Some(spark.read.parquet(keep.toSeq: _*))
     (df, keep.length.toLong, stats.length.toLong)
   }
@@ -225,7 +236,7 @@ object Layout {
     val (yMin, yMax) = (r.getLong(2), r.getLong(3))
     def laidDir(name: String, laid: => DataFrame): String =
       IndexStore.ensureArtifactFor(spark, s"$dir/lineitem.parquet",
-        s"li-$name-f$nFiles", "layout", "v2",
+        s"li-$name-f$nFiles", "layout", "v3",
         d => writeWithFileStats(laid, "l_partkey", "l_suppkey", s"$d/data"))
     // Interleave NORMALIZED dimensions (each min/max-scaled to 8 bits),
     // not raw values — the detail production Z-order gets right (Delta

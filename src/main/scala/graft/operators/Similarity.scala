@@ -1464,9 +1464,10 @@ object Similarity {
     * [[IndexStore.deleteIvfPq]] semantics. Defaults reproduce the
     * batch oracle. */
   private[graft] def ivfPqSearchSqlWith(prefix: String = "",
-      trainWhere: String = "", serveWhere: String = "", topK: Int = 5): String = {
+      trainWhere: String = "", serveWhere: String = "", topK: Int = 5,
+      nprobe: Int = 4): String = {
     val (m, k, sub) = (4, 16, 16)
-    val (nlist, nprobe) = (16, 4)
+    val nlist = 16
     def cos(v: String, c: String) =
       s"""(list_dot_product($v, $c) /
          |      (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c))))""".stripMargin

@@ -89,9 +89,9 @@ object Maintenance {
     * the swap window transiently hides the path from concurrent
     * readers. */
   def optimizeZorder(spark: SparkSession, dir: String, x: String, y: String,
-      targetFiles: Int = 1): Int =
+      targetFiles: Int = 1, fileStats: Boolean = false): Int =
     optimizeClustered(spark, dir, x, y, targetFiles,
-      graft.operators.Layout.layoutByZorder)
+      graft.operators.Layout.layoutByZorder, fileStats)
 
   /** [[optimizeZorder]] with the Hilbert key instead — same one-shuffle
     * re-layout and crash-safe swap, tighter per-file boxes (consecutive
@@ -99,13 +99,21 @@ object Maintenance {
     * hilbert ≤ z-order box areas). The Iceberg/ClickHouse trade: a
     * costlier key expression for better range-scan pruning. */
   def optimizeHilbert(spark: SparkSession, dir: String, x: String, y: String,
-      targetFiles: Int = 1): Int =
+      targetFiles: Int = 1, fileStats: Boolean = false): Int =
     optimizeClustered(spark, dir, x, y, targetFiles,
-      graft.operators.Layout.layoutByHilbert)
+      graft.operators.Layout.layoutByHilbert, fileStats)
 
+  /** `fileStats = true` also (re)builds the per-file min/max manifest
+    * ([[graft.operators.Layout.writeFileStats]]) — INSIDE the staged
+    * directory, before the atomic swap, so a reader can never observe
+    * re-laid-out data with a stale manifest (or vice versa). A table
+    * served through [[graft.operators.Layout.prunedScan]] must be
+    * maintained with this on: the swap discards the old manifest with
+    * the old files. */
   private def optimizeClustered(spark: SparkSession, dir: String,
       x: String, y: String, targetFiles: Int,
-      relayout: (org.apache.spark.sql.DataFrame, String, String, Int) => org.apache.spark.sql.DataFrame): Int = {
+      relayout: (org.apache.spark.sql.DataFrame, String, String, Int) => org.apache.spark.sql.DataFrame,
+      fileStats: Boolean = false): Int = {
     val part = new Path(dir)
     val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val name = part.getName
@@ -119,6 +127,8 @@ object Maintenance {
     fs.delete(tmp, true)
     relayout(spark.read.parquet(dir), x, y, targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
+    if (fileStats)
+      graft.operators.Layout.writeFileStats(spark, tmp.toString, x, y)
     require(fs.rename(part, bak), s"swap failed: $part -> $bak")
     require(fs.rename(tmp, part), s"swap failed: $tmp -> $part (backup at $bak)")
     fs.delete(bak, true)

@@ -648,6 +648,39 @@ class IndexStoreSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/state/${man.nonce}").exists())
   }
 
+  test("searchIvfPqAutoWiden: starved probes get the full-list ranking, " +
+      "non-starved keep their pruned results, every probe ends at topK") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-aw").toString
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    IndexStore.buildIvfPq(emb, dir, 16, 4, 16, 1)
+    val probes = emb.filter(col("vec_id") < 10)
+    val sel = Some(emb.filter(col("vec_id") < 20).select(col("vec_id")))
+    val narrow = IndexStore.searchIvfPq(spark, dir, probes, 4, 5, sel)
+    val counts = probes.select(col("vec_id").as("probe_id"))
+      .join(narrow.groupBy("probe_id").count(), Seq("probe_id"), "left")
+      .select(col("probe_id"), coalesce(col("count"), lit(0L)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    val starved = counts.filter(_._2 < 5).keySet
+    // the fixture selector must exercise BOTH branches
+    assert(starved.nonEmpty, "no probe starved: selector not selective enough")
+    assert(starved.size < counts.size, "every probe starved: no fast-path coverage")
+    val got = IndexStore.searchIvfPqAutoWiden(spark, dir, probes, 4, 5, sel)
+      .select($"probe_id", $"rnk", $"vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    // manual composition: narrow where sufficient, nprobe=nlist where starved
+    val wide = IndexStore.searchIvfPq(spark, dir,
+        probes.filter(col("vec_id").isin(starved.toSeq: _*)), 16, 5, sel)
+      .select($"probe_id", $"rnk", $"vec_id").as[(Long, Int, Long)].collect().toSet
+    val keptNarrow = narrow.filter(!col("probe_id").isin(starved.toSeq: _*))
+      .select($"probe_id", $"rnk", $"vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(got == (keptNarrow ++ wide))
+    // recovery: the widened search fills every starved probe to topK
+    val perProbe = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(counts.keySet.forall(p => perProbe.getOrElse(p, 0) == 5),
+      s"not every probe at topK: $perProbe")
+  }
+
   test("unfloored GC honors a floor PROMISED by an earlier sighting: compaction " +
       "between two floored expiry passes cannot void the retention window") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-floor2").toString

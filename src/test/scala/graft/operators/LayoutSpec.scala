@@ -108,6 +108,25 @@ class LayoutSpec extends SparkSpec {
     assert(none.isEmpty && n0 == 0)
   }
 
+  test("optimize with fileStats maintains the pruning manifest across the atomic swap") {
+    import graft.streaming.Maintenance
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    val dir = java.nio.file.Files.createTempDirectory("zstats").toString + "/t"
+    grid.toDF("x", "y").write.parquet(dir)
+    assert(Maintenance.optimizeZorder(spark, dir, "x", "y", 16, fileStats = true) == 16)
+    val (pruned, nRead, nTotal) = Layout.prunedScan(spark, dir, "x", "y", 0, 7, 0, 7)
+    assert(nTotal == 16 && nRead < 16, s"read $nRead of $nTotal after swap")
+    // the manifest stores basenames, so it survived the staged-dir
+    // rename — the pruned read resolves against the FINAL location
+    val p = $"x".between(0, 7) && $"y".between(0, 7)
+    assert(pruned.get.filter(p).count() == 64)
+    // a re-layout at a different file count REFRESHES the manifest
+    assert(Maintenance.optimizeHilbert(spark, dir, "x", "y", 8, fileStats = true) == 8)
+    val (p2, _, total2) = Layout.prunedScan(spark, dir, "x", "y", 0, 7, 0, 7)
+    assert(total2 == 8, s"stale manifest after re-layout: $total2 files")
+    assert(p2.get.filter(p).count() == 64)
+  }
+
   test("optimizeZorder maintenance pass: in-place rewrite, same rows, crash backup recovered") {
     import graft.streaming.Maintenance
     val root = java.nio.file.Files.createTempDirectory("zopt").toString
