@@ -529,9 +529,45 @@ object Curation {
         col("target_tokens"), col("sampled_tokens"), col("weight_ppm"))
   }
 
+  /** Temperature-based language re-balancing — the α-sampling recipe
+    * multilingual pre-training corpora use (Conneau & Lample, NeurIPS
+    * 2019 §3.1; XLM-R; mC4): sample language l with probability
+    * q_l ∝ p_l^α instead of its natural share p_l, so low-resource
+    * languages are up-weighted without flattening to uniform (α = 1 is
+    * natural, α → 0 uniform; 0.3 is the mC4 setting). `boost` = q/p is
+    * the per-language sampling-rate multiplier a sampler applies —
+    * [[sampleByWeight]]'s threshold column is exactly where it plugs
+    * in, and > 1 means up-sampling via [[upsample]]'s repeat semantics.
+    * Plan shape: one groupBy to |langs| rows, two single-row aggregates
+    * cross-joined back — nothing corpus-sized past the first agg, no
+    * collect, the [[domainMix]] posture. */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("_tot"))
+    val withP = counts.crossJoin(tot)
+      .withColumn("p", col("n_docs").cast("double") / col("_tot"))
+    val z = withP.agg(sum(pow(col("p"), alpha)).as("_z"))
+    withP.crossJoin(z)
+      .select(col("lang"), col("n_docs"), col("p"),
+        (pow(col("p"), alpha) / col("_z")).as("q"))
+      .withColumn("boost", col("q") / col("p"))
+      .orderBy(col("lang"))
+  }
+
   private def xcDomainMix(spark: SparkSession, dir: String): DataFrame =
     domainMix(Tables.load(spark, dir, "documents"))
       .orderBy(col("lang"), col("source"))
+
+  private def xcTemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(Tables.load(spark, dir, "documents"))
+
+  private val xcTemperatureMixSql =
+    """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |t AS (SELECT SUM(n_docs) AS tot FROM c),
+      |pp AS (SELECT lang, n_docs, CAST(n_docs AS DOUBLE) / tot AS p FROM c, t),
+      |z AS (SELECT SUM(pow(p, 0.3)) AS z FROM pp)
+      |SELECT lang, n_docs, p, pow(p, 0.3) / z AS q, (pow(p, 0.3) / z) / p AS boost
+      |FROM pp, z ORDER BY lang""".stripMargin
 
   private val xcDomainMixSql =
     """WITH g AS (
@@ -1869,6 +1905,7 @@ object Curation {
     Declared("xc_gopher_repetition", xcGopherRepetition, Some(xcGopherRepetitionSql)),
     Declared("xc_signal_table", xcSignalTable, Some(xcSignalTableSql)),
     Declared("xc_domain_mix", xcDomainMix, Some(xcDomainMixSql)),
+    Declared("xc_temperature_mix", xcTemperatureMix, Some(xcTemperatureMixSql)),
     Declared("xc_sample", xcSample, Some(xcSampleSql)),
     Declared("xc_upsample", xcUpsample, Some(xcUpsampleSql)),
     Declared("xc_quantize", xcQuantize, Some(xcQuantizeSql)),

@@ -814,17 +814,25 @@ object IndexStore {
     val man = readManifest(spark, dir)
     val (nlist, _, _, _, _, _) = loadCached(spark, dir, man.nonce)
     val narrow = searchIvfPq(spark, dir, probes, nprobe, topK, idSelector)
-    // probes with NO rows at all are absent from narrow — count against
-    // the full probe set, not the result
-    val starvedIds = probes.select(col("vec_id").as("probe_id"))
+    // The starved set is PROBE-COUNT-BOUNDED — the query side, small by
+    // definition — so it lands on the driver (the bounded-collect
+    // discipline) and the final plan carries the narrow subtree ONCE
+    // (a lazy starved-id frame would embed it three times: the count,
+    // the anti-join, and the widened probe list). Probes with NO rows
+    // at all are absent from narrow, hence the left join against the
+    // full probe set.
+    val starved = probes.select(col("vec_id").as("probe_id"))
       .join(narrow.groupBy(col("probe_id"))
         .agg(count(lit(1)).as("_nr")), Seq("probe_id"), "left")
       .filter(coalesce(col("_nr"), lit(0L)) < topK)
       .select(col("probe_id"))
-    val starvedProbes = probes.join(
-      starvedIds.withColumnRenamed("probe_id", "vec_id"), Seq("vec_id"), "left_semi")
-    val widened = searchIvfPq(spark, dir, starvedProbes, nlist, topK, idSelector)
-    narrow.join(starvedIds, Seq("probe_id"), "left_anti").unionByName(widened)
+      .collect().map(_.getLong(0)).toSeq
+    if (starved.isEmpty) narrow
+    else {
+      val widened = searchIvfPq(spark, dir,
+        probes.filter(col("vec_id").isin(starved: _*)), nlist, topK, idSelector)
+      narrow.filter(!col("probe_id").isin(starved: _*)).unionByName(widened)
+    }
   }
 
   // ----------------------------------------------------------- declared

@@ -163,6 +163,27 @@ class CurationSpec extends SparkSpec {
     assert(m("small").getLong(4) == 20 && m("small").getLong(5) == 1000000)
   }
 
+  test("temperatureMix: alpha=1 is the natural distribution, low alpha boosts " +
+      "low-resource languages, q stays a distribution") {
+    val d = (1L to 90L).map(i => (i, "t", if (i <= 81) "en" else "sw"))
+      .toDF("doc_id", "text", "lang")
+    // alpha = 1: q = p, boost = 1 everywhere
+    val nat = Curation.temperatureMix(d, alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(nat("en").getDouble(4) - 1.0) < 1e-12)
+    assert(math.abs(nat("sw").getDouble(4) - 1.0) < 1e-12)
+    // alpha = 0.5 on p = (0.9, 0.1): q ∝ (0.9487.., 0.3162..) — the
+    // low-resource language is boosted, the high-resource damped,
+    // and q still sums to 1
+    val t = Curation.temperatureMix(d, alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(t("sw").getDouble(4) > 1.0 && t("en").getDouble(4) < 1.0)
+    assert(math.abs(t("en").getDouble(3) + t("sw").getDouble(3) - 1.0) < 1e-12)
+    // hand-check: q_sw = sqrt(.1)/(sqrt(.9)+sqrt(.1))
+    val qsw = math.sqrt(0.1) / (math.sqrt(0.9) + math.sqrt(0.1))
+    assert(math.abs(t("sw").getDouble(3) - qsw) < 1e-12)
+  }
+
   // ------------------------------------------------------- quantizeInt8
   private def emb(rows: (Long, Array[Float])*) =
     rows.toDF("vec_id", "embedding")
