@@ -80,6 +80,75 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("sim"))
   }
 
+  /** Scalar-quantized retrieval — FAISS `IndexScalarQuantizer`
+    * (QT_8bit) as a Spark verb: the corpus is stored as int8 codes
+    * (4× smaller than float32 — [[Curation.quantizeInt8]]'s per-dim
+    * min/max grid, the same frozen quantizer), and queries score
+    * ASYMMETRICALLY — full-precision probe against dequantized corpus
+    * values (code → lo + q·(hi−lo)/255), the SQ distance-computer
+    * shape that keeps all the probe's precision. Between PQ (32×, ADC
+    * tables) and raw float (1×), this is the middle storage tier
+    * production indexes actually deploy for re-rankable shortlists.
+    * One map-only dequantize pass + the [[cosineTopK]] broadcast
+    * top-k; the (mn, mx) grid is dim-bounded driver state broadcast
+    * like PQ codebooks. Dequantization is value-replayable, so the
+    * whole ranking hash-matches a DuckDB oracle — no recall bound
+    * needed. */
+  def sq8TopK(emb: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (mn, mx) = Curation.dimMinMax(emb)
+    val bc = spark.sparkContext.broadcast((mn, mx))
+    val deq = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val (bmn, bmx) = bc.value
+        val d = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) {
+          val lo = bmn(i); val hi = bmx(i)
+          d(i) = if (hi == lo) lo
+            else lo + math.floor((v(i).toDouble - lo) * 255.0 / (hi - lo)) * (hi - lo) / 255.0
+          i += 1
+        }
+        (id, d)
+      }.toDF("vec_id", "embedding")
+    cosineTopK(deq, probes, k)
+  }
+
+  private def x2Sq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    sq8TopK(emb, emb.filter(col("vec_id") < 10), 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** [[x2BruteSql]] with the corpus side dequantized through the same
+    * per-dim grid — asymmetric: probes stay full-precision. */
+  private val x2Sq8TopKSql = {
+    val sim = """list_dot_product(CAST(p.embedding AS DOUBLE[]), c.dvec) /
+      |      (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(c.dvec, c.dvec)))""".stripMargin
+    s"""WITH d AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+       |         unnest(embedding)::DOUBLE AS v
+       |  FROM embeddings),
+       |mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM d GROUP BY dim),
+       |dq AS (
+       |  SELECT vec_id,
+       |    list(CASE WHEN mx = mn THEN mn
+       |         ELSE mn + floor((v - mn) * 255 / (mx - mn)) * (mx - mn) / 255.0 END
+       |         ORDER BY dim) AS dvec
+       |  FROM d JOIN mm USING (dim) GROUP BY vec_id)
+       |SELECT probe_id, rnk, neighbor_id, sim FROM (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    $sim AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+       |      $sim DESC,
+       |      c.vec_id) AS rnk
+       |  FROM embeddings p JOIN dq c ON p.vec_id < 10 AND c.vec_id <> p.vec_id) t
+       |WHERE rnk <= 5
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
+
   // ------------------------------------------------------ LSH-bucketed
   /** Deterministic random hyperplanes (seed 42), dim × planes. */
   private[operators] def hyperplanes(dim: Int, planes: Int, seed: Long = 42L): Array[Array[Double]] = {
@@ -1544,6 +1613,7 @@ object Similarity {
     Declared("x2_ivfpq_filtered", x2IvfPqFiltered, Some(x2IvfPqFilteredSql)),
     Declared("x2_ivfpq_refined", x2IvfPqRefined, Some(x2IvfPqRefinedSql)),
     Declared("x2_cosine_topk", x2Brute, Some(x2BruteSql)),
+    Declared("x2_sq8_topk", x2Sq8TopK, Some(x2Sq8TopKSql)),
     Declared("x2_ann_lsh", x2Ann, Some(annBoundSql)),
     Declared("x2_ann_ivf", x2Ivf, Some(annBoundSql)),
     Declared("x2_ann_ivf_prod", x2IvfProd, Some(x2IvfProdSql)),

@@ -17,6 +17,28 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getLong(2) == 1L && top.head.getDouble(3) > 0.99)
   }
 
+  test("sq8TopK: quantization is real (sims move) yet top-k recall vs brute stays high") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val emb = (0L to 60L).map(_ -> vec()).toDF("vec_id", "embedding")
+    val probes = emb.filter($"vec_id" < 5)
+    val brute = Similarity.cosineTopK(emb, probes, 5)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.sq8TopK(emb, probes, 5)
+    val sqPairs = sq.select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // int8 on a [min,max] grid is a fine quantizer: recall@5 stays high
+    val recall = (sqPairs & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"sq8 recall $recall")
+    // but it IS lossy — the similarity values must have moved
+    val bruteSims = Similarity.cosineTopK(emb, probes, 5)
+      .select($"probe_id", $"neighbor_id", $"sim").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val moved = sq.select($"probe_id", $"neighbor_id", $"sim").as[(Long, Long, Double)]
+      .collect().count(t => bruteSims.get((t._1, t._2)).exists(b => b != t._3))
+    assert(moved > 0, "sq8 sims identical to full precision: quantization is a no-op")
+  }
+
   test("ANN-LSH recovers the planted neighbor through bucket pruning") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
