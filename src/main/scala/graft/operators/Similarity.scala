@@ -149,6 +149,75 @@ object Similarity {
        |ORDER BY probe_id, rnk""".stripMargin
   }
 
+  /** The PERSISTED half of the SQ8 tier — build-once/query-many like
+    * [[IndexStore]]'s PQ store, but deliberately lightweight: the
+    * artifact is immutable (grid + codes written once, replaced
+    * wholesale — rebuild-on-drift via the warehouse fingerprint;
+    * incremental maintenance/tombstones are the PQ store's manifest
+    * protocol, not duplicated here). Codes land as BINARY — genuinely
+    * ONE byte per dimension on disk, the 4× storage claim made real,
+    * not an int array wearing a quantized name. */
+  def buildSq8(emb: DataFrame, dir: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (mn, mx) = Curation.dimMinMax(emb)
+    mn.indices.map(i => (i, mn(i), mx(i))).toDF("dim", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/grid")
+    val bc = spark.sparkContext.broadcast((mn, mx))
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val (bmn, bmx) = bc.value
+        val q = new Array[Byte](v.length)
+        var i = 0
+        while (i < v.length) {
+          val lo = bmn(i); val hi = bmx(i)
+          q(i) = (if (hi == lo) 0
+            else math.floor((v(i).toDouble - lo) * 255.0 / (hi - lo)).toInt).toByte
+          i += 1
+        }
+        (id, q)
+      }.toDF("vec_id", "codes")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Serve from the stored codes: the grid is dim-bounded driver state
+    * (the codebook-reload discipline, explicit schemas — no inference
+    * job), dequantize is one map-only pass over the 1-byte-per-dim
+    * codes, and the ranking is [[cosineTopK]]'s broadcast top-k —
+    * bit-identical to the composed [[sq8TopK]], same oracle. */
+  def searchSq8(spark: SparkSession, dir: String, probes: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val grid = spark.read.schema("dim INT, mn DOUBLE, mx DOUBLE")
+      .parquet(IndexStore.requireTable(spark, dir, "grid"))
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    val mn = grid.map(_._2); val mx = grid.map(_._3)
+    val bc = spark.sparkContext.broadcast((mn, mx))
+    val deq = spark.read.schema("vec_id BIGINT, codes BINARY")
+      .parquet(IndexStore.requireTable(spark, dir, "codes"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, q) =>
+        val (bmn, bmx) = bc.value
+        val d = new Array[Double](q.length)
+        var i = 0
+        while (i < q.length) {
+          val lo = bmn(i); val hi = bmx(i)
+          d(i) = if (hi == lo) lo else lo + (q(i) & 0xff) * (hi - lo) / 255.0
+          i += 1
+        }
+        (id, d)
+      }.toDF("vec_id", "embedding")
+    cosineTopK(deq, probes, k)
+  }
+
+  private def x2Sq8Persisted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val ixDir = IndexStore.ensureArtifactFor(spark, s"$dir/embeddings.parquet",
+      "sq8-255", "sq8", "v1",
+      d => buildSq8(Tables.load(spark, dir, "embeddings"), d))
+    searchSq8(spark, ixDir, emb.filter(col("vec_id") < 10), 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   // ------------------------------------------------------ LSH-bucketed
   /** Deterministic random hyperplanes (seed 42), dim × planes. */
   private[operators] def hyperplanes(dim: Int, planes: Int, seed: Long = 42L): Array[Array[Double]] = {
@@ -1614,6 +1683,7 @@ object Similarity {
     Declared("x2_ivfpq_refined", x2IvfPqRefined, Some(x2IvfPqRefinedSql)),
     Declared("x2_cosine_topk", x2Brute, Some(x2BruteSql)),
     Declared("x2_sq8_topk", x2Sq8TopK, Some(x2Sq8TopKSql)),
+    Declared("x2_sq8_persisted", x2Sq8Persisted, Some(x2Sq8TopKSql)),
     Declared("x2_ann_lsh", x2Ann, Some(annBoundSql)),
     Declared("x2_ann_ivf", x2Ivf, Some(annBoundSql)),
     Declared("x2_ann_ivf_prod", x2IvfProd, Some(x2IvfProdSql)),

@@ -39,6 +39,29 @@ class SimilaritySpec extends SparkSpec {
     assert(moved > 0, "sq8 sims identical to full precision: quantization is a no-op")
   }
 
+  test("sq8 persisted store: bit-identical serving from genuinely 1-byte-per-dim codes") {
+    import spark.implicits._
+    val emb = graft.core.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val probes = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("sq8").toString
+    Similarity.buildSq8(emb, dir)
+    // the stored codes are BINARY, one byte per dimension — the 4×
+    // storage claim, checked on the artifact itself
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.schema("codes").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val dim = emb.select(org.apache.spark.sql.functions.size($"embedding"))
+      .as[Int].head()
+    assert(codes.select(org.apache.spark.sql.functions.octet_length($"codes"))
+      .as[Int].head() == dim)
+    // serving from the store is bit-identical to the composed search
+    val got = Similarity.searchSq8(spark, dir, probes, 5)
+      .orderBy($"probe_id", $"rnk").collect().toSeq
+    val want = Similarity.sq8TopK(emb, probes, 5)
+      .orderBy($"probe_id", $"rnk").collect().toSeq
+    assert(got == want)
+  }
+
   test("ANN-LSH recovers the planted neighbor through bucket pruning") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
