@@ -19,6 +19,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Similarity.cosineTopK(noVecs, noVecs, 5).count() == 0)
   }
 
+  test("round-17 operators: empty probes return empty; empty corpus refuses loudly") {
+    import spark.implicits._
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val someVecs = Seq((1L, Array(1f, 2f)), (2L, Array(3f, 1f)))
+      .toDF("vec_id", "embedding")
+    // SQ8 over an empty corpus has no grid to fit — the same loud
+    // refusal as quantizeInt8 / IndexStore.buildIvfPq
+    val e = intercept[IllegalArgumentException] {
+      Similarity.sq8TopK(noVecs, someVecs, 5).count()
+    }
+    assert(e.getMessage.contains("empty embedding corpus"))
+    // empty PROBE set is routine (a scheduler gap): empty result
+    assert(Similarity.sq8TopK(someVecs, noVecs, 5).count() == 0)
+    // temperature mix over nothing is nothing
+    val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(Curation.temperatureMix(noDocs).count() == 0)
+  }
+
   test("round-5 operators on empty input return empty, not exceptions") {
     import spark.implicits._
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")

@@ -272,6 +272,24 @@ class TextAnalysisSpec extends SparkSpec {
       Seq[Byte](1, 2, 3, 4, 5, 6, 10, 20, 30, 40, 50, 60))
   }
 
+  test("PngCodec round-trips randomized images: all widths (bpp edges), " +
+      "all heights, random per-row filter assignments") {
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 1 to 30) {
+      // w = 1 keeps every x < bpp (left neighbor always 0); h = 1 keeps
+      // the up/up-left neighbors 0 — both reconstruction edges
+      val w = 1 + rnd.nextInt(6)
+      val h = 1 + rnd.nextInt(6)
+      val px = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      val filters = Array.fill(h)(rnd.nextInt(5))
+      val img = Multimodal.PngCodec.decode(
+        Multimodal.PngCodec.encodeRgb8(w, h, px, y => filters(y)))
+      assert(img.width == w && img.height == h)
+      assert(img.pixels.toSeq == px.toSeq,
+        s"round-trip mismatch at ${w}x$h filters ${filters.mkString(",")}")
+    }
+  }
+
   test("PngCodec refuses malformed payloads loudly") {
     val px = Array.tabulate[Byte](6 * 3 * 3)(_.toByte)
     val good = Multimodal.PngCodec.encodeRgb8(6, 3, px)
