@@ -55,14 +55,21 @@ object Curation {
     * reproducible anywhere — the property that matters when train/eval
     * membership must never drift between pipeline runs. Map-only.
     */
+  /** md5-bucket and split label as pure column expressions of any id
+    * column — shared by [[hashSplit]] and the operators that derive a
+    * split from an id ALREADY on the row ([[splitLeakage]],
+    * [[splitLeakfree]]) without a label-attach join. */
+  private def md5Bucket(key: Column): Column =
+    substring(md5(key.cast(StringType).cast(BinaryType)), 1, 2)
+  private def splitOf(bucket: Column, trainHi: String, valHi: String): Column =
+    when(bucket < trainHi, "train")
+      .when(bucket < valHi, "val")
+      .otherwise("test")
+
   def hashSplit(docs: DataFrame, trainHi: String = "cd", valHi: String = "e6"): DataFrame =
     docs
-      .withColumn("bucket",
-        substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 2))
-      .withColumn("split",
-        when(col("bucket") < trainHi, "train")
-          .when(col("bucket") < valHi, "val")
-          .otherwise("test"))
+      .withColumn("bucket", md5Bucket(col("doc_id")))
+      .withColumn("split", splitOf(col("bucket"), trainHi, valHi))
 
   private def xcSplit(spark: SparkSession, dir: String): DataFrame =
     hashSplit(Tables.load(spark, dir, "documents"))
@@ -76,6 +83,106 @@ object Curation {
       |       ELSE 'test' END AS split
       |FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
       |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- leak-free split
+  /** Cross-split near-dup leakage audit: how many near-duplicate pairs
+    * straddle the [[hashSplit]] train/val/test boundary. A doc-keyed
+    * hash split IGNORES the duplicate graph, so a test doc's near-twin
+    * can sit in train — eval contamination that survives exact dedup.
+    * This row measures it: near-dup pairs ([[Dedup.neardupMinhash]])
+    * labeled with both endpoints' splits, counted per (split_a,
+    * split_b) cell with `leaked = split_a <> split_b`. At 100 TB the
+    * additional cost over pair mining itself is ZERO joins: the split
+    * is a pure FUNCTION of the id (md5 prefix), so both labels are
+    * computed in place on the pair row, and the aggregate is 9 rows
+    * max. */
+  def splitLeakage(docs: DataFrame): DataFrame =
+    Dedup.neardupMinhash(docs)
+      .withColumn("split_a", splitOf(md5Bucket(col("doc_a")), "cd", "e6"))
+      .withColumn("split_b", splitOf(md5Bucket(col("doc_b")), "cd", "e6"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", col("split_a") =!= col("split_b"))
+
+  private def xcSplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakage(Tables.load(spark, dir, "documents"))
+      .orderBy(col("split_a"), col("split_b"))
+
+  /** Oracle: the exact O(n²) 5-gram Jaccard pair graph (the
+    * x1_neardup_minhash truth) with both endpoints' md5 splits. */
+  private val xcSplitLeakageSql =
+    """WITH s AS (
+      |  SELECT doc_id, CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+      |    ELSE list_distinct([array_to_string(w[i+1:i+5], ' ') for i in range(len(w)-4)]) END sh
+      |  FROM (SELECT doc_id,
+      |          string_split(trim(lower(regexp_replace(text,'\s+',' ','g'))), ' ') w
+      |        FROM documents)),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a JOIN s b
+      |  ON a.doc_id < b.doc_id
+      |   AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      |sp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN b < 'cd' THEN 'train' WHEN b < 'e6' THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b FROM documents))
+      |SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  split_a <> split_b AS leaked
+      |FROM (SELECT sa.split AS split_a, sb.split AS split_b
+      |      FROM p JOIN sp sa ON sa.doc_id = p.doc_a
+      |             JOIN sp sb ON sb.doc_id = p.doc_b) t
+      |GROUP BY split_a, split_b
+      |ORDER BY split_a, split_b""".stripMargin
+
+  /** Leak-FREE split: hash the near-dup COMPONENT, not the doc. Every
+    * doc carries its [[Dedup.dedupClusters]] component label (singleton
+    * docs label themselves), and the md5 split keys on `cluster_id` —
+    * so a whole duplicate family lands in ONE split by construction and
+    * cross-split near-dup leakage is structurally zero (the spec joins
+    * the pair graph against this assignment and asserts the count).
+    * This is the split discipline scaled pipelines actually need:
+    * dedup-then-split still leaks (dedup keeps one PER CLUSTER, but
+    * sub-threshold siblings survive); split-by-component cannot.
+    * Scale: the component pass is the already-bounded pointer-jumping
+    * CC; the split itself stays a map-only projection of the label. */
+  def splitLeakfree(docs: DataFrame): DataFrame =
+    Dedup.dedupClusters(docs.select(col("doc_id"), col("text")),
+        Dedup.neardupMinhash(docs))
+      .withColumn("split", splitOf(md5Bucket(col("cluster_id")), "cd", "e6"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+
+  private def xcSplitLeakfree(spark: SparkSession, dir: String): DataFrame =
+    splitLeakfree(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: the recursive-CTE closure over the exact pair graph (the
+    * x1_dedup_clusters truth) with the md5 split keyed on the
+    * component's minimum doc_id. */
+  private def xcSplitLeakfreeSql: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id, CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+      |    ELSE list_distinct([array_to_string(w[i+1:i+5], ' ') for i in range(len(w)-4)]) END sh
+      |  FROM (SELECT doc_id,
+      |          string_split(trim(lower(regexp_replace(text,'\s+',' ','g'))), ' ') w
+      |        FROM documents)),
+      |e0 AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst FROM s a JOIN s b
+      |  ON a.doc_id < b.doc_id
+      |   AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+      |cl AS (
+      |  SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+      |  FROM reach GROUP BY id)
+      |SELECT doc_id, cluster_id,
+      |  CASE WHEN b < 'cd' THEN 'train' WHEN b < 'e6' THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id, cluster_id,
+      |        substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) AS b FROM cl) t
       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------- benchmark contamination
@@ -553,6 +660,74 @@ object Curation {
       .withColumn("boost", col("q") / col("p"))
       .orderBy(col("lang"))
   }
+
+  /** Token-budget EPOCH PLAN — the planning artifact that turns the
+    * temperature mix into a runnable schedule: given a training budget
+    * of `budgetMultiple` × the corpus's total tokens, each language's
+    * token target is budget × q_l (its α-sampled share, the
+    * [[temperatureMix]] arithmetic inlined), `epochs` = target / owned
+    * tokens, and languages whose up-weighting would repeat data past
+    * `maxEpochs` are FLAGGED (`capped`, with `effective_tokens` the
+    * cap-clipped grant). The report surfaces the conflict — which
+    * low-resource languages the mixture over-asks — rather than
+    * silently renormalizing; redistribution is a policy decision, not
+    * an operator default (the Gopher/LLaMA data-mix planning shape).
+    *
+    * Scale: ONE corpus scan (a single groupBy(lang) carrying doc and
+    * token counts), then |langs|-row arithmetic with two 1-row
+    * broadcast attaches — the [[temperatureMix]] posture with the
+    * token dimension fused into the same pass. The budget is RELATIVE
+    * (× total tokens) so the plan is meaningful at any corpus size;
+    * fixed-token budgets are one `lit` away. */
+  def tokenBudget(docs: DataFrame, budgetMultiple: Double = 2.5,
+      maxEpochs: Int = 3, alpha: Double = 0.3): DataFrame = {
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).as("n_tokens"))
+    val tot = counts.agg(sum(col("n_docs")).as("_tot"),
+      sum(col("n_tokens")).as("_tot_tokens"))
+    val withP = counts.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_docs").cast(DoubleType) / col("_tot"))
+    val z = withP.agg(sum(pow(col("p"), alpha)).as("_z"))
+    withP.crossJoin(broadcast(z))
+      .withColumn("q", pow(col("p"), alpha) / col("_z"))
+      .withColumn("target_tokens",
+        floor(col("_tot_tokens") * lit(budgetMultiple) * col("q")).cast(LongType))
+      .withColumn("epochs",
+        col("target_tokens").cast(DoubleType) / col("n_tokens"))
+      .withColumn("capped", col("epochs") > lit(maxEpochs.toDouble))
+      .withColumn("effective_tokens",
+        least(col("target_tokens"), col("n_tokens") * maxEpochs))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("q"),
+        col("target_tokens"), col("epochs"), col("capped"),
+        col("effective_tokens"))
+  }
+
+  private def xcTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudget(Tables.load(spark, dir, "documents"))
+      .orderBy(col("lang"))
+
+  /** Oracle: the temperature arithmetic inlined over one grouped scan,
+    * every division written in the Spark evaluation order. */
+  private val xcTokenBudgetSql =
+    """WITH c AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |t AS (SELECT SUM(n_docs) AS tot, SUM(n_tokens) AS tot_tokens FROM c),
+      |pp AS (SELECT lang, n_docs, n_tokens, tot_tokens,
+      |         CAST(n_docs AS DOUBLE) / tot AS p FROM c, t),
+      |z AS (SELECT SUM(pow(p, 0.3)) AS z FROM pp),
+      |plan AS (
+      |  SELECT lang, n_docs, n_tokens,
+      |    pow(p, 0.3) / z AS q,
+      |    CAST(floor(tot_tokens * 2.5e0 * (pow(p, 0.3) / z)) AS BIGINT) AS target_tokens
+      |  FROM pp, z)
+      |SELECT lang, n_docs, n_tokens, q, target_tokens,
+      |  CAST(target_tokens AS DOUBLE) / n_tokens AS epochs,
+      |  CAST(target_tokens AS DOUBLE) / n_tokens > 3.0e0 AS capped,
+      |  LEAST(target_tokens, n_tokens * 3) AS effective_tokens
+      |FROM plan ORDER BY lang""".stripMargin
 
   private def xcDomainMix(spark: SparkSession, dir: String): DataFrame =
     domainMix(Tables.load(spark, dir, "documents"))
@@ -1899,6 +2074,8 @@ object Curation {
     Declared("xc_stratified", xcStratified, Some(xcStratifiedSql)),
     Declared("xc_pipeline_full", xcPipelineFull, Some(xcPipelineFullSql)),
     Declared("xc_split", xcSplit, Some(xcSplitSql)),
+    Declared("xc_split_leakage", xcSplitLeakage, Some(xcSplitLeakageSql)),
+    Declared("xc_split_leakfree", xcSplitLeakfree, Some(xcSplitLeakfreeSql)),
     Declared("xc_contamination", xcContamination, Some(xcContaminationSql)),
     Declared("xc_bloom_decontaminate", xcBloomDecontaminate, Some(xcBloomDecontaminateSql)),
     Declared("xc_repetition", xcRepetition, Some(xcRepetitionSql)),
@@ -1906,6 +2083,7 @@ object Curation {
     Declared("xc_signal_table", xcSignalTable, Some(xcSignalTableSql)),
     Declared("xc_domain_mix", xcDomainMix, Some(xcDomainMixSql)),
     Declared("xc_temperature_mix", xcTemperatureMix, Some(xcTemperatureMixSql)),
+    Declared("xc_token_budget", xcTokenBudget, Some(xcTokenBudgetSql)),
     Declared("xc_sample", xcSample, Some(xcSampleSql)),
     Declared("xc_upsample", xcUpsample, Some(xcUpsampleSql)),
     Declared("xc_quantize", xcQuantize, Some(xcQuantizeSql)),

@@ -206,6 +206,15 @@ object ScaleProbe {
           .select(col("vec_a"), col("vec_b")).distinct().count())
       val allPairs = nVecs.toDouble * (nVecs - 1) / 2
 
+      // binary tier (r17): one XOR+popcount per (probe, code) over the
+      // packed 8-byte corpus — the scan-bound floor of the retrieval
+      // ladder, must scale with the corpus scan and nothing else; the
+      // rerank adds a probes×shortlist exact stage whose cost is FIXED
+      // in corpus size, so the composed time must track the scan too.
+      val (_, binSec) = timed(Similarity.binaryTopK(emb, probes, 5, 64).count())
+      val (_, binRrSec) =
+        timed(Similarity.binaryRerank(emb, probes, 50, 5, 64).count())
+
       val pairSpace = nVecs.toDouble * 10 // probes × corpus
       println(f"""{"scale":$m,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
         f""""mh_cand":$mhCand,"mh_pairs":$mhPairs,"mh_cand_per_doc":${mhCand.toDouble / nDocs}%.4f,"mh_sec":$mhSec%.2f,""" +
@@ -215,7 +224,8 @@ object ScaleProbe {
         f""""sem_auto_nlist":$autoNl,"sem_auto_cand":$semCand,"sem_auto_frac":${semCand / allPairs}%.4f,"sem_auto_sec":$semSec%.2f,""" +
         f""""pipeline_sec":$pipeSec%.2f,"dsir_sec":$dsirSec%.2f,"gopher_rep_sec":$gopherSec%.2f,""" +
         f""""pack_seqs":$packSeqs,"pack_sec":$packSec%.2f,""" +
-        f""""sub_keepbest_kept":$subKept,"sub_keepbest_sec":$subSec%.2f}""")
+        f""""sub_keepbest_kept":$subKept,"sub_keepbest_sec":$subSec%.2f,""" +
+        f""""binary_sec":$binSec%.2f,"binary_rerank_sec":$binRrSec%.2f}""")
     }
     spark.stop()
   }

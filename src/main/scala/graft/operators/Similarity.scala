@@ -80,6 +80,28 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("sim"))
   }
 
+  /** [[cosineTopK]] with a caller-supplied exclusion GROUP: a candidate
+    * whose group equals the probe's group is never returned (subsumes
+    * the self-exclusion when groups are singletons). The RETRO
+    * neighbor-causality rule (Borgeaud et al. 2022 §2.3) is the
+    * motivating case — a chunk must not retrieve from its own document
+    * or the model trains on leaked continuations — with `groupOf` a
+    * pure column function of the id, so the predicate stays inside the
+    * same broadcast join (no extra scan, no shuffle). */
+  def cosineTopKExcludingGroup(emb: DataFrame, probes: DataFrame, k: Int,
+      groupOf: Column => Column): DataFrame = {
+    val corpus = prep(emb, "neighbor_id", "nv", "nn")
+    val p = prep(probes, "probe_id", "pv", "pn")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    corpus.join(broadcast(p),
+        groupOf(col("neighbor_id")) =!= groupOf(col("probe_id")))
+      .withColumn("sim", dot(col("pv"), col("nv")) / (col("pn") * col("nn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("sim"))
+  }
+
   /** Scalar-quantized retrieval — FAISS `IndexScalarQuantizer`
     * (QT_8bit) as a Spark verb: the corpus is stored as int8 codes
     * (4× smaller than float32 — [[Curation.quantizeInt8]]'s per-dim
@@ -217,6 +239,196 @@ object Similarity {
     searchSq8(spark, ixDir, emb.filter(col("vec_id") < 10), 5)
       .orderBy(col("probe_id"), col("rnk"))
   }
+
+  // --------------------------------------------- binary (sign-bit) tier
+  /** Sign bits of the vector packed into ONE 64-bit word: bit i is set
+    * iff `v[i] > 0` (a zero coordinate packs as 0 — irrelevant on the
+    * continuous fixture, stated for the contract). Pure column
+    * expressions (64 `when`s OR-folded — whole-stage codegen'd, no
+    * UDF), so packing is a map-only pass over the corpus. */
+  def signBits(v: Column, dim: Int): Column = {
+    require(dim >= 1 && dim <= 64,
+      s"signBits packs into one 64-bit word: dim must be 1..64, got $dim")
+    (0 until dim).map { i =>
+      when(element_at(v, i + 1) > lit(0f), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Binary (sign-bit) retrieval — the bottom rung of the storage
+    * ladder this family now covers end to end (binary 32× / SQ8 4× /
+    * PQ-ADC / full float): FAISS `IndexBinaryFlat` as a Spark verb.
+    * Each vector collapses to one bit per dimension (dim ≤ 64 → a
+    * single BIGINT column), and distance is Hamming =
+    * `bit_count(pcode XOR ncode)` — one XOR + popcount per candidate,
+    * the cheapest shortlist scorer that exists. Same plan shape as
+    * [[cosineTopK]]: probes broadcast, corpus never shuffles, and
+    * Spark 4's `InferWindowGroupLimit` turns the rank filter into a
+    * map-side group limit, so the exchange carries ≤ partitions ×
+    * probes × k rows. Hash-exact (integer distances, id tie-break) —
+    * the oracle recomputes Hamming semantically from the float signs,
+    * so it also proves the packing lost nothing. */
+  def binaryTopK(emb: DataFrame, probes: DataFrame, k: Int, dim: Int): DataFrame =
+    hammingTopK(
+      emb.select(col("vec_id").as("neighbor_id"),
+        signBits(col("embedding"), dim).as("ncode")),
+      probes.select(col("vec_id").as("probe_id"),
+        signBits(col("embedding"), dim).as("pcode")),
+      k)
+
+  /** Shared ranking core of the composed and persisted binary serves —
+    * one code table shape in, one ranking out, so the store round-trip
+    * is bit-identical BY CONSTRUCTION, not by parallel maintenance. */
+  private def hammingTopK(codes: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    codes.join(broadcast(probes), col("neighbor_id") =!= col("probe_id"))
+      .withColumn("hamming", bit_count(col("pcode").bitwiseXOR(col("ncode"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("hamming"))
+  }
+
+  /** The PERSISTED half of the binary tier — the [[buildSq8]]
+    * discipline one rung down: codes land as ONE BIGINT per vector
+    * (genuinely 8 bytes — the 32× storage claim on disk, spec-checked
+    * on the artifact's parquet schema), plus a 1-row meta table
+    * carrying the packing dim so a store built at one dimensionality
+    * refuses mismatched probes instead of silently XOR-ing garbage.
+    * Immutable like the SQ8 artifact: rebuild-on-drift by fingerprint;
+    * incremental maintenance is the PQ store's manifest protocol. */
+  def buildBinary(emb: DataFrame, dir: String, dim: Int): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq(dim).toDF("dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    emb.select(col("vec_id"), signBits(col("embedding"), dim).as("code"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Serve from the stored sign-bit codes: the meta reload is one row,
+    * probes pack on the fly (map-only, broadcast), and the ranking is
+    * [[hammingTopK]] verbatim — bit-identical to the composed
+    * [[binaryTopK]], same oracle. */
+  def searchBinary(spark: SparkSession, dir: String, probes: DataFrame,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val dim = spark.read.schema("dim INT")
+      .parquet(IndexStore.requireTable(spark, dir, "meta"))
+      .as[Int].head()
+    val probeDim = embDim(probes)
+    require(probeDim == dim,
+      s"binary store packed at dim=$dim cannot serve dim=$probeDim probes")
+    hammingTopK(
+      spark.read.schema("vec_id BIGINT, code BIGINT")
+        .parquet(IndexStore.requireTable(spark, dir, "codes"))
+        .select(col("vec_id").as("neighbor_id"), col("code").as("ncode")),
+      probes.select(col("vec_id").as("probe_id"),
+        signBits(col("embedding"), dim).as("pcode")),
+      k)
+  }
+
+  private def x2BinaryPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val dim = embDim(emb)
+    val ixDir = IndexStore.ensureArtifactFor(spark, s"$dir/embeddings.parquet",
+      "binary-sign", "binary", "v1",
+      d => buildBinary(Tables.load(spark, dir, "embeddings"), d, dim))
+    searchBinary(spark, ixDir, emb.filter(col("vec_id") < 10), 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Binary shortlist → exact rerank: Hamming mines `shortlist`
+    * candidates per probe (the 8-byte-per-vector scan), then ONLY those
+    * rows pay full-precision cosine — the asymmetric two-stage serve
+    * binary indexes exist for. The candidate set is probes × shortlist
+    * rows by construction, so the rerank side BROADCASTS it against the
+    * corpus scan (the corpus never shuffles in either stage). Both
+    * stages are deterministic (integer Hamming + id tie-break, then
+    * sim + id tie-break), so the composed result hash-matches an oracle
+    * that replays stage by stage. */
+  def binaryRerank(emb: DataFrame, probes: DataFrame, shortlist: Int, k: Int,
+      dim: Int): DataFrame = {
+    require(shortlist >= k,
+      s"binaryRerank: shortlist ($shortlist) must be >= k ($k) — a shorter " +
+        "shortlist silently starves every probe below the requested topK")
+    val cand = binaryTopK(emb, probes, shortlist, dim)
+      .select(col("probe_id"), col("neighbor_id"), col("hamming"))
+    val corpus = prep(emb, "neighbor_id", "nv", "nn")
+    val p = prep(probes, "probe_id", "pv", "pn")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    corpus.join(broadcast(cand), "neighbor_id")
+      .join(broadcast(p), "probe_id")
+      .withColumn("sim", dot(col("pv"), col("nv")) / (col("pn") * col("nn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"),
+        col("hamming"), col("sim"))
+  }
+
+  private def embDim(emb: DataFrame): Int =
+    emb.select(size(col("embedding"))).head.getInt(0)
+
+  private def x2BinaryTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    binaryTopK(emb, emb.filter(col("vec_id") < 10), 5, embDim(emb))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Oracle recomputes Hamming SEMANTICALLY — the count of dimensions
+    * whose signs disagree — rather than replaying the bit packing, so a
+    * packing bug (wrong bit index, sign-bit overflow, dropped dim)
+    * cannot cancel out of the comparison. */
+  private val x2BinaryTopKSql =
+    """WITH h AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |    CAST(len([i for i in range(64)
+      |              if (p.embedding[i+1] > 0) != (c.embedding[i+1] > 0)]) AS INTEGER) AS hamming
+      |  FROM embeddings p JOIN embeddings c
+      |    ON p.vec_id < 10 AND c.vec_id <> p.vec_id)
+      |SELECT probe_id, rnk, neighbor_id, hamming FROM (
+      |  SELECT probe_id, neighbor_id, hamming,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY hamming, neighbor_id) AS rnk
+      |  FROM h) t
+      |WHERE rnk <= 5
+      |ORDER BY probe_id, rnk""".stripMargin
+
+  private def x2BinaryRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    binaryRerank(emb, emb.filter(col("vec_id") < 10), 50, 5, embDim(emb))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Stage-by-stage replay: the Hamming shortlist CTE (same semantic
+    * recomputation as [[x2BinaryTopKSql]]) feeds the exact-cosine
+    * rerank, divisions written in the Spark evaluation order. */
+  private val x2BinaryRerankSql =
+    """WITH h AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |    CAST(len([i for i in range(64)
+      |              if (p.embedding[i+1] > 0) != (c.embedding[i+1] > 0)]) AS INTEGER) AS hamming
+      |  FROM embeddings p JOIN embeddings c
+      |    ON p.vec_id < 10 AND c.vec_id <> p.vec_id),
+      |cand AS (
+      |  SELECT probe_id, neighbor_id, hamming FROM (
+      |    SELECT probe_id, neighbor_id, hamming,
+      |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY hamming, neighbor_id) AS srnk
+      |    FROM h) t
+      |  WHERE srnk <= 50),
+      |scored AS (
+      |  SELECT cand.probe_id, cand.neighbor_id, cand.hamming,
+      |    list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS sim
+      |  FROM cand
+      |  JOIN embeddings p ON p.vec_id = cand.probe_id
+      |  JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+      |SELECT probe_id, rnk, neighbor_id, hamming, sim FROM (
+      |  SELECT probe_id, neighbor_id, hamming, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM scored) t
+      |WHERE rnk <= 5
+      |ORDER BY probe_id, rnk""".stripMargin
 
   // ------------------------------------------------------ LSH-bucketed
   /** Deterministic random hyperplanes (seed 42), dim × planes. */
@@ -1684,6 +1896,9 @@ object Similarity {
     Declared("x2_cosine_topk", x2Brute, Some(x2BruteSql)),
     Declared("x2_sq8_topk", x2Sq8TopK, Some(x2Sq8TopKSql)),
     Declared("x2_sq8_persisted", x2Sq8Persisted, Some(x2Sq8TopKSql)),
+    Declared("x2_binary_topk", x2BinaryTopK, Some(x2BinaryTopKSql)),
+    Declared("x2_binary_persisted", x2BinaryPersisted, Some(x2BinaryTopKSql)),
+    Declared("x2_binary_rerank", x2BinaryRerank, Some(x2BinaryRerankSql)),
     Declared("x2_ann_lsh", x2Ann, Some(annBoundSql)),
     Declared("x2_ann_ivf", x2Ivf, Some(annBoundSql)),
     Declared("x2_ann_ivf_prod", x2IvfProd, Some(x2IvfProdSql)),

@@ -412,6 +412,85 @@ object TextAnalysis {
       |        FROM documents))
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------- RETRO chunk neighbors
+  /** Chunk ids pack as `doc_id << 20 | chunk_id` — one long key through
+    * the retrieval machinery, unpacked at the output. 2²⁰ chunks/doc =
+    * a 16M-token document at stride 16 before collision; a corpus past
+    * that moves to a struct key, not a wider shift. */
+  private val ChunkKeyBits = 20
+  private val ChunkKeyBase = 1L << ChunkKeyBits
+
+  /** RETRO retrieval preprocessing (Borgeaud et al., ICML 2022 §2.3):
+    * chunk every document ([[chunk]]), embed each chunk with the
+    * hashed vectorizer (the verified text-tier embedding), and fetch
+    * each probe chunk's top-k nearest NEIGHBOR chunks from OTHER
+    * documents — the neighbor-causality rule: a chunk must never
+    * retrieve from its own document, or training sees its own leaked
+    * continuation. The exclusion is a pure column predicate on the
+    * packed key (`shiftrightunsigned` — the doc part), so it rides
+    * INSIDE the broadcast top-k join: no extra scan, no shuffle beyond
+    * [[Similarity.cosineTopKExcludingGroup]]'s bounded group-limit
+    * exchange. At 100 TB: chunking is map-only (~n/stride rows per
+    * doc), vectorization is the memoized per-partition pass, and the
+    * brute ranking is the verified baseline the IVF-PQ text tier
+    * (xt_hashvec_index) already provides the scale path for. */
+  def chunkNeighbors(docs: DataFrame, probeDocs: Int, k: Int): DataFrame = {
+    val keyed = chunk(docs).select(
+      (col("doc_id") * ChunkKeyBase + col("chunk_id")).as("doc_id"),
+      col("chunk_text").as("text"))
+    val emb = hashVectors(keyed).filter(col("l2") > 0)
+      .select(col("doc_id").as("vec_id"),
+        expr("transform(vec, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val probes = emb.filter(col("vec_id") < lit(probeDocs.toLong * ChunkKeyBase))
+    Similarity.cosineTopKExcludingGroup(emb, probes, k,
+        id => shiftrightunsigned(id, ChunkKeyBits))
+      .select(
+        shiftrightunsigned(col("probe_id"), ChunkKeyBits).as("doc_id"),
+        col("probe_id").bitwiseAND(lit(ChunkKeyBase - 1)).cast(IntegerType).as("chunk_id"),
+        col("rnk"),
+        shiftrightunsigned(col("neighbor_id"), ChunkKeyBits).as("n_doc_id"),
+        col("neighbor_id").bitwiseAND(lit(ChunkKeyBase - 1)).cast(IntegerType).as("n_chunk_id"),
+        col("sim"))
+  }
+
+  private def xtChunkNeighbors(spark: SparkSession, dir: String): DataFrame =
+    chunkNeighbors(Tables.load(spark, dir, "documents"), 2, 3)
+      .orderBy(col("doc_id"), col("chunk_id"), col("rnk"))
+
+  /** Oracle: the chunk corpus fed through the SHARED hashvec CTE
+    * (packed keys in SQL arithmetic), ranked with the same-doc
+    * exclusion on the key's doc part. */
+  private def xtChunkNeighborsSql: String = {
+    val chunkCorpus =
+      """(SELECT doc_id * 1048576 + (off // 16) AS doc_id,
+        |          array_to_string(w[off + 1 : off + 32], ' ') AS text
+        |   FROM (SELECT doc_id, w, unnest(range(0, len(w), 16)) AS off
+        |         FROM (SELECT doc_id,
+        |                 string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |               FROM documents)))""".stripMargin
+    val sim = """list_dot_product(p.embedding, c.embedding) /
+      |      (sqrt(list_dot_product(p.embedding, p.embedding)) *
+      |       sqrt(list_dot_product(c.embedding, c.embedding)))""".stripMargin
+    s"""WITH ${hashvecCteOver(chunkCorpus)}
+       |ranked AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    $sim AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+       |      $sim DESC,
+       |      c.vec_id) AS rnk
+       |  FROM embeddings p JOIN embeddings c
+       |    ON p.vec_id < 2097152
+       |   AND c.vec_id // 1048576 <> p.vec_id // 1048576)
+       |SELECT probe_id // 1048576 AS doc_id,
+       |  CAST(probe_id % 1048576 AS INTEGER) AS chunk_id,
+       |  rnk,
+       |  neighbor_id // 1048576 AS n_doc_id,
+       |  CAST(neighbor_id % 1048576 AS INTEGER) AS n_chunk_id,
+       |  sim
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY doc_id, chunk_id, rnk""".stripMargin
+  }
+
   // -------------------------------------------------------- redaction
   /** Ordered regex scrub rules applied to one column — the PII-redaction
     * pass a training corpus runs before release (emails, ids, phone
@@ -1580,8 +1659,112 @@ object TextAnalysis {
        |LIMIT 10""".stripMargin
   }
 
+  // ------------------------------------------------- hybrid retrieval
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    * of the lexical BM25 arm and the dense cosine arm — the hybrid
+    * serve production retrieval actually runs (lexical recall for rare
+    * strings, dense recall for paraphrase) fused WITHOUT score
+    * calibration: rrf = Σ 1/(rrfK + rank), ranks only, so the two
+    * arms' incomparable score scales never meet.
+    *
+    * Scale posture: each arm is its own already-bounded top-k
+    * ([[bm25TopK]]'s two corpus scans + TakeOrderedAndProject;
+    * [[Similarity.cosineTopK]]'s broadcast map-only pass), and fusion
+    * touches ≤ 2·armK rows — the full-outer join and the final rank
+    * window run on a driver-screen-sized frame no matter the corpus
+    * size; the unpartitioned window is bounded by construction.
+    * Hash-exact: rrf is two fixed-order rational terms (1/(k+rank) —
+    * no libm), ranks are integer, ties break on doc_id. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      probeId: Long, armK: Int, k: Int, rrfK: Int = 60): DataFrame = {
+    val lex = bm25TopK(docs, terms, armK)
+      .withColumn("lex_rnk", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rnk"))
+    val dense = Similarity.cosineTopK(
+        emb, emb.filter(col("vec_id") === probeId), armK)
+      .select(col("neighbor_id").as("doc_id"), col("rnk").as("dense_rnk"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rnk")), lit(0.0)))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("rnk"), col("doc_id"), col("lex_rnk"), col("dense_rnk"),
+        col("rrf"))
+  }
+
+  /** Declared: BM25 over [[Bm25Terms]] fused with the cosine
+    * neighborhood of vec_id 0's embedding (documents and embeddings
+    * share the id space), 20 candidates per arm, top 10 fused. A doc
+    * retrieved by only one arm carries NULL for the other arm's rank
+    * and contributes one term — the standard RRF treatment. */
+  private def x2HybridRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridRrf(Tables.load(spark, dir, "documents"),
+      Tables.load(spark, dir, "embeddings"), Bm25Terms, 0L, 20, 10)
+      .orderBy(col("rnk"))
+
+  /** Oracle: both arms replayed stage-by-stage — the BM25 CTE is the
+    * xt_bm25 expression re-ranked, the dense CTE the x2_cosine_topk
+    * expression for probe 0 — fused with the same fixed-order rational
+    * arithmetic (1.0e0 literals force DOUBLE; bare decimals are
+    * DECIMAL in DuckDB). */
+  private def x2HybridRrfSql: String = {
+    val tfCols = Bm25Terms.map(t =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS INTEGER) AS tf_$t").mkString(",\n    ")
+    val dfCols = Bm25Terms.map(t =>
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n    ")
+    val scoreTerms = Bm25Terms.map(t =>
+      s"""((n - df_$t + 0.5e0) / (df_$t + 0.5e0))
+         |    * ((tf_$t * 2.2e0) / (tf_$t + 1.2e0 * (0.25e0 + 0.75e0 * (dl / avgdl))))"""
+        .stripMargin).mkString("\n  + ")
+    val sim = """list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS INTEGER) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id,
+       |          string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+       |        FROM documents)),
+       |s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    ${Num.sqlSum("dl")} / COUNT(*) AS avgdl,
+       |    $dfCols
+       |  FROM d),
+       |lex AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rnk
+       |  FROM (SELECT doc_id, $scoreTerms AS bm25
+       |        FROM d CROSS JOIN s
+       |        ORDER BY bm25 DESC, doc_id LIMIT 20) t),
+       |den AS (
+       |  SELECT neighbor_id AS doc_id, rnk AS dense_rnk FROM (
+       |    SELECT c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (ORDER BY
+       |        $sim DESC,
+       |        c.vec_id) AS rnk
+       |    FROM embeddings p JOIN embeddings c
+       |      ON p.vec_id = 0 AND c.vec_id <> 0) t
+       |  WHERE rnk <= 20),
+       |f AS (
+       |  SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id, lex_rnk, dense_rnk,
+       |    COALESCE(1.0e0 / (60 + lex_rnk), 0.0e0)
+       |      + COALESCE(1.0e0 / (60 + dense_rnk), 0.0e0) AS rrf
+       |  FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
+       |SELECT rnk, doc_id, lex_rnk, dense_rnk, rrf FROM (
+       |  SELECT doc_id, lex_rnk, dense_rnk, rrf,
+       |    ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+       |  FROM f) t
+       |WHERE rnk <= 10
+       |ORDER BY rnk""".stripMargin
+  }
+
   val all: Seq[Declared] = Seq(
     Declared("xt_bm25", xtBm25, Some(xtBm25Sql)),
+    Declared("x2_hybrid_rrf", x2HybridRrf, Some(x2HybridRrfSql)),
     Declared("xt_word_freq_score", xtWordFreq, Some(xtWordFreqSql)),
     Declared("xt_bigram_lm", xtBigramLm, Some(xtBigramLmSql)),
     Declared("xt_bigram_lm_persisted", xtBigramLmPersisted, Some(xtBigramLmSql)),
@@ -1606,6 +1789,7 @@ object TextAnalysis {
     Declared("xt_fingerprint", xtFingerprint, Some(xtFingerprintSql)),
     Declared("xt_redact", xtRedact, Some(xtRedactSql)),
     Declared("xt_chunk", xtChunk, Some(xtChunkSql)),
+    Declared("xt_chunk_neighbors", xtChunkNeighbors, Some(xtChunkNeighborsSql)),
     Declared("xt_tfidf", xtTfidf, Some(xtTfidfSql)),
     Declared("xt_ngram_topk", xtNgramTopk, Some(xtNgramTopkSql)),
     Declared("xt_heavy_hitters", xtHeavyHitters, Some(xtHeavyHittersSql)))

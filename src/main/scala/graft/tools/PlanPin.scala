@@ -70,7 +70,19 @@ object PlanPin {
     // DSIR: lambda broadcast-joins onto the occurrence stream (no
     // corpus re-exchange by bucket), weights window-free; the sampler
     // cuts to k rows via TakeOrderedAndProject BELOW the rank window
-    "xc_dsir_weights", "xc_dsir_sample")
+    "xc_dsir_weights", "xc_dsir_sample",
+    // binary tier: probes broadcast in BOTH stages (the corpus never
+    // shuffles), rank filter runs as a map-side WindowGroupLimit;
+    // hybrid fusion: two bounded arms, the fused window on ≤2·armK rows
+    "x2_binary_topk", "x2_binary_rerank", "x2_hybrid_rrf",
+    // leakage audit: split labels are PROJECTIONS of the pair endpoints
+    // (md5 of the id already on the row) — no third corpus scan for
+    // the label attach; leakfree is loop-materialized, excluded by design
+    "xc_split_leakage",
+    // RETRO chunk retrieval: the same-doc exclusion rides INSIDE the
+    // broadcast top-k join (a shifted-key predicate, no extra scan);
+    // token budget: one grouped scan + two 1-row broadcast attaches
+    "xt_chunk_neighbors", "xc_token_budget")
 
   val pinFile = "PLANPINS.txt"
   val sfDir = "/root/testdata/sf0.001"

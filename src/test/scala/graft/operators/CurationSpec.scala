@@ -594,5 +594,81 @@ class CurationSpec extends SparkSpec {
     assert(s3.sortBy(_._1).map(_._3).toSeq != byRank.map(_._3).toSeq,
       "salting the uniform did not change any Gumbel key")
   }
+
+  // ------------------------------------------------------ leak-free split
+  test("splitLeakage counts exactly the near-dup pairs the doc-hash split " +
+      "leaks across train/val/test; the fixture demonstrably leaks") {
+    val d = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val split = Curation.hashSplit(d).select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    val pairs = Dedup.neardupMinhash(d)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val expected = pairs.groupBy { case (a, b) => (split(a), split(b)) }
+      .map { case (k, v) => k -> v.length.toLong }
+    val got = Curation.splitLeakage(d)
+      .select($"split_a", $"split_b", $"n_pairs", $"leaked")
+      .as[(String, String, Long, Boolean)].collect()
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == expected)
+    got.foreach(r => assert(r._4 == (r._1 != r._2)))
+    // the audit exists because the naive split REALLY leaks here: a
+    // green zero would mean the fixture stopped exercising the operator
+    val leaked = got.filter(_._4).map(_._3).sum
+    assert(leaked > 0, "fixture no longer leaks under the doc-hash split")
+  }
+
+  test("splitLeakfree: no near-dup pair straddles the component-keyed split, " +
+      "every doc is assigned once, singletons keep their own-id split") {
+    val d = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val lf = Curation.splitLeakfree(d)
+      .select($"doc_id", $"cluster_id", $"split")
+      .as[(Long, Long, String)].collect()
+    val byDoc = lf.map(r => r._1 -> r).toMap
+    assert(lf.length == d.count() && byDoc.size == lf.length)
+    // structural zero: both endpoints of every near-dup pair share a split
+    val pairs = Dedup.neardupMinhash(d)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a)._2 == byDoc(b)._2, s"pair ($a,$b) split across components")
+      assert(byDoc(a)._3 == byDoc(b)._3, s"pair ($a,$b) leaked across splits")
+    }
+    // a singleton component labels itself, so its split must equal the
+    // plain hashSplit of its own id — the two strategies only diverge
+    // where the duplicate graph says they must
+    val hs = Curation.hashSplit(d).select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    val clustered = lf.filter(r => r._1 != r._2).map(_._2).toSet
+    lf.filter(r => r._2 == r._1 && !clustered.contains(r._1))
+      .foreach(r => assert(r._3 == hs(r._1), s"singleton ${r._1} moved split"))
+  }
+
+  // ------------------------------------------------------- token budget
+  test("tokenBudget: targets sum to the budget, epochs are exact, and the " +
+      "fixture exercises both the capped and uncapped branches") {
+    val d = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val rows = Curation.tokenBudget(d)
+      .select($"lang", $"n_docs", $"n_tokens", $"q", $"target_tokens",
+        $"epochs", $"capped", $"effective_tokens")
+      .as[(String, Long, Long, Double, Long, Double, Boolean, Long)].collect()
+    // q is a probability vector
+    val qSum = rows.map(_._4).sum
+    assert(math.abs(qSum - 1.0) < 1e-12, s"q sums to $qSum")
+    // per-row arithmetic replays exactly (same double ops, same order)
+    val totTokens = rows.map(_._3).sum
+    rows.foreach { case (lang, _, nt, q, target, epochs, capped, eff) =>
+      assert(target == math.floor(totTokens * 2.5 * q).toLong,
+        s"$lang target $target != floor(totTokens*2.5*q)")
+      assert(epochs == target.toDouble / nt)
+      assert(capped == (epochs > 3.0))
+      assert(eff == math.min(target, nt * 3))
+      if (capped) assert(eff == nt * 3 && eff < target)
+      else assert(eff == target)
+    }
+    // the report is only useful if the fixture shows BOTH outcomes
+    assert(rows.exists(_._7) && rows.exists(!_._7),
+      "fixture no longer exercises both capped and uncapped branches")
+    // the budget never grants more than the mixture asked for in total
+    assert(rows.map(_._5).sum <= math.ceil(totTokens * 2.5).toLong)
+  }
 }
 

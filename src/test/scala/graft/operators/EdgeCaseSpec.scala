@@ -384,4 +384,48 @@ class EdgeCaseSpec extends SparkSpec {
     assert(stats.getLong(0) == 1 && !stats.getDouble(1).isNaN,
       s"quarantined row must land a finite stats entry: $stats")
   }
+
+  test("round-17 session-2 operators survive empty and degenerate inputs") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // binary tier: empty corpus and empty probes both yield empty
+    assert(Similarity.binaryTopK(noVecs, noVecs, 5, 64).count() == 0)
+    val oneVec = Seq((1L, Array.fill(64)(1f))).toDF("vec_id", "embedding")
+    assert(Similarity.binaryTopK(oneVec, oneVec, 5, 64).count() == 0,
+      "a corpus of one vector has no non-self neighbors")
+    // a shortlist narrower than k is refused loudly, not served starved
+    val e = intercept[IllegalArgumentException] {
+      Similarity.binaryRerank(oneVec, oneVec, 3, 5, 64)
+    }
+    assert(e.getMessage.contains("shortlist"))
+    // split family: no near-dup pairs -> empty audit, all-singleton
+    // leak-free labels that equal the plain hash split
+    val distinct = (0L until 6L).map(i =>
+      (i, (0 until 12).map(j => s"w${i}x$j").mkString(" "))).toDF("doc_id", "text")
+    assert(Curation.splitLeakage(distinct).count() == 0)
+    val lf = Curation.splitLeakfree(distinct)
+      .select($"doc_id", $"cluster_id", $"split")
+      .as[(Long, Long, String)].collect()
+    val hs = Curation.hashSplit(distinct).select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    assert(lf.length == 6 && lf.forall(r => r._1 == r._2 && r._3 == hs(r._1)))
+    // token budget: a single-language corpus gets the whole budget
+    // (q = 1) and the capped branch at any multiple above the cap
+    val oneLang = Seq((1L, "a b c", "en", "web"), (2L, "d e", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val tb = Curation.tokenBudget(oneLang).collect()
+    assert(tb.length == 1)
+    assert(tb(0).getAs[Double]("q") == 1.0)
+    assert(!tb(0).getAs[Boolean]("capped"), "2.5 epochs under the 3 cap")
+    // chunk neighbors: every candidate shares the probe's doc -> no
+    // rows, and an empty corpus is empty, never a throw
+    assert(TextAnalysis.chunkNeighbors(noDocs, 2, 3).count() == 0)
+    val oneDoc = Seq((0L, (1 to 48).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.chunkNeighbors(oneDoc, 1, 3).count() == 0,
+      "same-doc chunks must be excluded even when they are the only candidates")
+    // hybrid RRF: both arms empty -> empty fusion (not a null-rank row)
+    assert(TextAnalysis.hybridRrf(noDocs, noVecs, Seq("x"), 0L, 5, 3).count() == 0)
+  }
 }

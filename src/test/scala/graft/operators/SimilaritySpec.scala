@@ -396,4 +396,100 @@ class SimilaritySpec extends SparkSpec {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.kmeansAssign(empty, 2, 2).count() == 0)
   }
+
+  test("binaryTopK: packed-XOR Hamming equals the unpacked sign-disagreement " +
+      "count, self excluded, ranks dense and distance-ordered") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def ham(a: Array[Float], b: Array[Float]): Int =
+      a.indices.count(i => (a(i) > 0f) != (b(i) > 0f))
+    val got = Similarity.binaryTopK(emb, emb.filter($"vec_id" < 5), 4, 64)
+      .select($"probe_id", $"rnk", $"neighbor_id", $"hamming")
+      .as[(Long, Int, Long, Int)].collect()
+    assert(got.length == 5 * 4)
+    got.foreach { case (p, _, n, h) =>
+      assert(n != p, "self returned as its own neighbor")
+      assert(h == ham(vecs(p), vecs(n)),
+        s"packed Hamming $h != unpacked sign disagreement for ($p,$n)")
+    }
+    got.groupBy(_._1).values.foreach { rows =>
+      val byRnk = rows.sortBy(_._2)
+      assert(byRnk.map(_._2).toSeq == (1 to 4))
+      assert(byRnk.sliding(2).forall { case Array(a, b) => a._4 <= b._4 })
+    }
+    // the packing is exhaustive: every top-4 Hamming from the packed path
+    // matches the brute-force minimum over the full corpus
+    val best = got.filter(_._2 == 1).map { case (p, _, _, h) => p -> h }.toMap
+    for (p <- 0L until 5L) {
+      val exact = vecs.collect { case (id, v) if id != p => ham(vecs(p), v) }.min
+      assert(best(p) == exact, s"probe $p: packed best ${best(p)} != exact $exact")
+    }
+    // the 64-bit boundary guard refuses what it cannot pack
+    intercept[IllegalArgumentException] {
+      Similarity.signBits(org.apache.spark.sql.functions.col("embedding"), 65)
+    }
+  }
+
+  test("binaryRerank: every served sim is the exact cosine, ranks follow sim, " +
+      "and the 8-byte shortlist recovers most of the float top-k") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val probes = emb.filter($"vec_id" < 10)
+    val rr = Similarity.binaryRerank(emb, probes, 50, 5, 64)
+      .select($"probe_id", $"rnk", $"neighbor_id", $"sim")
+      .as[(Long, Int, Long, Double)].collect()
+    val brute = Similarity.cosineTopK(emb, probes, 5)
+      .select($"probe_id", $"neighbor_id", $"sim")
+      .as[(Long, Long, Double)].collect()
+    val bruteSim = brute.map(r => (r._1, r._2) -> r._3).toMap
+    // served sims are EXACT cosines (stage 2 pays full precision): any
+    // (probe, neighbor) also in the brute top-5 must carry the same value
+    rr.foreach { case (p, _, n, s) =>
+      bruteSim.get((p, n)).foreach(b => assert(b == s,
+        s"rerank sim $s != exact cosine $b for ($p,$n)"))
+    }
+    rr.groupBy(_._1).values.foreach { rows =>
+      val byRnk = rows.sortBy(_._2)
+      assert(byRnk.map(_._2).toSeq == (1 to 5))
+      assert(byRnk.sliding(2).forall { case Array(a, b) => a._4 >= b._4 })
+    }
+    // recall floor: the 50-deep binary shortlist keeps most of the exact
+    // top-5 (engine-checked — a silent packing or shortlist regression
+    // shows up here before it shows up in production recall)
+    val gotSets = rr.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val hits = brute.count { case (p, n, _) => gotSets(p).contains(n) }
+    val recall = hits.toDouble / brute.length
+    assert(recall >= 0.6, f"binary-shortlist recall $recall%.2f < 0.6 floor")
+  }
+
+  test("binary store: one BIGINT per vector on disk, bit-identical serving, " +
+      "dim-mismatched probes refused") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("binary-store").toString
+    Similarity.buildBinary(emb, dir, 64)
+    // the 32x storage claim, checked on the artifact itself: the codes
+    // table stores exactly (vec_id BIGINT, code BIGINT) — 8 bytes of
+    // payload per vector, not an int array wearing a packed name
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.schema.map(f => (f.name, f.dataType.typeName)).toSet ==
+      Set(("vec_id", "long"), ("code", "long")))
+    assert(codes.count() == emb.count())
+    val probes = emb.filter($"vec_id" < 10)
+    val served = Similarity.searchBinary(spark, dir, probes, 5)
+      .orderBy($"probe_id", $"rnk").collect().toSeq
+    val composed = Similarity.binaryTopK(emb, probes, 5, 64)
+      .orderBy($"probe_id", $"rnk").collect().toSeq
+    assert(served == composed, "store round-trip changed the ranking")
+    // a store built at one dim refuses probes packed at another instead
+    // of silently XOR-ing truncated codes
+    val dir32 = java.nio.file.Files.createTempDirectory("binary-store32").toString
+    Similarity.buildBinary(emb, dir32, 32)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.searchBinary(spark, dir32, probes, 5)
+    }
+    assert(e.getMessage.contains("dim=32"))
+  }
 }

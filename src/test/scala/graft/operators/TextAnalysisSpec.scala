@@ -624,4 +624,75 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enc(0).getInt(1) == 5 && enc(0).getLong(2) == 5L,
       s"expected 5 words -> 5 BPE tokens, got ${enc(0)}")
   }
+
+  test("hybridRrf: every fused score is exactly the sum of its arms' " +
+      "reciprocal-rank terms, and the consensus doc outranks both arms' #1") {
+    import spark.implicits._
+    val dir = sf("sf0.01")
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val terms = Seq("join", "window", "stream")
+    // the arms, replayed independently of the fused plan
+    val lex = TextAnalysis.bm25TopK(docs, terms, 20)
+      .select($"doc_id").as[Long].collect()
+      .zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+    val den = Similarity.cosineTopK(emb, emb.filter($"vec_id" === 0L), 20)
+      .select($"neighbor_id", $"rnk").as[(Long, Int)].collect().toMap
+    val fused = TextAnalysis.hybridRrf(docs, emb, terms, 0L, 20, 10)
+      .select($"rnk", $"doc_id", $"lex_rnk", $"dense_rnk", $"rrf").collect()
+    assert(fused.map(_.getInt(0)).toSeq == (1 to 10))
+    fused.foreach { r =>
+      val d = r.getLong(1)
+      val lr = Option(r.get(2)).map(_.asInstanceOf[Int])
+      val dr = Option(r.get(3)).map(_.asInstanceOf[Int])
+      assert(lr == lex.get(d), s"doc $d lexical rank ${lr} != replay ${lex.get(d)}")
+      assert(dr == den.get(d), s"doc $d dense rank ${dr} != replay ${den.get(d)}")
+      val expected = lr.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        dr.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getDouble(4) == expected,
+        s"doc $d rrf ${r.getDouble(4)} != fixed-order sum $expected")
+    }
+    // the RRF story on this fixture: a doc NEITHER arm puts first — it
+    // sits at lexical 19 and dense 20 — wins on consensus, which is the
+    // behavior calibration-free fusion exists to produce
+    val top = fused.head
+    assert(!top.isNullAt(2) && !top.isNullAt(3),
+      "fused #1 no longer a both-arms doc — fixture stopped exercising consensus")
+    assert(top.getLong(1) != lex.find(_._2 == 1).get._1 &&
+      top.getLong(1) != den.find(_._2 == 1).get._1,
+      "fused #1 is an arm's own #1 — consensus assertion is vacuous")
+  }
+
+  test("chunkNeighbors: no chunk retrieves from its own document, ranks are " +
+      "dense per probe chunk, and a planted near-dup chunk is retrieved first") {
+    import spark.implicits._
+    // two docs sharing one near-identical 32-token span, plus distractors:
+    // the shared span's chunk must be each other's #1 neighbor, and no
+    // neighbor may come from the probe's own doc even though adjacent
+    // overlapping chunks of the SAME doc are the most similar vectors
+    val span = (1 to 32).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, span + " " + (1 to 32).map(i => s"left$i").mkString(" ")),
+      (1L, span + " " + (1 to 32).map(i => s"right$i").mkString(" ")),
+      (2L, (1 to 64).map(i => s"noise$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkNeighbors(docs, 2, 2)
+      .select($"doc_id", $"chunk_id", $"rnk", $"n_doc_id", $"n_chunk_id", $"sim")
+      .as[(Long, Int, Int, Long, Int, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (d, c, _, nd, _, _) =>
+      assert(nd != d, s"chunk ($d,$c) retrieved from its own document")
+    }
+    got.groupBy(r => (r._1, r._2)).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+      val byRnk = rows.sortBy(_._3)
+      assert(byRnk.sliding(2).forall {
+        case Array(a, b) => a._6 >= b._6; case _ => true })
+    }
+    // the planted cross-doc duplicate: doc 0 chunk 0 (the shared span)
+    // finds doc 1 chunk 0 first, and vice versa
+    val m = got.filter(_._3 == 1).map(r => (r._1, r._2) -> ((r._4, r._5))).toMap
+    assert(m((0L, 0)) == ((1L, 0)), s"doc0 chunk0 top-1 was ${m((0L, 0))}")
+    assert(m((1L, 0)) == ((0L, 0)), s"doc1 chunk0 top-1 was ${m((1L, 0))}")
+  }
 }
