@@ -763,7 +763,8 @@ object IndexStore {
     * in-memory path. */
   def searchIvfPq(spark: SparkSession, dir: String, probes: DataFrame,
       nprobe: Int = 4, topK: Int = 5,
-      idSelector: Option[DataFrame] = None): DataFrame = {
+      idSelector: Option[DataFrame] = None,
+      selectorBloomFpp: Option[Double] = None): DataFrame = {
     // ONE driver-side manifest read resolves the whole index — the
     // snapshot this query serves, pinned here: batches a concurrent
     // compaction supersedes stay on disk until the next compaction's
@@ -782,11 +783,36 @@ object IndexStore {
     // applied before routing so excluded candidates pay no LUT work.
     // The index itself is predicate-agnostic (selectors vary per query,
     // the frozen geometry must not); a dim-table-sized selector
-    // broadcasts, and at 100 TB a wide one becomes a bloom-gated
-    // semi-join — the xc_bloom_decontaminate shape.
-    val selected = idSelector match {
-      case None => live
-      case Some(ids) => live.join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    // broadcasts, and a WIDE one takes the bloom-gated path below
+    // (`selectorBloomFpp`) — no longer just documented (r16), now a
+    // parameter: the selector is summarized into a driver-built Bloom
+    // filter (fixed-size broadcast no matter how wide the id set), the
+    // stored codes are gated MAP-SIDE, and the exact semi-join verifies
+    // only the surviving sliver WITHOUT a broadcast (shuffle-hash, the
+    // xc_bloom_decontaminate shape) — so neither the selector nor the
+    // join hash table ever needs to fit in one executor's memory, and
+    // false positives cannot reach results.
+    val selected = (idSelector, selectorBloomFpp) match {
+      case (None, _) => live
+      case (Some(ids), None) =>
+        live.join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      case (Some(ids), Some(fpp)) =>
+        val sel = ids.select(col("vec_id")).persist()
+        val n = sel.count() // selector-sized action, shared with the build
+        if (n == 0) { sel.unpersist(); live.limit(0) }
+        else {
+          val bloom = sel.stat.bloomFilter("vec_id", n, fpp)
+          // eager uses done — the lazy verify join below recomputes the
+          // selector once when it runs rather than pinning the cache
+          sel.unpersist()
+          val b = spark.sparkContext.broadcast(bloom)
+          val mightContain = udf((id: Long) => b.value.mightContainLong(id))
+          // hint the BUILD side (a left-semi's build is the right side;
+          // a left-side hint is unsatisfiable there and the planner
+          // would silently fall back to a broadcast)
+          live.filter(mightContain(col("vec_id")))
+            .join(sel.hint("shuffle_hash"), Seq("vec_id"), "left_semi")
+        }
     }
     val codes = selected
       .withColumn("codes", array((0 until m).map(s => col(s"code_$s").cast(IntegerType)): _*))
@@ -864,6 +890,31 @@ object IndexStore {
         idSelector = Some(emb.filter(col("label") === 3).select(col("vec_id"))))
       .orderBy(col("probe_id"), col("rnk"))
   }
+
+  /** The WIDE-selector serve — the escalation `x2_ivfpq_filtered_persisted`
+    * only documented, now a verified path (VERDICT r16 follow-through):
+    * when the id set is too wide to broadcast as a join side, the
+    * selector is summarized into a fixed-size Bloom filter that gates
+    * the stored codes MAP-SIDE, and the exact semi-join verifies only
+    * the surviving sliver without a broadcast (shuffle-hash — the
+    * xc_bloom_decontaminate shape), so neither the selector nor a hash
+    * table of it ever has to fit in one executor's memory. False
+    * positives cannot reach results (the verify join is exact), so the
+    * row hash-matches the same replay oracle as an exact selector
+    * would — here the label≠3 slice, 90 % of the corpus, the
+    * wide-filter regime. */
+  private[operators] def x2IvfPqFilteredWide(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val ixDir = ensureIndexFor(spark, s"$dir/embeddings.parquet", "emb-n16m4k16",
+      d => buildIvfPq(graft.core.Tables.load(spark, dir, "embeddings"), d, 16, 4, 16, 1))
+    searchIvfPq(spark, ixDir, emb.filter(col("vec_id") < 10), 4, 5,
+        idSelector = Some(emb.filter(col("label") =!= 3).select(col("vec_id"))),
+        selectorBloomFpp = Some(0.01))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  private val x2IvfPqFilteredWideSql = Similarity.ivfPqSearchSqlWith(
+    serveWhere = "WHERE a.vec_id IN (SELECT vec_id FROM embeddings WHERE label <> 3)")
 
   /** Warehouse location keyed on the SOURCE fixture's content
     * fingerprint (size + mtime + part count, directory-aware like
@@ -1162,6 +1213,8 @@ object IndexStore {
     Declared("x2_ivfpq_persisted", x2IvfPqPersisted, Some(Similarity.x2IvfPqSearchSql)),
     Declared("x2_ivfpq_filtered_persisted", x2IvfPqFilteredPersisted,
       Some(Similarity.x2IvfPqFilteredSql)),
+    Declared("x2_ivfpq_filtered_wide", x2IvfPqFilteredWide,
+      Some(x2IvfPqFilteredWideSql)),
     Declared("x2_ivfpq_filtered_tombstoned", x2IvfPqFilteredTombstoned,
       Some(x2IvfPqFilteredTombstonedSql)),
     Declared("x2_ivfpq_filtered_starved", x2IvfPqFilteredStarved,

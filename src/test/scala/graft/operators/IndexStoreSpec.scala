@@ -43,6 +43,44 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.searchIvfPq(spark, dir, probes, 4, 5).count() == 50)
   }
 
+  test("bloom-gated wide selector: identical results to the exact semi-join, " +
+      "verify join runs shuffle-hash (no broadcast), empty selector empty") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-bloom").toString
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    IndexStore.buildIvfPq(emb, dir, 16, 4, 16, 1)
+    val wide = emb.filter(col("label") =!= 3).select(col("vec_id"))
+    val exact = IndexStore.searchIvfPq(spark, dir, probes, 4, 5,
+        idSelector = Some(wide))
+      .orderBy(col("probe_id"), col("rnk"))
+    val gated = IndexStore.searchIvfPq(spark, dir, probes, 4, 5,
+        idSelector = Some(wide), selectorBloomFpp = Some(0.01))
+      .orderBy(col("probe_id"), col("rnk"))
+    // bloom false positives cannot reach results: the exact verify join
+    // makes the gate invisible to the ranking
+    assert(gated.collect().toSeq == exact.collect().toSeq)
+    // the verify join really is the no-broadcast shape — pinned on the
+    // STATIC plan (the whole point: a selector too wide to broadcast
+    // must never REQUIRE a broadcast). AQE may still downgrade to a
+    // broadcast at runtime when the observed side is fixture-tiny —
+    // that is the correct adaptive behavior, not a contract violation,
+    // so the final plan is deliberately not asserted here.
+    val plan = gated.queryExecution.sparkPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"gated verify join is not shuffle-hash:\n${plan.take(2000)}")
+    // and the gate actually gates map-side: the bloom filter predicate
+    // sits on the codes scan side, visible as a Filter above it
+    assert(plan.contains("UDF"), "bloom gate predicate missing from the plan")
+    // a selector at full corpus width keeps every candidate servable
+    val all = IndexStore.searchIvfPq(spark, dir, probes, 4, 5,
+      idSelector = Some(emb.select(col("vec_id"))), selectorBloomFpp = Some(0.01))
+    assert(all.count() == 50)
+    // empty wide selector: empty result, no bloom NPE (stat.bloomFilter
+    // cannot build on zero rows — the path must short-circuit)
+    assert(IndexStore.searchIvfPq(spark, dir, probes, 4, 5,
+      idSelector = Some(wide.limit(0)), selectorBloomFpp = Some(0.01)).count() == 0)
+  }
+
   test("search scans only the stored codes — no corpus embedding read, no training") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-ix2").toString
