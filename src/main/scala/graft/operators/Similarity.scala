@@ -80,6 +80,152 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("sim"))
   }
 
+  /** Hard-negative mining for contrastive embedding training — the
+    * denoised negative-selection rule dense-retrieval training uses
+    * (RocketQA, Qu et al. NAACL 2021 §3.1; DPR-style in-batch negatives
+    * are the easy baseline this replaces): for each probe, the top-k
+    * most similar candidates whose similarity sits BELOW `posThreshold`
+    * — candidates above it are likely unlabeled positives ("false
+    * negatives") that must not be trained against — and at or above
+    * `floor`, below which candidates are easy negatives that teach the
+    * model nothing. Both bounds are map-only predicates INSIDE the
+    * broadcast scoring join (same plan as [[cosineTopK]]: corpus never
+    * shuffles, rank filter group-limits map-side), so mining costs
+    * exactly one scoring pass. Hash-exact — the band edges are plain
+    * comparisons on the same fixed-order cosine both engines compute. */
+  def hardNegatives(emb: DataFrame, probes: DataFrame, k: Int,
+      posThreshold: Double, floor: Double): DataFrame = {
+    require(posThreshold > floor,
+      s"hardNegatives: posThreshold ($posThreshold) must exceed floor ($floor)")
+    val corpus = prep(emb, "neighbor_id", "nv", "nn")
+    val p = prep(probes, "probe_id", "pv", "pn")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    corpus.join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
+      .withColumn("sim", dot(col("pv"), col("nv")) / (col("pn") * col("nn")))
+      .filter(col("sim") < posThreshold && col("sim") >= floor)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Declared: band [0.05, 0.30) — fixture-scaled so BOTH bounds bind
+    * for every probe at every SF (each probe has candidates above the
+    * ceiling that a naive top-k would return as negatives, and
+    * thousands below the floor); the spec asserts the ceiling actually
+    * excluded each probe's raw top-1. */
+  private def x2HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    hardNegatives(emb, emb.filter(col("vec_id") < 10), 5, 0.30, 0.05)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  private val x2HardNegativesSql = {
+    val sim = """list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))""".stripMargin
+    s"""SELECT probe_id, rnk, neighbor_id, sim FROM (
+       |  SELECT probe_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM (
+       |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |      $sim AS sim
+       |    FROM embeddings p JOIN embeddings c
+       |      ON p.vec_id < 10 AND c.vec_id <> p.vec_id) s
+       |  WHERE sim < 0.30e0 AND sim >= 0.05e0) t
+       |WHERE rnk <= 5
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
+
+  /** Contrastive TRAINING-PAIR generation — the (anchor, positive,
+    * hard negatives) table an embedding-model trainer actually
+    * consumes, composed from two verified pieces: positives are the
+    * semantic near-dup pairs ([[Dedup.embeddingNeardup]] at
+    * `posThreshold`, both orientations — each member anchors once,
+    * keeping its CLOSEST positive by sim then lowest id), negatives
+    * are [[hardNegatives]]' banded top-k mined for exactly the anchor
+    * set. The pair's own positive — and every other candidate in the
+    * false-negative zone [negCeiling, posThreshold) — is excluded by
+    * the band ceiling, which is the point: `posThreshold ≥ negCeiling`
+    * is required, so nothing the pair miner would call a positive can
+    * leak into the negative column.
+    *
+    * Scale: the anchor set is pair-bounded; this baseline broadcasts
+    * it through the banded scoring pass (exact, one corpus scan). A
+    * corpus where duplication makes anchors corpus-sized mines
+    * negatives in anchor batches or through the IVF candidates path —
+    * the same scale ladder the ANN family provides; this row is the
+    * exactness baseline those serve against. */
+  def trainingPairs(emb: DataFrame, k: Int, posThreshold: Double,
+      negCeiling: Double, negFloor: Double): DataFrame = {
+    require(posThreshold >= negCeiling,
+      s"trainingPairs: posThreshold ($posThreshold) below the negative-band " +
+        s"ceiling ($negCeiling) would let labeled positives mine as negatives")
+    val pairs = Dedup.embeddingNeardup(emb, posThreshold)
+    val anchors = pairs.select(col("vec_a").as("anchor"),
+        col("vec_b").as("positive"), col("cosine").as("pos_sim"))
+      .unionByName(pairs.select(col("vec_b").as("anchor"),
+        col("vec_a").as("positive"), col("cosine").as("pos_sim")))
+    val w = Window.partitionBy(col("anchor"))
+      .orderBy(col("pos_sim").desc, col("positive"))
+    val best = anchors.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1).drop("_r")
+    val probes = emb.join(best.select(col("anchor").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val negs = hardNegatives(emb, probes, k, negCeiling, negFloor)
+      .select(col("probe_id").as("anchor"), col("rnk").as("neg_rank"),
+        col("neighbor_id").as("negative"), col("sim").as("neg_sim"))
+    best.join(negs, Seq("anchor"))
+      .select(col("anchor"), col("positive"), col("pos_sim"),
+        col("neg_rank"), col("negative"), col("neg_sim"))
+  }
+
+  private def x2TrainingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    trainingPairs(emb, 3, 0.45, 0.30, 0.05)
+      .orderBy(col("anchor"), col("neg_rank"))
+  }
+
+  /** Oracle: exact pair join at 0.45 (the x1_embedding_neardup truth)
+    * → best-positive window → banded negative ranking restricted to
+    * the anchor set, joined back. */
+  private val x2TrainingPairsSql = {
+    def sim(a: String, b: String) =
+      s"""list_dot_product(CAST($a.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[])) /
+         |      (sqrt(list_dot_product(CAST($a.embedding AS DOUBLE[]), CAST($a.embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(CAST($b.embedding AS DOUBLE[]), CAST($b.embedding AS DOUBLE[]))))""".stripMargin
+    s"""WITH pr AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    ${sim("a", "b")} AS cosine
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE ${sim("a", "b")} >= 0.45e0),
+       |an AS (
+       |  SELECT va AS anchor, vb AS positive, cosine AS pos_sim FROM pr
+       |  UNION ALL
+       |  SELECT vb AS anchor, va AS positive, cosine AS pos_sim FROM pr),
+       |best AS (
+       |  SELECT anchor, positive, pos_sim FROM (
+       |    SELECT anchor, positive, pos_sim,
+       |      ROW_NUMBER() OVER (PARTITION BY anchor
+       |        ORDER BY pos_sim DESC, positive) AS r
+       |    FROM an) t WHERE r = 1),
+       |neg AS (
+       |  SELECT anchor, neg_rank, negative, neg_sim FROM (
+       |    SELECT p.vec_id AS anchor, c.vec_id AS negative,
+       |      ${sim("p", "c")} AS neg_sim,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+       |        ${sim("p", "c")} DESC,
+       |        c.vec_id) AS neg_rank
+       |    FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+       |    WHERE p.vec_id IN (SELECT anchor FROM best)
+       |      AND ${sim("p", "c")} < 0.30e0
+       |      AND ${sim("p", "c")} >= 0.05e0) t
+       |  WHERE neg_rank <= 3)
+       |SELECT best.anchor AS anchor, positive, pos_sim, neg_rank, negative, neg_sim
+       |FROM best JOIN neg ON neg.anchor = best.anchor
+       |ORDER BY best.anchor, neg_rank""".stripMargin
+  }
+
   /** [[cosineTopK]] with a caller-supplied exclusion GROUP: a candidate
     * whose group equals the probe's group is never returned (subsumes
     * the self-exclusion when groups are singletons). The RETRO
@@ -1894,6 +2040,8 @@ object Similarity {
     Declared("x2_ivfpq_filtered", x2IvfPqFiltered, Some(x2IvfPqFilteredSql)),
     Declared("x2_ivfpq_refined", x2IvfPqRefined, Some(x2IvfPqRefinedSql)),
     Declared("x2_cosine_topk", x2Brute, Some(x2BruteSql)),
+    Declared("x2_hard_negatives", x2HardNegatives, Some(x2HardNegativesSql)),
+    Declared("x2_training_pairs", x2TrainingPairs, Some(x2TrainingPairsSql)),
     Declared("x2_sq8_topk", x2Sq8TopK, Some(x2Sq8TopKSql)),
     Declared("x2_sq8_persisted", x2Sq8Persisted, Some(x2Sq8TopKSql)),
     Declared("x2_binary_topk", x2BinaryTopK, Some(x2BinaryTopKSql)),

@@ -82,7 +82,11 @@ object PlanPin {
     // RETRO chunk retrieval: the same-doc exclusion rides INSIDE the
     // broadcast top-k join (a shifted-key predicate, no extra scan);
     // token budget: one grouped scan + two 1-row broadcast attaches
-    "xt_chunk_neighbors", "xc_token_budget")
+    "xt_chunk_neighbors", "xc_token_budget",
+    // hard negatives: band predicates filter BEFORE the rank window,
+    // same broadcast one-pass plan as the brute top-k; training pairs
+    // compose the pair kernel + best-positive window + banded ranking
+    "x2_hard_negatives", "x2_training_pairs")
 
   val pinFile = "PLANPINS.txt"
   val sfDir = "/root/testdata/sf0.001"

@@ -464,6 +464,73 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, f"binary-shortlist recall $recall%.2f < 0.6 floor")
   }
 
+  test("hardNegatives: band bounds bind (each probe's raw top-1 excluded as a " +
+      "likely false negative), ranks ordered, inverted band refused") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val probes = emb.filter($"vec_id" < 10)
+    val hard = Similarity.hardNegatives(emb, probes, 5, 0.30, 0.05)
+      .select($"probe_id", $"rnk", $"neighbor_id", $"sim")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(hard.length == 50)
+    hard.foreach { case (_, _, _, s) => assert(s < 0.30 && s >= 0.05) }
+    hard.groupBy(_._1).values.foreach { rows =>
+      val byRnk = rows.sortBy(_._2)
+      assert(byRnk.map(_._2).toSeq == (1 to 5))
+      assert(byRnk.sliding(2).forall { case Array(a, b) => a._4 >= b._4 })
+    }
+    // the ceiling is not decorative: every probe's UNFILTERED top-1 sits
+    // above it on this fixture, so a naive top-k would have served a
+    // likely false negative as its hardest example
+    val raw = Similarity.cosineTopK(emb, probes, 1)
+      .select($"probe_id", $"sim").as[(Long, Double)].collect().toMap
+    val mined = hard.filter(_._2 == 1).map(r => r._1 -> r._4).toMap
+    raw.foreach { case (p, topSim) =>
+      assert(topSim >= 0.30, s"probe $p raw top-1 $topSim no longer above the " +
+        "ceiling — fixture stopped exercising the false-negative exclusion")
+      assert(mined(p) < topSim)
+    }
+    // an inverted band is a caller bug, refused loudly
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(emb, probes, 5, 0.05, 0.30)
+    }
+  }
+
+  test("trainingPairs: every anchor keeps its closest positive, negatives stay " +
+      "inside the band and never collide with the positive, leak refused") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val rows = Similarity.trainingPairs(emb, 3, 0.45, 0.30, 0.05)
+      .select($"anchor", $"positive", $"pos_sim", $"neg_rank", $"negative", $"neg_sim")
+      .as[(Long, Long, Double, Int, Long, Double)].collect()
+    assert(rows.nonEmpty, "fixture has 0.45-pairs; trainingPairs must emit rows")
+    // positives replay: anchor's positive is its max-cosine pair partner
+    val pairs = Dedup.embeddingNeardup(emb, 0.45)
+      .select($"vec_a", $"vec_b", $"cosine").as[(Long, Long, Double)].collect()
+    val byAnchor = (pairs.map(p => (p._1, (p._2, p._3))) ++
+      pairs.map(p => (p._2, (p._1, p._3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).minBy(x => (-x._2, x._1)))
+    rows.foreach { case (a, pos, ps, _, neg, ns) =>
+      val (expPos, expSim) = byAnchor(a)
+      assert(pos == expPos && ps == expSim, s"anchor $a kept ($pos,$ps), " +
+        s"closest is ($expPos,$expSim)")
+      assert(ps >= 0.45 && ns < 0.30 && ns >= 0.05)
+      assert(neg != a && neg != pos,
+        s"anchor $a mined its own ${if (neg == a) "self" else "positive"} as a negative")
+    }
+    // every pair member anchors exactly once (k rows each, dense ranks)
+    rows.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length))
+      assert(rs.map(_._2).distinct.length == 1, "one positive per anchor")
+    }
+    assert(rows.map(_._1).distinct.sorted.toSeq ==
+      byAnchor.keys.toSeq.sorted, "anchor set = pair members, exactly")
+    // a band that overlaps the positive zone is refused loudly
+    intercept[IllegalArgumentException] {
+      Similarity.trainingPairs(emb, 3, 0.30, 0.45, 0.05)
+    }
+  }
+
   test("binary store: one BIGINT per vector on disk, bit-identical serving, " +
       "dim-mismatched probes refused") {
     import spark.implicits._
