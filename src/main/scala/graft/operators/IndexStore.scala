@@ -836,10 +836,12 @@ object IndexStore {
     * starved" — which is what the oracle replays. */
   def searchIvfPqAutoWiden(spark: SparkSession, dir: String, probes: DataFrame,
       nprobe: Int = 4, topK: Int = 5,
-      idSelector: Option[DataFrame] = None): DataFrame = {
+      idSelector: Option[DataFrame] = None,
+      selectorBloomFpp: Option[Double] = None): DataFrame = {
     val man = readManifest(spark, dir)
     val (nlist, _, _, _, _, _) = loadCached(spark, dir, man.nonce)
-    val narrow = searchIvfPq(spark, dir, probes, nprobe, topK, idSelector)
+    val narrow = searchIvfPq(spark, dir, probes, nprobe, topK, idSelector,
+      selectorBloomFpp)
     // The starved set is PROBE-COUNT-BOUNDED — the query side, small by
     // definition — so it lands on the driver (the bounded-collect
     // discipline) and the final plan carries the narrow subtree ONCE
@@ -856,7 +858,8 @@ object IndexStore {
     if (starved.isEmpty) narrow
     else {
       val widened = searchIvfPq(spark, dir,
-        probes.filter(col("vec_id").isin(starved: _*)), nlist, topK, idSelector)
+        probes.filter(col("vec_id").isin(starved: _*)), nlist, topK, idSelector,
+        selectorBloomFpp)
       narrow.filter(!col("probe_id").isin(starved: _*)).unionByName(widened)
     }
   }

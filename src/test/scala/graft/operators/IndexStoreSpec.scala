@@ -79,6 +79,16 @@ class IndexStoreSpec extends SparkSpec {
     // cannot build on zero rows — the path must short-circuit)
     assert(IndexStore.searchIvfPq(spark, dir, probes, 4, 5,
       idSelector = Some(wide.limit(0)), selectorBloomFpp = Some(0.01)).count() == 0)
+    // the gate composes with the auto-widen remedy unchanged: a narrow
+    // selector served bloom-gated widens to the same rows as un-gated
+    val sel8 = emb.filter(col("vec_id") < 8).select(col("vec_id"))
+    val awGated = IndexStore.searchIvfPqAutoWiden(spark, dir, probes, 4, 5,
+        idSelector = Some(sel8), selectorBloomFpp = Some(0.01))
+      .orderBy(col("probe_id"), col("rnk")).collect().toSeq
+    val awExact = IndexStore.searchIvfPqAutoWiden(spark, dir, probes, 4, 5,
+        idSelector = Some(sel8))
+      .orderBy(col("probe_id"), col("rnk")).collect().toSeq
+    assert(awGated == awExact)
   }
 
   test("search scans only the stored codes — no corpus embedding read, no training") {
