@@ -47,14 +47,6 @@ object Curation {
   import Dedup.tokens
 
   // ------------------------------------------------- deterministic split
-  /** Train/val/test assignment from the first two hex chars of
-    * md5(doc_id): lowercase hex sorts numerically, so `bucket < "cd"`
-    * selects md5 buckets 0x00-0xcc = 205/256 ≈ 80 %, `< "e6"` the next
-    * 25/256 ≈ 10 %, remainder test. md5 is bit-identical across engines
-    * (JDK MessageDigest ≡ Spark md5() ≡ DuckDB md5()), so the split is
-    * reproducible anywhere — the property that matters when train/eval
-    * membership must never drift between pipeline runs. Map-only.
-    */
   /** md5-bucket and split label as pure column expressions of any id
     * column — shared by [[hashSplit]] and the operators that derive a
     * split from an id ALREADY on the row ([[splitLeakage]],
@@ -65,8 +57,23 @@ object Curation {
     when(bucket < trainHi, "train")
       .when(bucket < valHi, "val")
       .otherwise("test")
+  /** The one place the default 80/10/10 boundaries live — the split
+    * family ([[hashSplit]], [[splitLeakage]], [[splitLeakfree]]) share
+    * them so an audit can never silently audit a different split than
+    * the assignment used (review r17). */
+  private[operators] final val SplitTrainHi = "cd"
+  private[operators] final val SplitValHi = "e6"
 
-  def hashSplit(docs: DataFrame, trainHi: String = "cd", valHi: String = "e6"): DataFrame =
+  /** Train/val/test assignment from the first two hex chars of
+    * md5(doc_id): lowercase hex sorts numerically, so `bucket < "cd"`
+    * selects md5 buckets 0x00-0xcc = 205/256 ≈ 80 %, `< "e6"` the next
+    * 25/256 ≈ 10 %, remainder test. md5 is bit-identical across engines
+    * (JDK MessageDigest ≡ Spark md5() ≡ DuckDB md5()), so the split is
+    * reproducible anywhere — the property that matters when train/eval
+    * membership must never drift between pipeline runs. Map-only.
+    */
+  def hashSplit(docs: DataFrame, trainHi: String = SplitTrainHi,
+      valHi: String = SplitValHi): DataFrame =
     docs
       .withColumn("bucket", md5Bucket(col("doc_id")))
       .withColumn("split", splitOf(col("bucket"), trainHi, valHi))
@@ -97,10 +104,11 @@ object Curation {
     * is a pure FUNCTION of the id (md5 prefix), so both labels are
     * computed in place on the pair row, and the aggregate is 9 rows
     * max. */
-  def splitLeakage(docs: DataFrame): DataFrame =
+  def splitLeakage(docs: DataFrame, trainHi: String = SplitTrainHi,
+      valHi: String = SplitValHi): DataFrame =
     Dedup.neardupMinhash(docs)
-      .withColumn("split_a", splitOf(md5Bucket(col("doc_a")), "cd", "e6"))
-      .withColumn("split_b", splitOf(md5Bucket(col("doc_b")), "cd", "e6"))
+      .withColumn("split_a", splitOf(md5Bucket(col("doc_a")), trainHi, valHi))
+      .withColumn("split_b", splitOf(md5Bucket(col("doc_b")), trainHi, valHi))
       .groupBy(col("split_a"), col("split_b"))
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("leaked", col("split_a") =!= col("split_b"))
@@ -146,10 +154,11 @@ object Curation {
     * sub-threshold siblings survive); split-by-component cannot.
     * Scale: the component pass is the already-bounded pointer-jumping
     * CC; the split itself stays a map-only projection of the label. */
-  def splitLeakfree(docs: DataFrame): DataFrame =
+  def splitLeakfree(docs: DataFrame, trainHi: String = SplitTrainHi,
+      valHi: String = SplitValHi): DataFrame =
     Dedup.dedupClusters(docs.select(col("doc_id"), col("text")),
         Dedup.neardupMinhash(docs))
-      .withColumn("split", splitOf(md5Bucket(col("cluster_id")), "cd", "e6"))
+      .withColumn("split", splitOf(md5Bucket(col("cluster_id")), trainHi, valHi))
       .select(col("doc_id"), col("cluster_id"), col("split"))
 
   private def xcSplitLeakfree(spark: SparkSession, dir: String): DataFrame =

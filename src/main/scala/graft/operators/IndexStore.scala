@@ -833,7 +833,17 @@ object IndexStore {
     * re-query is per-starved-probe work, the recall-recovery shape the
     * ANN bound rows measure. Per-probe results are independent, so the
     * composition is exactly "narrow where sufficient, full-scan where
-    * starved" — which is what the oracle replays. */
+    * starved" — which is what the oracle replays.
+    *
+    * Cost note for GATED wide selectors (`selectorBloomFpp`): each
+    * searchIvfPq construction pays the selector count + bloom build
+    * eagerly, so a widening serve pays it twice (narrow + widened),
+    * and the unpersisted selector re-scans once per execution of the
+    * verify join — the bloomDecontaminate recompute-over-pin tradeoff,
+    * accepted because the gate exists precisely when the selector is
+    * too wide to pin. A serving layer that widens OFTEN under a wide
+    * filter should raise nprobe instead of paying the two-pass shape
+    * per query. */
   def searchIvfPqAutoWiden(spark: SparkSession, dir: String, probes: DataFrame,
       nprobe: Int = 4, topK: Int = 5,
       idSelector: Option[DataFrame] = None,

@@ -68,13 +68,24 @@ object Similarity {
     * the same bound [[graft.functions.TopKMinAgg]] provides by hand
     * where the rewrite can't apply (the ADC paths aggregate a computed
     * column under a different shape). */
-  def cosineTopK(emb: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+  def cosineTopK(emb: DataFrame, probes: DataFrame, k: Int): DataFrame =
+    cosineRankCore(emb, probes, k, col("neighbor_id") =!= col("probe_id"))
+
+  /** The one ranking core behind [[cosineTopK]],
+    * [[cosineTopKExcludingGroup]] and [[hardNegatives]] — broadcast
+    * probes against the corpus under `keep`, score, optionally filter
+    * the scored stream BEFORE ranking, group-limit to k. One body so
+    * the three serves cannot drift apart (the [[hammingTopK]]
+    * discipline applied to the float tier). */
+  private def cosineRankCore(emb: DataFrame, probes: DataFrame, k: Int,
+      keep: Column, simFilter: Option[Column] = None): DataFrame = {
     val corpus = prep(emb, "neighbor_id", "nv", "nn")
     val p = prep(probes, "probe_id", "pv", "pn")
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    corpus.join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
+    val scored = corpus.join(broadcast(p), keep)
       .withColumn("sim", dot(col("pv"), col("nv")) / (col("pn") * col("nn")))
+    simFilter.fold(scored)(scored.filter)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("sim"))
@@ -97,16 +108,8 @@ object Similarity {
       posThreshold: Double, floor: Double): DataFrame = {
     require(posThreshold > floor,
       s"hardNegatives: posThreshold ($posThreshold) must exceed floor ($floor)")
-    val corpus = prep(emb, "neighbor_id", "nv", "nn")
-    val p = prep(probes, "probe_id", "pv", "pn")
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    corpus.join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
-      .withColumn("sim", dot(col("pv"), col("nv")) / (col("pn") * col("nn")))
-      .filter(col("sim") < posThreshold && col("sim") >= floor)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("sim"))
+    cosineRankCore(emb, probes, k, col("neighbor_id") =!= col("probe_id"),
+      Some(col("sim") < posThreshold && col("sim") >= floor))
   }
 
   /** Declared: band [0.05, 0.30) — fixture-scaled so BOTH bounds bind
@@ -235,18 +238,9 @@ object Similarity {
     * pure column function of the id, so the predicate stays inside the
     * same broadcast join (no extra scan, no shuffle). */
   def cosineTopKExcludingGroup(emb: DataFrame, probes: DataFrame, k: Int,
-      groupOf: Column => Column): DataFrame = {
-    val corpus = prep(emb, "neighbor_id", "nv", "nn")
-    val p = prep(probes, "probe_id", "pv", "pn")
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    corpus.join(broadcast(p),
-        groupOf(col("neighbor_id")) =!= groupOf(col("probe_id")))
-      .withColumn("sim", dot(col("pv"), col("nv")) / (col("pn") * col("nn")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("sim"))
-  }
+      groupOf: Column => Column): DataFrame =
+    cosineRankCore(emb, probes, k,
+      groupOf(col("neighbor_id")) =!= groupOf(col("probe_id")))
 
   /** Scalar-quantized retrieval — FAISS `IndexScalarQuantizer`
     * (QT_8bit) as a Spark verb: the corpus is stored as int8 codes
@@ -445,6 +439,12 @@ object Similarity {
   def buildBinary(emb: DataFrame, dir: String, dim: Int): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // a dim narrower than the data would silently pack HALF the signs
+    // and only surface at serve time — catch the bad build where it
+    // happens (review r17); empty corpora build an empty store freely
+    embDimOpt(emb).foreach(d => require(d == dim,
+      s"buildBinary: dim=$dim but the corpus embeddings have $d dimensions " +
+        "— a partial packing would serve silently degraded Hamming rankings"))
     Seq(dim).toDF("dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     emb.select(col("vec_id"), signBits(col("embedding"), dim).as("code"))
@@ -461,9 +461,11 @@ object Similarity {
     val dim = spark.read.schema("dim INT")
       .parquet(IndexStore.requireTable(spark, dir, "meta"))
       .as[Int].head()
-    val probeDim = embDim(probes)
-    require(probeDim == dim,
-      s"binary store packed at dim=$dim cannot serve dim=$probeDim probes")
+    // empty probe batches serve empty (the EdgeCaseSpec contract) —
+    // there is nothing to dim-check, and signBits needs only the
+    // store's own dim
+    embDimOpt(probes).foreach(probeDim => require(probeDim == dim,
+      s"binary store packed at dim=$dim cannot serve dim=$probeDim probes"))
     hammingTopK(
       spark.read.schema("vec_id BIGINT, code BIGINT")
         .parquet(IndexStore.requireTable(spark, dir, "codes"))
@@ -514,6 +516,12 @@ object Similarity {
 
   private def embDim(emb: DataFrame): Int =
     emb.select(size(col("embedding"))).head.getInt(0)
+
+  /** [[embDim]] that survives an empty frame (None) — for paths whose
+    * contract is serve-empty rather than throw on zero probes. */
+  private def embDimOpt(emb: DataFrame): Option[Int] =
+    emb.select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0))
 
   private def x2BinaryTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")

@@ -550,13 +550,25 @@ class SimilaritySpec extends SparkSpec {
     val composed = Similarity.binaryTopK(emb, probes, 5, 64)
       .orderBy($"probe_id", $"rnk").collect().toSeq
     assert(served == composed, "store round-trip changed the ranking")
-    // a store built at one dim refuses probes packed at another instead
-    // of silently XOR-ing truncated codes
+    // a truncating build is refused AT BUILD TIME — a dim narrower than
+    // the data would silently pack half the signs
+    val eBuild = intercept[IllegalArgumentException] {
+      Similarity.buildBinary(emb, dir + "-bad", 32)
+    }
+    assert(eBuild.getMessage.contains("64 dimensions"))
+    // a store legitimately built at another dim refuses mismatched
+    // probes at serve time instead of silently XOR-ing truncated codes
+    val emb32 = emb.limit(20)
+      .select($"vec_id", org.apache.spark.sql.functions
+        .expr("slice(embedding, 1, 32)").as("embedding"))
     val dir32 = java.nio.file.Files.createTempDirectory("binary-store32").toString
-    Similarity.buildBinary(emb, dir32, 32)
+    Similarity.buildBinary(emb32, dir32, 32)
     val e = intercept[IllegalArgumentException] {
       Similarity.searchBinary(spark, dir32, probes, 5)
     }
     assert(e.getMessage.contains("dim=32"))
+    // an empty probe batch serves empty, never a head-on-empty throw
+    assert(Similarity.searchBinary(spark, dir,
+      probes.filter($"vec_id" < 0), 5).count() == 0)
   }
 }
