@@ -311,6 +311,74 @@ object Similarity {
        |ORDER BY probe_id, rnk""".stripMargin
   }
 
+  /** SQ8 shortlist → exact re-rank — the refine serve at the SQ8 rung,
+    * completing the ladder's symmetry (every storage tier now has its
+    * exact-rerank twin: binary → [[binaryRerank]], SQ8 → this,
+    * PQ-ADC → [[ivfPqRefine]]): the 1-byte-per-dim scan mines a
+    * `shortlist`-deep candidate set per probe, and ONLY those rows pay
+    * full-precision L2 ([[exactRerank]] — the shortlist broadcasts
+    * back against the corpus, so the corpus never shuffles in either
+    * stage). Deterministic both stages (dequantized cosine + id
+    * tie-break, then exact L2 + id tie-break) — stage-replay oracle,
+    * hash-matched. */
+  def sq8Rerank(emb: DataFrame, probes: DataFrame, shortlist: Int,
+      k: Int): DataFrame = {
+    require(shortlist >= k,
+      s"sq8Rerank: shortlist ($shortlist) must be >= k ($k) — a shorter " +
+        "shortlist silently starves every probe below the requested topK")
+    val short = sq8TopK(emb, probes, shortlist)
+      .select(col("probe_id"), col("neighbor_id").as("vec_id"))
+    exactRerank(short, emb, probes, k)
+  }
+
+  private def x2Sq8Rerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    sq8Rerank(emb, emb.filter(col("vec_id") < 10), 20, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Oracle: the SQ8 dequantize + cosine shortlist at depth 20 (the
+    * x2_sq8_topk expression re-cut), exact-L2 re-rank on the shortlist
+    * only — the x2_ivfpq_refined replay discipline at the SQ8 rung. */
+  private def x2Sq8RerankSql: String = {
+    val sim = """list_dot_product(CAST(p.embedding AS DOUBLE[]), c.dvec) /
+      |        (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))) *
+      |         sqrt(list_dot_product(c.dvec, c.dvec)))""".stripMargin
+    s"""WITH d AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+       |         unnest(embedding)::DOUBLE AS v
+       |  FROM embeddings),
+       |mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM d GROUP BY dim),
+       |dq AS (
+       |  SELECT vec_id,
+       |    list(CASE WHEN mx = mn THEN mn
+       |         ELSE mn + floor((v - mn) * 255 / (mx - mn)) * (mx - mn) / 255.0 END
+       |         ORDER BY dim) AS dvec
+       |  FROM d JOIN mm USING (dim) GROUP BY vec_id),
+       |short AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+       |        $sim DESC,
+       |        c.vec_id) AS srnk
+       |    FROM embeddings p JOIN dq c ON p.vec_id < 10 AND c.vec_id <> p.vec_id) t
+       |  WHERE srnk <= 20),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |scored AS (
+       |  SELECT s.probe_id, s.neighbor_id AS vec_id,
+       |    ${pqD2("p.v", "c.v")} AS dist
+       |  FROM short s
+       |  JOIN ev c ON c.vec_id = s.neighbor_id
+       |  JOIN ev p ON p.vec_id = s.probe_id)
+       |SELECT probe_id, vec_id, rnk, dist FROM (
+       |  SELECT probe_id, vec_id, dist,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY probe_id ORDER BY dist, vec_id) AS INTEGER) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 5
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
+
   /** The PERSISTED half of the SQ8 tier — build-once/query-many like
     * [[IndexStore]]'s PQ store, but deliberately lightweight: the
     * artifact is immutable (grid + codes written once, replaced
@@ -2052,6 +2120,7 @@ object Similarity {
     Declared("x2_training_pairs", x2TrainingPairs, Some(x2TrainingPairsSql)),
     Declared("x2_sq8_topk", x2Sq8TopK, Some(x2Sq8TopKSql)),
     Declared("x2_sq8_persisted", x2Sq8Persisted, Some(x2Sq8TopKSql)),
+    Declared("x2_sq8_rerank", x2Sq8Rerank, Some(x2Sq8RerankSql)),
     Declared("x2_binary_topk", x2BinaryTopK, Some(x2BinaryTopKSql)),
     Declared("x2_binary_persisted", x2BinaryPersisted, Some(x2BinaryTopKSql)),
     Declared("x2_binary_rerank", x2BinaryRerank, Some(x2BinaryRerankSql)),

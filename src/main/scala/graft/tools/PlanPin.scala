@@ -86,7 +86,10 @@ object PlanPin {
     // hard negatives: band predicates filter BEFORE the rank window,
     // same broadcast one-pass plan as the brute top-k; training pairs
     // compose the pair kernel + best-positive window + banded ranking
-    "x2_hard_negatives", "x2_training_pairs")
+    "x2_hard_negatives", "x2_training_pairs",
+    // SQ8 rerank: quantized shortlist feeds a broadcast-semi-join exact
+    // re-rank — the corpus scans once per stage, never shuffles
+    "x2_sq8_rerank")
 
   val pinFile = "PLANPINS.txt"
   val sfDir = "/root/testdata/sf0.001"

@@ -496,6 +496,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sq8Rerank: served distances are the exact L2, ranks dense, the 20-deep " +
+      "quantized shortlist recovers most of the exact top-5, short shortlist refused") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val probes = emb.filter($"vec_id" < 10)
+    val got = Similarity.sq8Rerank(emb, probes, 20, 5)
+      .select($"probe_id", $"vec_id", $"rnk", $"dist")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.length == 50)
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      // the exactRerank evaluation order: p·p − 2 p·n + n·n, doubles
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.map(i => x(i).toDouble * y(i).toDouble).sum
+      dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+    }
+    got.foreach { case (p, n, _, d) =>
+      assert(math.abs(d - l2(vecs(p), vecs(n))) < 1e-9,
+        s"($p,$n) dist $d is not the exact L2")
+    }
+    got.groupBy(_._1).values.foreach { rows =>
+      val byRnk = rows.sortBy(_._3)
+      assert(byRnk.map(_._3).toSeq == (1 to 5))
+      assert(byRnk.sliding(2).forall { case Array(a, b) => a._4 <= b._4 })
+    }
+    // recall floor vs the exact-L2 top-5 over the full corpus
+    val gotSets = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val hits = (0L until 10L).map { p =>
+      val exact = vecs.collect { case (id, v) if id != p => (l2(vecs(p), v), id) }
+        .toSeq.sorted.take(5).map(_._2).toSet
+      (exact & gotSets(p)).size
+    }.sum
+    val recall = hits.toDouble / 50
+    assert(recall >= 0.8, f"SQ8-shortlist recall $recall%.2f < 0.8 floor")
+    intercept[IllegalArgumentException] {
+      Similarity.sq8Rerank(emb, probes, 3, 5)
+    }
+  }
+
   test("trainingPairs: every anchor keeps its closest positive, negatives stay " +
       "inside the band and never collide with the positive, leak refused") {
     import spark.implicits._
