@@ -186,7 +186,13 @@ object IndexStore {
     val spark = encoded.sparkSession
     val obs = org.apache.spark.sql.Observation(s"graft-encode-$batchId-${System.nanoTime()}")
     encoded
-      .observe(obs, count(lit(1)).as("n"), avg(col("err")).as("mean_err"),
+      // Num.davg, not avg(double): per-row err is deterministic, but a
+      // raw double mean depends on partial-aggregation order (varies run
+      // to run) — the same flake class that hit the DSIR drift telemetry
+      // in r17. Decimal sum/count is order-independent; the
+      // x2_index_stats oracle mirrors it (Num.sqlAvg). max is
+      // order-independent already.
+      .observe(obs, count(lit(1)).as("n"), graft.core.Num.davg(col("err")).as("mean_err"),
         max(col("err")).as("max_err"))
       .drop("err")
       .write.mode("overwrite").parquet(s"$dir/codes/batch_id=$batchId")

@@ -1247,7 +1247,10 @@ object Similarity {
         .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
     val per = j.groupBy(col("cluster")).agg(
       count(lit(1)).cast(IntegerType).as("n_docs"),
-      avg(col("quality_score")).as("mean_quality"))
+      // Num.davg: a cluster's docs span partitions, so a raw double mean
+      // is partial-aggregation-order-sensitive (the r17 xs_dsir_drift
+      // flake class); the oracle mirrors the decimal sum/count.
+      graft.core.Num.davg(col("quality_score")).as("mean_quality"))
     val top = j.groupBy(col("cluster"), col("lang")).agg(count(lit(1)).as("c"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cluster")).orderBy(col("c").desc, col("lang"))))
@@ -1268,7 +1271,7 @@ object Similarity {
        |  FROM km JOIN documents d USING (doc_id) JOIN q USING (doc_id)),
        |per AS (
        |  SELECT cluster, CAST(COUNT(*) AS INTEGER) AS n_docs,
-       |    AVG(quality_score) AS mean_quality
+       |    ${graft.core.Num.sqlAvg("quality_score")} AS mean_quality
        |  FROM j GROUP BY cluster),
        |top AS (
        |  SELECT cluster, lang AS top_lang, c AS top_n FROM (
@@ -2105,7 +2108,8 @@ object Similarity {
        |  SELECT vec_id, $errSum AS err
        |  FROM f0 $joins)
        |SELECT CAST(CASE WHEN vec_id < $half THEN 0 ELSE 1 END AS BIGINT) AS batch_id,
-       |  COUNT(*) AS n, AVG(err) AS mean_err, MAX(err) AS max_err
+       |  COUNT(*) AS n, ${graft.core.Num.sqlAvg("err")} AS mean_err,
+       |  MAX(err) AS max_err
        |FROM errs GROUP BY 1 ORDER BY 1""".stripMargin
   }
 

@@ -223,7 +223,14 @@ object CurateStream {
               Curation.loadDsir(sp, dsirDir))
             .observe(obs,
               count(lit(1)).as("n_scored"),
-              avg(col("logw")).as("mean_logw"),
+              // Num.davg, not avg(double): per-doc logw is deterministic
+              // (map-only score against the frozen λ), but a raw double
+              // MEAN is summed in partial-aggregation order, which varies
+              // run to run — a mean straddling a 4-dp rounding boundary
+              // flipped the driver hash in r17. The DECIMAL(28,10)
+              // sum/count is order-independent, the oracle mirrors it
+              // (Num.sqlAvg), and both engines do the same IEEE division.
+              graft.core.Num.davg(col("logw")).as("mean_logw"),
               sum(when(col("logw") >= minLogw, 1L).otherwise(0L)).as("n_passed"))
             .filter(col("logw") >= minLogw)
             .select(col("doc_id")),
@@ -800,7 +807,7 @@ object CurateStream {
        |  SUM(CASE WHEN logw >= 0.0 THEN 1 ELSE 0 END) AS n_passed,
        |  CAST(SUM(CASE WHEN logw >= 0.0 THEN 1 ELSE 0 END) AS DOUBLE)
        |    / COUNT(*) AS pass_rate,
-       |  AVG(logw) AS mean_logw
+       |  ${graft.core.Num.sqlAvg("logw")} AS mean_logw
        |FROM scored GROUP BY batch_id ORDER BY batch_id""".stripMargin
 
   /** Quality signals AT INGEST: [[graft.operators.Curation.signalTable]]

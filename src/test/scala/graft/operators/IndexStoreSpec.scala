@@ -20,6 +20,32 @@ class IndexStoreSpec extends SparkSpec {
     assert(persisted.toSeq == direct.toSeq) // adist doubles included: bit-identical
   }
 
+  test("build stats artifact lands bit-identical JSON across partitioning " +
+      "changes (mean_err is Num.davg — the r17 xs_dsir_drift flake class)") {
+    // see CurateStreamSpec's telemetry-determinism audit for the full
+    // enumeration of landed/hashed doubles and their arguments
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    def statsJson(nParts: Int, shuffleParts: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory("ivfpq-statdet").toString
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", shuffleParts)
+        IndexStore.buildIvfPq(emb.repartition(nParts), dir, 16, 4, 16, 1)
+        val p = new org.apache.hadoop.fs.Path(s"$dir/stats/batch_id=0/stats.json")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+    }
+    val a = statsJson(nParts = 1, shuffleParts = "3")
+    val b = statsJson(nParts = 7, shuffleParts = "11")
+    assert(a == b, s"index stats are partitioning-sensitive:\n  A: $a  B: $b")
+    assert(a.contains("\"mean_err\":"), s"unexpected stats shape: $a")
+  }
+
   test("idSelector: filtered serving equals the composed filtered search; " +
       "an empty selector returns nothing; None leaves search untouched") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-sel").toString

@@ -591,6 +591,57 @@ class CurateStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  /** Telemetry-determinism audit (VERDICT r17 #1/#2). Every double that
+    * reaches a driver-hashed row or a landed stats artifact, with its
+    * determinism argument:
+    *   - `mean_logw` (CurateStream dsir observe) — Num.davg: exact
+    *     DECIMAL(28,10) sum / count, order-independent. THIS test pins
+    *     bit-identity across partitioning changes.
+    *   - `mean_err` / `max_err` (IndexStore.writeCodesWithStats observe)
+    *     — Num.davg / max, both order-independent
+    *     (IndexStoreSpec pins bit-identity).
+    *   - `mean_quality` (x2_cluster_profile) — Num.davg.
+    *   - per-doc `logw` (dsirScoreWith) and `cross_entropy`
+    *     (scoreBigramLm) — float sums, but map-local: one doc's
+    *     occurrences come from exploding ONE input row through a
+    *     broadcast join (no shuffle touches them before the per-doc
+    *     agg), so within-engine the summation order is the explode
+    *     order, fixed. Cross-engine ulp risk at gate thresholds is
+    *     handled by the fixture margin assertions above.
+    *   - ingest observe metrics — count + long sum, exact.
+    * No driver-hashed row carries a raw unordered float mean. */
+  test("dsir drift telemetry lands bit-identical JSON across partitioning " +
+      "changes (the r17 flake class)") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val dsirDir = graft.operators.TokenizerStore.ensureTokenizerFor(spark,
+      s"${sf("sf0.001")}/documents.parquet", "dsir-en-a05",
+      d => graft.operators.Curation.trainDsir(docs, col("lang") === "en", d))
+    def statsJson(nFiles: Int, shuffleParts: String): String = {
+      val root = java.nio.file.Files.createTempDirectory("curate-dsirdet").toString
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", shuffleParts)
+        docs.repartition(nFiles).write.parquet(s"$root/in/d0.parquet")
+        CurateStream.runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck",
+          dsirGate = Some((dsirDir, 0.0)))
+        val p = new org.apache.hadoop.fs.Path(
+          s"${CurateStream.dsirStatsDirOf(s"$root/out/data")}/batch_id=0/stats.json")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      }
+    }
+    val a = statsJson(nFiles = 1, shuffleParts = "3")
+    val b = statsJson(nFiles = 7, shuffleParts = "11")
+    assert(a == b,
+      s"drift telemetry is partitioning-sensitive:\n  A: $a  B: $b")
+    assert(a.contains("\"mean_logw\":"), s"unexpected stats shape: $a")
+  }
+
   /** 50 phrases from a shared 40-phrase pool (100 words): bigrams repeat
     * ACROSS docs, so a bigram LM trained on the corpus scores regular
     * docs low and all-unique gibberish high; distinct phrase orders keep
