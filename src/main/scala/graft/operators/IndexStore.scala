@@ -766,7 +766,14 @@ object IndexStore {
     * centroids (probe-sized broadcast), candidate join on cluster id
     * against the stored codes (the only corpus-sized scan — m ints per
     * row, no embedding column), ADC + bounded top-k exactly as the
-    * in-memory path. */
+    * in-memory path.
+    *
+    * `idSelector` must be a DETERMINISTIC plan (it is referenced more
+    * than once — eagerly for sizing/bloom, lazily in the verify join):
+    * with `selectorBloomFpp` set, a selector that re-materializes
+    * differently (e.g. sampled) can surface ids absent from the bloom
+    * and the map-side gate silently drops true members. Land a
+    * nondeterministic selection to parquet and pass the re-read. */
   def searchIvfPq(spark: SparkSession, dir: String, probes: DataFrame,
       nprobe: Int = 4, topK: Int = 5,
       idSelector: Option[DataFrame] = None,
@@ -809,7 +816,16 @@ object IndexStore {
         else {
           val bloom = sel.stat.bloomFilter("vec_id", n, fpp)
           // eager uses done — the lazy verify join below recomputes the
-          // selector once when it runs rather than pinning the cache
+          // selector once when it runs rather than pinning the cache.
+          // DETERMINISM CONTRACT (ADVICE r17): recompute-over-pin is only
+          // sound because an idSelector must be a deterministic plan — a
+          // nondeterministic one (e.g. sampled) could re-materialize with
+          // ids ABSENT from this bloom, and the map-side gate would then
+          // silently drop true members before the verify join ever sees
+          // them. Callers with a nondeterministic selector must land it
+          // (write + re-read) first; the non-bloom path has the same
+          // contract for result stability, just without the silent-drop
+          // failure mode.
           sel.unpersist()
           val b = spark.sparkContext.broadcast(bloom)
           val mightContain = udf((id: Long) => b.value.mightContainLong(id))

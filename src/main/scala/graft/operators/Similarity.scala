@@ -475,13 +475,22 @@ object Similarity {
     * probes × k rows. Hash-exact (integer distances, id tie-break) —
     * the oracle recomputes Hamming semantically from the float signs,
     * so it also proves the packing lost nothing. */
-  def binaryTopK(emb: DataFrame, probes: DataFrame, k: Int, dim: Int): DataFrame =
+  def binaryTopK(emb: DataFrame, probes: DataFrame, k: Int, dim: Int): DataFrame = {
+    // same guard as buildBinary (ADVICE r17): a dim narrower than the
+    // data silently packs only the first `dim` signs and serves degraded
+    // rankings; a wider one throws mid-query from element_at under ANSI.
+    // One 1-row probe here makes the composed path fail as loudly as the
+    // persisted one (covers binaryRerank, which routes through here).
+    embDimOpt(emb).foreach(d => require(d == dim,
+      s"binaryTopK: dim=$dim but the corpus embeddings have $d dimensions " +
+        "— a partial packing would serve silently degraded Hamming rankings"))
     hammingTopK(
       emb.select(col("vec_id").as("neighbor_id"),
         signBits(col("embedding"), dim).as("ncode")),
       probes.select(col("vec_id").as("probe_id"),
         signBits(col("embedding"), dim).as("pcode")),
       k)
+  }
 
   /** Shared ranking core of the composed and persisted binary serves —
     * one code table shape in, one ranking out, so the store round-trip

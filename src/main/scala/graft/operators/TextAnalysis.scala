@@ -435,8 +435,20 @@ object TextAnalysis {
     * brute ranking is the verified baseline the IVF-PQ text tier
     * (xt_hashvec_index) already provides the scale path for. */
   def chunkNeighbors(docs: DataFrame, probeDocs: Int, k: Int): DataFrame = {
+    // map-only overflow guard (ADVICE r17): a doc with >= 2^20 chunks or
+    // a negative doc_id would silently collide into another doc's key
+    // space, corrupting both the same-doc exclusion and the unpacked
+    // output — fail loudly like the repo's other build-time requires
     val keyed = chunk(docs).select(
-      (col("doc_id") * ChunkKeyBase + col("chunk_id")).as("doc_id"),
+      when(col("chunk_id") >= lit(ChunkKeyBase) || col("doc_id") < 0,
+        raise_error(concat(
+          lit("chunkNeighbors: packed key overflow (doc_id="),
+          col("doc_id").cast(StringType), lit(", chunk_id="),
+          col("chunk_id").cast(StringType),
+          lit(s") — need doc_id >= 0 and < 2^$ChunkKeyBits chunks/doc; " +
+            "a bigger corpus moves to a struct key"))))
+        .otherwise(col("doc_id") * ChunkKeyBase + col("chunk_id"))
+        .as("doc_id"),
       col("chunk_text").as("text"))
     val emb = hashVectors(keyed).filter(col("l2") > 0)
       .select(col("doc_id").as("vec_id"),

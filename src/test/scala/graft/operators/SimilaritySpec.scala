@@ -610,5 +610,16 @@ class SimilaritySpec extends SparkSpec {
     // an empty probe batch serves empty, never a head-on-empty throw
     assert(Similarity.searchBinary(spark, dir,
       probes.filter($"vec_id" < 0), 5).count() == 0)
+    // the COMPOSED path guards dim like the build does (ADVICE r17): a
+    // narrower dim must fail loudly, not pack half the signs — and the
+    // guard covers binaryRerank, which routes through binaryTopK
+    val eTopK = intercept[IllegalArgumentException] {
+      Similarity.binaryTopK(emb, probes, 5, 32)
+    }
+    assert(eTopK.getMessage.contains("64 dimensions"))
+    val eRerank = intercept[IllegalArgumentException] {
+      Similarity.binaryRerank(emb, probes, 50, 5, 32)
+    }
+    assert(eRerank.getMessage.contains("64 dimensions"))
   }
 }

@@ -695,4 +695,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m((0L, 0)) == ((1L, 0)), s"doc0 chunk0 top-1 was ${m((0L, 0))}")
     assert(m((1L, 0)) == ((0L, 0)), s"doc1 chunk0 top-1 was ${m((1L, 0))}")
   }
+
+  test("chunkNeighbors: a doc_id outside the packed-key range fails loudly " +
+      "instead of silently colliding key spaces (ADVICE r17)") {
+    import spark.implicits._
+    val docs = Seq(
+      (-1L, (1 to 64).map(i => s"neg$i").mkString(" ")),
+      (1L, (1 to 64).map(i => s"ok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.chunkNeighbors(docs, 2, 2).collect()
+    }
+    assert(e.getMessage.contains("packed key overflow") ||
+      Option(e.getCause).exists(_.getMessage.contains("packed key overflow")),
+      s"wrong failure: ${e.getMessage}")
+  }
 }
