@@ -330,5 +330,8 @@ object EventStreams {
     Declared("s2_session_window", s2b, Some(s2bSql)),
     Declared("s3_dedup", s3, Some(s3Sql)),
     Declared("s3_click_view_join", s3Join, Some(s3JoinSql)),
-    Declared("s6_distinct_users", s6, Some(s6Sql)))
+    Declared("s6_distinct_users", s6, Some(s6Sql)),
+    // S7 — transformWithState running totals, driven through the REAL
+    // RocksDB-backed streaming machinery (three ordered drops)
+    Declared("s7_user_totals", UserTotals.s7, Some(UserTotals.s7Sql)))
 }

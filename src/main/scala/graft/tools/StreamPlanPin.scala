@@ -146,6 +146,27 @@ object StreamPlanPin {
         .queryExecution.executedPlan)
   }
 
+  /** The s7 transformWithState micro-batch: the plan must keep exactly
+    * one `TransformWithStateExec` over one keyed exchange (RocksDB
+    * provider required — swapped in around the trigger like the
+    * declared drive does). */
+  private def userTotalsSkeleton(spark: SparkSession): String = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try microBatchSkeleton(spark, ev => {
+      import spark.implicits._
+      graft.streaming.UserTotals.totals(
+        ev.select(col("user_id"), col("event_type"), col("value"))
+          .as[graft.streaming.UserTotals.UserEvent]).toDF()
+    }, "update")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def currentSkeletons(spark: SparkSession): Seq[(String, String)] = Seq(
     "s1_tumbling_window_microbatch" ->
       microBatchSkeleton(spark, EventStreams.tumbling, "complete"),
@@ -157,6 +178,7 @@ object StreamPlanPin {
       microBatchSkeleton(spark, EventStreams.windowDistinctUsers, "complete"),
     "s3_dedup_microbatch" ->
       microBatchSkeleton(spark, EventStreams.dedupStream, "append"),
+    "s7_user_totals_microbatch" -> userTotalsSkeleton(spark),
     "xs_curate_batch_neardup" -> curateBatchNearDup(spark),
     "xs_curate_batch_lmgate" -> curateBatchLmGate(spark),
     "xs_curate_batch_dsirgate" -> curateBatchDsirGate(spark),
