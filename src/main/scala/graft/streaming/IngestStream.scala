@@ -188,6 +188,34 @@ object IngestStream {
       println(s"[metrics] FINAL processed=$processedRequests bytes=$totalBytes")
   }
 
+  /** Health surface (§2A#19, reference README.md:28 — the documented
+    * `/health` endpoint, vestigial in the reference's own main.go): the
+    * ingest service's liveness/progress snapshot as a one-row DataFrame,
+    * assembled driver-side from `StreamingQuery.status`/`lastProgress` —
+    * zero Spark jobs, so a monitor can poll it on any cadence. An HTTP
+    * deployment serves `health(...).toJSON.head()` verbatim; the columns
+    * are the reference endpoint's status plus the throughput numbers its
+    * 30 s report prints (main.go:145-158). */
+  def health(spark: SparkSession, query: StreamingQuery): DataFrame = {
+    import spark.implicits._
+    val p = Option(query.lastProgress)
+    Seq((
+      Option(query.name).getOrElse(""),
+      query.id.toString,
+      query.isActive,
+      query.status.message,
+      query.status.isDataAvailable,
+      query.status.isTriggerActive,
+      p.map(_.batchId).getOrElse(-1L),
+      p.map(_.numInputRows).getOrElse(0L),
+      p.map(pp => if (pp.processedRowsPerSecond.isNaN) 0.0
+        else pp.processedRowsPerSecond).getOrElse(0.0),
+      query.exception.isDefined))
+      .toDF("name", "query_id", "is_active", "status_message",
+        "data_available", "trigger_active", "last_batch_id",
+        "last_num_input_rows", "processed_rows_per_sec", "failed")
+  }
+
   /** Retention: drop date partitions older than `keepDays` (reference
     * keeps 30 dailies, configs/logrotate.conf:2-4). Pure filesystem
     * maintenance — no data rewrite. */

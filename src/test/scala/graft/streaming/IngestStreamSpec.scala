@@ -52,6 +52,33 @@ class IngestStreamSpec extends SparkSpec {
     assert(listener.totalBytes > 0)
   }
 
+  test("health surface (§2A#19) reports liveness + progress for a running " +
+      "ingest query, and goes inactive after stop") {
+    val root = Files.createTempDirectory("graft-health").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(s"$in/10.0.0.1"), "gps:1.0,2.0\n".getBytes)
+    // ProcessingTime keeps the query ALIVE after catching up (AvailableNow
+    // self-terminates, which is the post-stop half of the assertion)
+    val q = IngestStream.start(spark, in, out, ck,
+      trigger = Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      val h = IngestStream.health(spark, q).collect()
+      assert(h.length == 1)
+      val r = h(0)
+      assert(r.getAs[String]("query_id") == q.id.toString)
+      assert(r.getAs[Boolean]("is_active"))
+      assert(!r.getAs[Boolean]("failed"))
+      assert(r.getAs[Long]("last_batch_id") >= 0L,
+        "no progress recorded for a query that processed a batch")
+      assert(r.getAs[Long]("last_num_input_rows") >= 0L)
+    } finally q.stop()
+    val after = IngestStream.health(spark, q).collect()(0)
+    assert(!after.getAs[Boolean]("is_active"))
+    assert(!after.getAs[Boolean]("failed"))
+  }
+
   test("checkpoint recovery is exactly-once: restart processes only new files") {
     val root = Files.createTempDirectory("graft-ckpt").toString
     val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
