@@ -339,6 +339,161 @@ class TextAnalysisSpec extends SparkSpec {
     expectFail(good ++ Array[Byte](1, 2, 3), "trailing")
   }
 
+  test("JpegCodec round-trips constant-block images pixel-exactly through a " +
+      "real baseline JPEG (DC Huffman chain, byte stuffing, YCbCr)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 8) {
+      val bw = 1 + rnd.nextInt(3); val bh = 1 + rnd.nextInt(4)
+      val vals = Array.fill(bw * bh)(rnd.nextInt(256))
+      val bytes = Multimodal.JpegCodec.encodeConstantBlocks(bw, bh, vals)
+      assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      assert((bytes(bytes.length - 2) & 0xff) == 0xff &&
+        (bytes(bytes.length - 1) & 0xff) == 0xd9)
+      val img = Multimodal.JpegCodec.decode(bytes)
+      assert(img.width == bw * 8 && img.height == bh * 8, s"geometry trial $trial")
+      for (y <- 0 until img.height; x <- 0 until img.width) {
+        val v = vals((y / 8) * bw + x / 8)
+        val o = (y * img.width + x) * 3
+        assert((img.pixels(o) & 0xff) == v && (img.pixels(o + 1) & 0xff) == v &&
+          (img.pixels(o + 2) & 0xff) == v, s"pixel ($x,$y) trial $trial: " +
+            s"got ${img.pixels(o) & 0xff}, want $v")
+      }
+    }
+    // the 0xFF00 byte-stuffing trap must actually be exercised by some
+    // synthesized stream — a decoder that skips unstuffing cannot pass
+    val stuffed = (0 until 256).exists { v =>
+      val b = Multimodal.JpegCodec.encodeConstantBlocks(2, 2,
+        Array(v, 255 - v, v, 255 - v))
+      // scan the entropy segment only (after SOS, before EOI)
+      var i = 2; var sos = -1
+      while (sos < 0 && i + 3 < b.length) {
+        if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xda)
+          sos = i + 2 + (((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff))
+        else i += 1
+      }
+      (sos until b.length - 2).exists(j =>
+        (b(j) & 0xff) == 0xff && (b(j + 1) & 0xff) == 0x00)
+    }
+    assert(stuffed, "no synthesized stream exercised byte stuffing")
+  }
+
+  test("JpegCodec decodes PLANTED AC coefficients (runs, ZRL, negative " +
+      "magnitudes) to an independent direct-cosine IDCT reference") {
+    val J = Multimodal.JpegCodec
+    val q = J.StdQLuma; val qc = J.StdQChroma
+    // natural-order quantized blocks: dense low-freq ACs; an isolated
+    // high-zigzag coefficient (forces a ZRL run); negative values
+    val b1 = new Array[Int](64)
+    b1(0) = 5; b1(1) = -3; b1(8) = 7; b1(9) = 2; b1(16) = -1
+    val b2 = new Array[Int](64)
+    b2(0) = -9; b2(J.ZigZag(20)) = 4 // 19 zeros before it → ZRL + run 3
+    val zero = new Array[Int](64)
+    val bytes = J.encodeBaseline(16, 8, q, qc,
+      Array(b1, b2), Array(zero.clone(), zero.clone()), Array(zero.clone(), zero.clone()))
+    val img = J.decode(bytes)
+    // independent reference: direct 2-D cosine sum over the DEQUANTIZED
+    // coefficients, half-up rounding, clamp — written differently from
+    // the decoder's separable two-pass IDCT
+    def ref(coefQ: Array[Int]): Array[Int] = {
+      val out = new Array[Int](64)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        var s = 0.0
+        for (v <- 0 until 8; u <- 0 until 8) {
+          val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+          s += cu * cv * (coefQ(v * 8 + u) * q(v * 8 + u)) *
+            math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+            math.cos((2 * y + 1) * v * math.Pi / 16.0)
+        }
+        val t = 0.25 * s + 128.0
+        // self-validating margin: a planted value near a rounding
+        // boundary would make the two IDCT evaluation orders diverge
+        assert(math.abs(t - math.floor(t) - 0.5) > 1e-6,
+          s"planted coefficient lands $t within noise of a rounding boundary")
+        val p = math.floor(t + 0.5).toInt
+        out(y * 8 + x) = math.max(0, math.min(255, p))
+      }
+      out
+    }
+    val r1 = ref(b1); val r2 = ref(b2)
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val want = if (x < 8) r1(y * 8 + x) else r2(y * 8 + (x - 8))
+      val got = img.pixels((y * 16 + x) * 3) & 0xff
+      assert(got == want, s"pixel ($x,$y): got $got, want $want")
+    }
+  }
+
+  test("JpegCodec handles grayscale, restart markers (DC predictor reset), " +
+      "and 4:2:0 subsampled MCUs") {
+    val J = Multimodal.JpegCodec
+    def dcBlock(v: Int): Array[Int] = { val b = new Array[Int](64); b(0) = v - 128; b }
+    // grayscale 16x8, two blocks
+    val g = J.decode(J.encodeBaseline(16, 8, J.SynthQLuma, J.SynthQChroma,
+      Array(dcBlock(40), dcBlock(200)), null, null))
+    assert(g.width == 16 && g.height == 8)
+    assert((g.pixels(0) & 0xff) == 40 && (g.pixels(1) & 0xff) == 40 &&
+      (g.pixels(2) & 0xff) == 40)
+    assert((g.pixels((8 * 3)) & 0xff) == 200)
+    // restart interval 1 across a 4-MCU color image: predictors reset at
+    // every RST, so a decoder ignoring RSTs desyncs immediately
+    val vals = Array(10, 250, 60, 130)
+    val zero = new Array[Int](64)
+    val rst = J.encodeBaseline(32, 8, J.SynthQLuma, J.SynthQChroma,
+      vals.map(dcBlock), Array.fill(4)(zero.clone()), Array.fill(4)(zero.clone()),
+      restartInterval = 1)
+    assert((0 until 4).exists(m => rst.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == (0xd0 + m))), "no RST markers emitted")
+    val ri = J.decode(rst)
+    for (k <- 0 until 4; x <- k * 8 until k * 8 + 8)
+      assert((ri.pixels(x * 3) & 0xff) == vals(k), s"restart block $k")
+    // 4:2:0: one MCU, four luma quadrants + single chroma block —
+    // exercises the subsampled MCU walk and replication upsampling
+    val qv = Array(16, 80, 144, 240)
+    val sub = J.decode(J.encodeBaseline(16, 16, J.SynthQLuma, J.SynthQChroma,
+      qv.map(dcBlock), Array(zero.clone()), Array(zero.clone()), lumaHV = 2))
+    assert(sub.width == 16 && sub.height == 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = qv((y / 8) * 2 + x / 8)
+      assert((sub.pixels((y * 16 + x) * 3) & 0xff) == want, s"4:2:0 pixel ($x,$y)")
+    }
+  }
+
+  test("JpegCodec refuses malformed payloads loudly") {
+    val J = Multimodal.JpegCodec
+    def dcBlock(v: Int): Array[Int] = { val b = new Array[Int](64); b(0) = v - 128; b }
+    val zero = new Array[Int](64)
+    val good = J.encodeBaseline(8, 8, J.SynthQLuma, J.SynthQChroma,
+      Array(dcBlock(77)), Array(zero.clone()), Array(zero.clone()))
+    def refuse(bytes: Array[Byte], what: String): Unit = {
+      val e = intercept[IllegalArgumentException] { J.decode(bytes) }
+      assert(e.getMessage.startsWith("JpegCodec:"), s"$what: ${e.getMessage}")
+    }
+    refuse("not a jpeg at all".getBytes, "bad magic")
+    refuse(good.take(good.length - 8), "truncated entropy")
+    refuse(good.take(20), "truncated header")
+    def patchSof(to: Int): Array[Byte] = {
+      val b = good.clone()
+      val i = b.indices.dropRight(1)
+        .find(i => (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc0).get
+      b(i + 1) = to.toByte; b
+    }
+    val prog = intercept[IllegalArgumentException] { J.decode(patchSof(0xc2)) }
+    assert(prog.getMessage.contains("progressive"))
+    val arith = intercept[IllegalArgumentException] { J.decode(patchSof(0xc9)) }
+    assert(arith.getMessage.contains("arithmetic"))
+    refuse(patchSof(0xc3), "lossless frame")
+    // a decoder must WALK APPn/COM segments, not assume fixed offsets:
+    // splice an APP5 + COM right after SOI and require identical output
+    val extra = new java.io.ByteArrayOutputStream()
+    extra.write(good, 0, 2)
+    extra.write(Array[Byte](0xff.toByte, 0xe5.toByte, 0, 6, 1, 2, 3, 4))
+    extra.write(Array[Byte](0xff.toByte, 0xfe.toByte, 0, 4, 65, 66))
+    extra.write(good, 2, good.length - 2)
+    val spliced = J.decode(extra.toByteArray)
+    val base = J.decode(good)
+    assert(spliced.pixels.sameElements(base.pixels) && spliced.width == base.width)
+  }
+
   test("Y4mCodec round-trips C420 frames through a real YUV4MPEG2 stream") {
     val f0 = Array.tabulate[Byte](24)(_.toByte)        // 4x4: Y 16, U 4, V 4
     val f1 = Array.tabulate[Byte](24)(i => (100 + i).toByte)
