@@ -259,8 +259,29 @@ object Bench {
     // the same numbers under self-describing names (r12 rename)
     val mediansCaveat = "gated medians; contention below the 1.5x calib gate " +
       "still inflates them - compare rounds on mins, which a throttled pass cannot move"
+    // Round-18 (VERDICT r17 #3): the artifact carries its own AMBIENT
+    // verdict. The run's BEST calib point is its least-contended moment;
+    // against the committed clean-host floor (q1 warm ~0.94-1.3 s across
+    // the r8-r17 artifacts; override with SPARK_GRAFT_CALIB_REF) it says
+    // whether this run is round-over-round comparable without anyone
+    // cross-referencing history: "clean" (<= 1.15x), "elevated"
+    // (<= 1.5x), else "contended" — the recording discipline is to
+    // re-run rather than commit a non-clean closing artifact.
+    val calibRef = sys.env.getOrElse("SPARK_GRAFT_CALIB_REF", "1.05").toDouble
+    val calibBest = {
+      val ok = calibSeg.flatten.filterNot(_.isNaN)
+      if (ok.isEmpty) Double.NaN else ok.min
+    }
+    val ambientRatio = calibBest / calibRef
+    val ambientState =
+      if (ambientRatio.isNaN) "unknown"
+      else if (ambientRatio <= 1.15) "clean"
+      else if (ambientRatio <= 1.5) "elevated"
+      else "contended"
+    val ambientJson =
+      f"""{"calib_best":${fmt(calibBest)},"clean_ref":${fmt(calibRef)},"ratio":${fmt(ambientRatio)},"state":"$ambientState"}"""
     val compact =
-      f"""{"metric":"total","value":${fmt(total)},"unit":"sec","min_total":${fmt(total)},"queries":$qs,"mins":$minsJson,"medians":$mediansJson,"medians_caveat":"$mediansCaveat","sf":"$sfDir","n":$n,"runs":$runs,"calib":$calibJson,"calib_seg":$calibSegJson,"dropped_passes":$droppedJson,"dropped_segments":$droppedSegsJson,"failed":$failedJson}"""
+      f"""{"metric":"total","value":${fmt(total)},"unit":"sec","min_total":${fmt(total)},"queries":$qs,"mins":$minsJson,"medians":$mediansJson,"medians_caveat":"$mediansCaveat","ambient":$ambientJson,"sf":"$sfDir","n":$n,"runs":$runs,"calib":$calibJson,"calib_seg":$calibSegJson,"dropped_passes":$droppedJson,"dropped_segments":$droppedSegsJson,"failed":$failedJson}"""
     // Both lines are FILES first (the medians line is ~3.7 KB for 117
     // queries; the driver's stdout tail keeps ~2.9 KB, so stdout alone
     // can never carry it whole); stdout prints detail first, compact

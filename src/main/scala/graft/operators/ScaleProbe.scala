@@ -206,6 +206,31 @@ object ScaleProbe {
           .select(col("vec_a"), col("vec_b")).distinct().count())
       val allPairs = nVecs.toDouble * (nVecs - 1) / 2
 
+      // r18 (VERDICT r17 #7): the two heaviest NEW r17 rows get an
+      // amplified-scale datapoint.
+      // trainingPairs = embeddingNeardup (banded propose / exact verify)
+      // → best-positive window → hardNegatives over the ANCHOR set.
+      // The banding keeps proposal ~linear; the negative stage is
+      // anchors × corpus brute cosine, so its cost tracks the anchor
+      // COUNT — bounded here (near-orthogonal synth vectors pair
+      // rarely), and at a production anchor rate the stated scale path
+      // is routing negatives through the IVF tier instead of brute.
+      val (tpRows, tpSec) = timed(
+        Similarity.trainingPairs(emb, 3, 0.45, 0.30, 0.05).count())
+      // xs_dsir_drift's per-batch core: frozen-λ scoring (256-row
+      // broadcast join + per-doc partial agg) + the telemetry aggregate
+      // (count / decimal-mean / gate-pass sum) — map-only against the
+      // drop, so wall time must track the scan, never the corpus.
+      val dsirDir = TokenizerStore.ensureTokenizerFor(spark,
+        s"$base/documents.parquet", "dsir-en-a05",
+        d => Curation.trainDsir(Tables.load(spark, base, "documents"),
+          col("lang") === "en", d))
+      val (_, driftSec) = timed(
+        Curation.dsirScoreWith(docs.select(col("doc_id"), col("text")),
+            Curation.loadDsir(spark, dsirDir))
+          .agg(count(lit(1)), graft.core.Num.davg(col("logw")),
+            sum(when(col("logw") >= 0.0, 1L).otherwise(0L))).head())
+
       // binary tier (r17): one XOR+popcount per (probe, code) over the
       // packed 8-byte corpus — the scan-bound floor of the retrieval
       // ladder, must scale with the corpus scan and nothing else; the
@@ -225,7 +250,9 @@ object ScaleProbe {
         f""""pipeline_sec":$pipeSec%.2f,"dsir_sec":$dsirSec%.2f,"gopher_rep_sec":$gopherSec%.2f,""" +
         f""""pack_seqs":$packSeqs,"pack_sec":$packSec%.2f,""" +
         f""""sub_keepbest_kept":$subKept,"sub_keepbest_sec":$subSec%.2f,""" +
-        f""""binary_sec":$binSec%.2f,"binary_rerank_sec":$binRrSec%.2f}""")
+        f""""binary_sec":$binSec%.2f,"binary_rerank_sec":$binRrSec%.2f,""" +
+        f""""training_pairs":$tpRows,"training_pairs_sec":$tpSec%.2f,""" +
+        f""""dsir_drift_batch_sec":$driftSec%.2f}""")
     }
     spark.stop()
   }

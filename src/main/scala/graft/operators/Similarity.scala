@@ -140,6 +140,84 @@ object Similarity {
        |ORDER BY probe_id, rnk""".stripMargin
   }
 
+  /** [[hardNegatives]] at the 100 TB rung: IVF list pruning composes IN
+    * FRONT of the exact banded ranking — the scale remedy for the shape
+    * the r18 ScaleProbe measured on trainingPairs' negative stage
+    * (anchors × corpus brute cosine went ~n²: 3.7 s → 166.7 s at 10×
+    * because the anchor set grows with the corpus). Routing is the
+    * x2_ivfpq machinery (capped centroid training, driver-sized probe
+    * routes); scoring INSIDE the candidate stream is the same exact
+    * cosine + band + group-limit as the brute core, so every served
+    * negative's sim is true and in-band — the approximation only
+    * bounds which candidates are SEEN (~nprobe/nlist of the corpus per
+    * probe), the standard IVF recall trade the ANN bound rows measure.
+    * [[trainingPairsIvf]] threads this under the pair miner. */
+  def hardNegativesIvf(emb: DataFrame, probes: DataFrame, k: Int,
+      posThreshold: Double, floor: Double, nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    require(posThreshold > floor,
+      s"hardNegativesIvf: posThreshold ($posThreshold) must exceed floor ($floor)")
+    val spark = emb.sparkSession
+    val cents = coarseCentroids(emb, nlist)
+    if (cents.isEmpty)
+      return emb.select(col("vec_id").as("probe_id"),
+        lit(1).cast(IntegerType).as("rnk"), col("vec_id").as("neighbor_id"),
+        lit(0.0).as("sim")).limit(0)
+    val pc = routesDf(spark, probeRoutes(probes, cents, nprobe))
+    val p = prep(probes, "probe_id", "pv", "pn")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    ivfAssignWith(emb, cents)
+      .join(broadcast(pc), Seq("cluster"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("nv"))
+      .withColumn("nn", sqrt(aggregate(col("nv"), lit(0.0), (a, x) => a + x * x)))
+      .join(broadcast(p), Seq("probe_id"))
+      .withColumn("sim", dot(col("pv"), col("nv")) / (col("pn") * col("nn")))
+      .filter(col("sim") < posThreshold && col("sim") >= floor)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Declared: the brute band row's parameters over nprobe 4 / nlist 16
+    * routing — value-exact oracle (the full coarse replay, not a bound
+    * row), so a routing or assignment drift flips the hash. */
+  private def x2HardNegativesIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    hardNegativesIvf(emb, emb.filter(col("vec_id") < 10), 5, 0.30, 0.05)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  private val x2HardNegativesIvfSql = {
+    def cos(v: String, c: String) =
+      s"""(list_dot_product($v, $c) /
+         |      (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c))))""".stripMargin
+    s"""WITH ${ivfCoarseCommonSql(16)},
+       |p AS (SELECT vec_id AS probe_id, v FROM e WHERE vec_id < 10),
+       |plists AS (
+       |  SELECT probe_id, cluster FROM (
+       |    SELECT p.probe_id, c.cid AS cluster, row_number() OVER (
+       |      PARTITION BY p.probe_id
+       |      ORDER BY ${cos("p.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM p CROSS JOIN ic c) t WHERE rn <= 4),
+       |cand AS (
+       |  SELECT pl.probe_id, a.vec_id AS neighbor_id
+       |  FROM plists pl JOIN asg a USING (cluster)
+       |  WHERE a.vec_id <> pl.probe_id),
+       |r AS (
+       |  SELECT cand.probe_id, cand.neighbor_id,
+       |    ${cos("p.v", "e.v")} AS sim
+       |  FROM cand JOIN p USING (probe_id) JOIN e ON e.vec_id = cand.neighbor_id)
+       |SELECT probe_id, rnk, neighbor_id, sim FROM (
+       |  SELECT probe_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM r WHERE sim < 0.30e0 AND sim >= 0.05e0) t
+       |WHERE rnk <= 5
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
+
   /** Contrastive TRAINING-PAIR generation — the (anchor, positive,
     * hard negatives) table an embedding-model trainer actually
     * consumes, composed from two verified pieces: positives are the
@@ -155,15 +233,39 @@ object Similarity {
     *
     * Scale: the anchor set is pair-bounded; this baseline broadcasts
     * it through the banded scoring pass (exact, one corpus scan). A
-    * corpus where duplication makes anchors corpus-sized mines
-    * negatives in anchor batches or through the IVF candidates path —
-    * the same scale ladder the ANN family provides; this row is the
-    * exactness baseline those serve against. */
+    * corpus where duplication makes anchors corpus-sized turns the
+    * negative stage ~n² (measured: BENCHNOTES r18 ScaleProbe, 3.7 s →
+    * 166.7 s at 10×) — [[trainingPairsIvf]] is the scale rung, routing
+    * negatives through the IVF candidate sets; this row is the
+    * exactness baseline it serves against. */
   def trainingPairs(emb: DataFrame, k: Int, posThreshold: Double,
       negCeiling: Double, negFloor: Double): DataFrame = {
     require(posThreshold >= negCeiling,
       s"trainingPairs: posThreshold ($posThreshold) below the negative-band " +
         s"ceiling ($negCeiling) would let labeled positives mine as negatives")
+    trainingPairsWith(emb, posThreshold,
+      (e, probes) => hardNegatives(e, probes, k, negCeiling, negFloor))
+  }
+
+  /** [[trainingPairs]] with the negative stage routed through
+    * [[hardNegativesIvf]] — the composition to reach for once anchors ×
+    * corpus brute scoring crosses scan cost (the measured ~n² shape in
+    * BENCHNOTES r18). Same pair miner, same best-positive rule; only
+    * the negative CANDIDATE set narrows to each anchor's nprobe lists.
+    * Spec-pinned against the brute composition on the fixture; the
+    * declared x2_hard_negatives_ivf row value-oracles the ranker. */
+  def trainingPairsIvf(emb: DataFrame, k: Int, posThreshold: Double,
+      negCeiling: Double, negFloor: Double, nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    require(posThreshold >= negCeiling,
+      s"trainingPairsIvf: posThreshold ($posThreshold) below the negative-band " +
+        s"ceiling ($negCeiling) would let labeled positives mine as negatives")
+    trainingPairsWith(emb, posThreshold,
+      (e, probes) => hardNegativesIvf(e, probes, k, negCeiling, negFloor, nlist, nprobe))
+  }
+
+  private def trainingPairsWith(emb: DataFrame, posThreshold: Double,
+      negRanker: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val pairs = Dedup.embeddingNeardup(emb, posThreshold)
     val anchors = pairs.select(col("vec_a").as("anchor"),
         col("vec_b").as("positive"), col("cosine").as("pos_sim"))
@@ -175,7 +277,7 @@ object Similarity {
       .filter(col("_r") === 1).drop("_r")
     val probes = emb.join(best.select(col("anchor").as("vec_id")),
       Seq("vec_id"), "left_semi")
-    val negs = hardNegatives(emb, probes, k, negCeiling, negFloor)
+    val negs = negRanker(emb, probes)
       .select(col("probe_id").as("anchor"), col("rnk").as("neg_rank"),
         col("neighbor_id").as("negative"), col("sim").as("neg_sim"))
     best.join(negs, Seq("anchor"))
@@ -1947,8 +2049,11 @@ object Similarity {
     * computed-vectors prefix (the hashvec rows' md5-per-token
     * `embeddings` CTE) the re-evaluation multiplied out to an
     * hour-plus, 60 GB-spill oracle. Materialized: sub-second. */
-  private def ivfResidualCommonSql(m: Int, k: Int, sub: Int, nlist: Int,
-      trainWhere: String = ""): String = {
+  /** The COARSE half of [[ivfResidualCommonSql]] — centroid training
+    * (capped slice, 1 Lloyd round) + full-corpus assignment — split out
+    * so exact-scoring-over-IVF-candidates oracles
+    * ([[x2HardNegativesIvfSql]]) can reuse it without the PQ blocks. */
+  private def ivfCoarseCommonSql(nlist: Int, trainWhere: String = ""): String = {
     def cos(v: String, c: String) =
       s"""(list_dot_product($v, $c) /
          |      (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c))))""".stripMargin
@@ -1976,13 +2081,17 @@ object Similarity {
        |  SELECT vec_id, cid AS cluster FROM (
        |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn
-       |    FROM e CROSS JOIN ic c) t WHERE rn = 1),
+       |    FROM e CROSS JOIN ic c) t WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfResidualCommonSql(m: Int, k: Int, sub: Int, nlist: Int,
+      trainWhere: String = ""): String =
+    s"""${ivfCoarseCommonSql(nlist, trainWhere)},
        |rsd AS MATERIALIZED (
        |  SELECT e.vec_id, a.cluster,
        |    list_transform(generate_series(1, len(e.v)), i -> e.v[i] - c.cv[i]) AS v
        |  FROM e JOIN asg a USING (vec_id) JOIN ic c ON c.cid = a.cluster),
        |${pqBlocksSql(m, k, sub, trainWhere, "rsd")}""".stripMargin
-  }
 
   private val x2PqCodesSql = {
     val (m, k, sub) = (4, 16, 16)
@@ -2130,6 +2239,7 @@ object Similarity {
     Declared("x2_ivfpq_refined", x2IvfPqRefined, Some(x2IvfPqRefinedSql)),
     Declared("x2_cosine_topk", x2Brute, Some(x2BruteSql)),
     Declared("x2_hard_negatives", x2HardNegatives, Some(x2HardNegativesSql)),
+    Declared("x2_hard_negatives_ivf", x2HardNegativesIvf, Some(x2HardNegativesIvfSql)),
     Declared("x2_training_pairs", x2TrainingPairs, Some(x2TrainingPairsSql)),
     Declared("x2_sq8_topk", x2Sq8TopK, Some(x2Sq8TopKSql)),
     Declared("x2_sq8_persisted", x2Sq8Persisted, Some(x2Sq8TopKSql)),

@@ -432,6 +432,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegativesIvf: exact in-band sims over IVF candidate lists, dense " +
+      "ranks, usable recall vs brute; trainingPairsIvf keeps the same positives") {
+    import spark.implicits._
+    val emb = graft.core.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val probes = emb.filter($"vec_id" < 10)
+    val ivf = Similarity.hardNegativesIvf(emb, probes, 5, 0.30, 0.05)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(ivf.nonEmpty, "IVF negatives served nothing on the fixture")
+    // the FULL brute band (k large enough to hold every in-band candidate):
+    // every IVF-served (probe, neighbor, sim) must appear there with the
+    // bit-identical sim — the pruning may only SHRINK the candidate set
+    val full = Similarity.hardNegatives(emb, probes, 100000, 0.30, 0.05)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    ivf.foreach { case (p, _, nb, s) =>
+      assert(full.contains((p, nb)), s"($p,$nb) not in the exact band")
+      assert(full((p, nb)) == s, s"($p,$nb) sim drifted: $s vs ${full((p, nb))}")
+    }
+    // ranks dense and sim-ordered per probe
+    ivf.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+      val byRnk = rows.sortBy(_._2)
+      assert(byRnk.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4; case _ => true })
+    }
+    // recall vs the brute top-5: nprobe 4 of nlist 16 sees ~1/4 of the
+    // corpus, so this is a floor with headroom, not a tight bound
+    val brute = Similarity.hardNegatives(emb, probes, 5, 0.30, 0.05)
+      .as[(Long, Int, Long, Double)].collect().map(r => (r._1, r._3)).toSet
+    val served = ivf.map(r => (r._1, r._3)).toSet
+    val recall = (served & brute).size.toDouble / brute.size
+    assert(recall >= 0.2, f"IVF negative recall $recall%.2f below floor")
+    // trainingPairsIvf: identical pair mining — same (anchor, positive,
+    // pos_sim) set as the brute composition; negatives all in-band
+    val tp = Similarity.trainingPairs(emb, 3, 0.45, 0.30, 0.05)
+      .select($"anchor", $"positive", $"pos_sim").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    val tpi = Similarity.trainingPairsIvf(emb, 3, 0.45, 0.30, 0.05)
+      .as[(Long, Long, Double, Int, Long, Double)].collect()
+    assert(tpi.nonEmpty)
+    assert(tpi.map(r => (r._1, r._2, r._3)).toSet == tp,
+      "IVF composition changed the mined positives")
+    tpi.foreach(r => assert(r._6 < 0.30 && r._6 >= 0.05,
+      s"negative sim ${r._6} outside the band"))
+  }
+
   test("binaryRerank: every served sim is the exact cosine, ranks follow sim, " +
       "and the 8-byte shortlist recovers most of the float top-k") {
     import spark.implicits._
