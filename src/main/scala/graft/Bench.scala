@@ -131,6 +131,14 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // parse/validate BEFORE the first pass: a malformed value must fail
+    // in under a second, not after minutes of measurement (r18 review)
+    val calibRef = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_CALIB_REF", "1.05")
+      require(raw.toDoubleOption.exists(_ > 0),
+        s"SPARK_GRAFT_CALIB_REF must be a positive number, got '$raw'")
+      raw.toDouble
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
@@ -267,7 +275,6 @@ object Bench {
     // cross-referencing history: "clean" (<= 1.15x), "elevated"
     // (<= 1.5x), else "contended" — the recording discipline is to
     // re-run rather than commit a non-clean closing artifact.
-    val calibRef = sys.env.getOrElse("SPARK_GRAFT_CALIB_REF", "1.05").toDouble
     val calibBest = {
       val ok = calibSeg.flatten.filterNot(_.isNaN)
       if (ok.isEmpty) Double.NaN else ok.min

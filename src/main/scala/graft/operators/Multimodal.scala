@@ -775,6 +775,8 @@ object Multimodal {
         dc: Array[(Int, Int)], ac: Array[(Int, Int)]): Int = {
       val diff = coef(0) - pred
       val s = category(diff)
+      require(s <= 11, s"JpegCodec: DC difference $diff (category $s) exceeds " +
+        "the 8-bit baseline Huffman range (|diff| < 2048)")
       val (dcode, dlen) = dc(s); bw.put(dcode, dlen)
       if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
       var run = 0; var k = 1
@@ -784,6 +786,8 @@ object Multimodal {
         else {
           while (run > 15) { val (zc, zl) = ac(0xf0); bw.put(zc, zl); run -= 16 }
           val vs = category(v)
+          require(vs <= 10, s"JpegCodec: AC coefficient $v (category $vs) " +
+            "exceeds the 8-bit baseline Huffman range (|v| < 1024)")
           val (c, l) = ac((run << 4) | vs); bw.put(c, l)
           bw.put(if (v < 0) v + (1 << vs) - 1 else v, vs)
           run = 0
@@ -1069,6 +1073,7 @@ object Multimodal {
           val id = u8(); val hv = u8(); val c = Comp(id, hv >> 4, hv & 15, u8())
           if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2)
             fail(s"sampling factor ${c.h}x${c.v} (only 1..2)")
+          if (c.tq > 3) fail(s"component quant table id ${c.tq} (0..3)")
           c
         }
         if (len != 6 + 3 * nf) fail("SOF0 length mismatch")
@@ -1084,16 +1089,29 @@ object Multimodal {
         val sel = (0 until ns).map { _ =>
           val cs = u8(); val tdta = u8()
           val c = comps.find(_.id == cs).getOrElse(fail(s"scan component $cs not in frame"))
-          (c, tdta >> 4, tdta & 15)
+          val (td, ta) = (tdta >> 4, tdta & 15)
+          if (td > 3 || ta > 3) fail(s"scan Huffman table id DC=$td/AC=$ta (0..3)")
+          (c, td, ta)
         }
         val ss = u8(); val se = u8(); val ahal = u8()
         if (ss != 0 || se != 63 || ahal != 0) fail("non-baseline scan parameters")
         if (pos - lenStart != len) fail("SOS length mismatch")
-        val hmax = comps.map(_.h).max; val vmax = comps.map(_.v).max
+        // T.81 A.2: a SINGLE-component scan is NON-INTERLEAVED — the MCU
+        // is ONE data unit in raster order over the component's block
+        // grid, regardless of its declared sampling factors (those only
+        // matter relative to other components in an interleaved scan).
+        // Effective per-scan factors therefore collapse to 1x1 when
+        // ns == 1; a 2x2-declared grayscale file decodes correctly
+        // instead of being walked as 4-blocks-per-MCU (r18 review).
+        val interleaved = ns > 1
+        def effH(c: Comp): Int = if (interleaved) c.h else 1
+        def effV(c: Comp): Int = if (interleaved) c.v else 1
+        val hmax = if (interleaved) comps.map(_.h).max else 1
+        val vmax = if (interleaved) comps.map(_.v).max else 1
         val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
         val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
         val planes = sel.map { case (c, _, _) =>
-          new Array[Int](mcusX * c.h * 8 * mcusY * c.v * 8)
+          new Array[Int](mcusX * effH(c) * 8 * mcusY * effV(c) * 8)
         }
         val preds = new Array[Int](ns)
         val r = new BitReader(bytes, pos)
@@ -1115,11 +1133,11 @@ object Multimodal {
             val q = qt(c.tq); if (q == null) fail(s"quant table ${c.tq} undefined")
             val dct = dcT(td); if (dct == null) fail(s"DC table $td undefined")
             val act = acT(ta); if (act == null) fail(s"AC table $ta undefined")
-            val planeW = mcusX * c.h * 8
+            val planeW = mcusX * effH(c) * 8
             var by = 0
-            while (by < c.v) {
+            while (by < effV(c)) {
               var bx = 0
-              while (bx < c.h) {
+              while (bx < effH(c)) {
                 val coef = new Array[Int](64)
                 val t = dct.decode(r)
                 if (t > 15) fail(s"DC category $t")
@@ -1142,7 +1160,7 @@ object Multimodal {
                   }
                 }
                 val px = idct(coef)
-                val ox = (mx * c.h + bx) * 8; val oy = (my * c.v + by) * 8
+                val ox = (mx * effH(c) + bx) * 8; val oy = (my * effV(c) + by) * 8
                 var yy = 0
                 while (yy < 8) {
                   var xx = 0
@@ -1165,7 +1183,7 @@ object Multimodal {
         // assemble RGB with replication upsampling
         val out = new Array[Byte](w * h * 3)
         if (ns == 1) {
-          val planeW = mcusX * sel(0)._1.h * 8
+          val planeW = mcusX * effH(sel(0)._1) * 8
           var y = 0
           while (y < h) {
             var x = 0
@@ -1208,13 +1226,18 @@ object Multimodal {
 
       var done = false
       while (!done) {
+        // (EOI handling below refuses trailing bytes — the sibling
+        // codecs' loud trailing-garbage contract)
         // fill bytes: any number of 0xFF before a marker code
         val b = u8()
         if (b != 0xff) fail(f"expected marker at ${pos - 1}, got 0x$b%02x")
         var m = u8()
         while (m == 0xff) m = u8()
         m match {
-          case 0xd9 => done = true // EOI
+          case 0xd9 => // EOI
+            if (pos != bytes.length)
+              fail(s"${bytes.length - pos} trailing bytes after EOI")
+            done = true
           case 0xd8 => fail("duplicate SOI")
           case 0xc0 => parseSof(u16() - 2)
           case 0xc4 => parseDht(u16() - 2)

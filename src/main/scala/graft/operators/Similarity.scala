@@ -140,18 +140,25 @@ object Similarity {
        |ORDER BY probe_id, rnk""".stripMargin
   }
 
-  /** [[hardNegatives]] at the 100 TB rung: IVF list pruning composes IN
-    * FRONT of the exact banded ranking — the scale remedy for the shape
-    * the r18 ScaleProbe measured on trainingPairs' negative stage
-    * (anchors × corpus brute cosine went ~n²: 3.7 s → 166.7 s at 10×
-    * because the anchor set grows with the corpus). Routing is the
-    * x2_ivfpq machinery (capped centroid training, driver-sized probe
-    * routes); scoring INSIDE the candidate stream is the same exact
-    * cosine + band + group-limit as the brute core, so every served
-    * negative's sim is true and in-band — the approximation only
-    * bounds which candidates are SEEN (~nprobe/nlist of the corpus per
-    * probe), the standard IVF recall trade the ANN bound rows measure.
-    * [[trainingPairsIvf]] threads this under the pair miner. */
+  /** [[hardNegatives]] with IVF list pruning composed IN FRONT of the
+    * exact banded ranking — the remedy for the CORPUS factor of the
+    * shape the r18 ScaleProbe measured on trainingPairs' negative stage
+    * (anchors × corpus brute cosine went ~n²: 3.7 s → 166.7 s at 10×).
+    * Each probe scores ~nprobe/nlist of the corpus instead of all of
+    * it; scoring INSIDE the candidate stream is the same exact cosine
+    * + band + group-limit as the brute core, so every served negative's
+    * sim is true and in-band — the approximation only bounds which
+    * candidates are SEEN, the standard IVF recall trade the ANN bound
+    * rows measure.
+    *
+    * Honest scale bound (r18 review): like EVERY probe-side path in
+    * this family ([[probeRoutes]], [[cosineTopK]]'s broadcast), the
+    * probe set is driver-collected for routing and broadcast for
+    * scoring — this fixes the corpus factor, NOT probe cardinality. A
+    * corpus whose ANCHOR set itself outgrows a broadcast mines in
+    * anchor batches (a driver loop over probe slices composes exactly,
+    * since per-probe results are independent) — stated here instead of
+    * pretending the one call scales unbounded. */
   def hardNegativesIvf(emb: DataFrame, probes: DataFrame, k: Int,
       posThreshold: Double, floor: Double, nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
@@ -252,8 +259,11 @@ object Similarity {
     * corpus brute scoring crosses scan cost (the measured ~n² shape in
     * BENCHNOTES r18). Same pair miner, same best-positive rule; only
     * the negative CANDIDATE set narrows to each anchor's nprobe lists.
-    * Spec-pinned against the brute composition on the fixture; the
-    * declared x2_hard_negatives_ivf row value-oracles the ranker. */
+    * The anchor set is still routed/broadcast probe-side (see
+    * [[hardNegativesIvf]]'s scale bound — batch the anchors when they
+    * outgrow a broadcast). Spec-pinned against the brute composition on
+    * the fixture; the declared x2_hard_negatives_ivf row value-oracles
+    * the ranker. */
   def trainingPairsIvf(emb: DataFrame, k: Int, posThreshold: Double,
       negCeiling: Double, negFloor: Double, nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {

@@ -435,18 +435,23 @@ object TextAnalysis {
     * brute ranking is the verified baseline the IVF-PQ text tier
     * (xt_hashvec_index) already provides the scale path for. */
   def chunkNeighbors(docs: DataFrame, probeDocs: Int, k: Int): DataFrame = {
-    // map-only overflow guard (ADVICE r17): a doc with >= 2^20 chunks or
-    // a negative doc_id would silently collide into another doc's key
-    // space, corrupting both the same-doc exclusion and the unpacked
-    // output — fail loudly like the repo's other build-time requires
+    // map-only overflow guard (ADVICE r17, tightened r18 review): a doc
+    // with >= 2^20 chunks, a negative doc_id, OR a doc_id large enough
+    // that doc_id·2^20 wraps Long (>= 2^63 / 2^20) would silently
+    // collide into another doc's key space, corrupting both the
+    // same-doc exclusion and the unpacked output — fail loudly like the
+    // repo's other build-time requires
+    val maxDocId = Long.MaxValue / ChunkKeyBase
     val keyed = chunk(docs).select(
-      when(col("chunk_id") >= lit(ChunkKeyBase) || col("doc_id") < 0,
+      when(col("chunk_id") >= lit(ChunkKeyBase) || col("doc_id") < 0 ||
+          col("doc_id") >= lit(maxDocId),
         raise_error(concat(
           lit("chunkNeighbors: packed key overflow (doc_id="),
           col("doc_id").cast(StringType), lit(", chunk_id="),
           col("chunk_id").cast(StringType),
-          lit(s") — need doc_id >= 0 and < 2^$ChunkKeyBits chunks/doc; " +
-            "a bigger corpus moves to a struct key"))))
+          lit(s") — need 0 <= doc_id < 2^63/2^$ChunkKeyBits and " +
+            s"< 2^$ChunkKeyBits chunks/doc; a bigger corpus moves to a " +
+            "struct key"))))
         .otherwise(col("doc_id") * ChunkKeyBase + col("chunk_id"))
         .as("doc_id"),
       col("chunk_text").as("text"))

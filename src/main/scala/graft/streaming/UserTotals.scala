@@ -83,7 +83,11 @@ object UserTotals {
     import spark.implicits._
     val events = Tables.load(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    val root = java.nio.file.Files.createTempDirectory("s7-user-totals").toString
+    val rootPath = java.nio.file.Files.createTempDirectory("s7-user-totals")
+    // the returned DataFrame reads $root/out LAZILY — JVM-exit cleanup,
+    // not eager deletion (the declared-streaming-row convention)
+    graft.core.TempReaper.reapAtExit(rootPath)
+    val root = rootPath.toString
     val r = events.agg(min(col("event_id")), max(col("event_id"))).head
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))

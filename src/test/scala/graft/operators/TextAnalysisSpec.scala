@@ -492,6 +492,50 @@ class TextAnalysisSpec extends SparkSpec {
     val spliced = J.decode(extra.toByteArray)
     val base = J.decode(good)
     assert(spliced.pixels.sameElements(base.pixels) && spliced.width == base.width)
+    // r18 review guards: trailing garbage after EOI; out-of-range table
+    // ids refuse by NAME instead of ArrayIndexOutOfBounds; encoder
+    // refuses coefficients outside the baseline Huffman range
+    refuse(good ++ Array[Byte](1, 2, 3), "trailing bytes after EOI")
+    // SOF0 layout from the FF: +2 len(2) +4 prec +5 h(2) +7 w(2) +9 nf,
+    // then per component id/hv/tq — tq of component 1 sits at +12
+    val sofAt = good.indices
+      .find(i => (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    val badTq = good.clone(); badTq(sofAt + 12) = 7.toByte
+    val eTq = intercept[IllegalArgumentException] { J.decode(badTq) }
+    assert(eTq.getMessage.contains("quant table id"), eTq.getMessage)
+    val eDc = intercept[IllegalArgumentException] {
+      val b = new Array[Int](64); b(0) = 3000 // DC category 12
+      J.encodeBaseline(8, 8, J.SynthQLuma, J.SynthQChroma,
+        Array(b), Array(zero.clone()), Array(zero.clone()))
+    }
+    assert(eDc.getMessage.contains("DC difference"))
+    val eAc = intercept[IllegalArgumentException] {
+      val b = new Array[Int](64); b(1) = 1024 // AC category 11
+      J.encodeBaseline(8, 8, J.SynthQLuma, J.SynthQChroma,
+        Array(b), Array(zero.clone()), Array(zero.clone()))
+    }
+    assert(eAc.getMessage.contains("AC coefficient"))
+  }
+
+  test("JpegCodec: a single-component scan is non-interleaved — declared " +
+      "sampling factors do not change the data-unit walk (T.81 A.2)") {
+    val J = Multimodal.JpegCodec
+    def dcBlock(v: Int): Array[Int] = { val b = new Array[Int](64); b(0) = v - 128; b }
+    val gray = J.encodeBaseline(16, 16, J.SynthQLuma, J.SynthQChroma,
+      Array(dcBlock(10), dcBlock(90), dcBlock(170), dcBlock(250)), null, null)
+    // patch the single component's sampling byte 0x11 -> 0x22: the
+    // entropy stream is UNCHANGED (non-interleaved order ignores the
+    // factors), so a correct decoder returns identical pixels; the old
+    // interleaved walk would scramble block placement silently
+    val b = gray.clone()
+    val i = b.indices.find(i => (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc0).get
+    assert((b(i + 11) & 0xff) == 0x11, "SOF layout changed under the test")
+    b(i + 11) = 0x22.toByte
+    val base = J.decode(gray)
+    val patched = J.decode(b)
+    assert(patched.width == base.width && patched.height == base.height)
+    assert(patched.pixels.sameElements(base.pixels),
+      "declared sampling factors changed a non-interleaved decode")
   }
 
   test("Y4mCodec round-trips C420 frames through a real YUV4MPEG2 stream") {
