@@ -341,6 +341,65 @@ object Similarity {
        |ORDER BY best.anchor, neg_rank""".stripMargin
   }
 
+  /** The composed IVF training table under the driver oracle: pair
+    * mining and best-positive are [[x2TrainingPairs]]' CTEs verbatim,
+    * the negative stage is the coarse-replayed IVF candidate walk of
+    * [[x2HardNegativesIvfSql]] with the anchor set as probes — so the
+    * whole scale composition, not just its ranker, is value-checked. */
+  private def x2TrainingPairsIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    trainingPairsIvf(emb, 3, 0.45, 0.30, 0.05)
+      .orderBy(col("anchor"), col("neg_rank"))
+  }
+
+  private val x2TrainingPairsIvfSql = {
+    def cos(v: String, c: String) =
+      s"""(list_dot_product($v, $c) /
+         |      (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c))))""".stripMargin
+    s"""WITH ${ivfCoarseCommonSql(16)},
+       |pr AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb, ${cos("a.v", "b.v")} AS cosine
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE ${cos("a.v", "b.v")} >= 0.45e0),
+       |an AS (
+       |  SELECT va AS anchor, vb AS positive, cosine AS pos_sim FROM pr
+       |  UNION ALL
+       |  SELECT vb AS anchor, va AS positive, cosine AS pos_sim FROM pr),
+       |best AS (
+       |  SELECT anchor, positive, pos_sim FROM (
+       |    SELECT anchor, positive, pos_sim,
+       |      ROW_NUMBER() OVER (PARTITION BY anchor
+       |        ORDER BY pos_sim DESC, positive) AS r
+       |    FROM an) t WHERE r = 1),
+       |p AS (
+       |  SELECT vec_id AS probe_id, v FROM e
+       |  WHERE vec_id IN (SELECT anchor FROM best)),
+       |plists AS (
+       |  SELECT probe_id, cluster FROM (
+       |    SELECT p.probe_id, c.cid AS cluster, row_number() OVER (
+       |      PARTITION BY p.probe_id
+       |      ORDER BY ${cos("p.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM p CROSS JOIN ic c) t WHERE rn <= 4),
+       |cand AS (
+       |  SELECT pl.probe_id, a.vec_id AS negative
+       |  FROM plists pl JOIN asg a USING (cluster)
+       |  WHERE a.vec_id <> pl.probe_id),
+       |r AS (
+       |  SELECT cand.probe_id, cand.negative,
+       |    ${cos("p.v", "e.v")} AS neg_sim
+       |  FROM cand JOIN p USING (probe_id) JOIN e ON e.vec_id = cand.negative),
+       |neg AS (
+       |  SELECT probe_id AS anchor, neg_rank, negative, neg_sim FROM (
+       |    SELECT probe_id, negative, neg_sim,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY neg_sim DESC, negative) AS neg_rank
+       |    FROM r WHERE neg_sim < 0.30e0 AND neg_sim >= 0.05e0) t
+       |  WHERE neg_rank <= 3)
+       |SELECT best.anchor AS anchor, positive, pos_sim, neg_rank, negative, neg_sim
+       |FROM best JOIN neg ON neg.anchor = best.anchor
+       |ORDER BY best.anchor, neg_rank""".stripMargin
+  }
+
   /** [[cosineTopK]] with a caller-supplied exclusion GROUP: a candidate
     * whose group equals the probe's group is never returned (subsumes
     * the self-exclusion when groups are singletons). The RETRO
@@ -2251,6 +2310,7 @@ object Similarity {
     Declared("x2_hard_negatives", x2HardNegatives, Some(x2HardNegativesSql)),
     Declared("x2_hard_negatives_ivf", x2HardNegativesIvf, Some(x2HardNegativesIvfSql)),
     Declared("x2_training_pairs", x2TrainingPairs, Some(x2TrainingPairsSql)),
+    Declared("x2_training_pairs_ivf", x2TrainingPairsIvf, Some(x2TrainingPairsIvfSql)),
     Declared("x2_sq8_topk", x2Sq8TopK, Some(x2Sq8TopKSql)),
     Declared("x2_sq8_persisted", x2Sq8Persisted, Some(x2Sq8TopKSql)),
     Declared("x2_sq8_rerank", x2Sq8Rerank, Some(x2Sq8RerankSql)),
