@@ -1620,6 +1620,33 @@ object TextAnalysis {
        |ORDER BY doc_id, pos""".stripMargin
   }
 
+  /** The DECODE leg as a declared row ([[TokenizerStore.decodeBpeIds]]):
+    * ids through the inverse vocabulary back to text, per-doc. The
+    * oracle states ground truth directly — the gated normalization of
+    * the source text with `lossless = TRUE` — while the Spark side
+    * earns it by actually round-tripping encode→ids→decode, so any
+    * drift anywhere in the chain diverges the hash. Empty-gate docs
+    * (no [a-z0-9]+ word) have no encoded rows and are absent on both
+    * sides. */
+  private def xtBpeDecode(spark: SparkSession, dir: String): DataFrame = {
+    val tokDir = TokenizerStore.ensureTokenizerFor(spark,
+      s"$dir/documents.parquet", "bpe-r8v256",
+      d => TokenizerStore.trainBpe(Tables.load(spark, dir, "documents"), d, 8, 256))
+    TokenizerStore.decodeBpeIds(Tables.load(spark, dir, "documents"), tokDir)
+      .orderBy(col("doc_id"))
+  }
+
+  private val xtBpeDecodeSql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |      w -> regexp_full_match(w, '[a-z0-9]+')) AS gw
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(gw) AS INTEGER) AS n_words,
+      |  array_to_string(gw, ' ') AS text_detok, TRUE AS lossless
+      |FROM g WHERE len(gw) > 0
+      |ORDER BY doc_id""".stripMargin
+
   /** The artifact's VOCABULARY as a declared row — the id-assignment
     * contract value-checked directly (chars 0–35 in fixed order, merge
     * rank r → 36+r, first-wins on surface collision), not just through
@@ -1790,6 +1817,7 @@ object TextAnalysis {
     Declared("xt_bpe_encode_persisted", xtBpeEncodePersisted, Some(xtBpeEncodeSql)),
     Declared("xt_fertility_by_lang", xtFertilityByLang, Some(xtFertilityByLangSql)),
     Declared("xt_bpe_ids", xtBpeIds, Some(xtBpeIdsSql)),
+    Declared("xt_bpe_decode", xtBpeDecode, Some(xtBpeDecodeSql)),
     Declared("xt_bpe_vocab", xtBpeVocab, Some(xtBpeVocabSql)),
     Declared("x3_token_freq", x3TokenFreq, Some(x3TokenFreqSql)),
     Declared("x4_approx_distinct", x4Approx, Some(x4ApproxSql)),

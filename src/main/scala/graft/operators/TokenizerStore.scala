@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 /** Persisted tokenizer artifacts: the train-once / encode-many split
   * for the text-trainer tier, institutionalizing for tokenizers what
@@ -106,6 +107,41 @@ object TokenizerStore {
   def encodeBpeIds(docs: DataFrame, dir: String): DataFrame = {
     val spark = docs.sparkSession
     TextAnalysis.bpeEncodeIdsWith(docs, loadMerges(spark, dir), bpeVocab(spark, dir))
+  }
+
+  /** DETOKENIZE — the inverse leg that completes the tokenizer chain
+    * (train → encode → ids → DECODE): run the frozen artifact's encode,
+    * map every id back through the INVERSE vocabulary (id → surface is
+    * well-defined: ids are unique per surface by construction, and the
+    * encoder only ever emits each surface's MIN id), reassemble words
+    * from their symbol sequences and documents from their words in
+    * token-position order. `lossless` is computed, not asserted: the
+    * detokenized text is compared against the gated normalization of
+    * the SOURCE text, so any id-assignment, merge-table, or
+    * reassembly drift lands as `false` in the row (and flips the
+    * oracle hash). Per-doc reassembly sorts the collected (pos, word)
+    * structs — collect_list order is a shuffle artifact, array_sort
+    * makes it deterministic. All map-only plus one per-doc aggregate;
+    * the inverse vocab is the same ≤ 36+rounds-entry driver literal as
+    * the forward one. */
+  def decodeBpeIds(docs: DataFrame, dir: String): DataFrame = {
+    val spark = docs.sparkSession
+    val inv: Map[Int, String] = bpeVocab(spark, dir).map(_.swap)
+    val detok = encodeBpeIds(docs, dir)
+      .select(col("doc_id"), col("pos"),
+        concat_ws("", transform(split(col("ids"), ","),
+          s => element_at(typedLit(inv), s.cast(IntegerType)))).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_words"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w"))).as("text_detok"))
+    val expected = docs.select(col("doc_id"),
+      concat_ws(" ", filter(Dedup.tokens(col("text")),
+        w => w.rlike("^[a-z0-9]+$"))).as("_expected"))
+    detok.join(expected, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("text_detok"),
+        (col("text_detok") === col("_expected")).as("lossless"))
   }
 
   // -------------------------------------------------- bigram LM (CCNet)

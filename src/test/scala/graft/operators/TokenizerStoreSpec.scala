@@ -83,6 +83,32 @@ class TokenizerStoreSpec extends SparkSpec {
     assert(fromIds == stats)
   }
 
+  test("decodeBpeIds detokenizes whole documents: gated words in token-" +
+      "position order, lossless computed (not asserted) per doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tok-detok").toString
+    TokenizerStore.trainBpe(docs, dir, 8, 256)
+    // mixed gated/ungated words: only [a-z0-9]+ survivors reassemble,
+    // in order, across the gate gaps
+    val mixed = Seq(
+      (1L, "alpha BETA! beta gamma-42 delta 9lives"),
+      (2L, "///   zeta   "),
+      (3L, "!!! ??? ---")) // fully gated out -> absent from the output
+      .toDF("doc_id", "text")
+    val got = TokenizerStore.decodeBpeIds(mixed, dir)
+      .select($"doc_id", $"n_words", $"text_detok", $"lossless")
+      .as[(Long, Int, String, Boolean)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m(1L)._3 == "alpha beta delta 9lives" && m(1L)._2 == 4)
+    assert(m(1L)._4, "round trip not lossless on the mixed doc")
+    assert(m(2L)._3 == "zeta" && m(2L)._4)
+    // and on the real fixture every doc round-trips lossless
+    val bad = TokenizerStore.decodeBpeIds(docs, dir)
+      .filter(!$"lossless").count()
+    assert(bad == 0, s"$bad fixture docs failed the decode round trip")
+  }
+
   test("scoring refuses a missing or torn artifact instead of silently skipping the model") {
     val dir = java.nio.file.Files.createTempDirectory("tok-torn").toString
     val e = intercept[IllegalArgumentException] {
