@@ -89,7 +89,16 @@ object PlanPin {
     "x2_hard_negatives", "x2_training_pairs",
     // SQ8 rerank: quantized shortlist feeds a broadcast-semi-join exact
     // re-rank — the corpus scans once per stage, never shuffles
-    "x2_sq8_rerank")
+    "x2_sq8_rerank",
+    // r18 — IVF-routed negatives: the (probe, cluster) routing frame
+    // must attach by BROADCAST (a shuffle flip would re-exchange the
+    // assigned corpus), band predicates still filter before the rank
+    // window; the composed training row inherits both properties
+    "x2_hard_negatives_ivf", "x2_training_pairs_ivf",
+    // r18 — detokenize: the per-doc reassembly is ONE grouped aggregate
+    // over the map-only encode chain (no extra corpus scan for the
+    // expected-text attach — it joins the same source scan)
+    "xt_bpe_decode")
 
   val pinFile = "PLANPINS.txt"
   val sfDir = "/root/testdata/sf0.001"
