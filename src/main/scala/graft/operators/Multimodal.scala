@@ -1286,9 +1286,15 @@ object Multimodal {
     * (16×8·bh px), neutral chroma — a REAL 3-component baseline file
     * whose decode is byte-exact by the [[JpegCodec]] DC-step-8
     * argument, so the oracle recomputes features from the text bytes. */
-  def jpegTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+  def jpegTable(spark: SparkSession, dir: String): Dataset[MediaRecord] =
+    jpegRecordsOf(Tables.load(spark, dir, "documents"))
+
+  /** The same synthesis over an arbitrary documents FRAME — the form a
+    * streaming micro-batch feeds ([[graft.streaming.MediaStream]]). */
+  def jpegRecordsOf(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    docs
       .select($"doc_id".as("media_id"), $"text".cast(BinaryType).as("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -2064,7 +2070,15 @@ object Multimodal {
     * entropy walk, and `last_row_mean` pins row-major block order. */
   private def xmJpegFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    jpegTable(spark, dir).mapPartitions { it =>
+    jpegFeaturesOf(jpegTable(spark, dir)).orderBy($"media_id")
+  }
+
+  /** REAL decode → features over a media frame, shared by the batch row
+    * and the per-micro-batch ingest pass ([[graft.streaming.MediaStream]]). */
+  def jpegFeaturesOf(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
       it.map { r =>
         val img = JpegCodec.decode(r.content)
         val n = img.width * img.height
@@ -2079,7 +2093,6 @@ object Multimodal {
       }
     }.toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b",
         "last_row_mean")
-      .orderBy($"media_id")
   }
 
   /** Block k (row-major on the 2-wide grid) is text byte k (0 past the
