@@ -167,6 +167,23 @@ object StreamPlanPin {
     }
   }
 
+  /** The xs_media_features per-batch core: synthesize + decode +
+    * feature-extract must stay ONE map-only object pipeline over the
+    * batch scan — any exchange appearing here means the ingest decode
+    * pass started shuffling payload bytes. */
+  private def mediaBatchFeatures(spark: SparkSession): String = {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota"))
+      .toDF("doc_id", "text")
+    PlanPin.skeletonOf(
+      graft.operators.Multimodal.jpegFeaturesOf(
+        graft.operators.Multimodal.jpegRecordsOf(docs))
+        .queryExecution.executedPlan)
+  }
+
   def currentSkeletons(spark: SparkSession): Seq[(String, String)] = Seq(
     "s1_tumbling_window_microbatch" ->
       microBatchSkeleton(spark, EventStreams.tumbling, "complete"),
@@ -182,7 +199,8 @@ object StreamPlanPin {
     "xs_curate_batch_neardup" -> curateBatchNearDup(spark),
     "xs_curate_batch_lmgate" -> curateBatchLmGate(spark),
     "xs_curate_batch_dsirgate" -> curateBatchDsirGate(spark),
-    "xs_pack_batch_fragments" -> packBatchFragments(spark))
+    "xs_pack_batch_fragments" -> packBatchFragments(spark),
+    "xs_media_batch_features" -> mediaBatchFeatures(spark))
 }
 
 /** Regenerate STREAMPINS.txt after an intentional streaming-plan change. */
