@@ -217,6 +217,11 @@ object ScaleProbe {
       // is routing negatives through the IVF tier instead of brute.
       val (tpRows, tpSec) = timed(
         Similarity.trainingPairs(emb, 3, 0.45, 0.30, 0.05).count())
+      // the IVF rung beside the brute baseline: same pair miner, the
+      // negative stage candidate-bounded — the crossover the n² finding
+      // prescribes must be VISIBLE in the same table, not asserted
+      val (tpIvfRows, tpIvfSec) = timed(
+        Similarity.trainingPairsIvf(emb, 3, 0.45, 0.30, 0.05).count())
       // xs_dsir_drift's per-batch core: frozen-λ scoring (256-row
       // broadcast join + per-doc partial agg) + the telemetry aggregate
       // (count / decimal-mean / gate-pass sum) — map-only against the
@@ -252,6 +257,7 @@ object ScaleProbe {
         f""""sub_keepbest_kept":$subKept,"sub_keepbest_sec":$subSec%.2f,""" +
         f""""binary_sec":$binSec%.2f,"binary_rerank_sec":$binRrSec%.2f,""" +
         f""""training_pairs":$tpRows,"training_pairs_sec":$tpSec%.2f,""" +
+        f""""training_pairs_ivf":$tpIvfRows,"training_pairs_ivf_sec":$tpIvfSec%.2f,""" +
         f""""dsir_drift_batch_sec":$driftSec%.2f}""")
     }
     spark.stop()
