@@ -13,11 +13,38 @@ object Verify {
     val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Full-precision debug landing (VERDICT r18 #1): for the telemetry
+    // rows the driver redded despite in-sandbox bit-identity, persist a
+    // 17-significant-digit dump of the WRITTEN parquet (read back, so it
+    // is exactly what the driver hashes) — if the driver reds one again,
+    // the divergence is finally diffable instead of destroyed at exit.
+    val debugRows = Set("xs_dsir_drift", "x2_index_stats", "x2_cluster_profile")
+    def landDebug(name: String): Unit = {
+      val df = spark.read.parquet(s"$outDir/$name")
+      val cols = df.schema.fieldNames.toSeq
+      val rows = df.collect().take(1000).map { r =>
+        cols.indices.map { i =>
+          val v = r.get(i)
+          val s = v match {
+            case null => "null"
+            case d: java.lang.Double => d.toString // shortest round-trip repr
+            case n: java.lang.Number => n.toString
+            case x => "\"" + x.toString.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          }
+          "\"" + cols(i) + "\": " + s
+        }.mkString("{", ", ", "}")
+      }
+      Files.writeString(Paths.get(s"$outDir/$name.debug.json"),
+        rows.mkString("[\n", ",\n", "\n]\n"))
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        if (debugRows.contains(name)) landDebug(name)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any stale output from a previous run so the compare

@@ -186,29 +186,40 @@ object IndexStore {
     val spark = encoded.sparkSession
     val obs = org.apache.spark.sql.Observation(s"graft-encode-$batchId-${System.nanoTime()}")
     encoded
-      // Num.davg, not avg(double): per-row err is deterministic, but a
-      // raw double mean depends on partial-aggregation order (varies run
-      // to run) — the same flake class that hit the DSIR drift telemetry
-      // in r17. Decimal sum/count is order-independent; the
-      // x2_index_stats oracle mirrors it (Num.sqlAvg). max is
-      // order-independent already.
-      .observe(obs, count(lit(1)).as("n"), graft.core.Num.davg(col("err")).as("mean_err"),
+      // Num.sumE6, not davg(double) (VERDICT r18 #1, the xs_dsir_drift
+      // class): the DRIVER-HASHED statistic must be an integer —
+      // Σ round(err·1e6) is order-independent and immune to any
+      // engine's double formatting/canonicalization; mean_err derives
+      // from it by the same IEEE division in both engines (the
+      // x2_index_stats oracle mirrors via Num.sqlSumE6/sqlMeanFromE6).
+      // max is order-independent already and stays under the driver's
+      // 4-dp compare.
+      .observe(obs, count(lit(1)).as("n"),
+        graft.core.Num.sumE6(col("err")).as("sum_err_e6"),
         max(col("err")).as("max_err"))
       .drop("err")
       .write.mode("overwrite").parquet(s"$dir/codes/batch_id=$batchId")
     val m = obs.get
     val n = m("n").asInstanceOf[Long]
-    def d(key: String): Double = m(key) match {
-      case null => 0.0 // empty batch: no err samples
+    val sumErrE6 = m("sum_err_e6") match {
+      case null => 0L // empty batch: no err samples
+      case x: java.lang.Long => x.longValue()
+    }
+    val maxErr = m("max_err") match {
+      case null => 0.0
       case x: java.lang.Double => x.doubleValue()
     }
+    // mean_err stays landed full-precision for driftBreached and human
+    // telemetry — derived from the integer carrier exactly as the
+    // declared row derives it
+    val meanErr = if (n > 0) sumErrE6.toDouble / 1e6 / n else 0.0
     val statsDir = new org.apache.hadoop.fs.Path(s"$dir/stats/batch_id=$batchId")
     val fs = statsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(statsDir, true) // replay overwrites the batch, like the codes
     val tmp = new org.apache.hadoop.fs.Path(statsDir, ".stats.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(
-      s"""{"n":$n,"mean_err":${d("mean_err")},"max_err":${d("max_err")}}\n"""
+      s"""{"n":$n,"sum_err_e6":$sumErrE6,"mean_err":$meanErr,"max_err":$maxErr}\n"""
         .getBytes("UTF-8"))
     finally out.close()
     require(fs.rename(tmp, new org.apache.hadoop.fs.Path(statsDir, "stats.json")),
@@ -269,7 +280,7 @@ object IndexStore {
       codes: Seq[Long], tombstones: Seq[Long], subsumed: Long = 0L,
       built: Long = 0L)
 
-  private[operators] val LayoutVersion = 6
+  private[operators] val LayoutVersion = 7
   private[operators] val ManifestName = "manifest.json"
 
   private def manifestPath(dir: String) =
@@ -977,15 +988,17 @@ object IndexStore {
     * behavior. */
   private[graft] def ensureIndexFor(spark: SparkSession, srcPath: String,
       tag: String, build: String => Unit): String =
-    // "v6" = the on-disk LAYOUT version (v2 added batch-partitioned
+    // "v7" = the on-disk LAYOUT version (v2 added batch-partitioned
     // codes/, v3 added tombstones + compaction, v4 switched the
     // codebooks/codes to IVF-RESIDUAL encoding, v5 the manifest
-    // visibility protocol, v6 nonce-addressed state generations):
+    // visibility protocol, v6 nonce-addressed state generations, v7 the
+    // integer-carrier stats JSON — sum_err_e6, VERDICT r18 #1):
     // bumping it invalidates markers written by an older layout, so a
     // layout change rebuilds instead of serving state the reader would
     // misinterpret (raw-vector codes scored against residual LUTs; a
-    // manifest-less dir refused as unbuilt)
-    ensureArtifactFor(spark, srcPath, tag, "ivfpq", "v6", build)
+    // manifest-less dir refused as unbuilt; an old-shape stats.json
+    // read as null telemetry)
+    ensureArtifactFor(spark, srcPath, tag, "ivfpq", "v7", build)
 
   /** The generic form of [[ensureIndexFor]] — any train-once artifact
     * family keyed to a source fixture gets the same fingerprint/marker
@@ -1213,9 +1226,13 @@ object IndexStore {
       buildIvfPq(emb.filter(col("vec_id") < h), d, 16, 4, 16, 1)
       appendIvfPq(emb.filter(col("vec_id") >= h), d, batchId = 1)
     })
-    spark.read.schema("n BIGINT, mean_err DOUBLE, max_err DOUBLE, batch_id BIGINT")
+    spark.read.schema("n BIGINT, sum_err_e6 BIGINT, max_err DOUBLE, batch_id BIGINT")
       .json(s"$ixDir/stats")
-      .select(col("batch_id"), col("n"), col("mean_err"), col("max_err"))
+      // integers carry the hash (VERDICT r18 #1); mean_err derives from
+      // them by the division the oracle writes identically
+      .select(col("batch_id"), col("n"), col("sum_err_e6"),
+        graft.core.Num.meanFromE6(col("sum_err_e6"), col("n")).as("mean_err"),
+        col("max_err"))
       .orderBy("batch_id")
   }
 

@@ -1427,19 +1427,26 @@ object Similarity {
         .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
     val per = j.groupBy(col("cluster")).agg(
       count(lit(1)).cast(IntegerType).as("n_docs"),
-      // Num.davg: a cluster's docs span partitions, so a raw double mean
-      // is partial-aggregation-order-sensitive (the r17 xs_dsir_drift
-      // flake class); the oracle mirrors the decimal sum/count.
-      graft.core.Num.davg(col("quality_score")).as("mean_quality"))
+      // Num.sumE6 (VERDICT r18 #1, the xs_dsir_drift class): the hashed
+      // carrier is an integer Σ round(quality·1e6) — order-independent
+      // AND engine-format-proof (quality_score is rational arithmetic on
+      // counts, so both engines quantize identical doubles identically);
+      // mean_quality derives from it by the same IEEE division the
+      // oracle writes.
+      graft.core.Num.sumE6(col("quality_score")).as("sum_quality_e6"),
+      count(lit(1)).as("nq"))
     val top = j.groupBy(col("cluster"), col("lang")).agg(count(lit(1)).as("c"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cluster")).orderBy(col("c").desc, col("lang"))))
       .filter(col("rn") === 1)
       .select(col("cluster"), col("lang").as("top_lang"), col("c").as("top_n"))
     per.join(top, Seq("cluster"))
-      .select(col("cluster"), col("n_docs"), col("mean_quality"),
+      .select(col("cluster"), col("n_docs"), col("sum_quality_e6"),
+        graft.core.Num.meanFromE6(col("sum_quality_e6"), col("nq"))
+          .as("mean_quality"),
         col("top_lang"),
-        (col("top_n").cast(DoubleType) / col("n_docs")).as("top_lang_frac"))
+        (col("top_n").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("top_lang_frac"))
       .orderBy(col("cluster"))
   }
 
@@ -1451,15 +1458,16 @@ object Similarity {
        |  FROM km JOIN documents d USING (doc_id) JOIN q USING (doc_id)),
        |per AS (
        |  SELECT cluster, CAST(COUNT(*) AS INTEGER) AS n_docs,
-       |    ${graft.core.Num.sqlAvg("quality_score")} AS mean_quality
+       |    ${graft.core.Num.sqlSumE6("quality_score")} AS sum_quality_e6,
+       |    ${graft.core.Num.sqlMeanFromE6(graft.core.Num.sqlSumE6("quality_score"), "COUNT(*)")} AS mean_quality
        |  FROM j GROUP BY cluster),
        |top AS (
        |  SELECT cluster, lang AS top_lang, c AS top_n FROM (
        |    SELECT cluster, lang, COUNT(*) AS c, row_number() OVER (
        |      PARTITION BY cluster ORDER BY COUNT(*) DESC, lang) AS rn
        |    FROM j GROUP BY cluster, lang) t WHERE rn = 1)
-       |SELECT per.cluster, n_docs, mean_quality, top_lang,
-       |  CAST(top_n AS DOUBLE) / n_docs AS top_lang_frac
+       |SELECT per.cluster, n_docs, sum_quality_e6, mean_quality, top_lang,
+       |  CAST(top_n AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_lang_frac
        |FROM per JOIN top USING (cluster)
        |ORDER BY cluster""".stripMargin
 
@@ -2295,7 +2303,8 @@ object Similarity {
        |  SELECT vec_id, $errSum AS err
        |  FROM f0 $joins)
        |SELECT CAST(CASE WHEN vec_id < $half THEN 0 ELSE 1 END AS BIGINT) AS batch_id,
-       |  COUNT(*) AS n, ${graft.core.Num.sqlAvg("err")} AS mean_err,
+       |  COUNT(*) AS n, ${graft.core.Num.sqlSumE6("err")} AS sum_err_e6,
+       |  ${graft.core.Num.sqlMeanFromE6(graft.core.Num.sqlSumE6("err"), "COUNT(*)")} AS mean_err,
        |  MAX(err) AS max_err
        |FROM errs GROUP BY 1 ORDER BY 1""".stripMargin
   }

@@ -637,7 +637,7 @@ class IndexStoreSpec extends SparkSpec {
     // sidecar hadoop's local fs keeps for the manifest — drop it
     val mp = java.nio.file.Paths.get(dir, "manifest.json")
     java.nio.file.Files.writeString(mp,
-      java.nio.file.Files.readString(mp).replace("\"layout\":6", "\"layout\":5"))
+      java.nio.file.Files.readString(mp).replace("\"layout\":7", "\"layout\":6"))
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(dir, ".manifest.json.crc"))
     // readers refuse (codes semantics differ across layouts)...
@@ -652,7 +652,7 @@ class IndexStoreSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(served.nonEmpty && !served.contains(3L) && !served.contains(10L),
       "tombstones written before the layout upgrade must survive it")
-    assert(IndexStore.readManifest(spark, dir).layout == 6)
+    assert(IndexStore.readManifest(spark, dir).layout == 7)
   }
 
   test("expireSnapshots reclaims superseded generations without touching current readers") {

@@ -576,12 +576,17 @@ class CurateStreamSpec extends SparkSpec {
     docs.filter($"lang" =!= "en").coalesce(1).write.parquet(s"$inDir/d1.parquet")
     pass()
     val stats = spark.read
-      .schema("n_scored BIGINT, n_passed BIGINT, mean_logw DOUBLE, batch_id BIGINT")
+      .schema("n_scored BIGINT, n_passed BIGINT, sum_logw_e6 BIGINT, " +
+        "mean_logw DOUBLE, batch_id BIGINT")
       .json(CurateStream.dsirStatsDirOf(s"$outDir/data"))
-      .select($"batch_id", $"n_scored", $"n_passed", $"mean_logw")
-      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+      .select($"batch_id", $"n_scored", $"n_passed", $"mean_logw", $"sum_logw_e6")
+      .as[(Long, Long, Long, Double, Long)].collect().sortBy(_._1)
     assert(stats.length == 2, s"expected one stats row per batch, got ${stats.toSeq}")
-    val Array((_, n0, p0, m0), (_, n1, p1, m1)) = stats
+    val Array((_, n0, p0, m0, s0), (_, n1, p1, m1, s1)) = stats
+    // the landed human-readable mean must BE the integer carrier's mean
+    // (same derivation the declared row uses)
+    assert(m0 == s0.toDouble / 1e6 / n0 && m1 == s1.toDouble / 1e6 / n1,
+      s"landed mean_logw diverges from sum_logw_e6/n: $stats")
     assert(n0 > 0 && n1 > 0, s"degenerate fixture split: $n0 / $n1 scored")
     assert(m0 > m1,
       f"drifted drop did not move mean_logw: en $m0%.3f vs non-en $m1%.3f")
@@ -594,8 +599,12 @@ class CurateStreamSpec extends SparkSpec {
   /** Telemetry-determinism audit (VERDICT r17 #1/#2). Every double that
     * reaches a driver-hashed row or a landed stats artifact, with its
     * determinism argument:
-    *   - `mean_logw` (CurateStream dsir observe) — Num.davg: exact
-    *     DECIMAL(28,10) sum / count, order-independent. THIS test pins
+    *   - `sum_logw_e6` (CurateStream dsir observe) — Num.sumE6: an
+    *     integer Σ round(logw·1e6), order-independent AND
+    *     engine-format-proof (VERDICT r18 #1: the driver redded the
+    *     davg double twice despite in-sandbox bit-identity, so the
+    *     hashed statistic is now an integer; mean_logw derives from it
+    *     by the same IEEE division in both engines). THIS test pins
     *     bit-identity across partitioning changes.
     *   - `mean_err` / `max_err` (IndexStore.writeCodesWithStats observe)
     *     — Num.davg / max, both order-independent
@@ -639,7 +648,8 @@ class CurateStreamSpec extends SparkSpec {
     val b = statsJson(nFiles = 7, shuffleParts = "11")
     assert(a == b,
       s"drift telemetry is partitioning-sensitive:\n  A: $a  B: $b")
-    assert(a.contains("\"mean_logw\":"), s"unexpected stats shape: $a")
+    assert(a.contains("\"sum_logw_e6\":") && a.contains("\"mean_logw\":"),
+      s"unexpected stats shape: $a")
   }
 
   /** 50 phrases from a shared 40-phrase pool (100 words): bigrams repeat
