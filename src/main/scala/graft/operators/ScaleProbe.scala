@@ -222,6 +222,17 @@ object ScaleProbe {
       // prescribes must be VISIBLE in the same table, not asserted
       val (tpIvfRows, tpIvfSec) = timed(
         Similarity.trainingPairsIvf(emb, 3, 0.45, 0.30, 0.05).count())
+      // r19 (VERDICT r18 #2): anchor-batched negative mining with the
+      // anchor set = the CORPUS ITSELF — the regime the one-shot call's
+      // probe-broadcast bound excludes. sliceSize fixed at 2000, so the
+      // slice count grows with the corpus (~n/2000 driver iterations);
+      // the claim under test is that wall time stays ~linear in anchor
+      // count (each slice pays one bounded routing collect + one
+      // candidate-pruned scoring join) with the per-slice overhead
+      // priced honestly in the same table.
+      val (hnbRows, hnbSec) = timed(
+        Similarity.hardNegativesIvfBatched(emb, emb, 2000, 3, 0.30, 0.05)
+          .count())
       // xs_dsir_drift's per-batch core: frozen-λ scoring (256-row
       // broadcast join + per-doc partial agg) + the telemetry aggregate
       // (count / decimal-mean / gate-pass sum) — map-only against the
@@ -258,6 +269,7 @@ object ScaleProbe {
         f""""binary_sec":$binSec%.2f,"binary_rerank_sec":$binRrSec%.2f,""" +
         f""""training_pairs":$tpRows,"training_pairs_sec":$tpSec%.2f,""" +
         f""""training_pairs_ivf":$tpIvfRows,"training_pairs_ivf_sec":$tpIvfSec%.2f,""" +
+        f""""hn_batched_rows":$hnbRows,"hn_batched_sec":$hnbSec%.2f,""" +
         f""""dsir_drift_batch_sec":$driftSec%.2f}""")
     }
     spark.stop()

@@ -478,6 +478,41 @@ class SimilaritySpec extends SparkSpec {
       s"negative sim ${r._6} outside the band"))
   }
 
+  test("hardNegativesIvfBatched: slice-union equals the one-shot call " +
+      "row-for-row at every slicing, and degenerate inputs refuse or empty") {
+    import spark.implicits._
+    val emb = graft.core.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val probes = emb.filter($"vec_id" < 10)
+    val oneShot = Similarity.hardNegativesIvf(emb, probes, 5, 0.30, 0.05)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(oneShot.nonEmpty, "one-shot served nothing on the fixture")
+    // composition exactness across slice counts 1 (trivial), 3, and 10
+    // (one probe per slice) — per-probe independence means the union is
+    // identical, sims bit-equal included
+    for (sliceSize <- Seq(100L, 4L, 1L)) {
+      val batched = Similarity
+        .hardNegativesIvfBatched(emb, probes, sliceSize, 5, 0.30, 0.05)
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(batched == oneShot,
+        s"sliceSize $sliceSize diverged: ${(batched -- oneShot).take(3)} extra, " +
+          s"${(oneShot -- batched).take(3)} missing")
+    }
+    // no probes → empty result, same schema
+    val empty = Similarity.hardNegativesIvfBatched(
+      emb, probes.filter($"vec_id" < 0), 4, 5, 0.30, 0.05)
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.toSeq == Seq("probe_id", "rnk", "neighbor_id", "sim"))
+    // invalid slice size and inverted band refuse loudly
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.hardNegativesIvfBatched(emb, probes, 0, 5, 0.30, 0.05)
+    }
+    assert(e1.getMessage.contains("sliceSize"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.hardNegativesIvfBatched(emb, probes, 4, 5, 0.05, 0.30)
+    }
+    assert(e2.getMessage.contains("must exceed floor"), e2.getMessage)
+  }
+
   test("binaryRerank: every served sim is the exact cosine, ranks follow sim, " +
       "and the 8-byte shortlist recovers most of the float top-k") {
     import spark.implicits._

@@ -909,4 +909,128 @@ class TextAnalysisSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("packed key overflow")),
       s"wrong failure: ${e.getMessage}")
   }
+  test("GifCodec round-trips indices through a real LZW-compressed GIF, " +
+      "with interlace, planted clears, and tiny sub-blocks all exercised") {
+    val rnd = new scala.util.Random(4321)
+    for (trial <- 1 to 30) {
+      val w = 1 + rnd.nextInt(8)
+      val h = 1 + rnd.nextInt(12)
+      // runs of repeats force the KwKwK first-code case; zero padding in
+      // the fixture does the same
+      val px = new Array[Byte](w * h)
+      var i = 0
+      while (i < px.length) {
+        val run = 1 + rnd.nextInt(4)
+        val v = rnd.nextInt(256).toByte
+        var k = 0
+        while (k < run && i < px.length) { px(i) = v; i += 1; k += 1 }
+      }
+      val interlaced = trial % 2 == 1
+      val bytes = Multimodal.GifCodec.encodeIndexed(w, h, px,
+        interlaced = interlaced,
+        clearEvery = if (trial % 3 == 0) 5 else 0,
+        blockSize = if (trial % 5 == 0) 3 else 255)
+      val img = Multimodal.GifCodec.decode(bytes)
+      assert(img.width == w && img.height == h)
+      val pal = Multimodal.GifCodec.synthPalette
+      val want = px.flatMap { b =>
+        val idx = b & 0xff
+        Seq(pal(3 * idx), pal(3 * idx + 1), pal(3 * idx + 2))
+      }
+      assert(img.pixels.toSeq == want.toSeq,
+        s"round-trip mismatch at ${w}x$h interlaced=$interlaced (trial $trial)")
+    }
+  }
+
+  test("GifCodec encodings decode identically under the JDK's OWN ImageIO " +
+      "GIF reader — an independent decoder, so LZW width/clear/interlace " +
+      "conventions are standard, not merely self-consistent") {
+    // Two measured JDK-reader limitations scope this cross-check (r19):
+    // (a) it mis-places interlace passes below height 8 — its own
+    // writer→reader round trip corrupts a 3x3 interlaced GIF (every w
+    // at h in {2,3,4} bad, every w at h >= 8 clean), so interlaced
+    // cases here use h >= 8; (b) it desyncs on data sub-blocks of <= 2
+    // bytes even non-interlaced (255 and 7 clean), so block sizes here
+    // stay >= 7. Both regimes remain covered by this suite's own
+    // round-trip test and by the driver oracle, which restates pixels
+    // from the synthesis source independent of ANY decoder.
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 12) {
+      val interlaced = trial % 2 == 0
+      val w = 2 + rnd.nextInt(7)
+      val h = (if (interlaced) 8 else 2) + rnd.nextInt(10)
+      val px = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+      val bytes = Multimodal.GifCodec.encodeIndexed(w, h, px,
+        interlaced = interlaced,
+        clearEvery = if (trial % 3 == 0) 4 else 0,
+        blockSize = if (trial % 4 == 0) 7 else 255)
+      val ours = Multimodal.GifCodec.decode(bytes)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, "ImageIO could not parse the payload at all")
+      assert(ref.getWidth == w && ref.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = ref.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert(((rgb >> 16) & 0xff) == (ours.pixels(o) & 0xff) &&
+          ((rgb >> 8) & 0xff) == (ours.pixels(o + 1) & 0xff) &&
+          ((rgb & 0xff) == (ours.pixels(o + 2) & 0xff)),
+          f"pixel ($x,$y) differs from ImageIO: theirs 0x$rgb%06x (trial $trial)")
+      }
+    }
+  }
+
+  test("GifCodec refuses malformed payloads loudly") {
+    val px = Array.tabulate[Byte](6 * 3)(_.toByte)
+    val good = Multimodal.GifCodec.encodeIndexed(6, 3, px)
+    def expectFail(bytes: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { Multimodal.GifCodec.decode(bytes) }
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    expectFail("NOTAGIF".getBytes("US-ASCII") ++ good.drop(7), "bad magic")
+    expectFail(good.dropRight(4), "truncated")
+    expectFail(good ++ Array[Byte](1, 2), "trailing bytes")
+    // no trailer: the final 0x3b dropped → runs off the payload
+    expectFail(good.dropRight(1), "truncated")
+    // LSD packed byte with the GCT flag cleared
+    val noGct = good.clone(); noGct(10) = (noGct(10) & 0x7f).toByte
+    expectFail(noGct, "no global color table")
+    // image descriptor packed byte: set the local-color-table flag.
+    // Layout: 6 header + 7 LSD + 768 GCT + comment ext (2 + 1 + 5 + 1)
+    // + 0x2c + 8 geometry → packed at 6+7+768+9+9 = 799
+    assert((good(790) & 0xff) == 0x2c, "image descriptor offset drifted")
+    val lct = good.clone(); lct(799) = (lct(799) | 0x80).toByte
+    expectFail(lct, "local color table")
+    // a second frame: splice another image descriptor before the trailer
+    val frame = java.util.Arrays.copyOfRange(good, 790, good.length - 1)
+    expectFail(good.dropRight(1) ++ frame ++ Array[Byte](0x3b), "multiple frames")
+    // sub-rectangle frame: nonzero left offset
+    val sub = good.clone(); sub(791) = 2
+    expectFail(sub, "not the full")
+    // graphic control extension declaring transparency
+    val gce = Array[Byte](0x21, 0xf9.toByte, 4, 0x01, 0, 0, 0, 0)
+    expectFail(java.util.Arrays.copyOfRange(good, 0, 790) ++ gce ++
+      java.util.Arrays.copyOfRange(good, 790, good.length), "transparency")
+    // plain-text extension renders into the frame: refuse, never skip
+    val pte = Array[Byte](0x21, 0x01, 0)
+    expectFail(java.util.Arrays.copyOfRange(good, 0, 790) ++ pte ++
+      java.util.Arrays.copyOfRange(good, 790, good.length), "plain-text")
+    // truncation inside the GCT
+    expectFail(java.util.Arrays.copyOfRange(good, 0, 200), "global color table")
+  }
+
+  test("GifCodec downsample2 keeps even-coordinate sources; fixture geometry " +
+      "and padding match the oracle's (m+5)/6 layout") {
+    val pal = Multimodal.GifCodec.synthPalette
+    val px = Array.tabulate[Byte](6 * 4)(_.toByte)
+    val img = Multimodal.GifCodec.decode(
+      Multimodal.GifCodec.encodeIndexed(6, 4, px, interlaced = true))
+    val half = Multimodal.GifCodec.downsample2(img)
+    assert(half.width == 3 && half.height == 2)
+    for (y <- 0 until 2; x <- 0 until 3; c <- 0 until 3) {
+      val srcIdx = px(2 * y * 6 + 2 * x) & 0xff
+      assert((half.pixels((y * 3 + x) * 3 + c) & 0xff) ==
+        (pal(3 * srcIdx + c) & 0xff), s"($x,$y,$c)")
+    }
+  }
+
 }
