@@ -98,7 +98,12 @@ object PlanPin {
     // r18 — detokenize: the per-doc reassembly is ONE grouped aggregate
     // over the map-only encode chain (no extra corpus scan for the
     // expected-text attach — it joins the same source scan)
-    "xt_bpe_decode")
+    "xt_bpe_decode",
+    // r19 — anchor-batched mining: the sliced row's plan is a UNION of
+    // slice-independent branches, each keeping the one-shot plan's
+    // broadcast routing attach and pre-window band filters; the GIF
+    // row is one map-only codec pass over the synthesized corpus
+    "x2_hard_negatives_sliced", "xm_gif_features")
 
   val pinFile = "PLANPINS.txt"
   val sfDir = "/root/testdata/sf0.001"
