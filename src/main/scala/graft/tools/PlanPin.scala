@@ -103,7 +103,7 @@ object PlanPin {
     // slice-independent branches, each keeping the one-shot plan's
     // broadcast routing attach and pre-window band filters; the GIF
     // row is one map-only codec pass over the synthesized corpus
-    "x2_hard_negatives_sliced", "xm_gif_features")
+    "x2_hard_negatives_sliced", "xm_gif_features", "xm_flac_features")
 
   val pinFile = "PLANPINS.txt"
   val sfDir = "/root/testdata/sf0.001"

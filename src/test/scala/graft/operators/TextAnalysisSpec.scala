@@ -1033,4 +1033,63 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("FlacCodec round-trips PCM through real Rice/LPC compression across " +
+      "every planted encoder freedom, including multi-byte frame numbers") {
+    val rnd = new scala.util.Random(777)
+    for (trial <- 1 to 25) {
+      val n = rnd.nextInt(260) // includes 0 (metadata-only stream) and short tails
+      // byte-derived samples (the fixture shape: multiples of 256, so the
+      // wasted-bits schedule actually fires) plus occasional raw shorts
+      val samples =
+        if (trial % 4 == 0) Array.fill[Short](n)((rnd.nextInt(65536) - 32768).toShort)
+        else Array.fill[Short](n)((((rnd.nextInt(256)) - 128) * 256).toShort)
+      val bytes = Multimodal.FlacCodec.encodePcm16Mono(samples, seed = trial.toLong)
+      val a = Multimodal.FlacCodec.decode(bytes)
+      assert(a.sampleRate == 8000 && a.channels == 1 && a.bits == 16)
+      assert(a.samples.toSeq == samples.toSeq, s"round-trip mismatch (trial $trial, n=$n)")
+    }
+    // > 128 frames forces a 2-byte UTF-8 frame number (16-sample blocks)
+    val long = Array.tabulate[Short](16 * 200)(i => ((i * 37 % 256 - 128) * 256).toShort)
+    val a = Multimodal.FlacCodec.decode(
+      Multimodal.FlacCodec.encodePcm16Mono(long, seed = 3))
+    assert(a.samples.toSeq == long.toSeq, "multi-byte frame-number round trip")
+    // constant blocks (16 equal samples) take the CONSTANT subframe path
+    val const = Array.fill[Short](48)(1024)
+    assert(Multimodal.FlacCodec.decode(
+      Multimodal.FlacCodec.encodePcm16Mono(const, seed = 1)).samples.toSeq == const.toSeq)
+  }
+
+  test("FlacCodec refuses malformed payloads loudly: every integrity layer " +
+      "(magic, CRC-8, CRC-16, MD5, truncation, trailing bytes) fires") {
+    val samples = Array.tabulate[Short](40)(i => ((i % 256 - 128) * 256).toShort)
+    val good = Multimodal.FlacCodec.encodePcm16Mono(samples, seed = 2)
+    def expectFail(bytes: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { Multimodal.FlacCodec.decode(bytes) }
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    expectFail("fLaX".getBytes("US-ASCII") ++ good.drop(4), "bad magic")
+    // truncation mid-frame surfaces as the bit reader's overrun refusal
+    expectFail(good.dropRight(5), "ran past the payload")
+    expectFail(good ++ Array[Byte](0), "trailing bytes")
+    // STREAMINFO layout: 4 magic + 4 block header; channels/bps live in
+    // byte 8+12; force 2 channels (bits 20..22 of the rate/ch/bps word)
+    val stereo = good.clone(); stereo(8 + 12) = (stereo(8 + 12) | 0x02).toByte
+    expectFail(stereo, "channels")
+    // flip a bit inside the first frame's header: CRC-8 must catch it.
+    // Frames start after 8+34 (STREAMINFO) + 8 (PADDING block) bytes;
+    // byte +5 is inside the UTF-8/blocksize region
+    val fStart = 4 + 4 + 34 + 4 + 4
+    assert((good(fStart) & 0xff) == 0xff, "frame offset drifted")
+    val hdrFlip = good.clone(); hdrFlip(fStart + 5) = (hdrFlip(fStart + 5) ^ 0x01).toByte
+    expectFail(hdrFlip, "CRC-8")
+    // flip a bit in the entropy-coded body: CRC-16 (or a decode guard) fires
+    val bodyFlip = good.clone(); bodyFlip(fStart + 9) = (bodyFlip(fStart + 9) ^ 0x10).toByte
+    val e = intercept[IllegalArgumentException] { Multimodal.FlacCodec.decode(bodyFlip) }
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("MD5") ||
+      e.getMessage.contains("refusing"), e.getMessage)
+    // corrupt the MD5 signature itself: frames decode, the signature check fires
+    val md5Flip = good.clone(); md5Flip(4 + 4 + 18) = (md5Flip(4 + 4 + 18) ^ 0x01).toByte
+    expectFail(md5Flip, "MD5")
+  }
+
 }
