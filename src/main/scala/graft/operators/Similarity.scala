@@ -472,6 +472,154 @@ object Similarity {
     * or the model trains on leaked continuations — with `groupOf` a
     * pure column function of the id, so the predicate stays inside the
     * same broadcast join (no extra scan, no shuffle). */
+  /** Margin-based bitext mining — the criterion parallel-corpus mining
+    * actually uses (Artetxe & Schwenk, ACL 2019 §3; the CCMatrix /
+    * LASER pipeline): raw cosine is a biased pair score because some
+    * sentences are "hubs" that sit close to everything, so each
+    * candidate pair (x, y) is rescored by its similarity RELATIVE to
+    * both endpoints' neighborhoods,
+    *
+    *   margin(x, y) = cos(x, y) / ((avgₖ(x→tgt) + avgₖ(y→src)) / 2),
+    *
+    * and a pair is mined iff each side is the other's best-margin
+    * candidate (the "max" strategy, mutual) and the margin clears
+    * `minMargin`. Composition of verified pieces: two [[cosineTopK]]
+    * passes (forward src→tgt, backward tgt→src — the corpus never
+    * shuffles, probes broadcast), per-endpoint neighborhood means via
+    * [[graft.core.Num.davg]] (order-independent, oracle-mirrored), the
+    * margin as the same IEEE division in both engines, and mutual-best
+    * as two rank-1 windows joined. Probe-side scale posture is the
+    * family's ([[hardNegativesIvf]] note): both directions route
+    * through the one-shot broadcast at fixture scale; a corpus-sized
+    * side mines in slices ([[hardNegativesIvfBatched]] composes the
+    * same way here because per-endpoint results are independent). */
+  def bitextMine(src: DataFrame, tgt: DataFrame, k: Int,
+      minMargin: Double): DataFrame = {
+    require(k >= 1, s"bitextMine: k must be >= 1, got $k")
+    require(minMargin > 0, s"bitextMine: minMargin must be positive, got $minMargin")
+    mineFromKnn(cosineTopK(tgt, src, k), cosineTopK(src, tgt, k), minMargin)
+  }
+
+  /** The mining tail shared by [[bitextMine]] and [[bitextMineBatched]]:
+    * neighborhood means, margins, mutual best-margin, floor. */
+  private def mineFromKnn(fwdKnn: DataFrame, bwdKnn: DataFrame,
+      minMargin: Double): DataFrame = {
+    val fwd = fwdKnn // src probes against the tgt corpus
+      .select(col("probe_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("sim"))
+    val bwd = bwdKnn
+      .select(col("probe_id").as("tgt_id"), col("neighbor_id").as("src_id"),
+        col("sim"))
+    val aSrc = fwd.groupBy(col("src_id"))
+      .agg(graft.core.Num.davg(col("sim")).as("a_src"))
+    val aTgt = bwd.groupBy(col("tgt_id"))
+      .agg(graft.core.Num.davg(col("sim")).as("a_tgt"))
+    def withMargin(cand: DataFrame): DataFrame = cand
+      .join(broadcast(aSrc), Seq("src_id"))
+      .join(broadcast(aTgt), Seq("tgt_id"))
+      .withColumn("margin",
+        col("sim") / ((col("a_src") + col("a_tgt")) / lit(2.0)))
+    val fBest = withMargin(fwd)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("src_id"))
+        .orderBy(col("margin").desc, col("tgt_id"))))
+      .filter(col("rn") === 1)
+      .select(col("src_id"), col("tgt_id"), col("sim"), col("margin"))
+    val bBest = withMargin(bwd)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("tgt_id"))
+        .orderBy(col("margin").desc, col("src_id"))))
+      .filter(col("rn") === 1)
+      .select(col("src_id"), col("tgt_id"))
+    fBest.join(bBest, Seq("src_id", "tgt_id"), "left_semi")
+      .filter(col("margin") >= minMargin)
+  }
+
+  /** [[bitextMine]] for corpus-sized sides (both directions' PROBE set
+    * is a full corpus — the one place in the family where the
+    * broadcast bound binds by construction): each ranking pass runs as
+    * a driver loop over pmod probe slices ([[hardNegativesIvfBatched]]'s
+    * composition argument — per-endpoint top-k and neighborhood means
+    * are independent, so slice-union ≡ one-shot row-for-row; the
+    * declared `x2_bitext_sliced` row hash-matches the one-shot oracle
+    * through 3-way slicing on both sides). The driver holds at most
+    * `sliceSize` probe vectors at a time. */
+  def bitextMineBatched(src: DataFrame, tgt: DataFrame, sliceSize: Long,
+      k: Int, minMargin: Double): DataFrame = {
+    require(k >= 1, s"bitextMineBatched: k must be >= 1, got $k")
+    require(minMargin > 0,
+      s"bitextMineBatched: minMargin must be positive, got $minMargin")
+    require(sliceSize > 0, s"bitextMineBatched: sliceSize $sliceSize < 1")
+    def slicedTopK(corpus: DataFrame, probes: DataFrame): DataFrame = {
+      val n = probes.count()
+      if (n == 0) return cosineTopK(corpus, probes, k)
+      val nSlices = ((n + sliceSize - 1) / sliceSize).toInt
+      (0 until nSlices).map { s =>
+        cosineTopK(corpus,
+          probes.filter(pmod(col("vec_id"), lit(nSlices.toLong)) === s), k)
+      }.reduce(_.unionByName(_))
+    }
+    mineFromKnn(slicedTopK(tgt, src), slicedTopK(src, tgt), minMargin)
+  }
+
+  /** Declared: the even-id half of the embeddings table mined against
+    * the odd-id half (two disjoint "languages" with genuinely shared
+    * structure — the fixture's cluster labels span both halves), k = 4
+    * neighborhoods, margin floor 1.0 — the spec asserts the floor and
+    * the mutuality test BOTH exclude candidates on the fixture, so
+    * neither is decorative. */
+  private def x2BitextMine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    bitextMine(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), 4, 1.0)
+      .orderBy(col("src_id"))
+  }
+
+  /** Declared: the batched form through forced 3-way slicing on BOTH
+    * probe sides, against the SAME oracle as the one-shot row. */
+  private def x2BitextSliced(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    val third = (emb.count() / 2 + 2) / 3
+    bitextMineBatched(src, tgt, math.max(1L, third), 4, 1.0)
+      .orderBy(col("src_id"))
+  }
+
+  private val x2BitextMineSql = {
+    val sim = """(list_dot_product(s.v, t.v) /
+      |      (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(t.v, t.v))))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+       |t AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+       |cs AS (
+       |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id, $sim AS sim
+       |  FROM s CROSS JOIN t),
+       |fknn AS (SELECT src_id, tgt_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) rn
+       |  FROM cs) f WHERE rn <= 4),
+       |bknn AS (SELECT src_id, tgt_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) rn
+       |  FROM cs) b WHERE rn <= 4),
+       |asrc AS (SELECT src_id, ${graft.core.Num.sqlAvg("sim")} AS a_src FROM fknn GROUP BY src_id),
+       |atgt AS (SELECT tgt_id, ${graft.core.Num.sqlAvg("sim")} AS a_tgt FROM bknn GROUP BY tgt_id),
+       |fbest AS (SELECT src_id, tgt_id, sim, margin FROM (
+       |  SELECT f.src_id, f.tgt_id, f.sim,
+       |    f.sim / ((a.a_src + b.a_tgt) / 2e0) AS margin,
+       |    row_number() OVER (PARTITION BY f.src_id
+       |      ORDER BY f.sim / ((a.a_src + b.a_tgt) / 2e0) DESC, f.tgt_id) rn
+       |  FROM fknn f JOIN asrc a USING (src_id) JOIN atgt b USING (tgt_id)) q
+       |  WHERE rn = 1),
+       |bbest AS (SELECT src_id, tgt_id FROM (
+       |  SELECT f.src_id, f.tgt_id,
+       |    row_number() OVER (PARTITION BY f.tgt_id
+       |      ORDER BY f.sim / ((a.a_src + b.a_tgt) / 2e0) DESC, f.src_id) rn
+       |  FROM bknn f JOIN asrc a USING (src_id) JOIN atgt b USING (tgt_id)) q
+       |  WHERE rn = 1)
+       |SELECT fb.src_id, fb.tgt_id, fb.sim, fb.margin
+       |FROM fbest fb JOIN bbest bb ON fb.src_id = bb.src_id AND fb.tgt_id = bb.tgt_id
+       |WHERE fb.margin >= 1.0e0
+       |ORDER BY fb.src_id""".stripMargin
+  }
+
   def cosineTopKExcludingGroup(emb: DataFrame, probes: DataFrame, k: Int,
       groupOf: Column => Column): DataFrame =
     cosineRankCore(emb, probes, k,
@@ -2383,6 +2531,8 @@ object Similarity {
     Declared("x2_hard_negatives", x2HardNegatives, Some(x2HardNegativesSql)),
     Declared("x2_hard_negatives_ivf", x2HardNegativesIvf, Some(x2HardNegativesIvfSql)),
     Declared("x2_hard_negatives_sliced", x2HardNegativesSliced, Some(x2HardNegativesIvfSql)),
+    Declared("x2_bitext_mine", x2BitextMine, Some(x2BitextMineSql)),
+    Declared("x2_bitext_sliced", x2BitextSliced, Some(x2BitextMineSql)),
     Declared("x2_training_pairs", x2TrainingPairs, Some(x2TrainingPairsSql)),
     Declared("x2_training_pairs_ivf", x2TrainingPairsIvf, Some(x2TrainingPairsIvfSql)),
     Declared("x2_sq8_topk", x2Sq8TopK, Some(x2Sq8TopKSql)),

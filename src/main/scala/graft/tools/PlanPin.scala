@@ -103,7 +103,11 @@ object PlanPin {
     // slice-independent branches, each keeping the one-shot plan's
     // broadcast routing attach and pre-window band filters; the GIF
     // row is one map-only codec pass over the synthesized corpus
-    "x2_hard_negatives_sliced", "xm_gif_features", "xm_flac_features")
+    "x2_hard_negatives_sliced", "xm_gif_features", "xm_flac_features",
+    // r19 — bitext mining: two broadcast-probe ranking passes + two
+    // bounded neighborhood-mean attaches + the mutual-best semi-join —
+    // the corpus sides never shuffle
+    "x2_bitext_mine")
 
   val pinFile = "PLANPINS.txt"
   val sfDir = "/root/testdata/sf0.001"

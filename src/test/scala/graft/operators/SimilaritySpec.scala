@@ -703,4 +703,73 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(eRerank.getMessage.contains("64 dimensions"))
   }
+  test("bitextMine: a hub target pairs with at most ONE source (mutual-best), " +
+      "twins always mine, and the margin floor binds") {
+    import spark.implicits._
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // four src sentences with near-twins in tgt, plus THREE twinless
+    // srcs whose raw-cos best is all the same HUB tgt: raw cosine
+    // retrieval would hand the hub to all three — the mined table must
+    // contain the hub at most once (each side keeps only its best-MARGIN
+    // partner, and a tgt can be the mutual best of one src)
+    val src = Seq(
+      (0L, vec(1, 0, 0, 0.05)), (2L, vec(0, 1, 0, 0.05)),
+      (4L, vec(0, 0, 1, 0.05)), (6L, vec(0.05, 0, 0, 1)),
+      (8L, vec(0.6, 0.6, 0.45, 0.45)),
+      (10L, vec(0.6, 0.58, 0.47, 0.45)),
+      (12L, vec(0.58, 0.6, 0.45, 0.47))) // three hub-adjacent twinless srcs
+      .toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, vec(0.99, 0.08, 0, 0.05)), (3L, vec(0.08, 0.99, 0, 0.05)),
+      (5L, vec(0, 0.08, 0.99, 0.05)), (7L, vec(0.05, 0.08, 0, 0.99)),
+      (9L, vec(0.55, 0.55, 0.5, 0.5))) // the hub: close to everything
+      .toDF("vec_id", "embedding")
+    val mined = Similarity.bitextMine(src, tgt, 3, 1.0)
+      .select($"src_id", $"tgt_id").as[(Long, Long)].collect().toSet
+    assert(Set((0L, 1L), (2L, 3L), (4L, 5L), (6L, 7L)).subsetOf(mined),
+      s"mined $mined — every twin pair must survive the margin criterion")
+    assert(mined.count(_._2 == 9L) <= 1,
+      s"mined $mined — the hub paired with more than one source")
+    // every twinless src's raw-cos best IS the hub — so without the
+    // mutual-margin rule all three would have claimed it
+    for (id <- Seq(8L, 10L, 12L)) {
+      val rawBest = Similarity.cosineTopK(tgt, src.filter($"vec_id" === id), 1)
+        .select($"neighbor_id").head.getLong(0)
+      assert(rawBest == 9L, s"fixture drifted: src $id raw best is $rawBest")
+    }
+    // fixture non-degeneracy at sf0.001: both the mutuality test and the
+    // margin floor must exclude candidates — neither gate is decorative
+    val emb = graft.core.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val s0 = emb.filter($"vec_id" % 2 === 0); val t0 = emb.filter($"vec_id" % 2 === 1)
+    val floor1 = Similarity.bitextMine(s0, t0, 4, 1.0).count()
+    val floor0 = Similarity.bitextMine(s0, t0, 4, 1e-9).count()
+    val nSrc = s0.count()
+    assert(floor0 > floor1, "the margin floor excluded nothing on the fixture")
+    assert(floor0 < nSrc, "mutuality excluded nothing: every src mined a pair")
+    assert(floor1 > 0, "nothing mined at the declared floor")
+    // the batched form is the one-shot row-for-row at every slicing
+    // (both probe sides are corpus-sized at scale — the broadcast bound
+    // binds by construction, so the slice rung is the honest deployment)
+    val oneShot = Similarity.bitextMine(s0, t0, 4, 1.0)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    for (sliceSize <- Seq(1000L, 7L, 1L)) {
+      val batched = Similarity.bitextMineBatched(s0, t0, sliceSize, 4, 1.0)
+        .as[(Long, Long, Double, Double)].collect().toSet
+      assert(batched == oneShot, s"sliceSize $sliceSize diverged")
+    }
+    // refusals
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.bitextMine(s0, t0, 0, 1.0)
+    }
+    assert(e1.getMessage.contains("k must be"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.bitextMine(s0, t0, 4, 0.0)
+    }
+    assert(e2.getMessage.contains("minMargin"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.bitextMineBatched(s0, t0, 0, 4, 1.0)
+    }
+    assert(e3.getMessage.contains("sliceSize"), e3.getMessage)
+  }
+
 }
