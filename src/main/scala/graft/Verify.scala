@@ -43,7 +43,13 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        if (debugRows.contains(name)) landDebug(name)
+        // best-effort: a debug-dump failure must never delete the GOOD
+        // row output the outer catch would reap (r19 review)
+        if (debugRows.contains(name))
+          try landDebug(name)
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name debug dump failed: ${e.getMessage}")
+          }
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -1231,7 +1231,12 @@ object IndexStore {
       // integers carry the hash (VERDICT r18 #1); mean_err derives from
       // them by the division the oracle writes identically
       .select(col("batch_id"), col("n"), col("sum_err_e6"),
-        graft.core.Num.meanFromE6(col("sum_err_e6"), col("n")).as("mean_err"),
+        // empty batch: the landed JSON records 0.0, the derivation would
+        // be 0/0 = NaN (r19 review); the oracle can never produce an
+        // n = 0 group, so the guard only keeps the reader NaN-free
+        when(col("n") > 0,
+          graft.core.Num.meanFromE6(col("sum_err_e6"), col("n")))
+          .otherwise(lit(0.0)).as("mean_err"),
         col("max_err"))
       .orderBy("batch_id")
   }

@@ -1706,7 +1706,9 @@ object Multimodal {
         first = false
       }
       if (!haveSi) fail("no STREAMINFO block")
-      if (total > (1L << 31)) fail(s"declares $total samples (cap 2^31)")
+      // allocation cap BEFORE any frame is validated (the MaxPixelBytes
+      // discipline): 2^27 samples = 256 MiB of shorts
+      if (total > (1L << 27)) fail(s"declares $total samples (cap 2^27)")
       val out = new Array[Short](total.toInt)
       var got = 0
       var expectFrame = 0L

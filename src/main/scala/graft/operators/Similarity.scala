@@ -206,22 +206,26 @@ object Similarity {
     * form of the anchor-batching remedy the r18 docs only stated. The
     * probe set is partitioned into ⌈n/sliceSize⌉ deterministic hash
     * slices (`pmod(vec_id, nSlices)` — uniform for any id distribution,
-    * no driver collect of the ids themselves) and a DRIVER LOOP runs
-    * the scoring core per slice; per-probe results are independent, so
-    * the union equals the one-shot call row-for-row (SimilaritySpec
-    * pins the equality; the declared `x2_hard_negatives_sliced` row
-    * hash-matches the one-shot oracle through 3-way slicing).
+    * no driver collect of the ids themselves) and a DRIVER LOOP
+    * EXECUTES the scoring core per slice, landing each slice's rows in
+    * a reaper-registered temp store and returning the store's scan;
+    * per-probe results are independent, so the union equals the
+    * one-shot call row-for-row (SimilaritySpec pins the equality; the
+    * declared `x2_hard_negatives_sliced` row hash-matches the one-shot
+    * oracle through 3-way slicing).
     *
-    * Cost shape, which is the point: centroids train ONCE and the
-    * corpus IVF-assigns ONCE (both corpus-sized); each iteration then
-    * pays one slice-sized routing collect + broadcast and one
-    * candidate-bounded scoring join — the driver holds at most
-    * `sliceSize` probe vectors at a time, so anchor cardinality is
-    * bounded by DISK, not by driver/executor memory. At 100 TB the
-    * assignment side comes from a persisted index ([[IndexStore]])
-    * rather than recomputation; here the loop reuses one assignment
-    * plan, and a deployment materializes it (`asg.persist()` or the
-    * index read) so the per-slice cost is the scoring join alone. */
+    * Cost shape, which is the point — and it holds because the loop is
+    * EAGER (a lazy union would keep every slice's routing broadcast
+    * live inside one job, re-creating the bound it exists to avoid —
+    * r19 review): centroids train ONCE, the corpus IVF-assigns ONCE
+    * and is persisted for the loop's duration, and each iteration pays
+    * one slice-sized routing collect + broadcast, one candidate-bounded
+    * scoring join, and one slice-sized write — at any moment the
+    * driver/executors hold ONE slice's routing state, so anchor
+    * cardinality is bounded by DISK. At 100 TB the assignment side
+    * comes from a persisted index ([[IndexStore]]) instead of the
+    * in-loop persist, and the temp store is the mining job's real
+    * output sink. */
   def hardNegativesIvfBatched(emb: DataFrame, probes: DataFrame,
       sliceSize: Long, k: Int, posThreshold: Double, floor: Double,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
@@ -234,11 +238,29 @@ object Similarity {
     if (cents.isEmpty) return emptyNegatives(emb)
     val nSlices = ((nProbes + sliceSize - 1) / sliceSize).toInt
     val asg = ivfAssignWith(emb, cents)
-    (0 until nSlices).map { s =>
-      hardNegativesIvfCore(asg,
-        probes.filter(pmod(col("vec_id"), lit(nSlices.toLong)) === s),
-        cents, k, posThreshold, floor, nprobe)
-    }.reduce(_.unionByName(_))
+    asg.persist()
+    try {
+      sliceLoop(emb.sparkSession, "graft-hn-sliced", nSlices) { (s, dir) =>
+        hardNegativesIvfCore(asg,
+          probes.filter(pmod(col("vec_id"), lit(nSlices.toLong)) === s),
+          cents, k, posThreshold, floor, nprobe)
+          .write.parquet(dir)
+      }("probe_id BIGINT, rnk INT, neighbor_id BIGINT, sim DOUBLE")
+    } finally asg.unpersist()
+  }
+
+  /** The eager slice loop shared by the batched miners: run `body` per
+    * slice into `root/slice=<s>`, return the reaper-registered store's
+    * explicit-schema scan (the [[IndexStore.load]] job-budget
+    * discipline — no inference job). */
+  private def sliceLoop(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, nSlices: Int)(body: (Int, String) => Unit)(
+      schema: String): DataFrame = {
+    val rootPath = java.nio.file.Files.createTempDirectory(prefix)
+    graft.core.TempReaper.reapAtExit(rootPath)
+    val root = rootPath.toString
+    (0 until nSlices).foreach(s => body(s, s"$root/slice=$s"))
+    spark.read.schema(schema).parquet((0 until nSlices).map(s => s"$root/slice=$s"): _*)
   }
 
   /** Declared: the brute band row's parameters over nprobe 4 / nlist 16
@@ -497,8 +519,18 @@ object Similarity {
       minMargin: Double): DataFrame = {
     require(k >= 1, s"bitextMine: k must be >= 1, got $k")
     require(minMargin > 0, s"bitextMine: minMargin must be positive, got $minMargin")
-    mineFromKnn(cosineTopK(tgt, src, k), cosineTopK(src, tgt, k), minMargin)
+    mineFromKnn(cosineTopKAcross(tgt, src, k), cosineTopKAcross(src, tgt, k),
+      minMargin)
   }
+
+  /** [[cosineTopK]] WITHOUT the self-exclusion predicate: across two
+    * corpora an id collision is not an identity — src sentence i and
+    * tgt sentence i are exactly the aligned pair bitext mining exists
+    * to find (r19 review; the declared fixture's even/odd split never
+    * collides, but the operator must not depend on that). */
+  private def cosineTopKAcross(corpus: DataFrame, probes: DataFrame,
+      k: Int): DataFrame =
+    cosineRankCore(corpus, probes, k, lit(true))
 
   /** The mining tail shared by [[bitextMine]] and [[bitextMineBatched]]:
     * neighborhood means, margins, mutual best-margin, floor. */
@@ -514,9 +546,13 @@ object Similarity {
       .agg(graft.core.Num.davg(col("sim")).as("a_src"))
     val aTgt = bwd.groupBy(col("tgt_id"))
       .agg(graft.core.Num.davg(col("sim")).as("a_tgt"))
+    // the mean tables are one row per src/tgt VECTOR — corpus-sized in
+    // the batched regime, so no broadcast hint: the planner broadcasts
+    // them at fixture scale and shuffle-joins them at corpus scale
+    // (r19 review)
     def withMargin(cand: DataFrame): DataFrame = cand
-      .join(broadcast(aSrc), Seq("src_id"))
-      .join(broadcast(aTgt), Seq("tgt_id"))
+      .join(aSrc, Seq("src_id"))
+      .join(aTgt, Seq("tgt_id"))
       .withColumn("margin",
         col("sim") / ((col("a_src") + col("a_tgt")) / lit(2.0)))
     val fBest = withMargin(fwd)
@@ -536,28 +572,33 @@ object Similarity {
   /** [[bitextMine]] for corpus-sized sides (both directions' PROBE set
     * is a full corpus — the one place in the family where the
     * broadcast bound binds by construction): each ranking pass runs as
-    * a driver loop over pmod probe slices ([[hardNegativesIvfBatched]]'s
-    * composition argument — per-endpoint top-k and neighborhood means
-    * are independent, so slice-union ≡ one-shot row-for-row; the
-    * declared `x2_bitext_sliced` row hash-matches the one-shot oracle
-    * through 3-way slicing on both sides). The driver holds at most
-    * `sliceSize` probe vectors at a time. */
+    * an EAGER driver loop over pmod probe slices landing in a temp
+    * store ([[hardNegativesIvfBatched]]'s composition and memory
+    * argument — per-endpoint top-k and neighborhood means are
+    * independent, so slice-union ≡ one-shot row-for-row, and eager
+    * execution means one slice's probe broadcast is live at a time;
+    * the declared `x2_bitext_sliced` row hash-matches the one-shot
+    * oracle through 3-way slicing on both sides). The mining tail's
+    * mean-table joins carry no broadcast hint for the same reason. */
   def bitextMineBatched(src: DataFrame, tgt: DataFrame, sliceSize: Long,
       k: Int, minMargin: Double): DataFrame = {
     require(k >= 1, s"bitextMineBatched: k must be >= 1, got $k")
     require(minMargin > 0,
       s"bitextMineBatched: minMargin must be positive, got $minMargin")
     require(sliceSize > 0, s"bitextMineBatched: sliceSize $sliceSize < 1")
-    def slicedTopK(corpus: DataFrame, probes: DataFrame): DataFrame = {
+    // eager per-slice execution (the hardNegativesIvfBatched argument):
+    // each pass's probe broadcasts exist one slice at a time
+    def slicedTopK(corpus: DataFrame, probes: DataFrame, tag: String): DataFrame = {
       val n = probes.count()
-      if (n == 0) return cosineTopK(corpus, probes, k)
+      if (n == 0) return cosineTopKAcross(corpus, probes, k)
       val nSlices = ((n + sliceSize - 1) / sliceSize).toInt
-      (0 until nSlices).map { s =>
-        cosineTopK(corpus,
+      sliceLoop(corpus.sparkSession, s"graft-bitext-$tag", nSlices) { (s, dir) =>
+        cosineTopKAcross(corpus,
           probes.filter(pmod(col("vec_id"), lit(nSlices.toLong)) === s), k)
-      }.reduce(_.unionByName(_))
+          .write.parquet(dir)
+      }("probe_id BIGINT, rnk INT, neighbor_id BIGINT, sim DOUBLE")
     }
-    mineFromKnn(slicedTopK(tgt, src), slicedTopK(src, tgt), minMargin)
+    mineFromKnn(slicedTopK(tgt, src, "fwd"), slicedTopK(src, tgt, "bwd"), minMargin)
   }
 
   /** Declared: the even-id half of the embeddings table mined against
@@ -1645,8 +1686,7 @@ object Similarity {
       // counts, so both engines quantize identical doubles identically);
       // mean_quality derives from it by the same IEEE division the
       // oracle writes.
-      graft.core.Num.sumE6(col("quality_score")).as("sum_quality_e6"),
-      count(lit(1)).as("nq"))
+      graft.core.Num.sumE6(col("quality_score")).as("sum_quality_e6"))
     val top = j.groupBy(col("cluster"), col("lang")).agg(count(lit(1)).as("c"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cluster")).orderBy(col("c").desc, col("lang"))))
@@ -1654,7 +1694,7 @@ object Similarity {
       .select(col("cluster"), col("lang").as("top_lang"), col("c").as("top_n"))
     per.join(top, Seq("cluster"))
       .select(col("cluster"), col("n_docs"), col("sum_quality_e6"),
-        graft.core.Num.meanFromE6(col("sum_quality_e6"), col("nq"))
+        graft.core.Num.meanFromE6(col("sum_quality_e6"), col("n_docs"))
           .as("mean_quality"),
         col("top_lang"),
         (col("top_n").cast(DoubleType) / col("n_docs").cast(DoubleType))

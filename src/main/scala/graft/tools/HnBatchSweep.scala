@@ -34,12 +34,14 @@ object HnBatchSweep {
       val (batRows, batSec) = timed(
         graft.operators.Similarity
           .hardNegativesIvfBatched(emb, emb, 2000, 3, 0.30, 0.05).count())
-      // composition proof at scale: row SETS equal, not just counts
-      val diff = graft.operators.Similarity
+      // composition proof at scale: row SETS equal BOTH ways (a one-sided
+      // exceptAll passes when the batched side merely loses rows — r19
+      // review)
+      val bat = graft.operators.Similarity
         .hardNegativesIvfBatched(emb, emb, 2000, 3, 0.30, 0.05)
-        .exceptAll(
-          graft.operators.Similarity.hardNegativesIvf(emb, emb, 3, 0.30, 0.05))
-        .count()
+      val one = graft.operators.Similarity
+        .hardNegativesIvf(emb, emb, 3, 0.30, 0.05)
+      val diff = bat.exceptAll(one).count() + one.exceptAll(bat).count()
       println(f"""{"scale":$m,"n_vecs":$n,"slices":${(n + 1999) / 2000},""" +
         f""""one_shot_rows":$oneRows,"one_shot_sec":$oneSec%.2f,""" +
         f""""batched_rows":$batRows,"batched_sec":$batSec%.2f,""" +

@@ -99,14 +99,15 @@ object PlanPin {
     // over the map-only encode chain (no extra corpus scan for the
     // expected-text attach — it joins the same source scan)
     "xt_bpe_decode",
-    // r19 — anchor-batched mining: the sliced row's plan is a UNION of
-    // slice-independent branches, each keeping the one-shot plan's
-    // broadcast routing attach and pre-window band filters; the GIF
-    // row is one map-only codec pass over the synthesized corpus
-    "x2_hard_negatives_sliced", "xm_gif_features", "xm_flac_features",
-    // r19 — bitext mining: two broadcast-probe ranking passes + two
-    // bounded neighborhood-mean attaches + the mutual-best semi-join —
-    // the corpus sides never shuffle
+    // r19 — codec rows: one map-only codec pass over the synthesized
+    // corpus each (the batched mining rows are loop-MATERIALIZED after
+    // the r19 review — post-materialization scans, excluded by design
+    // like the other loop/stream rows)
+    "xm_gif_features", "xm_flac_features",
+    // r19 — bitext mining: two probe-ranking passes + two
+    // neighborhood-mean attaches (planner-chosen join side — the mean
+    // tables are corpus-sized in the batched regime) + the mutual-best
+    // semi-join
     "x2_bitext_mine")
 
   val pinFile = "PLANPINS.txt"
