@@ -1157,7 +1157,11 @@ object Multimodal {
                   val run = rs >> 4; val sz = rs & 15
                   if (sz == 0) {
                     if (run == 15) k += 16 // ZRL
-                    else open = false // EOB
+                    else if (run == 0) open = false // EOB
+                    // run 1..14 with size 0 is undefined in baseline
+                    // JPEG: a corrupted entropy stream must refuse, not
+                    // silently decode as EOB (ADVICE r18)
+                    else fail(s"undefined AC RS symbol run=$run size=0")
                   } else {
                     k += run
                     if (k > 63) fail("AC run overflows the block")
@@ -1259,9 +1263,19 @@ object Multimodal {
             fail(f"frame type 0xFF$m%02X (lossless/differential/hierarchical) not supported")
           case 0xc9 | 0xca | 0xcb => fail("arithmetic coding not supported")
           case mm if mm >= 0xe0 && mm <= 0xef => // APPn: skip by length
-            val l = u16(); pos += l - 2
+            // a declared length < 2 would REWIND pos and resurface as a
+            // misleading 'expected marker' error (ADVICE r18)
+            val l = u16()
+            if (l < 2) fail(f"APPn segment declares length $l < 2")
+            if (pos.toLong + (l - 2) > bytes.length)
+              fail(f"APPn segment runs past the payload")
+            pos += l - 2
           case 0xfe => // COM: skip by length
-            val l = u16(); pos += l - 2
+            val l = u16()
+            if (l < 2) fail(f"COM segment declares length $l < 2")
+            if (pos.toLong + (l - 2) > bytes.length)
+              fail(f"COM segment runs past the payload")
+            pos += l - 2
           case mm if mm >= 0xd0 && mm <= 0xd7 => fail("stray RST marker outside a scan")
           case mm => fail(f"unsupported marker 0xFF$mm%02x")
         }

@@ -903,16 +903,17 @@ object Similarity {
     // same guard as buildBinary (ADVICE r17): a dim narrower than the
     // data silently packs only the first `dim` signs and serves degraded
     // rankings; a wider one throws mid-query from element_at under ANSI.
-    // One 1-row probe here makes the composed path fail as loudly as the
-    // persisted one (covers binaryRerank, which routes through here).
-    embDimOpt(emb).foreach(d => require(d == dim,
-      s"binaryTopK: dim=$dim but the corpus embeddings have $d dimensions " +
-        "— a partial packing would serve silently degraded Hamming rankings"))
+    // The guard is IN-PLAN (ADVICE r18 — no per-serve driver job) and
+    // covers binaryRerank, which routes through here.
+    def guarded(c: Column) = dimGuarded(c, dim,
+      s"binaryTopK: dim=$dim but the embeddings have ",
+      " dimensions — a partial packing would serve silently degraded " +
+        "Hamming rankings")
     hammingTopK(
       emb.select(col("vec_id").as("neighbor_id"),
-        signBits(col("embedding"), dim).as("ncode")),
+        signBits(guarded(col("embedding")), dim).as("ncode")),
       probes.select(col("vec_id").as("probe_id"),
-        signBits(col("embedding"), dim).as("pcode")),
+        signBits(guarded(col("embedding")), dim).as("pcode")),
       k)
   }
 
@@ -942,13 +943,15 @@ object Similarity {
     import spark.implicits._
     // a dim narrower than the data would silently pack HALF the signs
     // and only surface at serve time — catch the bad build where it
-    // happens (review r17); empty corpora build an empty store freely
-    embDimOpt(emb).foreach(d => require(d == dim,
-      s"buildBinary: dim=$dim but the corpus embeddings have $d dimensions " +
-        "— a partial packing would serve silently degraded Hamming rankings"))
+    // happens (review r17), in-plan so the build's own write job checks
+    // every row (ADVICE r18); empty corpora build an empty store freely
     Seq(dim).toDF("dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    emb.select(col("vec_id"), signBits(col("embedding"), dim).as("code"))
+    emb.select(col("vec_id"),
+        signBits(dimGuarded(col("embedding"), dim,
+          s"buildBinary: dim=$dim but the embeddings have ",
+          " dimensions — a partial packing would serve silently degraded " +
+            "Hamming rankings"), dim).as("code"))
       .write.mode("overwrite").parquet(s"$dir/codes")
   }
 
@@ -963,15 +966,16 @@ object Similarity {
       .parquet(IndexStore.requireTable(spark, dir, "meta"))
       .as[Int].head()
     // empty probe batches serve empty (the EdgeCaseSpec contract) —
-    // there is nothing to dim-check, and signBits needs only the
-    // store's own dim
-    embDimOpt(probes).foreach(probeDim => require(probeDim == dim,
-      s"binary store packed at dim=$dim cannot serve dim=$probeDim probes"))
+    // the in-plan guard (ADVICE r18) passes vacuously on zero rows and
+    // costs no driver job on the serve path
+    val guardedProbes = probes.withColumn("embedding",
+      dimGuarded(col("embedding"), dim,
+        s"binary store packed at dim=$dim cannot serve dim=", " probes"))
     hammingTopK(
       spark.read.schema("vec_id BIGINT, code BIGINT")
         .parquet(IndexStore.requireTable(spark, dir, "codes"))
         .select(col("vec_id").as("neighbor_id"), col("code").as("ncode")),
-      probes.select(col("vec_id").as("probe_id"),
+      guardedProbes.select(col("vec_id").as("probe_id"),
         signBits(col("embedding"), dim).as("pcode")),
       k)
   }
@@ -1023,6 +1027,18 @@ object Similarity {
   private def embDimOpt(emb: DataFrame): Option[Int] =
     emb.select(size(col("embedding"))).limit(1).collect()
       .headOption.map(_.getInt(0))
+
+  /** In-plan dim guard (ADVICE r18): the check rides the serving job as
+    * a per-row conditional on a column the pass reads anyway — the old
+    * [[embDimOpt]] require cost a limit(1).collect() DRIVER JOB on
+    * every composed serve (binaryRerank routed through it too). The
+    * failure is lazy (fires when the plan executes) but checks EVERY
+    * row, not one; empty frames trivially pass, which is the
+    * serve-empty contract. */
+  private def dimGuarded(v: Column, dim: Int, msgPrefix: String,
+      msgSuffix: String): Column =
+    when(size(v) === dim, v).otherwise(raise_error(concat(
+      lit(msgPrefix), size(v).cast(StringType), lit(msgSuffix))))
 
   private def x2BinaryTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")

@@ -45,8 +45,20 @@ object UserTotals {
     override def handleInputRows(
         key: Long, rows: Iterator[UserEvent],
         timerValues: TimerValues): Iterator[UserTotal] = {
-      var s = if (state.exists()) state.get()
-        else TotState(0L, java.math.BigDecimal.ZERO)
+      var s = if (state.exists()) {
+        val got = state.get()
+        // Encoders.product stores the decimal at the default
+        // DECIMAL(38,18); a lifetime total past ~1e20 overflows to NULL
+        // in the store, and silently re-zeroing (or NPEing on add)
+        // would corrupt the running counter — fail NAMED instead
+        // (ADVICE r18)
+        if (got.total == null)
+          throw new IllegalStateException(
+            s"UserTotals: user $key's running total overflowed the state " +
+              "encoder's DECIMAL(38,18) and was stored as null — widen the " +
+              "state schema or shard the key before resuming")
+        got
+      } else TotState(0L, java.math.BigDecimal.ZERO)
       // decimal addition is exact, hence order-independent — the row
       // iterator's shuffle-dependent order cannot move the total
       rows.foreach(e => s = TotState(s.n + 1, s.total.add(dec10(e.value))))

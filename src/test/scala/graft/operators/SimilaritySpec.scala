@@ -671,12 +671,18 @@ class SimilaritySpec extends SparkSpec {
     val composed = Similarity.binaryTopK(emb, probes, 5, 64)
       .orderBy($"probe_id", $"rnk").collect().toSeq
     assert(served == composed, "store round-trip changed the ranking")
-    // a truncating build is refused AT BUILD TIME — a dim narrower than
-    // the data would silently pack half the signs
-    val eBuild = intercept[IllegalArgumentException] {
+    // the dim guards are IN-PLAN as of r19 (ADVICE r18: no per-serve
+    // driver job), so mismatches surface when the plan EXECUTES, as a
+    // raise_error somewhere in the Spark failure's cause chain
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    // a truncating build is refused BY ITS OWN WRITE JOB — a dim
+    // narrower than the data would silently pack half the signs
+    val eBuild = intercept[Exception] {
       Similarity.buildBinary(emb, dir + "-bad", 32)
     }
-    assert(eBuild.getMessage.contains("64 dimensions"))
+    assert(chain(eBuild).contains("64 dimensions"), chain(eBuild))
     // a store legitimately built at another dim refuses mismatched
     // probes at serve time instead of silently XOR-ing truncated codes
     val emb32 = emb.limit(20)
@@ -684,24 +690,24 @@ class SimilaritySpec extends SparkSpec {
         .expr("slice(embedding, 1, 32)").as("embedding"))
     val dir32 = java.nio.file.Files.createTempDirectory("binary-store32").toString
     Similarity.buildBinary(emb32, dir32, 32)
-    val e = intercept[IllegalArgumentException] {
-      Similarity.searchBinary(spark, dir32, probes, 5)
+    val e = intercept[Exception] {
+      Similarity.searchBinary(spark, dir32, probes, 5).count()
     }
-    assert(e.getMessage.contains("dim=32"))
+    assert(chain(e).contains("dim=32"), chain(e))
     // an empty probe batch serves empty, never a head-on-empty throw
     assert(Similarity.searchBinary(spark, dir,
       probes.filter($"vec_id" < 0), 5).count() == 0)
     // the COMPOSED path guards dim like the build does (ADVICE r17): a
     // narrower dim must fail loudly, not pack half the signs — and the
     // guard covers binaryRerank, which routes through binaryTopK
-    val eTopK = intercept[IllegalArgumentException] {
-      Similarity.binaryTopK(emb, probes, 5, 32)
+    val eTopK = intercept[Exception] {
+      Similarity.binaryTopK(emb, probes, 5, 32).count()
     }
-    assert(eTopK.getMessage.contains("64 dimensions"))
-    val eRerank = intercept[IllegalArgumentException] {
-      Similarity.binaryRerank(emb, probes, 50, 5, 32)
+    assert(chain(eTopK).contains("64 dimensions"), chain(eTopK))
+    val eRerank = intercept[Exception] {
+      Similarity.binaryRerank(emb, probes, 50, 5, 32).count()
     }
-    assert(eRerank.getMessage.contains("64 dimensions"))
+    assert(chain(eRerank).contains("64 dimensions"), chain(eRerank))
   }
   test("bitextMine: a hub target pairs with at most ONE source (mutual-best), " +
       "twins always mine, and the margin floor binds") {
