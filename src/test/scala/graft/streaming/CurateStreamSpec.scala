@@ -652,6 +652,54 @@ class CurateStreamSpec extends SparkSpec {
       s"unexpected stats shape: $a")
   }
 
+  test("dsir gate lands a per-doc audit ledger equal to the scored set, and " +
+      "unversioned stats files are refused loudly (VERDICT/ADVICE r19)") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, sf("sf0.001"), "documents")
+    val root = java.nio.file.Files.createTempDirectory("curate-dsirledger").toString
+    val dsirDir = graft.operators.TokenizerStore.ensureTokenizerFor(spark,
+      s"${sf("sf0.001")}/documents.parquet", "dsir-en-a05",
+      d => graft.operators.Curation.trainDsir(docs, col("lang") === "en", d))
+    docs.coalesce(1).write.parquet(s"$root/in/d0.parquet")
+    CurateStream.runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck",
+      dsirGate = Some((dsirDir, 0.0)))
+    val ledger = spark.read
+      .schema("doc_id BIGINT, logw_e6 BIGINT, passed INT, batch_id BIGINT")
+      .parquet(CurateStream.dsirScoredDirOf(s"$root/out/data"))
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._1)
+    // single batch ⇒ the scored set IS the ungated batch-curation
+    // survivor set; per-doc values are the frozen model's, quantized
+    // exactly as the stream quantizes them
+    val expect = graft.operators.Curation.dsirScoreWith(
+        docs.join(graft.operators.Curation.curate(docs).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .select($"doc_id", $"text"),
+        graft.operators.Curation.loadDsir(spark, dsirDir))
+      .select($"doc_id", graft.core.Num.e6($"logw").as("e6"),
+        when($"logw" >= 0.0, 1).otherwise(0).as("p"))
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(ledger.nonEmpty && ledger.map(t => (t._1, t._2, t._3)).toSeq == expect.toSeq,
+      s"ledger != scored set: ${ledger.take(3).toSeq} vs ${expect.take(3).toSeq}")
+    assert(ledger.forall(_._4 == 0L))
+    // the versioned loader accepts the fresh store...
+    assert(CurateStream.loadDsirStats(spark, s"$root/out/data").count() == 1)
+    // ...and refuses a pre-r20 unversioned stats file instead of
+    // reading its telemetry back as silent nulls
+    val p = new org.apache.hadoop.fs.Path(
+      s"${CurateStream.dsirStatsDirOf(s"$root/out/data")}/batch_id=0/stats.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      """{"n_scored":1,"n_passed":1,"sum_logw_e6":5,"mean_logw":5e-6}""".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalArgumentException] {
+      CurateStream.loadDsirStats(spark, s"$root/out/data").count()
+    }
+    assert(e.getMessage.contains("format version"),
+      s"wrong refusal message: ${e.getMessage}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   /** 50 phrases from a shared 40-phrase pool (100 words): bigrams repeat
     * ACROSS docs, so a bigram LM trained on the corpus scores regular
     * docs low and all-unique gibberish high; distinct phrase orders keep
