@@ -1539,14 +1539,17 @@ object Multimodal {
     /** Real FLAC bytes from 16-bit mono PCM. `seed` varies the planted
       * encoder freedoms (subframe types, code paths, escapes, wasted
       * bits) per payload. */
-    def encodePcm16Mono(samples: Array[Short], seed: Long = 0L): Array[Byte] = {
+    def encodePcm16Mono(samples: Array[Short], seed: Long = 0L,
+        blockSize: Int = BlockSize): Array[Byte] = {
+      require(blockSize >= 16 && blockSize <= 65535,
+        s"FlacCodec.encodePcm16Mono: block size $blockSize (want 16..65535)")
       val out = new java.io.ByteArrayOutputStream()
       out.write("fLaC".getBytes("US-ASCII"))
       // STREAMINFO (not last), then 4 bytes of PADDING (last): the
       // metadata walk is exercised, not assumed away
       val si = new BitWriter
       si.bits(0L, 1); si.bits(0L, 7); si.bits(34L, 24) // header: STREAMINFO, len 34
-      si.bits(BlockSize.toLong, 16); si.bits(BlockSize.toLong, 16)
+      si.bits(blockSize.toLong, 16); si.bits(blockSize.toLong, 16)
       si.bits(0L, 24); si.bits(0L, 24) // frame sizes unknown
       si.bits(Rate.toLong, 20); si.bits(0L, 3); si.bits((Bps - 1).toLong, 5)
       si.bits(samples.length.toLong, 36)
@@ -1557,23 +1560,24 @@ object Multimodal {
       out.write(pad.bytes)
       // zero samples = a valid metadata-only stream (decode returns the
       // empty PCM and still verifies the MD5 of nothing)
-      val nFrames = (samples.length + BlockSize - 1) / BlockSize
+      val nFrames = (samples.length + blockSize - 1) / blockSize
       var f = 0
       while (f < nFrames) {
-        val blockN = math.min(BlockSize, samples.length - f * BlockSize)
+        val blockN = math.min(blockSize, samples.length - f * blockSize)
         val x = new Array[Int](blockN)
         var i = 0
-        while (i < blockN) { x(i) = samples(f * BlockSize + i).toInt; i += 1 }
+        while (i < blockN) { x(i) = samples(f * blockSize + i).toInt; i += 1 }
         val w = new BitWriter
         w.bits(0x3ffeL, 14); w.bits(0L, 1); w.bits(0L, 1) // sync, reserved, fixed blocking
-        w.bits(6L, 4) // block size: 8-bit value at header end
+        // block size: inline 8-bit (code 6) fits <= 256; 16-bit (code 7) above
+        w.bits(if (blockSize <= 256) 6L else 7L, 4)
         val inlineRate = (f + seed) % 2 == 0
         w.bits(if (inlineRate) 4L else 0L, 4) // 8 kHz inline vs STREAMINFO
         w.bits(0L, 4) // mono, independent
         w.bits(if (inlineRate) 4L else 0L, 3) // 16-bit inline vs STREAMINFO
         w.bits(0L, 1)
         utf8(w, f.toLong)
-        w.bits((blockN - 1).toLong, 8)
+        w.bits((blockN - 1).toLong, if (blockSize <= 256) 8 else 16)
         val hdr = w.bytes // byte-aligned by construction
         val w2 = new BitWriter
         hdr.foreach(b => w2.bits((b & 0xff).toLong, 8))
@@ -1597,7 +1601,7 @@ object Multimodal {
             case _ => 4 // lpc order 2
           }
         val pOrder =
-          if (kind >= 2 && blockN == BlockSize && (f + seed) % 3 == 0) 1 else 0
+          if (kind >= 2 && blockN == blockSize && (f + seed) % 3 == 0) 1 else 0
         val escape = (f + seed) % 11 == 0
         val rice5 = (f + seed) % 5 == 0
         kind match {
@@ -1688,6 +1692,7 @@ object Multimodal {
       var last = false
       var haveSi = false
       var rate = 0; var channels = 0; var bps = 0; var total = 0L
+      var streamBlock = 0 // STREAMINFO's fixed block size (min = max)
       val md5 = new Array[Byte](16)
       var first = true
       while (!last) {
@@ -1710,6 +1715,7 @@ object Multimodal {
           bps = r.bits(5).toInt + 1
           total = r.bits(36)
           if (minB != maxB) fail(s"variable block size $minB..$maxB (fixed-blocking contract)")
+          streamBlock = maxB
           if (channels != 1) fail(s"$channels channels (mono contract)")
           if (bps != 16) fail(s"$bps bits/sample (16-bit contract)")
           System.arraycopy(bytes, pos + 18, md5, 0, 16)
@@ -1763,7 +1769,14 @@ object Multimodal {
         if (r.bits(8).toInt != crc8(bytes, frameStart, hdrEnd))
           fail(s"frame $frameNo header CRC-8 mismatch (corrupt payload)")
         if (got + blockN > total) fail(s"frame $frameNo overruns the declared $total samples")
-        if (blockN > BlockSize) fail(s"frame $frameNo block $blockN exceeds the stream's $BlockSize")
+        // validate against the STREAMINFO-declared size, not the
+        // encoder-private BlockSize constant (ADVICE r19): a conforming
+        // fixed-blocking stream with 4096-sample blocks must decode.
+        // Fixed blocking means every non-final frame is exactly the
+        // declared size; only the last may be short.
+        if (blockN > streamBlock) fail(s"frame $frameNo block $blockN exceeds the stream's $streamBlock")
+        if (got + blockN < total && blockN != streamBlock)
+          fail(s"frame $frameNo block $blockN != fixed block $streamBlock on a non-final frame")
         // subframe (mono: exactly one)
         if (r.bits(1) != 0) fail("subframe padding bit set")
         val typ = r.bits(6).toInt
@@ -1978,7 +1991,20 @@ object Multimodal {
         }
         i += 1
       }
-      if (prefix >= 0) put(prefix)
+      if (prefix >= 0) {
+        put(prefix)
+        // Mirror the decoder's LAGGING table add for this final code
+        // (ADVICE r19): the tail put adds no encoder entry, but the
+        // decoder still adds one after reading it — if that add lands
+        // exactly on 2^codeSize the decoder widens and reads EOI one
+        // bit wider than written. Benign while padding bits exist, but
+        // a byte-aligned EOI would exhaust the stream; widen here so
+        // EOI is written at the width the decoder will read it at.
+        // (next == 2^codeSize is impossible right after a clear for
+        // minCodeSize >= 2, so the decoder's prev >= 0 add is
+        // guaranteed to have happened when this fires.)
+        if (next < 4096 && next == (1 << codeSize) && codeSize < 12) codeSize += 1
+      }
       put(eoi)
       if (nbits > 0) out.write((acc & 0xff).toInt) // flush the partial byte
       out.toByteArray

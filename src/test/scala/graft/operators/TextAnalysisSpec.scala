@@ -942,6 +942,36 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("GifCodec tail-code table boundary: EOI is written at the width the " +
+      "decoder reads it at (the 512-crossing final-code edge, ADVICE r19)") {
+    // f(i) = i(i+1)/2 mod 256: consecutive pairs (f(i), f(i+1)) are
+    // distinct within any window < 512 bytes, so every byte after a
+    // segment's first is a dict miss and emission counts are exact.
+    // With clearEvery = E and L = E + 255 bytes, the mid-stream clear
+    // lands after emission E and the remaining 254 emissions leave the
+    // table at exactly 511 entries — the decoder's LAGGING add for the
+    // final code then lands on 2^9 = 512 and widens before EOI. E with
+    // E ≡ 258 (mod 4) additionally makes the pre-fix 9-bit EOI end
+    // byte-aligned: the case where the un-widened encoder exhausted
+    // the stream ('LZW stream ended without an EOI code').
+    for (e <- 256 to 312) {
+      val len = e + 255
+      val px = new Array[Byte](len)
+      var t = 0
+      for (i <- 0 until len) { t = (t + i) & 0xff; px(i) = t.toByte }
+      val bytes = Multimodal.GifCodec.encodeIndexed(len, 1, px, clearEvery = e)
+      val img = Multimodal.GifCodec.decode(bytes)
+      assert(img.width == len && img.height == 1, s"geometry at clearEvery=$e")
+      val pal = Multimodal.GifCodec.synthPalette
+      val want = px.flatMap { b =>
+        val idx = b & 0xff
+        Seq(pal(3 * idx), pal(3 * idx + 1), pal(3 * idx + 2))
+      }
+      assert(img.pixels.toSeq == want.toSeq,
+        s"round-trip mismatch at clearEvery=$e (len $len)")
+    }
+  }
+
   test("GifCodec encodings decode identically under the JDK's OWN ImageIO " +
       "GIF reader — an independent decoder, so LZW width/clear/interlace " +
       "conventions are standard, not merely self-consistent") {
@@ -1057,6 +1087,43 @@ class TextAnalysisSpec extends SparkSpec {
     val const = Array.fill[Short](48)(1024)
     assert(Multimodal.FlacCodec.decode(
       Multimodal.FlacCodec.encodePcm16Mono(const, seed = 1)).samples.toSeq == const.toSeq)
+  }
+
+  test("FlacCodec decodes conforming streams at the STREAMINFO-declared block " +
+      "size, not the fixture's 16 — including flac-tool-default 4096 blocks " +
+      "and the 16-bit inline size path (ADVICE r19)") {
+    val rnd = new scala.util.Random(4242)
+    // 4096-sample blocks (code-7 16-bit inline size), a short tail frame,
+    // and an in-between 8-bit-inline size (100) that is not the constant
+    for (bs <- Seq(100, 256, 4096)) {
+      val n = bs * 2 + bs / 3 // two full frames + a short tail
+      val samples = Array.fill[Short](n)((((rnd.nextInt(256)) - 128) * 256).toShort)
+      for (seed <- 0L to 3L) {
+        val bytes = Multimodal.FlacCodec.encodePcm16Mono(samples, seed, blockSize = bs)
+        val a = Multimodal.FlacCodec.decode(bytes)
+        assert(a.samples.toSeq == samples.toSeq,
+          s"round-trip mismatch at blockSize=$bs seed=$seed")
+      }
+    }
+    // a non-final SHORT frame violates fixed blocking and must refuse:
+    // splice stream A's frame 0 (full) + A's tail as frame 1 + more — a
+    // hand-truncation is hard to build, so assert the simpler invariant
+    // directly: total declaring MORE samples than frames provide fails
+    // as a non-final-short-frame or truncation, never garbage samples
+    val short = Array.fill[Short](40)(512)
+    val e = intercept[IllegalArgumentException] {
+      // claim blockSize 32: frame 0 has 32, frame 1 has 8 (final) — ok;
+      // then corrupt STREAMINFO's total upward so frame 1 becomes
+      // non-final-short
+      val ok = Multimodal.FlacCodec.encodePcm16Mono(short, 0L, blockSize = 32)
+      val bad = ok.clone()
+      // STREAMINFO total_samples field: bytes 8..(…); flip the low byte
+      // of the 36-bit total (last byte before the MD5 at offset 8+18-1)
+      bad(8 + 17) = (bad(8 + 17) + 16).toByte
+      Multimodal.FlacCodec.decode(bad)
+    }
+    assert(e.getMessage.contains("non-final") || e.getMessage.contains("truncated"),
+      s"wrong refusal: ${e.getMessage}")
   }
 
   test("FlacCodec refuses malformed payloads loudly: every integrity layer " +
