@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AsOf, Curation, Declared, Dedup, IndexStore, Ingest, Layout, Multimodal, Relational, Similarity, TextAnalysis}
-import graft.streaming.{CurateStream, EventStreams, IndexStream, MediaStream, PackStream}
+import graft.streaming.{BitextStream, CurateStream, EventStreams, IndexStream, MediaStream, PackStream}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
     Relational.all ++ AsOf.all ++ Ingest.all ++ EventStreams.all ++
       Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
       Curation.all ++ CurateStream.all ++ Layout.all ++ IndexStore.all ++
-      IndexStream.all ++ PackStream.all ++ MediaStream.all
+      IndexStream.all ++ PackStream.all ++ MediaStream.all ++ BitextStream.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -528,13 +528,13 @@ object Similarity {
     * tgt sentence i are exactly the aligned pair bitext mining exists
     * to find (r19 review; the declared fixture's even/odd split never
     * collides, but the operator must not depend on that). */
-  private def cosineTopKAcross(corpus: DataFrame, probes: DataFrame,
+  private[graft] def cosineTopKAcross(corpus: DataFrame, probes: DataFrame,
       k: Int): DataFrame =
     cosineRankCore(corpus, probes, k, lit(true))
 
   /** The mining tail shared by [[bitextMine]] and [[bitextMineBatched]]:
     * neighborhood means, margins, mutual best-margin, floor. */
-  private def mineFromKnn(fwdKnn: DataFrame, bwdKnn: DataFrame,
+  private[graft] def mineFromKnn(fwdKnn: DataFrame, bwdKnn: DataFrame,
       minMargin: Double): DataFrame = {
     val fwd = fwdKnn // src probes against the tgt corpus
       .select(col("probe_id").as("src_id"), col("neighbor_id").as("tgt_id"),
@@ -586,19 +586,28 @@ object Similarity {
     require(minMargin > 0,
       s"bitextMineBatched: minMargin must be positive, got $minMargin")
     require(sliceSize > 0, s"bitextMineBatched: sliceSize $sliceSize < 1")
-    // eager per-slice execution (the hardNegativesIvfBatched argument):
-    // each pass's probe broadcasts exist one slice at a time
-    def slicedTopK(corpus: DataFrame, probes: DataFrame, tag: String): DataFrame = {
-      val n = probes.count()
-      if (n == 0) return cosineTopKAcross(corpus, probes, k)
-      val nSlices = ((n + sliceSize - 1) / sliceSize).toInt
-      sliceLoop(corpus.sparkSession, s"graft-bitext-$tag", nSlices) { (s, dir) =>
-        cosineTopKAcross(corpus,
-          probes.filter(pmod(col("vec_id"), lit(nSlices.toLong)) === s), k)
-          .write.parquet(dir)
-      }("probe_id BIGINT, rnk INT, neighbor_id BIGINT, sim DOUBLE")
-    }
-    mineFromKnn(slicedTopK(tgt, src, "fwd"), slicedTopK(src, tgt, "bwd"), minMargin)
+    mineFromKnn(slicedTopKAcross(tgt, src, sliceSize, k, "fwd"),
+      slicedTopKAcross(src, tgt, sliceSize, k, "bwd"), minMargin)
+  }
+
+  /** [[cosineTopKAcross]] for a corpus-sized PROBE side: an eager
+    * driver loop over pmod probe slices landing in a reaper-registered
+    * temp store (the [[hardNegativesIvfBatched]] composition and memory
+    * argument — per-probe top-k is independent, so slice-union ≡
+    * one-shot row-for-row, and eager execution keeps one slice's probe
+    * broadcast live at a time). Shared by [[bitextMineBatched]] and the
+    * streaming rung's per-batch forward pass. */
+  private[graft] def slicedTopKAcross(corpus: DataFrame, probes: DataFrame,
+      sliceSize: Long, k: Int, tag: String): DataFrame = {
+    require(sliceSize > 0, s"slicedTopKAcross: sliceSize $sliceSize < 1")
+    val n = probes.count()
+    if (n == 0) return cosineTopKAcross(corpus, probes, k)
+    val nSlices = ((n + sliceSize - 1) / sliceSize).toInt
+    sliceLoop(corpus.sparkSession, s"graft-bitext-$tag", nSlices) { (s, dir) =>
+      cosineTopKAcross(corpus,
+        probes.filter(pmod(col("vec_id"), lit(nSlices.toLong)) === s), k)
+        .write.parquet(dir)
+    }("probe_id BIGINT, rnk INT, neighbor_id BIGINT, sim DOUBLE")
   }
 
   /** Declared: the even-id half of the embeddings table mined against
@@ -625,7 +634,7 @@ object Similarity {
       .orderBy(col("src_id"))
   }
 
-  private val x2BitextMineSql = {
+  private[graft] val x2BitextMineSql = {
     val sim = """(list_dot_product(s.v, t.v) /
       |      (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(t.v, t.v))))""".stripMargin
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -1,0 +1,210 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.Tables
+import graft.operators.{Declared, Similarity}
+
+/** Incremental margin-based bitext mining (VERDICT r19 #3): the
+  * [[graft.operators.Similarity.bitextMine]] batch operator run as a
+  * Structured Streaming loop over a GROWING target side — how
+  * parallel-corpus mining over a live crawl actually deploys. New
+  * target-language drops land daily; re-running both ranking passes
+  * over all of history per drop is O(|S|·|T|) per day, this is
+  * O(|S|·|t_N|) — the new drop's ranking work — plus an O(k·(|S|+|T|))
+  * mining tail over the persisted k-NN statistics.
+  *
+  * Why this decomposes EXACTLY (stream ≡ batch, hash-for-hash):
+  *   - backward pass (tgt probes → src corpus): the src side is the
+  *     STANDING corpus, frozen by contract, so each target drop's
+  *     per-probe top-k is computed once in its own batch and never
+  *     changes — the union over batches IS the batch backward k-NN.
+  *   - forward pass (src probes → tgt corpus): per-src top-k over a
+  *     growing corpus is MERGEABLE — any globally-top-k neighbor of s
+  *     is a fortiori in the top-k of s against its own drop, so
+  *     (state ∪ drop-local top-k) re-ranked by the same
+  *     (sim desc, neighbor_id) key and cut at k is the exact global
+  *     top-k. The persisted forward state is k rows per src vector:
+  *     the COMPRESSED sufficient statistic, k·|S| rows, not the corpus.
+  *   - the mining tail (neighborhood means via Num.davg, margins,
+  *     mutual-best, floor) is a pure function of the two k-NN tables,
+  *     recomputed per batch over O(k·(|S|+|T|)) rows — "frozen
+  *     neighborhood statistics" means frozen INPUTS: both tables are
+  *     exact, so the recomputation is the batch computation.
+  *
+  * State is three parquet stores under `outDir`, per-batch overwrite
+  * directories (the CurateStream replay discipline — a replayed batch
+  * re-lands its own partition, reads only earlier ones):
+  *   - `fwd/batch_id=N`: the merged per-src top-k AFTER batch N
+  *     (k·|S| rows). Partitions ≤ N−2 are pruned after N lands —
+  *     batch N−1 is the only one a replay of N can need, the
+  *     [[Maintenance.compactBatchStore]] `upTo` argument.
+  *   - `bwd/batch_id=N`: batch N's per-tgt top-k (k·|t_N| rows,
+  *     immutable deltas — all partitions are live inputs to the tail).
+  *   - `mined/batch_id=N`: the full mined result after batch N
+  *     (output-only; earlier partitions pruned — a replay regenerates).
+  *
+  * Scale posture: the backward pass broadcasts the DROP (batch-sized —
+  * always fine). The forward pass broadcasts the src probe side, the
+  * family's fixture-scale one-shot; a corpus-sized src routes through
+  * [[graft.operators.Similarity.slicedTopKAcross]] via `fwdSliceSize`
+  * — the same eager pmod-slice loop the batched miner uses, one
+  * slice's broadcast live at a time. Ref behavior target: none in the
+  * reference (LLM-pipeline extension, SURVEY §2B).
+  */
+object BitextStream {
+
+  private val KnnSchema = "probe_id BIGINT, rnk INT, neighbor_id BIGINT, sim DOUBLE"
+  private val MinedSchema = "src_id BIGINT, tgt_id BIGINT, sim DOUBLE, margin DOUBLE"
+
+  /** Largest landed batch id < `before` in a per-batch store, with the
+    * CurateStream layout gate: a non-`batch_id=` entry would silently
+    * read as null and vanish from the `< before` filter. */
+  private def latestBatchBefore(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, before: Long): Option[Long] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) return None
+    val kids = fs.listStatus(p).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    val bad = kids.filterNot(_.startsWith("batch_id="))
+    require(bad.isEmpty,
+      s"BitextStream store $dir has non-partitioned entries " +
+        s"${bad.mkString(", ")}; the layout is batch_id=N directories only")
+    kids.map(_.stripPrefix("batch_id=").toLong).filter(_ < before)
+      .sorted.lastOption
+  }
+
+  /** Exact top-k merge: union the state with the drop-local top-k and
+    * re-rank per probe by the SAME (sim desc, neighbor_id) key the
+    * one-shot pass uses. No (probe, neighbor) pair can repeat — a
+    * neighbor belongs to exactly one drop. */
+  private[graft] def mergeTopK(state: DataFrame, fresh: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    state.select(col("probe_id"), col("neighbor_id"), col("sim"))
+      .union(fresh.select(col("probe_id"), col("neighbor_id"), col("sim")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("sim"))
+  }
+
+  /** One micro-batch (exposed for the replay spec: re-running the same
+    * `batchId` must converge, not double-mine). */
+  private[streaming] def processBatch(tgtBatch: DataFrame, batchId: Long,
+      src: DataFrame, outDir: String, k: Int, minMargin: Double,
+      fwdSliceSize: Option[Long] = None): Unit = {
+    val sp = tgtBatch.sparkSession
+    val fwdDir = s"$outDir/fwd"; val bwdDir = s"$outDir/bwd"
+    val minedDir = s"$outDir/mined"
+    val fs = new Path(outDir).getFileSystem(sp.sparkContext.hadoopConfiguration)
+    // backward: this drop's probes against the standing src corpus —
+    // batch-sized broadcast, one scoring pass, landed as an immutable
+    // per-batch delta
+    Similarity.cosineTopKAcross(src, tgtBatch, k)
+      .write.mode("overwrite").parquet(s"$bwdDir/batch_id=$batchId")
+    // forward: src probes against THIS DROP only (the incremental
+    // ranking work), merged with the previous batch's persisted state
+    val fwdFresh = fwdSliceSize match {
+      case Some(sz) => Similarity.slicedTopKAcross(tgtBatch, src, sz, k,
+        s"stream-fwd-$batchId")
+      case None => Similarity.cosineTopKAcross(tgtBatch, src, k)
+    }
+    val fwdState = latestBatchBefore(fs, fwdDir, batchId) match {
+      case Some(m) => mergeTopK(
+        sp.read.schema(KnnSchema).parquet(s"$fwdDir/batch_id=$m"), fwdFresh, k)
+      case None => mergeTopK(fwdFresh.limit(0), fwdFresh, k)
+    }
+    fwdState.write.mode("overwrite").parquet(s"$fwdDir/batch_id=$batchId")
+    // the mining tail over the two persisted k-NN statistics: read the
+    // forward state JUST landed (own partition — deterministic
+    // recompute under replay) and every backward delta ≤ this batch
+    val fwdAll = sp.read.schema(KnnSchema).parquet(s"$fwdDir/batch_id=$batchId")
+    val bwdAll = sp.read.schema(s"$KnnSchema, batch_id BIGINT").parquet(bwdDir)
+      .filter(col("batch_id") <= batchId)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"), col("sim"))
+    Similarity.mineFromKnn(fwdAll, bwdAll, minMargin)
+      .write.mode("overwrite").parquet(s"$minedDir/batch_id=$batchId")
+    // prune: fwd ≤ N−2 (a replay of N reads only N−1), mined ≤ N−1
+    // (output-only — a replay regenerates its own)
+    def prune(dir: String, upTo: Long): Unit =
+      latestBatchBefore(fs, dir, upTo + 1).foreach { _ =>
+        fs.listStatus(new Path(dir)).map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            n.startsWith("batch_id=") &&
+              n.stripPrefix("batch_id=").toLong <= upTo
+          }
+          .foreach(p => fs.delete(p, true))
+      }
+    prune(fwdDir, batchId - 2)
+    prune(minedDir, batchId - 1)
+  }
+
+  /** The streaming loop: file-source increments of target-side vectors,
+    * checkpoint-tracked, AvailableNow per pass. */
+  def start(spark: SparkSession, inDir: String, outDir: String,
+      checkpoint: String, src: DataFrame, k: Int, minMargin: Double,
+      fwdSliceSize: Option[Long] = None): StreamingQuery = {
+    require(k >= 1, s"BitextStream: k must be >= 1, got $k")
+    require(minMargin > 0,
+      s"BitextStream: minMargin must be positive, got $minMargin")
+    spark.readStream
+      .schema(Tables.embeddings)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, src, outDir, k, minMargin, fwdSliceSize)
+      }
+      .start()
+  }
+
+  /** Run one AvailableNow pass to completion (test / cron entry). */
+  def runOnce(spark: SparkSession, inDir: String, outDir: String,
+      checkpoint: String, src: DataFrame, k: Int, minMargin: Double,
+      fwdSliceSize: Option[Long] = None): Unit =
+    start(spark, inDir, outDir, checkpoint, src, k, minMargin, fwdSliceSize)
+      .awaitTermination()
+
+  // ----------------------------------------------------------- declared
+  /** Stream-vs-batch parity, driver-oracled: the x2_bitext_mine fixture
+    * (even half = standing src, odd half = target) with the target side
+    * delivered as three vec_id-ordered drops through one checkpoint;
+    * the final batch's mined store must hash-match the ONE-SHOT batch
+    * oracle — the incremental merge/tail composition proof at the
+    * driver gate, not just in a spec. */
+  private def xsBitextStream(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    val rootPath = java.nio.file.Files.createTempDirectory("xs-bitext-stream")
+    graft.core.TempReaper.reapAtExit(rootPath)
+    val root = rootPath.toString
+    val r = tgt.agg(min(col("vec_id")), max(col("vec_id"))).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * ((hi - lo) / 3)
+    Seq(
+      col("vec_id") <= cut1,
+      col("vec_id") > cut1 && col("vec_id") <= cut2,
+      col("vec_id") > cut2).zipWithIndex.foreach { case (cond, i) =>
+      tgt.filter(cond).coalesce(2).write.parquet(s"$root/in/drop$i.parquet")
+      runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", src, 4, 1.0)
+    }
+    // after the final pass only the last batch's mined partition
+    // remains (earlier ones pruned in-stream)
+    spark.read.schema(s"$MinedSchema, batch_id BIGINT")
+      .parquet(s"$root/out/mined")
+      .select(col("src_id"), col("tgt_id"), col("sim"), col("margin"))
+      .orderBy(col("src_id"))
+  }
+
+  val all: Seq[Declared] = Seq(
+    Declared("xs_bitext_stream", xsBitextStream,
+      Some(Similarity.x2BitextMineSql)))
+}

@@ -184,6 +184,22 @@ object StreamPlanPin {
         .queryExecution.executedPlan)
   }
 
+  /** The xs_bitext_stream per-batch NEW shape: the forward-state merge
+    * (persisted state ∪ drop-local top-k → one probe-keyed window rank).
+    * Must stay ONE exchange + ONE window — a second exchange here means
+    * the union sides started shuffling independently, turning the
+    * O(k·|S|) merge into two corpus-wide reshuffles per drop. (The
+    * scoring join itself is pinned by the dsir-gate/cosine pins'
+    * broadcast discipline.) */
+  private def bitextFwdMerge(spark: SparkSession): String = {
+    import spark.implicits._
+    def knn(ids: Seq[Long]) = ids.map(i => (i, 1, i + 100L, 0.5))
+      .toDF("probe_id", "rnk", "neighbor_id", "sim")
+    PlanPin.skeletonOf(
+      graft.streaming.BitextStream.mergeTopK(knn(Seq(1L, 2L)), knn(Seq(3L)), 4)
+        .queryExecution.executedPlan)
+  }
+
   def currentSkeletons(spark: SparkSession): Seq[(String, String)] = Seq(
     "s1_tumbling_window_microbatch" ->
       microBatchSkeleton(spark, EventStreams.tumbling, "complete"),
@@ -200,7 +216,8 @@ object StreamPlanPin {
     "xs_curate_batch_lmgate" -> curateBatchLmGate(spark),
     "xs_curate_batch_dsirgate" -> curateBatchDsirGate(spark),
     "xs_pack_batch_fragments" -> packBatchFragments(spark),
-    "xs_media_batch_features" -> mediaBatchFeatures(spark))
+    "xs_media_batch_features" -> mediaBatchFeatures(spark),
+    "xs_bitext_fwd_merge" -> bitextFwdMerge(spark))
 }
 
 /** Regenerate STREAMPINS.txt after an intentional streaming-plan change. */
