@@ -279,10 +279,95 @@ object Ingest {
       |FROM p
       |ORDER BY doc_id""".stripMargin
 
+  /** The `%q` RESIDUE classes, driver-oracled (VERDICT r19 #4 — the one
+    * corner of the ingest pipeline that was golden-tested only):
+    * `\uNNNN` / `\UNNNNNNNN` unprintables and every invalid-UTF-8
+    * escape family, planted deterministically per doc_id like the
+    * controls row. Cases 1–4 splice valid-but-unprintable runes into
+    * the text (U+2028 Zl, U+00AD and U+FEFF Cf, U+E0001 astral Cf —
+    * categories stable across Unicode versions, so JVM and Go tables
+    * agree); cases 5–7 append RAW INVALID BYTES to the payload (bad
+    * lead FF + stray continuation 80; overlong C0 AF + encoded
+    * surrogate ED A0 80; > U+10FFFF F4 90 80 80 + truncated C3) —
+    * every one must render byte-for-byte as Go's strconv.Quote does,
+    * and the hex/byte_count fields must track the raw payload. */
+  private def q12QuoteEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val text =
+      when($"doc_id" % 8 === 1, replace($"text", lit(" "), lit(" ")))
+        .when($"doc_id" % 8 === 2, replace($"text", lit(" "), lit("­")))
+        .when($"doc_id" % 8 === 3, replace($"text", lit(" "), lit("﻿")))
+        .when($"doc_id" % 8 === 4, replace($"text", lit(" "), lit(new String(Character.toChars(0xE0001)))))
+        .otherwise($"text")
+    val tail =
+      when($"doc_id" % 8 === 5, lit(Array[Byte](0xff.toByte, 0x80.toByte)))
+        .when($"doc_id" % 8 === 6,
+          lit(Array[Byte](0xc0.toByte, 0xaf.toByte, 0xed.toByte, 0xa0.toByte, 0x80.toByte)))
+        .when($"doc_id" % 8 === 7,
+          lit(Array[Byte](0xf4.toByte, 0x90.toByte, 0x80.toByte, 0x80.toByte, 0xc3.toByte)))
+        .otherwise(lit(Array.empty[Byte]))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        timestamp_seconds($"doc_id" * 60).as("ts"),
+        concat(text.cast(BinaryType), tail).as("payload"),
+        format_string("10.0.%d.%d", $"doc_id" % 256, $"doc_id" % 100).as("client_ip"))
+      .select($"doc_id", toJson(logEntry($"ts", $"payload", $"client_ip")).as("log_json"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB restatement: the payload is encode(text') || the planted
+    * raw-byte tail (unhex), hex/byte_count computed on it directly; the
+    * Go-quoted string is the controls chain extended with the planted
+    * unprintables' literal escapes plus the tail's fixed `\xNN` run,
+    * then JSON-escaped exactly as to_json does. */
+  private val q12QuoteEdgesSql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 8
+      |      WHEN 1 THEN replace(text, ' ', chr(8232))
+      |      WHEN 2 THEN replace(text, ' ', chr(173))
+      |      WHEN 3 THEN replace(text, ' ', chr(65279))
+      |      WHEN 4 THEN replace(text, ' ', chr(917505))
+      |      ELSE text END AS text,
+      |    CASE doc_id % 8
+      |      WHEN 5 THEN unhex('FF80')
+      |      WHEN 6 THEN unhex('C0AFEDA080')
+      |      WHEN 7 THEN unhex('F4908080C3')
+      |      ELSE unhex('') END AS tail,
+      |    CASE doc_id % 8
+      |      WHEN 5 THEN '\xff\x80'
+      |      WHEN 6 THEN '\xc0\xaf\xed\xa0\x80'
+      |      WHEN 7 THEN '\xf4\x90\x80\x80\xc3'
+      |      ELSE '' END AS tailq
+      |  FROM documents),
+      |b AS (SELECT doc_id, text, tailq, encode(text) || tail AS payload FROM p)
+      |SELECT doc_id,
+      |  '{"timestamp":"' || strftime(make_timestamp(doc_id * 60 * 1000000), '%Y-%m-%dT%H:%M:%SZ') ||
+      |  '","level":"' || CASE WHEN octet_length(payload) = 0 THEN 'WARN' ELSE 'INFO' END ||
+      |  '","message":"received ' || CAST(octet_length(payload) AS VARCHAR) ||
+      |  ' bytes","client_ip":"10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      |  CAST(doc_id % 100 AS VARCHAR) || '"' ||
+      |  CASE WHEN octet_length(payload) > 0
+      |       THEN ',"byte_count":' || CAST(octet_length(payload) AS VARCHAR) ||
+      |            ',"binary_data_hex":"' || lower(hex(payload)) ||
+      |            '","binary_data_string":"' ||
+      |            replace(replace(
+      |              '"' || replace(replace(replace(replace(replace(replace(replace(
+      |                replace(replace(
+      |                text, '\', '\\'), '"', '\"'),
+      |                chr(9), '\t'), chr(10), '\n'), chr(13), '\r'),
+      |                chr(8232), '\' || 'u2028'), chr(173), '\' || 'u00ad'),
+      |                chr(65279), '\' || 'ufeff'), chr(917505), '\U000e0001') || tailq || '"',
+      |              '\', '\\'), '"', '\"') || '"'
+      |       ELSE '' END || '}' AS log_json
+      |FROM b
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Declared] = Seq(
     Declared("q12_ingest_hex", q12Hex, Some(q12HexSql)),
     Declared("q12_ingest_logentry", q12Json, Some(q12JsonSql)),
     Declared("q12_ingest_controls", q12Controls, Some(q12ControlsSql)),
+    Declared("q12_ingest_quote_edges", q12QuoteEdges, Some(q12QuoteEdgesSql)),
     Declared("q12_ingest_envelope", q12Envelope, Some(q12EnvelopeSql)),
     Declared("q12_ingest_fields", q12Fields, Some(q12FieldsSql)))
 }
