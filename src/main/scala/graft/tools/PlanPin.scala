@@ -41,7 +41,7 @@ object PlanPin {
     "q22_dormant_customers", "x1_fuzzy_match", "x2_outlier_score",
     "x1_substring_dup", "xm_media_neardup", "xc_keep_best",
     "x1_semantic_dedup_prod", "x1_substring_winnow_prod",
-    "x2_ann_ivf_prod", "q12_ingest_controls", "x1_substring_dup_runs",
+    "x2_ann_ivf_prod", "q12_ingest_controls", "q12_ingest_quote_edges", "x1_substring_dup_runs",
     "q17_small_quantity", "q20_qualifying_shippers", "q21_lone_returner",
     "q23_custdist", "q24_volume_shipping", "q25_market_share",
     "q26_product_profit", "q27_sessionize", "q28_funnel",
