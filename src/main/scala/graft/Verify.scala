@@ -25,8 +25,12 @@ object Verify {
       "x2_index_stats", "x2_cluster_profile")
     def landDebug(name: String): Unit = {
       // limit BEFORE collect (ADVICE r19): only the dumped rows reach
-      // the driver, so an unexpectedly large debug row can't OOM Verify
-      val df = spark.read.parquet(s"$outDir/$name").limit(1000)
+      // the driver, so an unexpectedly large debug row can't OOM Verify.
+      // The membership ledger is the bisect row — its dump must hold the
+      // WHOLE scored set (bounded by the curated corpus, ≤ |documents|,
+      // 3 narrow columns) or a doc flipped past the cap is unlocalizable.
+      val cap = if (name == "xs_dsir_membership") 200000 else 1000
+      val df = spark.read.parquet(s"$outDir/$name").limit(cap)
       val cols = df.schema.fieldNames.toSeq
       val rows = df.collect().map { r =>
         cols.indices.map { i =>

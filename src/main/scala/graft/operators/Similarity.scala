@@ -258,7 +258,21 @@ object Similarity {
       schema: String): DataFrame = {
     val rootPath = java.nio.file.Files.createTempDirectory(prefix)
     graft.core.TempReaper.reapAtExit(rootPath)
-    val root = rootPath.toString
+    sliceLoopIn(spark, rootPath.toString, nSlices)(body)(schema)
+  }
+
+  /** [[sliceLoop]] into a CALLER-OWNED root (no reaper): for long-lived
+    * callers — the streaming rung lands per-batch slice scratch under
+    * its own store and deletes it once the merged state is persisted,
+    * so a service-lifetime stream doesn't accumulate reap-at-exit temp
+    * dirs. Any pre-existing content is cleared first (mid-batch crash
+    * replay leaves a stale scratch behind). */
+  private[graft] def sliceLoopIn(spark: org.apache.spark.sql.SparkSession,
+      root: String, nSlices: Int)(body: (Int, String) => Unit)(
+      schema: String): DataFrame = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
     (0 until nSlices).foreach(s => body(s, s"$root/slice=$s"))
     spark.read.schema(schema).parquet((0 until nSlices).map(s => s"$root/slice=$s"): _*)
   }
@@ -598,16 +612,22 @@ object Similarity {
     * broadcast live at a time). Shared by [[bitextMineBatched]] and the
     * streaming rung's per-batch forward pass. */
   private[graft] def slicedTopKAcross(corpus: DataFrame, probes: DataFrame,
-      sliceSize: Long, k: Int, tag: String): DataFrame = {
+      sliceSize: Long, k: Int, tag: String,
+      scratchRoot: Option[String] = None): DataFrame = {
     require(sliceSize > 0, s"slicedTopKAcross: sliceSize $sliceSize < 1")
     val n = probes.count()
     if (n == 0) return cosineTopKAcross(corpus, probes, k)
     val nSlices = ((n + sliceSize - 1) / sliceSize).toInt
-    sliceLoop(corpus.sparkSession, s"graft-bitext-$tag", nSlices) { (s, dir) =>
+    val body = { (s: Int, dir: String) =>
       cosineTopKAcross(corpus,
         probes.filter(pmod(col("vec_id"), lit(nSlices.toLong)) === s), k)
-        .write.parquet(dir)
-    }("probe_id BIGINT, rnk INT, neighbor_id BIGINT, sim DOUBLE")
+        .write.parquet(dir); ()
+    }
+    val schema = "probe_id BIGINT, rnk INT, neighbor_id BIGINT, sim DOUBLE"
+    scratchRoot match {
+      case Some(root) => sliceLoopIn(corpus.sparkSession, root, nSlices)(body)(schema)
+      case None => sliceLoop(corpus.sparkSession, s"graft-bitext-$tag", nSlices)(body)(schema)
+    }
   }
 
   /** Declared: the even-id half of the embeddings table mined against

@@ -107,10 +107,15 @@ object BitextStream {
     Similarity.cosineTopKAcross(src, tgtBatch, k)
       .write.mode("overwrite").parquet(s"$bwdDir/batch_id=$batchId")
     // forward: src probes against THIS DROP only (the incremental
-    // ranking work), merged with the previous batch's persisted state
+    // ranking work), merged with the previous batch's persisted state.
+    // The sliced path lands its slice scratch under the stream's own
+    // store and deletes it once the merged state is persisted — a
+    // service-lifetime start() must not accumulate per-batch temp dirs
+    // that a reap-at-exit store would hold until process death.
+    val fwdScratch = s"$outDir/_fwd_scratch"
     val fwdFresh = fwdSliceSize match {
       case Some(sz) => Similarity.slicedTopKAcross(tgtBatch, src, sz, k,
-        s"stream-fwd-$batchId")
+        s"stream-fwd-$batchId", scratchRoot = Some(fwdScratch))
       case None => Similarity.cosineTopKAcross(tgtBatch, src, k)
     }
     val fwdState = latestBatchBefore(fs, fwdDir, batchId) match {
@@ -119,6 +124,7 @@ object BitextStream {
       case None => mergeTopK(fwdFresh.limit(0), fwdFresh, k)
     }
     fwdState.write.mode("overwrite").parquet(s"$fwdDir/batch_id=$batchId")
+    if (fwdSliceSize.isDefined) fs.delete(new Path(fwdScratch), true)
     // the mining tail over the two persisted k-NN statistics: read the
     // forward state JUST landed (own partition — deterministic
     // recompute under replay) and every backward delta ≤ this batch
@@ -182,18 +188,11 @@ object BitextStream {
     val emb = Tables.load(spark, dir, "embeddings")
     val src = emb.filter(col("vec_id") % 2 === 0)
     val tgt = emb.filter(col("vec_id") % 2 === 1)
-    val rootPath = java.nio.file.Files.createTempDirectory("xs-bitext-stream")
-    graft.core.TempReaper.reapAtExit(rootPath)
-    val root = rootPath.toString
-    val r = tgt.agg(min(col("vec_id")), max(col("vec_id"))).head
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val cut1 = lo + (hi - lo) / 3
-    val cut2 = lo + 2 * ((hi - lo) / 3)
-    Seq(
-      col("vec_id") <= cut1,
-      col("vec_id") > cut1 && col("vec_id") <= cut2,
-      col("vec_id") > cut2).zipWithIndex.foreach { case (cond, i) =>
-      tgt.filter(cond).coalesce(2).write.parquet(s"$root/in/drop$i.parquet")
+    // the shared three-drops discipline (one source of truth for the
+    // cut arithmetic the batch-assignment oracles restate), keyed on
+    // vec_id instead of doc_id
+    val root = CurateStream.threeOrderedDrops(tgt, "xs-bitext-stream",
+      idCol = "vec_id") { root =>
       runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck", src, 4, 1.0)
     }
     // after the final pass only the last batch's mined partition

@@ -696,19 +696,19 @@ object CurateStream {
     * collect is one row (drop-boundary arithmetic); stream-vs-batch
     * parity holds for ANY ordered cut, so the boundary choice affects
     * batch sizes, never results. */
-  private[streaming] def threeOrderedDrops(docs: DataFrame, prefix: String)(
-      pass: String => Unit): String = {
+  private[streaming] def threeOrderedDrops(docs: DataFrame, prefix: String,
+      idCol: String = "doc_id")(pass: String => Unit): String = {
     val rootPath = java.nio.file.Files.createTempDirectory(prefix)
     graft.core.TempReaper.reapAtExit(rootPath)
     val root = rootPath.toString
-    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val r = docs.agg(min(col(idCol)), max(col(idCol))).head
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val cut1 = lo + (hi - lo) / 3
     val cut2 = lo + 2 * ((hi - lo) / 3)
     Seq(
-      col("doc_id") <= cut1,
-      col("doc_id") > cut1 && col("doc_id") <= cut2,
-      col("doc_id") > cut2).zipWithIndex.foreach { case (cond, i) =>
+      col(idCol) <= cut1,
+      col(idCol) > cut1 && col(idCol) <= cut2,
+      col(idCol) > cut2).zipWithIndex.foreach { case (cond, i) =>
       docs.filter(cond).coalesce(2).write.parquet(s"$root/in/drop$i.parquet")
       pass(root)
     }

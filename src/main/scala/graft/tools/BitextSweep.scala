@@ -26,14 +26,20 @@ object BitextSweep {
       val src = emb.filter(col("vec_id") % 2 === 0)
       val tgt = emb.filter(col("vec_id") % 2 === 1)
       val n = emb.count()
-      val (oneRows, oneSec) = timed(
-        graft.operators.Similarity.bitextMine(src, tgt, 4, 1.0).count())
-      val (batRows, batSec) = timed(
-        graft.operators.Similarity.bitextMineBatched(src, tgt, 2000, 4, 1.0)
-          .count())
-      val one = graft.operators.Similarity.bitextMine(src, tgt, 4, 1.0)
-      val bat = graft.operators.Similarity.bitextMineBatched(src, tgt, 2000, 4, 1.0)
+      // persist the timed results and reuse them for the parity check:
+      // re-constructing either pipeline re-executes it (the batched one
+      // re-drives the whole eager slice loop), doubling the sweep's
+      // wall-clock for no extra information
+      val one = graft.operators.Similarity.bitextMine(src, tgt, 4, 1.0).persist()
+      val (oneRows, oneSec) = timed(one.count())
+      val (batPair, batSec) = timed {
+        val b = graft.operators.Similarity
+          .bitextMineBatched(src, tgt, 2000, 4, 1.0).persist()
+        (b, b.count())
+      }
+      val (bat, batRows) = batPair
       val diff = bat.exceptAll(one).count() + one.exceptAll(bat).count()
+      one.unpersist(); bat.unpersist()
       println(f"""{"scale":$m,"n_vecs":$n,"slices_per_side":${(n / 2 + 1999) / 2000},""" +
         f""""one_shot_rows":$oneRows,"one_shot_sec":$oneSec%.2f,""" +
         f""""batched_rows":$batRows,"batched_sec":$batSec%.2f,""" +

@@ -75,6 +75,10 @@ class BitextStreamSpec extends SparkSpec {
     val third = math.max(1L, (src.count() + 2) / 3)
     val b = drive(rootB, Some(third))
     assert(b == a, s"sliced fwd diverged: ${b.take(3)} vs ${a.take(3)}")
+    // the per-batch slice scratch is caller-owned and deleted once the
+    // merged fwd state lands — a long-lived stream must not accumulate it
+    assert(!new java.io.File(s"$rootB/out/_fwd_scratch").exists(),
+      "sliced fwd scratch survived the batch")
     Seq(rootA, rootB).foreach(r =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r)))
   }
