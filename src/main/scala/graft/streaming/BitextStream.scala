@@ -113,10 +113,19 @@ object BitextStream {
     // service-lifetime start() must not accumulate per-batch temp dirs
     // that a reap-at-exit store would hold until process death.
     val fwdScratch = s"$outDir/_fwd_scratch"
+    // the drop is the scoring CORPUS here, and the pass's parallelism is
+    // bounded by the corpus side's partition count (the probe side is
+    // broadcast) — but a micro-batch arrives partitioned by file BYTES
+    // (often 1-2 tiny splits) while the scoring work is |S|·|t_N| PAIRS,
+    // so a corpus-sized src against a byte-small drop would run on 2 of
+    // N cores. Repartition the drop to the cluster's parallelism before
+    // the forward pass (batch-sized shuffle — cheap; found by
+    // BitextStreamSweep: 134 s/drop → the pair-proportional cost)
+    val tgtCorpus = tgtBatch.repartition(sp.sparkContext.defaultParallelism)
     val fwdFresh = fwdSliceSize match {
-      case Some(sz) => Similarity.slicedTopKAcross(tgtBatch, src, sz, k,
+      case Some(sz) => Similarity.slicedTopKAcross(tgtCorpus, src, sz, k,
         s"stream-fwd-$batchId", scratchRoot = Some(fwdScratch))
-      case None => Similarity.cosineTopKAcross(tgtBatch, src, k)
+      case None => Similarity.cosineTopKAcross(tgtCorpus, src, k)
     }
     val fwdState = latestBatchBefore(fs, fwdDir, batchId) match {
       case Some(m) => mergeTopK(
