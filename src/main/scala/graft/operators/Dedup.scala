@@ -1035,6 +1035,65 @@ object Dedup {
     }
   }
 
+  /** Distinct k-gram HASHES of the normalized text — the
+    * allocation-free twin of `charGramSet(...).map(stringHash)` for the
+    * posting paths that only ever consume the hash (r20 optimization,
+    * guide §1.2 step 2): the string form materializes every gram
+    * position as a fresh String inside a Set[String] — one codepoint
+    * array copy, a String header, and a 24-char hash + equality probe
+    * per position — which made the substring rows allocation-bound
+    * (they degraded ~2.4× under memory-pressure hosts where the
+    * arithmetic rows degraded ~1.4×). Each gram is hashed DIRECTLY from
+    * the codepoint array over the exact UTF-16 unit sequence
+    * `stringHash(new String(cps, i, k))` hashes — surrogate pairs
+    * expanded like String.charAt — so the emitted hashes are
+    * bit-identical to the old composition (pinned by a DedupSpec
+    * property) and the declared rows cannot move. Dedup is a primitive
+    * open-addressing set: no boxing, ≤ 0.5 load, no resize. */
+  private[operators] def gramHashSet(text: String, k: Int): Array[Long] = {
+    import graft.functions.Hashing._
+    val s = text.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    val m = s.codePointCount(0, s.length)
+    if (m < k) return Array.emptyLongArray
+    val cps = new Array[Int](m)
+    var ci = 0; var si = 0
+    while (si < s.length) {
+      val cp = s.codePointAt(si); cps(ci) = cp; ci += 1
+      si += Character.charCount(cp)
+    }
+    val n = m - k + 1
+    val cap = java.lang.Integer.highestOneBit(math.max(2, n) * 2 - 1) * 2
+    val keys = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    var count = 0
+    var i = 0
+    while (i < n) {
+      var h = FnvOffset
+      var j = 0
+      while (j < k) {
+        val cp = cps(i + j)
+        if (cp < 0x10000) h = (h ^ cp) * FnvPrime
+        else {
+          h = (h ^ Character.highSurrogate(cp).toInt) * FnvPrime
+          h = (h ^ Character.lowSurrogate(cp).toInt) * FnvPrime
+        }
+        j += 1
+      }
+      val gh = mix64(h)
+      var slot = (gh & (cap - 1)).toInt
+      while (used(slot) && keys(slot) != gh) slot = (slot + 1) & (cap - 1)
+      if (!used(slot)) { used(slot) = true; keys(slot) = gh; count += 1 }
+      i += 1
+    }
+    val out = new Array[Long](count)
+    var o = 0; var si2 = 0
+    while (si2 < cap) {
+      if (used(si2)) { out(o) = keys(si2); o += 1 }
+      si2 += 1
+    }
+    out
+  }
+
   /** Winnowing selection (Schleimer et al., SIGMOD'03): hash every
     * k-gram, slide a window of `w` consecutive hashes, keep each
     * window's minimum (rightmost on ties), dedupe repeated selections.
@@ -1112,11 +1171,17 @@ object Dedup {
       }.toDF("doc_id", "gram")
   }
 
-  private def substringPairsFrom(grams: DataFrame): DataFrame =
+  private def substringPairsFrom(grams0: DataFrame): DataFrame = {
+    // the self-join consumes the gram-generation flatMap on BOTH sides
+    // — materialize it once (r20; the perDocIds localCheckpoint
+    // precedent: generation is the expensive half of these rows, and
+    // at corpus scale a posting table is materialized once anyway)
+    val grams = grams0.localCheckpoint()
     grams.select(col("gram"), col("doc_id").as("doc_a"))
       .join(grams.select(col("gram"), col("doc_id").as("doc_b")), Seq("gram"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
+  }
 
   /** The sorted-gram-run formulation of exact substring dedup — the
     * distributed shape of Lee et al.'s suffix-array pass (sort the
@@ -1147,11 +1212,17 @@ object Dedup {
       maxRun: Int = Int.MaxValue): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    import graft.functions.Hashing.stringHash
-    val posts = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val posts0 = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
-        charGramSet(t, k).iterator.map(g => (stringHash(g), id))
+        // gramHashSet ≡ charGramSet(t, k).map(stringHash) bit-for-bit,
+        // without materializing a String per gram position (r20)
+        gramHashSet(t, k).iterator.map(g => (g, id))
       }.toDF("gh", "doc_id")
+    // capped mode consumes the posting flatMap THREE times (the stats
+    // agg + both branch joins) — materialize it once (r20; measured
+    // 3× gram generation per xc_substring_keep_best call before).
+    // Exact mode consumes it once: leave its lineage alone.
+    val posts = if (maxRun == Int.MaxValue) posts0 else posts0.localCheckpoint()
     if (maxRun == Int.MaxValue) {
       // exact mode: the run list buffer is O(run length), which is fine
       // wherever the output itself (run²/2 pairs) is fine — exact mode

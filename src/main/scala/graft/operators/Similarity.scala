@@ -48,14 +48,37 @@ object Similarity {
 
   import SimilarityTuning.{PqTrainCap, CoarseIters}
 
+  /** Primitive-kernel scoring (r20 optimization round, guide §1.2 step 2
+    * / §4): `zip_with`/`aggregate` lambdas are CodegenFallback —
+    * evaluated interpreted per ELEMENT, measured ~100× slower per pair
+    * than a compiled loop (BENCHNOTES r1 lesson #1, applied there to
+    * x1_embedding_neardup; these close the same gap for every
+    * cosineRankCore-family serve, whose scoring join runs the dot per
+    * PAIR). Bit-exact with the HOFs they replace: [[Kernels.dotd]] /
+    * [[Kernels.widen]] run the identical left-to-right IEEE
+    * accumulation from 0.0 that `aggregate(zip_with(...))` and DuckDB's
+    * `list_dot_product` run, so every declared row still hash-matches
+    * its oracle (re-verified 227/227 after the swap). */
+  private val widenU = udf { (v: Array[Float]) => Kernels.widen(v) }
+  private val normU = udf { (v: Array[Double]) => math.sqrt(Kernels.dotd(v, v)) }
+  private val dotU = udf { (a: Array[Double], b: Array[Double]) => Kernels.dotd(a, b) }
+
+  /** `colName` as array<double>: float inputs widened in-kernel (exact),
+    * double inputs passed through unchanged (the chunkNeighbors corpus
+    * is born double — a no-op cast there would still pay an
+    * interpreted per-element transform). */
+  private def widened(df: DataFrame, colName: String): Column =
+    df.schema(colName).dataType match {
+      case ArrayType(DoubleType, _) => col(colName)
+      case _ => widenU(col(colName))
+    }
+
   /** double-typed vector + its L2 norm. */
   private def prep(emb: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame =
-    emb.select(col("vec_id").as(idAs),
-        transform(col("embedding"), x => x.cast(DoubleType)).as(vAs))
-      .withColumn(nAs, sqrt(aggregate(col(vAs), lit(0.0), (a, x) => a + x * x)))
+    emb.select(col("vec_id").as(idAs), widened(emb, "embedding").as(vAs))
+      .withColumn(nAs, normU(col(vAs)))
 
-  private[operators] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private[operators] def dot(a: Column, b: Column): Column = dotU(a, b)
 
   /** Exact cosine top-k of each probe against the corpus (self excluded).
     *
@@ -187,12 +210,16 @@ object Similarity {
     val p = prep(probes, "probe_id", "pv", "pn")
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
+    // widen + norm BEFORE the route join: once per assignment row, not
+    // once per (probe, candidate) pair (r20 — the join multiplies rows
+    // by the probes routed to each cluster)
     asg
+      .select(col("cluster"), col("vec_id"), widened(asg, "embedding").as("nv"))
+      .withColumn("nn", normU(col("nv")))
       .join(broadcast(pc), Seq("cluster"))
       .filter(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("nv"))
-      .withColumn("nn", sqrt(aggregate(col("nv"), lit(0.0), (a, x) => a + x * x)))
+        col("nv"), col("nn"))
       .join(broadcast(p), Seq("probe_id"))
       .withColumn("sim", dot(col("pv"), col("nv")) / (col("pn") * col("nn")))
       .filter(col("sim") < posThreshold && col("sim") >= floor)
@@ -1206,13 +1233,12 @@ object Similarity {
 
   /** Approximate top-k: exact cosine over the LSH candidate set only. */
   def annTopK(emb: DataFrame, probes: DataFrame, dim: Int, k: Int): DataFrame = {
-    val cands = annCandidates(signatures(emb, dim), signatures(probes, dim))
-      .select(col("probe_id"),
-        transform(col("probe_id_emb"), x => x.cast(DoubleType)).as("pv"),
-        col("neighbor_id"),
-        transform(col("neighbor_id_emb"), x => x.cast(DoubleType)).as("nv"))
-      .withColumn("pn", sqrt(aggregate(col("pv"), lit(0.0), (a, x) => a + x * x)))
-      .withColumn("nn", sqrt(aggregate(col("nv"), lit(0.0), (a, x) => a + x * x)))
+    val raw = annCandidates(signatures(emb, dim), signatures(probes, dim))
+    val cands = raw
+      .select(col("probe_id"), widened(raw, "probe_id_emb").as("pv"),
+        col("neighbor_id"), widened(raw, "neighbor_id_emb").as("nv"))
+      .withColumn("pn", normU(col("pv")))
+      .withColumn("nn", normU(col("nv")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     cands
@@ -1393,19 +1419,24 @@ object Similarity {
     * array so the Lloyd refinement runs once, not per use. */
   private[operators] def ivfTopKWith(emb: DataFrame, probes: DataFrame,
       cents: Array[(Long, Array[Double], Double)], nprobe: Int, k: Int): DataFrame = {
-    val assigned = ivfAssignWith(emb, cents)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("cluster"))
-    val pc = ivfProbeClusters(probes, cents, nprobe)
+    // widen + norm per SIDE before the cluster join (r20): the joined
+    // stream is per (probe, candidate) pair — the old projection paid
+    // an interpreted per-element cast + norm per pair
+    val asgRaw = ivfAssignWith(emb, cents)
+    val assigned = asgRaw
+      .select(col("vec_id").as("neighbor_id"),
+        widened(asgRaw, "embedding").as("nv"), col("cluster"))
+      .withColumn("nn", normU(col("nv")))
+    val pcRaw = ivfProbeClusters(probes, cents, nprobe)
+    val pc = pcRaw
+      .select(col("cluster"), col("probe_id"), widened(pcRaw, "p_emb").as("pv"))
+      .withColumn("pn", normU(col("pv")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     pc.join(assigned, Seq("cluster"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"),
-        transform(col("p_emb"), x => x.cast(DoubleType)).as("pv"),
-        col("neighbor_id"),
-        transform(col("n_emb"), x => x.cast(DoubleType)).as("nv"))
-      .withColumn("pn", sqrt(aggregate(col("pv"), lit(0.0), (a, x) => a + x * x)))
-      .withColumn("nn", sqrt(aggregate(col("nv"), lit(0.0), (a, x) => a + x * x)))
+      .select(col("probe_id"), col("pv"), col("pn"),
+        col("neighbor_id"), col("nv"), col("nn"))
       .withColumn("sim", dot(col("pv"), col("nv")) / (col("pn") * col("nn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -2309,10 +2340,9 @@ object Similarity {
     * are fetched via a broadcast semi-join, exact L2 re-ranks top-k. */
   private[operators] def exactRerank(short: DataFrame, emb: DataFrame,
       probes: DataFrame, topK: Int): DataFrame = {
-    val corpusV = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast(DoubleType)).as("nv"))
+    val corpusV = emb.select(col("vec_id"), widened(emb, "embedding").as("nv"))
     val probeV = probes.select(col("vec_id").as("probe_id"),
-      transform(col("embedding"), x => x.cast(DoubleType)).as("pv"))
+      widened(probes, "embedding").as("pv"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("dist"), col("vec_id"))
     corpusV.join(broadcast(short.select(col("probe_id"), col("vec_id"))), Seq("vec_id"))

@@ -705,13 +705,33 @@ object CurateStream {
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val cut1 = lo + (hi - lo) / 3
     val cut2 = lo + 2 * ((hi - lo) / 3)
-    Seq(
-      col(idCol) <= cut1,
-      col(idCol) > cut1 && col(idCol) <= cut2,
-      col(idCol) > cut2).zipWithIndex.foreach { case (cond, i) =>
-      docs.filter(cond).coalesce(2).write.parquet(s"$root/in/drop$i.parquet")
+    // ONE source scan lands all three drops, partitioned by drop index,
+    // into a staging dir (r20 optimization: the per-drop filter+write
+    // form re-scanned the full source once per drop — 3 scans + the
+    // min/max pass). Each drop's files are then MOVED (a rename, no
+    // data copy) into the streamed in-dir right before its pass, so the
+    // file source still sees exactly the same three incremental file
+    // sets through the same checkpoint, and each drop's rows are
+    // byte-identical to the filtered write it replaces. partitionBy
+    // drops `_drop` from the data files, so the landed schema is
+    // unchanged too.
+    val stage = s"$root/stage"
+    docs.withColumn("_drop",
+        when(col(idCol) <= cut1, 0).when(col(idCol) <= cut2, 1).otherwise(2))
+      .coalesce(2)
+      .write.partitionBy("_drop").parquet(stage)
+    val fs = new Path(root).getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$root/in"))
+    (0 until 3).foreach { i =>
+      val src = new Path(s"$stage/_drop=$i")
+      val dst = new Path(s"$root/in/drop$i.parquet")
+      if (fs.exists(src)) require(fs.rename(src, dst),
+        s"threeOrderedDrops: moving $src to $dst failed")
+      else fs.mkdirs(dst) // empty tercile: same empty-dir shape as before
       pass(root)
     }
+    fs.delete(new Path(stage), true)
     root
   }
 

@@ -158,26 +158,15 @@ object IndexStream {
     * and the search path are all value-checked end to end. */
   private def xsIndexStream(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val rootPath = java.nio.file.Files.createTempDirectory("xs-index-stream")
-    // result DataFrame reads the index lazily AFTER this returns, so
-    // the scratch tree must outlive the call — reap at JVM exit via the
-    // SHARED hook (one per JVM, not one per invocation; ADVICE r11)
-    graft.core.TempReaper.reapAtExit(rootPath)
-    val root = rootPath.toString
-    val inDir = s"$root/in"; val ixDir = s"$root/ix"
-    val r = emb.agg(min(col("vec_id")), max(col("vec_id"))).head
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val cut1 = lo + (hi - lo) / 3
-    val cut2 = lo + 2 * ((hi - lo) / 3)
-    val drops = Seq(
-      col("vec_id") <= cut1,
-      col("vec_id") > cut1 && col("vec_id") <= cut2,
-      col("vec_id") > cut2)
-    drops.zipWithIndex.foreach { case (cond, i) =>
-      emb.filter(cond).coalesce(2).write.parquet(s"$inDir/drop$i.parquet")
-      runOnce(spark, s"$inDir/*", ixDir, s"$root/ck")
+    // the shared three-drops harness (one source of truth for the cut
+    // arithmetic the oracle restates, and the r20 single-scan staging
+    // write); scratch is reaped at JVM exit by the harness
+    val root = CurateStream.threeOrderedDrops(emb, "xs-index-stream",
+      idCol = "vec_id") { root =>
+      runOnce(spark, s"$root/in/*", s"$root/ix", s"$root/ck")
     }
-    IndexStore.searchIvfPq(spark, ixDir, emb.filter(col("vec_id") < 10), 4, 5)
+    IndexStore.searchIvfPq(spark, s"$root/ix",
+        emb.filter(col("vec_id") < 10), 4, 5)
       .orderBy(col("probe_id"), col("rnk"))
   }
 

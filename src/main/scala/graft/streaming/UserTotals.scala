@@ -103,15 +103,29 @@ object UserTotals {
     val r = events.agg(min(col("event_id")), max(col("event_id"))).head
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
-    val drops = Seq(
-      col("event_id") <= cut1,
-      col("event_id") > cut1 && col("event_id") <= cut2,
-      col("event_id") > cut2)
+    // one source scan lands all three drops (the threeOrderedDrops r20
+    // staging discipline): stage partitioned by drop index, then move
+    // each drop's files into the streamed in-dir right before its pass
+    // — same three incremental file sets, one events scan instead of
+    // three
+    val stage = s"$root/stage"
+    events.withColumn("_drop",
+        when(col("event_id") <= cut1, 0)
+          .when(col("event_id") <= cut2, 1).otherwise(2))
+      .coalesce(1)
+      .write.partitionBy("_drop").parquet(stage)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/in"))
     val prev = spark.conf.getOption(ProviderKey)
     try {
       spark.conf.set(ProviderKey, RocksDb)
-      drops.zipWithIndex.foreach { case (pred, i) =>
-        events.filter(pred).coalesce(1).write.parquet(s"$root/in/d$i.parquet")
+      (0 until 3).foreach { i =>
+        val src = new org.apache.hadoop.fs.Path(s"$stage/_drop=$i")
+        val dst = new org.apache.hadoop.fs.Path(s"$root/in/d$i.parquet")
+        if (fs.exists(src)) require(fs.rename(src, dst),
+          s"UserTotals: moving $src to $dst failed")
+        else fs.mkdirs(dst)
         val q = totals(
             spark.readStream
               .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
@@ -135,6 +149,7 @@ object UserTotals {
         case None => spark.conf.unset(ProviderKey)
       }
     }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     spark.read
       .schema("user_id BIGINT, n_events BIGINT, total_value DOUBLE, batch_id BIGINT")
       .parquet(s"$root/out")

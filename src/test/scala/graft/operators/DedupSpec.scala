@@ -230,6 +230,33 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.substringDupPairs(empty, 24).count() == 0)
   }
 
+  test("gramHashSet ≡ charGramSet.map(stringHash) bit-for-bit (property)") {
+    // the allocation-free posting kernel must emit EXACTLY the hash set
+    // of the string composition it replaced (r20 optimization) —
+    // including multi-char whitespace normalization, case folding,
+    // repeated grams, and astral codepoints (surrogate pairs hash as
+    // their two UTF-16 units, like String.charAt)
+    val rnd = new scala.util.Random(7)
+    val astral = new String(Character.toChars(0x1F600))
+    def randText(n: Int) = (0 until n).map { _ =>
+      rnd.nextInt(8) match {
+        case 0 => " "
+        case 1 => "\t"
+        case 2 => "Q"
+        case 3 => astral
+        case _ => ('a' + rnd.nextInt(26)).toChar.toString
+      }
+    }.mkString
+    val cases = Seq("", "short", "a b  c\td " * 10) ++
+      (1 to 20).map(_ => randText(20 + rnd.nextInt(120)))
+    for (t <- cases; k <- Seq(5, 24)) {
+      val expected = Dedup.charGramSet(t, k).map(graft.functions.Hashing.stringHash)
+      val got = Dedup.gramHashSet(t, k)
+      assert(got.length == got.distinct.length, s"dup hashes for k=$k '$t'")
+      assert(got.toSet == expected, s"hash set drift for k=$k '$t'")
+    }
+  }
+
   test("winnowing guarantee holds on randomized shared passages (property)") {
     val rnd = new scala.util.Random(42)
     def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
