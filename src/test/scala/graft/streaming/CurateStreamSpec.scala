@@ -700,6 +700,35 @@ class CurateStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("xs_dsir_drift batch attribution is data-derived: the drift row " +
+      "aggregates the membership ledger's terciles, and every attributed " +
+      "batch is the doc's own tercile (VERDICT r20 #1)") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val memb = graft.SparkEntry.queries("xs_dsir_membership")(spark, dir)
+      .select($"batch_id", $"doc_id", $"logw_e6", $"passed")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(memb.nonEmpty)
+    // every scored doc's batch IS its tercile — a pure function of the
+    // data, so no trigger-counter shift can move it
+    val tc = docs.select($"doc_id",
+        CurateStream.tercileBatchId(docs, $"doc_id").as("b"))
+      .as[(Long, Long)].collect().toMap
+    memb.foreach { case (b, id, _, _) =>
+      assert(b == tc(id), s"doc $id attributed to batch $b, tercile ${tc(id)}")
+    }
+    // and the drift row is exactly the ledger's per-tercile aggregation
+    // (the bisect invariant the r20 driver run broke)
+    val drift = graft.SparkEntry.queries("xs_dsir_drift")(spark, dir)
+      .select($"batch_id", $"n_scored", $"n_passed", $"sum_logw_e6")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val expect = memb.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, rows) =>
+      (b, rows.length.toLong, rows.count(_._4 == 1).toLong, rows.map(_._3).sum)
+    }
+    assert(drift == expect, s"drift $drift != ledger aggregation $expect")
+  }
+
   /** 50 phrases from a shared 40-phrase pool (100 words): bigrams repeat
     * ACROSS docs, so a bigram LM trained on the corpus scores regular
     * docs low and all-unique gibberish high; distinct phrase orders keep
