@@ -682,6 +682,12 @@ object Dedup {
       try walk(df.rdd) catch { case scala.util.control.NonFatal(_) => None }
     }
     var liveSnapPath: Option[String] = None
+    // EAGER local checkpoint, kept after an r21 A/B (guide §2.4): the
+    // lazy form (count() as the one materializing job per round —
+    // halving driver barriers) measured ~1.5× SLOWER on xc_keep_best's
+    // warm min (3.57 vs 2.39 s) with x1_dedup_clusters flat, so the
+    // second job per round is cheaper than whatever the lazy
+    // mark-then-materialize path costs here; two barriers stay.
     def snap(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) {
         val out = df.checkpoint()
@@ -744,10 +750,13 @@ object Dedup {
           .join(prop.select(col("doc_id").as("_rep"), col("_mid").as("_rep_label")),
             col("_mid") === col("_rep"))
           .select(col("doc_id"), col("_rep_label").as("cluster_id"),
-            (col("_rep_label") =!= col("_old")).as("_chg"))) // eager: prop is consumed here, release it next
+            (col("_rep_label") =!= col("_old")).as("_chg")))
+        // eager snap materialized next from prop's cache; the count is
+        // a cheap block scan. prop released only after the count so a
+        // lazy-snap experiment can't silently recompute it (r21).
+        changed = next.filter(col("_chg")).count()
         prop.unpersist()
         curProp = None
-        changed = next.filter(col("_chg")).count()
         labels = next.drop("_chg")
         rounds += 1
       }
@@ -1171,17 +1180,19 @@ object Dedup {
       }.toDF("doc_id", "gram")
   }
 
-  private def substringPairsFrom(grams0: DataFrame): DataFrame = {
-    // the self-join consumes the gram-generation flatMap on BOTH sides
-    // — materialize it once (r20; the perDocIds localCheckpoint
-    // precedent: generation is the expensive half of these rows, and
-    // at corpus scale a posting table is materialized once anyway)
-    val grams = grams0.localCheckpoint()
+  private def substringPairsFrom(grams: DataFrame): DataFrame =
+    // the self-join consumes the gram-generation flatMap on both sides;
+    // recompute is DELIBERATE (r21 A/B, reverting the r20
+    // localCheckpoint): the checkpoint measured SLOWER in the driver's
+    // r20 bench (this family 0.90-0.93×) and in this round's warm A/B —
+    // the map-only gram flatMap is cheaper to run twice than to
+    // materialize to executor storage and read back (the BigramMatSweep
+    // crossover again), and the eager non-reliable checkpoint added an
+    // executor-loss failure mode on clusters for nothing (ADVICE r20)
     grams.select(col("gram"), col("doc_id").as("doc_a"))
       .join(grams.select(col("gram"), col("doc_id").as("doc_b")), Seq("gram"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-  }
 
   /** The sorted-gram-run formulation of exact substring dedup — the
     * distributed shape of Lee et al.'s suffix-array pass (sort the
@@ -1218,11 +1229,15 @@ object Dedup {
         // without materializing a String per gram position (r20)
         gramHashSet(t, k).iterator.map(g => (g, id))
       }.toDF("gh", "doc_id")
-    // capped mode consumes the posting flatMap THREE times (the stats
-    // agg + both branch joins) — materialize it once (r20; measured
-    // 3× gram generation per xc_substring_keep_best call before).
-    // Exact mode consumes it once: leave its lineage alone.
-    val posts = if (maxRun == Int.MaxValue) posts0 else posts0.localCheckpoint()
+    // capped mode consumes the posting flatMap three times (the stats
+    // agg + both branch joins); the 3× recompute is DELIBERATE (r21
+    // A/B, reverting the r20 localCheckpoint): the driver's r20 bench
+    // priced the checkpoint at 0.74× on xc_substring_keep_best and this
+    // round's warm A/B agreed — gramHashSet made generation cheap
+    // enough that eager storage-backed materialization costs more than
+    // it saves, and at 100 TB a corpus-sized posting table pinned to
+    // executor storage is a §5 spill risk (VERDICT r20 #3)
+    val posts = posts0
     if (maxRun == Int.MaxValue) {
       // exact mode: the run list buffer is O(run length), which is fine
       // wherever the output itself (run²/2 pairs) is fine — exact mode

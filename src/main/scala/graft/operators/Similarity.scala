@@ -1433,7 +1433,16 @@ object Similarity {
       .withColumn("pn", normU(col("pv")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    pc.join(assigned, Seq("cluster"))
+    // broadcast the probe-routes side (r21, guide §3.1/§2.4): probes are
+    // driver-collected for routing in this family anyway (the
+    // hardNegativesIvfCore posture), and without the hint the planner
+    // can shuffle BOTH sides on `cluster` — nlist≈16 distinct keys over
+    // 32 partitions, i.e. a skewed exchange now carrying the corpus's
+    // WIDENED double[] vectors (the r20 per-side hoist doubled that
+    // exchange's bytes, §2.3). Broadcasting pc removes the corpus-side
+    // exchange entirely: assignment streams map-side into the scoring
+    // join and only the window's probe_id exchange remains.
+    broadcast(pc).join(assigned, Seq("cluster"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("pv"), col("pn"),
         col("neighbor_id"), col("nv"), col("nn"))
