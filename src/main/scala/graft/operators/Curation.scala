@@ -1147,7 +1147,11 @@ object Curation {
   def packIds(docs: DataFrame, tokDir: String, seqLen: Int = 512,
       buckets: Int = 32): DataFrame = {
     val perDoc = perDocIds(docs, tokDir)
-    packOffsets(perDoc, "n", buckets)
+    // fan the explode input out (r21, §2.6): one doc-level row expands
+    // to thousands of per-token rows, so the explode's cost is invisible
+    // to AQE's size-based coalescing, which collapsed the offsets
+    // window's exchange to ONE task carrying the whole per-token pass
+    graft.core.Par.fan(packOffsets(perDoc, "n", buckets))
       .select(col("offset_tokens"),
         posexplode(split(col("docids"), ",")).as(Seq("k", "id")))
       .withColumn("gpos", col("offset_tokens") + col("k"))

@@ -81,7 +81,15 @@ object TokenizerStore {
     * ([[TextAnalysis.bpeEncodeWith]]) — no training shuffle. Same
     * output contract as the composed `xt_bpe_encode`. */
   def encodeBpe(docs: DataFrame, dir: String): DataFrame =
-    TextAnalysis.bpeEncodeWith(docs, loadMerges(docs.sparkSession, dir))
+    // parallelism floor (r21, guide §2.5/§2.6): the replace-chain
+    // encode is the dominant per-word cost of every BPE consumer, but
+    // its input often arrives as 1-2 byte-sized splits (a micro-batch
+    // drop, a small fixture file), so the encode ran on 1-2 of N cores
+    // (the BitextStream forward-pass finding; measured 1.97× on
+    // xc_pack_bounds). No-op whenever the scan already provides the
+    // cluster's parallelism.
+    TextAnalysis.bpeEncodeWith(graft.core.Par.widen(docs),
+      loadMerges(docs.sparkSession, dir))
 
   /** The artifact's token-ID vocabulary — the id assignment is part of
     * the tokenizer contract (an id means nothing unless every consumer
@@ -106,7 +114,9 @@ object TokenizerStore {
     * the explode. */
   def encodeBpeIds(docs: DataFrame, dir: String): DataFrame = {
     val spark = docs.sparkSession
-    TextAnalysis.bpeEncodeIdsWith(docs, loadMerges(spark, dir), bpeVocab(spark, dir))
+    // same §2.5/§2.6 parallelism floor as [[encodeBpe]]
+    TextAnalysis.bpeEncodeIdsWith(graft.core.Par.widen(docs),
+      loadMerges(spark, dir), bpeVocab(spark, dir))
   }
 
   /** DETOKENIZE — the inverse leg that completes the tokenizer chain

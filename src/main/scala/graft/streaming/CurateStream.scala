@@ -126,6 +126,12 @@ object CurateStream {
       lmGate: Option[(String, Double)] = None,
       dsirGate: Option[(String, Double)] = None): Unit = {
     val sp = batch.sparkSession
+    // NO parallelism floor on the curate batch itself (r21 A/B): unlike
+    // the pack paths' BPE encode, the per-doc work here (normText,
+    // repetition) is light enough that the widening shuffle + 32-task
+    // stages cost MORE per micro-batch than the 1-2-split serialism
+    // (measured: xs_curate_stream 0.63×, xs_curate_dsir_gate 0.79× with
+    // the floor) — deliberately left split-bound.
     // 1. within-batch keep-first (skew-safe, as in Curation.curate)
     val keepers = batch
       .groupBy(Dedup.normText(col("text")).as("_k"))
@@ -525,7 +531,10 @@ object CurateStream {
     * rebuild's corpus provider so the two can never diverge (a rebuild
     * that re-vectorized differently would re-mean every code). */
   private def vectorized(docs: DataFrame): DataFrame =
-    graft.operators.TextAnalysis.hashVectors(docs)
+    // parallelism floor (r21): the per-batch re-read of the just-landed
+    // partition is 1-2 files; the per-doc hash vectorization is the
+    // heavy stage (same §2.5/§2.6 posture as processBatch's floor)
+    graft.operators.TextAnalysis.hashVectors(graft.core.Par.widen(docs))
       .filter(col("l2") > 0)
       .select(col("doc_id").as("vec_id"),
         expr("transform(vec, x -> CAST(x AS FLOAT))").as("embedding"))
@@ -1045,7 +1054,9 @@ object CurateStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Curation.signalTable(batch).write.mode("overwrite")
+        // same §2.5/§2.6 parallelism floor as processBatch: the signal
+        // table is one heavy per-doc projection over a 1-2-split batch
+        Curation.signalTable(graft.core.Par.widen(batch)).write.mode("overwrite")
           .parquet(s"$outDir/batch_id=$batchId")
       }
       .start()

@@ -282,6 +282,13 @@ object PackStream {
         }
       }
     }
+    // NO fan-out before the per-batch explode (r21 A/B): the batch
+    // packIds path fans its explode input out (one doc row → thousands
+    // of token rows, invisible to AQE's size-based coalescing) and wins
+    // 1.23×, but per MICRO-BATCH the fixed cost of the extra shuffle +
+    // 32-task stages measured at or above the serial explode on
+    // drop-sized batches (xs_pack_stream 1.05×, xs_pack_stats 0.84×) —
+    // deliberately left to the offsets window's own partitioning.
     val withOff = offsets.withColumn("off", col("offset_tokens") + lit(base))
     fragmentsOf(withOff, seqLen)
       .write.mode("overwrite").parquet(s"$outDir/frag/batch_id=$batchId")
