@@ -100,8 +100,10 @@ object UserTotals {
     // not eager deletion (the declared-streaming-row convention)
     graft.core.TempReaper.reapAtExit(rootPath)
     val root = rootPath.toString
-    val r = events.agg(min(col("event_id")), max(col("event_id"))).head
+    val r = events.agg(min(col("event_id")), max(col("event_id")),
+      countDistinct(col("user_id"))).head
     val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val nUsers = r.getLong(2)
     val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
     // one source scan lands all three drops (the threeOrderedDrops r20
     // staging discipline): stage partitioned by drop index, then move
@@ -118,8 +120,39 @@ object UserTotals {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/in"))
     val prev = spark.conf.getOption(ProviderKey)
+    // State-store partition sizing (r21, VERDICT r20 #6 / guide §2.1):
+    // a stateful streaming query instantiates one RocksDB store PER
+    // SHUFFLE PARTITION per micro-batch — at the session's 32 partitions
+    // that was 32 store opens/commits/snapshot uploads per trigger to
+    // hold 450 〈long, decimal〉 rows, and the row scaled 0.59 on 8→32
+    // cores (store overhead, not data, bound it). Size the store count
+    // from the KEY CARDINALITY instead: one store per
+    // SPARK_GRAFT_STATE_KEYS_PER_STORE keys (default 100k — a few MB of
+    // state per store at this record size), clamped to [1, configured
+    // shuffle partitions]. Scale posture: a 1e9-user corpus floors at
+    // the configured shuffle-partition count (the deployment knob), so
+    // this only ever REDUCES over-provisioning on small keyspaces; the
+    // shuffle partition count is fixed into the checkpoint at first
+    // trigger, and each declared run starts a fresh checkpoint, so the
+    // derivation re-prices per run. Restored after the run.
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    val keysPerStore = sys.env.getOrElse(
+      "SPARK_GRAFT_STATE_KEYS_PER_STORE", "100000").toLong
+    val nStores = math.max(1L, math.min(prevShuf.toLong,
+      (nUsers + keysPerStore - 1) / keysPerStore)).toString
+    val clogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevClog = spark.conf.getOption(clogKey)
     try {
       spark.conf.set(ProviderKey, RocksDb)
+      spark.conf.set(shufKey, nStores)
+      // changelog checkpointing: commit per-batch DELTAS to the
+      // checkpoint instead of a full RocksDB snapshot zip per store per
+      // trigger — the production posture for an append-heavy running
+      // counter (state is one row per user; snapshots re-upload all of
+      // it every batch)
+      spark.conf.set(clogKey, "true")
       (0 until 3).foreach { i =>
         val src = new org.apache.hadoop.fs.Path(s"$stage/_drop=$i")
         val dst = new org.apache.hadoop.fs.Path(s"$root/in/d$i.parquet")
@@ -144,6 +177,11 @@ object UserTotals {
         q.awaitTermination()
       }
     } finally {
+      spark.conf.set(shufKey, prevShuf)
+      prevClog match {
+        case Some(v) => spark.conf.set(clogKey, v)
+        case None => spark.conf.unset(clogKey)
+      }
       prev match {
         case Some(v) => spark.conf.set(ProviderKey, v)
         case None => spark.conf.unset(ProviderKey)
