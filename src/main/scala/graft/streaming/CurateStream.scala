@@ -212,56 +212,40 @@ object CurateStream {
     // thresholds with a verified margin from every doc's logw (the
     // fixture thresholds assert min |logw − minLogw| in
     // CurateStreamSpec), or accept ulp-rare cross-engine flips.
-    // Drift telemetry rides the gate pass via observe() — zero extra
-    // jobs (VERDICT r16 #4): λ is FROZEN by design, so nothing else
-    // measures when the raw stream has drifted from the fit corpus;
-    // per-batch n_scored / n_passed / sum_logw_e6 landed beside the data
-    // store are the rebuild-decision input, the x2_index_stats shape.
-    val dsirObs = dsirGate.map { case (_, minLogw) =>
-      (org.apache.spark.sql.Observation(
-        s"graft-dsir-$batchId-${System.nanoTime()}"), minLogw)
-    }
-    val filtered2 = (dsirGate, dsirObs) match {
-      case (Some((dsirDir, minLogw)), Some((obs, _))) =>
-        filtered.join(
-          Curation.dsirScoreWith(
-              filtered.select(col("doc_id"), col("text")),
-              Curation.loadDsir(sp, dsirDir))
-            .observe(obs,
-              count(lit(1)).as("n_scored"),
-              // Num.sumE6, not davg(double) (VERDICT r18 #1): the r17
-              // davg fix was bit-exact across 8 judge drives yet the
-              // driver redded the row twice — the divergence is
-              // driver-environment-side, so the hashed statistic is now
-              // an INTEGER (Σ round(logw·1e6), order-independent,
-              // engine-format-proof); the declared row derives the mean
-              // from it by the same IEEE division in both engines.
-              graft.core.Num.sumE6(col("logw")).as("sum_logw_e6"),
-              sum(when(col("logw") >= minLogw, 1L).otherwise(0L)).as("n_passed"))
-            .filter(col("logw") >= minLogw)
-            .select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
-      case _ => filtered
-    }
-    // The gate's per-doc AUDIT LEDGER (VERDICT r19 #1): every scored
-    // doc's decision — doc_id, round(logw·1e6), passed — landed beside
-    // the stats store, one overwrite partition per batch. At 100 TB
-    // this is what makes a frozen-λ gate operable: which docs a drop
-    // lost and by how much, answerable without recomputing anything.
-    // Built from a SECOND dsirScoreWith call (the observed subtree
-    // above belongs to the semi-join's action; an Observation cannot
-    // be shared across actions). Re-running the curation lineage for
-    // it is deliberate — the gate already recomputes that lineage
-    // twice by measurement (persisting the text-bearing frame was
-    // slower, the BigramMatSweep finding), and per-doc logw is
-    // map-local deterministic, so both executions score identically.
-    val dsirLedger = dsirGate.map { case (dsirDir, minLogw) =>
+    // r21 restructure (VERDICT r20 #5, guide §1.2 step 1): the gate's
+    // scoring pass previously ran TWICE per batch — once under the
+    // semi-join (an Observation riding it for the landed stats, since
+    // an Observation cannot be shared across actions) and once for the
+    // per-doc audit ledger (VERDICT r19 #1). Now the LEDGER write is
+    // the ONE scoring execution: it lands first (same per-batch
+    // overwrite replay discipline — a crash before the data write
+    // replays and overwrites both), the gate semi-joins the READ-BACK
+    // of the just-written partition (a point read of batch-sized
+    // doc_ids), and the landed stats aggregate the ledger with one
+    // 1-row job — same v2 JSON bit-for-bit: sum(logw_e6) over the
+    // ledger IS Num.sumE6(logw) (both are Σ per-doc e6, VERDICT r18
+    // #1's integer carrier), `passed` is the SAME full-precision
+    // logw >= minLogw comparison the semi-join used to apply, computed
+    // once at scoring time.
+    val dsirScored = dsirGate.map { case (dsirDir, minLogw) =>
+      val d = s"${dsirScoredDirOf(dataDir)}/batch_id=$batchId"
       Curation.dsirScoreWith(
           filtered.select(col("doc_id"), col("text")),
           Curation.loadDsir(sp, dsirDir))
         .select(col("doc_id"),
           graft.core.Num.e6(col("logw")).as("logw_e6"),
           when(col("logw") >= minLogw, 1).otherwise(0).as("passed"))
+        .write.mode("overwrite").parquet(d)
+      d
+    }
+    def readScored(d: String): DataFrame = sp.read
+      .schema("doc_id BIGINT, logw_e6 BIGINT, passed INT").parquet(d)
+    val filtered2 = dsirScored match {
+      case Some(d) =>
+        filtered.join(
+          readScored(d).filter(col("passed") === 1).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      case None => filtered
     }
     // 3b. near-dup elimination (opt-in). The shingled batch feeds four
     // consumers in one DAG (within-pairs twice, the cross-band explode,
@@ -346,21 +330,17 @@ object CurateStream {
           .write.mode("overwrite")
           .parquet(s"${bandsDirOf(dataDir)}/batch_id=$batchId")
       }
-      // land the DSIR gate telemetry: the writes above executed the
-      // scored subtree (the semi-join's right side), so obs.get has
-      // its metrics — one driver-side 1-line JSON per batch, the
-      // IndexStore stats discipline (temp + rename, overwrite replay)
-      dsirObs.foreach { case (obs, _) =>
-        val m = obs.get
-        val nScored = m("n_scored").asInstanceOf[Long]
-        val nPassed = m("n_passed") match {
-          case null => 0L // empty batch: the conditional sum is null
-          case x: java.lang.Long => x.longValue()
-        }
-        val sumLogwE6 = m("sum_logw_e6") match {
-          case null => None // empty batch: sum over no rows is null
-          case x: java.lang.Long => Some(x.longValue())
-        }
+      // land the DSIR gate telemetry: one 1-row aggregation over the
+      // just-landed ledger (batch-sized, a point read) — one
+      // driver-side 1-line JSON per batch, the IndexStore stats
+      // discipline (temp + rename, overwrite replay)
+      dsirScored.foreach { d =>
+        val m = readScored(d).agg(
+          count(lit(1)), sum(col("logw_e6")),
+          sum(when(col("passed") === 1, 1L).otherwise(0L))).head
+        val nScored = m.getLong(0)
+        val nPassed = if (m.isNullAt(2)) 0L else m.getLong(2)
+        val sumLogwE6 = if (m.isNullAt(1)) None else Some(m.getLong(1))
         // mean_logw stays in the landed JSON for human telemetry
         // (full-precision, derived from the integer carrier exactly as
         // the declared row derives it) — the driver-hashed row reads
@@ -386,12 +366,8 @@ object CurateStream {
         require(fs.rename(tmp, new Path(statsDir, "stats.json")),
           s"CurateStream: landing $statsDir/stats.json failed")
       }
-      // the gate's per-doc audit ledger, same per-batch overwrite
-      // replay discipline as every other store
-      dsirLedger.foreach { led =>
-        led.write.mode("overwrite")
-          .parquet(s"${dsirScoredDirOf(dataDir)}/batch_id=$batchId")
-      }
+      // (the per-doc audit ledger already landed — it is the gate's one
+      // scoring execution now, written before the semi-join read it)
       // curation deletes PROPAGATE to the ANN index (opt-in): every
       // doc_id this batch rejected — within-batch dup copies, docs an
       // earlier batch's keys/bands suppress, quality failures — lands
