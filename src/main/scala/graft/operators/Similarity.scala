@@ -59,9 +59,18 @@ object Similarity {
     * accumulation from 0.0 that `aggregate(zip_with(...))` and DuckDB's
     * `list_dot_product` run, so every declared row still hash-matches
     * its oracle (re-verified 227/227 after the swap). */
-  private val widenU = udf { (v: Array[Float]) => Kernels.widen(v) }
-  private val normU = udf { (v: Array[Double]) => math.sqrt(Kernels.dotd(v, v)) }
-  private val dotU = udf { (a: Array[Double], b: Array[Double]) => Kernels.dotd(a, b) }
+  // Null passthrough (ADVICE r20 / VERDICT r20 #9): the replaced HOF
+  // expressions propagated null, so a null embedding was silently
+  // filtered by downstream predicates — the kernels must keep that
+  // skip-row failure mode instead of NPE-failing the whole task on
+  // dirty data at scale. (A null ELEMENT inside a vector remains a
+  // loud error in both forms — primitive arrays cannot carry one.)
+  private val widenU = udf { (v: Array[Float]) =>
+    if (v == null) null else Kernels.widen(v) }
+  private val normU = udf { (v: Array[Double]) =>
+    if (v == null) None else Some(math.sqrt(Kernels.dotd(v, v))) }
+  private val dotU = udf { (a: Array[Double], b: Array[Double]) =>
+    if (a == null || b == null) None else Some(Kernels.dotd(a, b)) }
 
   /** `colName` as array<double>: float inputs widened in-kernel (exact),
     * double inputs passed through unchanged (the chunkNeighbors corpus

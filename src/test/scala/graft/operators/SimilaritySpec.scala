@@ -778,4 +778,24 @@ class SimilaritySpec extends SparkSpec {
     assert(e3.getMessage.contains("sliceSize"), e3.getMessage)
   }
 
+  test("kernel UDFs propagate null embeddings as null sims (skip-row, " +
+      "not task failure) — the replaced HOF semantics (ADVICE r20)") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Some(Seq(1.0f, 0.0f))), (2L, Some(Seq(0.9f, 0.1f))),
+      (3L, None: Option[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    // a null-embedding corpus row scores a NULL sim (ranked after every
+    // real sim, exactly as the replaced HOFs did) instead of NPE-failing
+    // the task; band-filtered paths (hardNegatives) drop it entirely
+    val got = Similarity.cosineTopK(emb, emb.filter($"vec_id" === 1L), 5)
+      .select($"rnk", $"neighbor_id", $"sim")
+      .as[(Int, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got.map(_._2) == Seq(2L, 3L) && got(0)._3.isDefined && got(1)._3.isEmpty,
+      s"expected real sim first, null-sim row ranked last, got $got")
+    val hn = Similarity.hardNegatives(emb, emb.filter($"vec_id" === 1L), 5, 1.1, -1.1)
+      .select($"neighbor_id").as[Long].collect().sorted.toSeq
+    assert(hn == Seq(2L), s"expected the null row band-filtered, got $hn")
+  }
+
 }
